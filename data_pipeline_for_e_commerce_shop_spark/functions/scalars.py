@@ -1,0 +1,63 @@
+"""Scalar helpers shared by operators (SURVEY.md §2.8).
+
+Design notes
+------------
+*Money determinism.* Double summation is order-dependent; at cluster scale
+partial-aggregate order is nondeterministic, so ``SUM(double)`` is not
+reproducible bit-for-bit run to run.  The reference works around float
+drift at its sink boundary by converting floats to ``Decimal``
+(reference scripts/helperfunction.py:42-51).  We do it at the source:
+money aggregates go through exact integer cents —
+``SUM(FLOOR(x * 100))`` — which is associative, overflow-checked, and
+bit-identical on any engine (this also makes the DuckDB oracle compare
+exact rather than epsilon-based).
+
+*Portable hashing.* Spark's ``hash``/``xxhash64`` don't exist in other
+engines; where a hash must be reproducible outside Spark (dedup
+fingerprints, minhash), we derive a 64-bit value from ``md5`` hex, which
+every engine computes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money_sum(col: Column | str) -> Column:
+    """Exact, order-independent money sum -> double (dollars).
+
+    Equivalent oracle SQL: ``SUM(CAST(FLOOR(x*100) AS BIGINT))/100.0``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * 100)) / F.lit(100.0)
+
+
+def money_avg(col: Column | str, count_col: Column) -> Column:
+    """Exact money average: cents-sum divided by an explicit count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * 100)) / F.lit(100.0) / count_col
+
+
+def ratio(num: Column, den: Column) -> Column:
+    """NULL-safe ratio of two counts (double); avoids ANSI div-by-zero."""
+    return F.when(den != 0, num / den)
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """64-bit non-cryptographic hash reproducible across engines.
+
+    First 15 hex chars of md5 -> bigint (60 bits, positive).  DuckDB
+    equivalent: ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`` or
+    arithmetic from_hex; used for dedup fingerprints and minhash perms.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def event_date(col: Column | str) -> Column:
+    """Per-row event date — replaces the reference's single
+    ``first().created_at[:10]`` batch date (scripts/validation.py:191),
+    which is wrong for batches spanning days."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_date(c)

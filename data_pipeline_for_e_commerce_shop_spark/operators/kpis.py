@@ -1,0 +1,123 @@
+"""KPI queries — the reference transformation job re-expressed Spark-first.
+
+Reference semantics (scripts/transformation.py:177-248):
+
+- 3-way star join: order_items ⋈ orders ON order_id,
+  ⋈ products ON product_id = id  (transformation.py:180-184)
+- category KPIs: groupBy(category) -> sum(sale_price) AS daily_revenue,
+  avg(sale_price) AS avg_order_value,
+  count(when(status='returned'))/count(id) AS avg_return_rate
+  (transformation.py:187-191)
+- order KPIs: global agg -> countDistinct(order_id), sum(sale_price),
+  count(id), return ratio, countDistinct(user_id)
+  (transformation.py:197-203)
+
+Entity mapping onto the driver testdata (FIXTURES.md §7):
+order_items -> lineitem (sale_price ≈ l_extendedprice,
+status='returned' ≈ l_returnflag='R'), orders -> orders, products -> part
+(category ≈ p_type), users -> customer (o_custkey).
+
+Scale design:
+- The fact table (lineitem) shuffles once on the join key; both dims are
+  broadcast (part is tiny; orders is dim-sized relative to the fact and
+  AQE will demote to sort-merge if it outgrows the threshold — we hint
+  broadcast only on `part`, the side that is *always* small).
+- Aggregation is partial+final hash agg (map-side combine) — no extra
+  shuffle beyond the groupBy keys.
+- The reference derives ONE processing date per batch from the driver
+  (first().created_at[:10], scripts/validation.py:191 — anti-pattern,
+  SURVEY §4.3); we group per-row by order_date instead.
+- countDistinct at 100 TB: exact distinct is an Expand + 2-phase agg;
+  `order_kpis_approx` provides the HLL (approx_count_distinct) twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.functions.scalars import money_sum, ratio
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_items ⋈ orders ⋈ products (reference transformation.py:180-184).
+
+    lineitem ⋈ orders on l_orderkey=o_orderkey, ⋈ part on
+    l_partkey=p_partkey.  `part` is broadcast (dim-sized); orders join is
+    left to Catalyst/AQE (sort-merge at scale, broadcast when small).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
+    )
+
+
+def category_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-(category, order_date) revenue KPIs
+    (reference transformation.py:187-191, groupBy('p.category')).
+
+    category ≈ p_type, order_date ≈ date(o_orderdate),
+    daily_revenue ≈ sum(l_extendedprice), returned ≈ l_returnflag='R'.
+    Money goes through exact integer cents (functions/scalars.py) so the
+    result is order-independent — reproducible at any parallelism.
+    """
+    joined = star_join(spark, sf_dir)
+    n_items = F.count("l_linenumber")
+    return (
+        joined.groupBy(
+            F.col("p_type").alias("category"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .agg(
+            money_sum("l_extendedprice").alias("daily_revenue"),
+            (money_sum("l_extendedprice") / n_items).alias("avg_order_value"),
+            ratio(
+                F.count(F.when(F.col("l_returnflag") == "R", True)), n_items
+            ).alias("avg_return_rate"),
+        )
+    )
+
+
+def order_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date global KPIs (reference transformation.py:197-203).
+
+    The reference emits ONE row per batch keyed by the driver-derived
+    processing date; we emit one row per order_date (same semantics when
+    a batch holds a single day, correct when it spans several).
+    """
+    joined = star_join(spark, sf_dir)
+    n_items = F.count("l_linenumber")
+    return (
+        joined.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("total_orders"),
+            money_sum("l_extendedprice").alias("total_revenue"),
+            n_items.alias("total_items_sold"),
+            ratio(
+                F.count(F.when(F.col("l_returnflag") == "R", True)), n_items
+            ).alias("return_rate"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+    )
+
+
+def order_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB twin of order_kpis: HLL distinct counts (SURVEY §4.4).
+
+    Exact countDistinct is an Expand + double shuffle; at cluster scale
+    approx_count_distinct(rsd=0.01) is one pass, mergeable, ~1% error.
+    Not oracle-checked (sketch internals differ across engines) —
+    rows-only check.
+    """
+    joined = star_join(spark, sf_dir)
+    return (
+        joined.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.approx_count_distinct("o_orderkey", 0.01).alias("total_orders_approx"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("unique_customers_approx"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Coalescing KPI merge — the reference's most intricate operator
+(SURVEY §2.10), as ONE set-based relational statement.
+
+Reference: ``upsert_order_kpi_batch`` / ``upsert_category_kpi_batch``
+(scripts/helperfunction.py:53-208) do, per key, a DynamoDB ``get_item``
+(N+1 point lookups), field-wise coalesce of new-over-old, provenance
+array dedup-append, then batched puts.  The three partial-source branches
+(complete / orders_only / order_items_only,
+scripts/transformation.py:177-248) differ only in WHICH source columns
+are null — so a single coalesce-merge covers the whole branch matrix.
+
+Spark mapping: with a MERGE-capable table format this is one
+``MERGE INTO ... WHEN MATCHED UPDATE SET c = coalesce(s.c, t.c)``.
+Without Delta in this environment we express the identical algebra as a
+full-outer join + coalesce projection, which is also exactly what the
+oracle SQL checks.  Properties (tested in tests/test_merge.py):
+
+- idempotent: merging the same batch twice converges;
+- partial-then-complete == complete (coalesce column-wise);
+- provenance = array_distinct(array_union(old, new)), order-normalized.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def coalescing_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    provenance_col: str | None = "data_sources",
+) -> DataFrame:
+    """New-over-old coalescing upsert, set-based.
+
+    Returns the merged table: matched keys take source values where
+    non-null (preserving target values where the source is a partial
+    batch), unmatched source keys insert, unmatched target keys persist.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+    )
+    joined = t.join(s, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+    ] + [
+        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c) for c in value_cols
+    ]
+    if provenance_col:
+        out_cols.append(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col(f"t.{provenance_col}"), F.array()),
+                        F.coalesce(F.col(f"s.{provenance_col}"), F.array()),
+                    )
+                )
+            ).alias(provenance_col)
+        )
+    return joined.select(*out_cols)
+
+
+def upsert_parquet_table(
+    spark,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    provenance_col: str | None = "data_sources",
+) -> DataFrame:
+    """S7/S11: merge into a parquet-backed serving table, creating it if
+    absent (reference table autovivification,
+    scripts/transformation.py:57-77).  Production: Delta MERGE INTO.
+    """
+    import os
+
+    if os.path.isdir(table_path) and any(
+        f.endswith(".parquet") for f in os.listdir(table_path)
+    ):
+        target = spark.read.parquet(table_path)
+        merged = coalescing_merge(target, source, keys, value_cols, provenance_col)
+    else:
+        merged = source
+        if provenance_col:
+            merged = merged.withColumn(
+                provenance_col,
+                F.array_sort(F.array_distinct(F.col(provenance_col))),
+            )
+    # Read-modify-write: materialize before overwriting the input path.
+    merged_local = merged.cache()
+    merged_local.count()
+    merged_local.write.mode("overwrite").parquet(table_path)
+    merged_local.unpersist()
+    return spark.read.parquet(table_path)

@@ -1,0 +1,97 @@
+"""Window analytics — SURVEY §2.5/§2.6 extension surface.
+
+The reference has no window functions; its per-day KPI rows keyed by
+order_date (scripts/helperfunction.py:117) form an implicit daily series.
+These operators make that series first-class: moving averages, lag deltas,
+top-k per group, rollup/cube KPI hierarchies — all stock pyspark Window /
+grouping sets, fully Catalyst-optimized (single shuffle per partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.functions.scalars import money_sum
+from data_pipeline_for_e_commerce_shop_spark.operators.kpis import category_kpis
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+
+def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average + previous-day revenue per category.
+
+    One shuffle on `category`; lag and the rows-window share the same
+    sort within partitions.
+    """
+    kpis = category_kpis(spark, sf_dir)
+    w = Window.partitionBy("category").orderBy("order_date")
+    w7 = w.rowsBetween(-6, 0)
+    return kpis.select(
+        "category",
+        "order_date",
+        "daily_revenue",
+        F.lag("daily_revenue", 1).over(w).alias("prev_revenue"),
+        F.avg("daily_revenue").over(w7).alias("revenue_ma7"),
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k parts by revenue within each part type (row_number).
+
+    Deterministic tie-break on p_partkey.  At scale row_number over a
+    partitioned window is a single shuffle; AQE handles skewed types.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_partkey")
+        .agg(money_sum("l_extendedprice").alias("revenue"))
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        revenue.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("p_type", "p_partkey", "revenue", "rank")
+    )
+
+
+def kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(category, order_date) revenue hierarchy (SURVEY §2.4
+    extension) — per-category-per-day, per-category, grand total in one
+    pass (Expand + single hash agg)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_type").alias("category"),
+            F.to_date("o_orderdate").alias("order_date"),
+            "l_extendedprice",
+        )
+    )
+    return (
+        joined.rollup("category", "order_date")
+        .agg(
+            money_sum("l_extendedprice").alias("revenue"),
+            F.grouping_id("category", "order_date").alias("level"),
+        )
+    )
+
+
+def ordered_head(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    """O1: FIFO head — oldest-n pending-like rows, deterministic
+    tie-break (reference controller GSI query ScanIndexForward Limit=1,
+    lambda/controller.py:64-69).  TakeOrderedAndProject physically: no
+    global sort, each partition keeps n, driver merges n*p rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(n)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )

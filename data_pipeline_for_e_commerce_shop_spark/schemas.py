@@ -1,0 +1,115 @@
+"""Explicit schemas for every entity the engine touches.
+
+The reference reads every CSV with ``header=True`` and NO schema
+(reference scripts/validation.py:64, scripts/transformation.py:90), so all
+columns are strings and aggregates rely on implicit coercion.  We make the
+schema the contract: ids are longs, money is decimal(12,2) (the reference's
+float->Decimal conversion at scripts/helperfunction.py:42-51 shows decimal
+exactness is intended for money), event times are timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- e-commerce raw entities (reference lambda/s3_validation.py:25-29) ---
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("returned_at", T.TimestampType(), True),
+        T.StructField("shipped_at", T.TimestampType(), True),
+        T.StructField("delivered_at", T.TimestampType(), True),
+        T.StructField("num_of_item", T.IntegerType(), True),
+    ]
+)
+
+ORDER_ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("order_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("product_id", T.LongType(), False),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("shipped_at", T.TimestampType(), True),
+        T.StructField("delivered_at", T.TimestampType(), True),
+        T.StructField("returned_at", T.TimestampType(), True),
+        T.StructField("sale_price", T.DecimalType(12, 2), True),
+    ]
+)
+
+PRODUCTS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("sku", T.StringType(), False),
+        T.StructField("cost", T.DecimalType(12, 2), False),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("retail_price", T.DecimalType(12, 2), True),
+        T.StructField("department", T.StringType(), True),
+    ]
+)
+
+ENTITY_SCHEMAS: dict[str, T.StructType] = {
+    "orders": ORDERS_SCHEMA,
+    "order_items": ORDER_ITEMS_SCHEMA,
+    "products": PRODUCTS_SCHEMA,
+}
+
+# Required-header sets — the reference's only schema authority
+# (lambda/s3_validation.py:25-29).
+REQUIRED_COLUMNS: dict[str, set[str]] = {
+    name: {f.name for f in schema.fields} for name, schema in ENTITY_SCHEMAS.items()
+}
+
+# Columns gated non-null by the validation job
+# (reference scripts/validation.py:179-182).
+NON_NULL_COLUMNS: dict[str, list[str]] = {
+    "orders": ["order_id", "user_id", "created_at"],
+    "order_items": ["id", "order_id", "product_id", "created_at"],
+    "products": ["id", "sku", "cost"],
+}
+
+# Referential-integrity edges (reference scripts/validation.py:94-118).
+FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
+    # (child table, child col, parent table, parent col)
+    ("order_items", "order_id", "orders", "order_id"),
+    ("order_items", "product_id", "products", "id"),
+]
+
+# --- driver testdata (TPC-H-ish; see TESTDATA.md) ---
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Parquet scan for a driver testdata table (column-pruned and
+    filter-pushed automatically by Catalyst).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark reads
+    it as long nanos (legacy.parquet.nanosAsLong) and we convert via
+    integer division to microseconds — the same truncation DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` applies, so oracle comparisons agree.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df

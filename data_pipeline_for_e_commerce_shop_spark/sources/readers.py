@@ -1,0 +1,106 @@
+"""Source operators S1-S4, S8 (SURVEY §2.1).
+
+Reference behaviors re-expressed:
+
+- S1 CSV scan: reference reads header=True with NO schema
+  (scripts/validation.py:64) — stringly typed.  Here: explicit
+  StructType, PERMISSIVE mode with a ``_corrupt_record`` capture column
+  so bad rows are quarantined instead of silently coerced.
+- S3 polymorphic reader: reference try/except Delta-then-CSV
+  (scripts/validation.py:51-64) — exception-driven dispatch masks real
+  read errors.  Here: explicit format probe.
+- S4 multi-part union: reference reads N files in a Python loop and
+  reduces with unionByName (scripts/validation.py:67-80).  Here: ONE
+  multi-path scan — Spark parallelizes file listing and splits, and the
+  whole set is a single relation (one stage, no N plans).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_entity(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema: T.StructType,
+    capture_corrupt: bool = True,
+) -> DataFrame:
+    """S1: schema-first CSV scan with corrupt-record capture."""
+    read_schema = schema
+    if capture_corrupt and CORRUPT_COL not in [f.name for f in schema.fields]:
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    return (
+        spark.read.schema(read_schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(paths)
+    )
+
+
+def read_multipart(
+    spark: SparkSession, paths: list[str], schema: T.StructType
+) -> DataFrame:
+    """S4: N part-files as one relation (single multi-path scan).
+
+    The reference's per-file loop + reduce(unionByName)
+    (scripts/validation.py:67-80) builds an N-way Union plan; a
+    multi-path scan is one relation with N splits — same rows, one scan
+    node, parallel file listing.
+    """
+    return read_csv_entity(spark, paths, schema)
+
+
+def union_by_name(dfs: list[DataFrame], allow_missing: bool = False) -> DataFrame:
+    """U1: explicit unionByName for schema-drifting sources
+    (reference scripts/validation.py:78)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=allow_missing)
+    return out
+
+
+def read_polymorphic(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S3: dispatch parquet-vs-CSV by explicit probe, not exceptions.
+
+    The reference falls back Delta->CSV via try/except
+    (scripts/validation.py:51-64).  We probe the physical layout: a
+    parquet/Delta-style table dir contains ``*.parquet`` (or
+    ``_delta_log``); otherwise treat as CSV.
+    """
+    if _is_parquet_table(path):
+        return spark.read.parquet(path)
+    return read_csv_entity(spark, path, schema)
+
+
+def _is_parquet_table(path: str) -> bool:
+    if not os.path.isdir(path):
+        return path.endswith(".parquet")
+    for entry in os.listdir(path):
+        if entry == "_delta_log" or entry.endswith(".parquet"):
+            return True
+    return False
+
+
+def schema_probe(spark: SparkSession, path: str) -> list[str]:
+    """S8: header peek — replaces the boto3+csv first-row read
+    (reference lambda/s3_validation.py:53-56) with a header-only scan."""
+    return spark.read.option("header", True).csv(path).columns
+
+
+def with_source_file(df: DataFrame) -> DataFrame:
+    """P8/P9 support: attach the originating file path as a column so
+    filename routing/parsing (reference lambda/s3_validation.py:115-125)
+    is an expression, not driver code."""
+    return df.withColumn("_source_file", F.input_file_name())
