@@ -1,0 +1,255 @@
+"""Deduplication operators over the `documents` table — the
+training-data-pipeline extension surface (repo charter; no analogue in
+the reference, which dedups only via DynamoDB provenance arrays,
+scripts/helperfunction.py:149-154).
+
+All hashing is md5-derived so every stage is bit-reproducible in any
+engine (the DuckDB oracles compute identical signatures) — no reliance
+on Spark-internal hash functions.
+
+Scale design (100 TB):
+- exact dedup shuffles a 32-byte fingerprint + ids, never full text;
+- minhash signatures are ONE groupBy over exploded shingles with k min
+  aggregates (no per-permutation explode);
+- LSH banding turns O(n²) pair search into equi-joins on band hashes —
+  the only self-join runs on candidate buckets, not the corpus;
+- simhash near-dup joins block on 8-bit signature halves (any pair
+  within Hamming distance h shares a half when h <= 1 per half).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+N_MINHASH = 8          # minhash permutations
+BAND_ROWS = 2          # rows per LSH band -> 4 bands
+SHINGLE_WORDS = 3      # word n-gram shingle width
+
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text).
+
+    Returns one row per distinct text: fingerprint, the kept (minimum)
+    doc_id, and the copy count.  The shuffle carries only (fp, doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word 3-grams per document.
+
+    DuckDB-equivalent shingling:
+    ``list_transform(generate_series(1, len(toks)-2),
+    i -> array_to_string(toks[i:i+2], ' '))`` (1-based inclusive slice
+    == Spark's slice(toks, i, 3)).
+    """
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (auto step
+    # -1) while DuckDB's generate_series(1, 0) is empty — guard docs
+    # shorter than the shingle width explicitly.
+    sh = F.expr(
+        "case when size(split(text, ' ')) >= 3 then"
+        " transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        " else array() end"
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 minhash signature columns per doc, one shuffle.
+
+    Permutation i is the md5 of ``shingle || '#i'``; the signature is
+    the minimum hex string — min over strings is engine-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature (4 bands x 2
+    rows), self-join each band bucket, emit distinct (doc_a < doc_b).
+
+    Pairs with Jaccard ~s collide in a band with prob s^2; 4 bands give
+    1-(1-s^2)^4 — the classic banding curve.  The join is an equi-join
+    on (band_no, band_hash): shuffle-partitioned by bucket, no O(n^2).
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = N_MINHASH // BAND_ROWS
+    stack_args = ", ".join(
+        f"{b}, concat(mh{2 * b}, mh{2 * b + 1})" for b in range(n_bands)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) as (band_no, band_hash)"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def near_duplicates_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """LSH candidates verified with EXACT shingle-set Jaccard.
+
+    The candidate set is small (banding prunes the corpus), so the
+    verify join ships shingle sets only for candidates.  Jaccard is
+    |A∩B| / |A∪B| on distinct shingle sets — integer arithmetic, no
+    float drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    sets = _shingles(docs).groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh_set")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 16
+
+
+def _hex_bit(h, b: int):
+    """Bit b of a 16-hex-char hash: parity of hex digit b.
+
+    Engine-portable: Spark ``conv(substr(h,b+1,1),16,10) % 2``,
+    DuckDB ``(strpos('0123456789abcdef', substr(h,b+1,1))-1) % 2``.
+    """
+    return F.conv(F.substring(h, b + 1, 1), 16, 10).cast("int") % 2
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash per doc from shingle md5 bits.
+
+    bit_b(sig) = majority vote over shingles of bit_b(md5(shingle));
+    computed as 16 conditional sums in ONE aggregation (same explode as
+    minhash — at scale these two share the shingle scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).withColumn("h", F.md5("shingle"))
+    aggs = [
+        F.sum(_hex_bit(F.col("h"), b) * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = sh.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 8-bit
+    signature halves (a pair with distance <= max_hamming shares a half
+    whenever one half is clean — standard simhash chunk blocking)."""
+    sig = simhash_signatures(spark, sf_dir)
+    halves = sig.select(
+        "doc_id",
+        "simhash",
+        F.col("simhash").bitwiseAND(F.lit(255)).alias("lo"),
+        F.shiftright(F.col("simhash").cast("int"), 8).cast("long").alias("hi"),
+    )
+    a = halves.alias("a")
+    b = halves.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
+    )
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_duplicates(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on `label` (the coarse
+    cluster id), exact cosine via a sequential double fold — the same
+    left-to-right order DuckDB's list aggregates use.
+
+    At 100 TB the label block is replaced by an ANN index / LSH bucket
+    (see similarity.py); the verify math is identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(f"{side}.embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 9).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

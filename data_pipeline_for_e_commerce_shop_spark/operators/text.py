@@ -1,0 +1,117 @@
+"""Text-analysis operators over the `documents` table (repo charter).
+
+All pure JVM-side array/string expressions — no explode, no UDF: each
+query is a single map-side projection or one aggregation, so at 100 TB
+they run at scan speed with full whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+# n-gram-heuristic language lexicons (stopword stand-ins; the synthetic
+# corpus is a word bag, so this demonstrates the operator shape — swap
+# lexicons for real fastText-style profiles in production).
+LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "fast", "order", "key"],
+    "de": ["data", "merge", "window", "batch"],
+    "es": ["join", "filter", "row", "table"],
+    "fr": ["spark", "query", "stream", "vector"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _hit_count(words: list[str]) -> Column:
+    """# tokens in the lexicon — list_filter/list_contains portable."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(_toks(), lambda t: F.array_contains(arr, t)))
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-vote language ID: per-language hit counts in one pass,
+    argmax with deterministic tie-break (score desc, lang asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        "lang",
+        *[_hit_count(w).alias(f"score_{lang}") for lang, w in LEXICONS.items()],
+    )
+    langs = sorted(LEXICONS)  # asc order = tie-break priority
+    pred = None
+    best = None
+    for lang in langs:
+        s = F.col(f"score_{lang}")
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return scores.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("pred_score"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token/char counts, type-token ratio,
+    stopword ratio, mean token length — plus a composite score.
+
+    Ratios divide exact ints; the composite keeps to +,* of those
+    (deterministic double)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length("text")
+    n_stop = _hit_count(STOPWORDS)
+    ttr = n_distinct / n_tokens
+    stop_ratio = n_stop / n_tokens
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        (ttr * 0.5 + stop_ratio * 0.25 + F.lit(0.25)).alias("quality_score"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens
+    (``[a-z]+|[0-9]+|[^a-z0-9 ]`` — letters, digit runs, punctuation as
+    singles): the standard pre-tokenizer split shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+        F.ceil(F.length("text") / 4).cast("long").alias("len4_token_estimate"),
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text + a 60-bit numeric prefix for compact join keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )

@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_for_e_commerce_shop_spark.functions.scalars import money_sum, ratio
-from data_pipeline_for_e_commerce_shop_spark.operators import kpis, windows
+from data_pipeline_for_e_commerce_shop_spark.operators import (
+    dedup,
+    events,
+    kpis,
+    similarity,
+    text,
+    windows,
+)
 from data_pipeline_for_e_commerce_shop_spark.operators.merge import coalescing_merge
 from data_pipeline_for_e_commerce_shop_spark.quality.gates import ri_violations
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
@@ -369,3 +376,280 @@ def merge_coalesce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn(
         "data_sources", F.array_join("data_sources", ",")
     )
+
+
+# ------------------------------------------------- dedup (charter)
+
+# Shared oracle CTE: word 3-gram shingles per doc (matches
+# operators/dedup._shingles; DuckDB slice toks[i:i+2] is 1-based
+# inclusive == Spark slice(toks, i, 3)).
+_SHINGLE_CTE = """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+          list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+        ELSE [] END)) AS shingle
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5(shingle || '#0')) AS mh0, MIN(md5(shingle || '#1')) AS mh1,
+             MIN(md5(shingle || '#2')) AS mh2, MIN(md5(shingle || '#3')) AS mh3,
+             MIN(md5(shingle || '#4')) AS mh4, MIN(md5(shingle || '#5')) AS mh5,
+             MIN(md5(shingle || '#6')) AS mh6, MIN(md5(shingle || '#7')) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_no, mh0 || mh1 AS band_hash FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+"""
+
+register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)(dedup.exact_duplicates)
+
+register(
+    "dedup_minhash_lsh",
+    _SHINGLE_CTE + "SELECT doc_a, doc_b FROM cand",
+)(dedup.lsh_candidate_pairs)
+
+register(
+    "dedup_near_jaccard",
+    _SHINGLE_CTE
+    + """
+    , sets AS (
+      SELECT doc_id, list_sort(list(DISTINCT shingle)) AS sh_set
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             (len(list_intersect(sa.sh_set, sb.sh_set)) /
+              len(list_distinct(list_concat(sa.sh_set, sb.sh_set)))) AS jaccard
+      FROM cand
+      JOIN sets sa ON cand.doc_a = sa.doc_id
+      JOIN sets sb ON cand.doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)(dedup.near_duplicates_jaccard)
+
+register(
+    "dedup_simhash",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+          list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+        ELSE [] END)) AS shingle
+      FROM documents
+    ),
+    hb AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    votes AS (
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        "SUM(((strpos('0123456789abcdef', substr(h, %d, 1)) - 1) %% 2) * 2 - 1) AS v%d"
+        % (b + 1, b)
+        for b in range(16)
+    )
+    + """
+      FROM hb GROUP BY doc_id
+    )
+    SELECT doc_id, CAST("""
+    + " + ".join(
+        "(CASE WHEN v%d > 0 THEN %d ELSE 0 END)" % (b, 1 << b) for b in range(16)
+    )
+    + """ AS BIGINT) AS simhash
+    FROM votes
+    """,
+)(dedup.simhash_signatures)
+
+register("dedup_simhash_pairs")(dedup.simhash_near_pairs)  # rows-only: pair blocking
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.8
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_duplicates(spark, sf_dir, threshold=0.8)
+
+
+# ------------------------------------------- similarity search (charter)
+
+_COSINE_TOPK_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, corpus_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS cosine
+      FROM q CROSS JOIN c WHERE query_id != corpus_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+register("ann_brute_topk", _COSINE_TOPK_ORACLE)(similarity.brute_force_topk)
+
+# LSH-bucketed top-k: bucketing reproduces in SQL but the oracle cost is
+# O(planes x dims) expression text; checked rows-only with recall
+# covered by tests/test_similarity.py.
+register("ann_lsh_topk")(similarity.lsh_topk)
+
+
+# ------------------------------------------------- text analysis (charter)
+
+register(
+    "text_lang_id",
+    """
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','fast','order','key'], t))) AS score_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['data','merge','window','batch'], t))) AS score_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['join','filter','row','table'], t))) AS score_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['spark','query','stream','vector'], t))) AS score_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang,
+           CAST(greatest(score_en, score_de, score_es, score_fr) AS BIGINT) AS pred_score
+    FROM scores
+    """,
+)(text.language_id)
+
+register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           (len(list_distinct(toks)) / len(toks)) AS type_token_ratio,
+           (len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) / len(toks)) AS stopword_ratio,
+           ((n_chars - (len(toks) - 1)) / len(toks)) AS mean_token_len,
+           ((len(list_distinct(toks)) / len(toks)) * 0.5 +
+            (len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) / len(toks)) * 0.25 +
+            0.25) AS quality_score
+    FROM t
+    """,
+)(text.quality_scores)
+
+register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS len4_token_estimate
+    FROM documents
+    """,
+)(text.token_counts)
+
+register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(('0x' || substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp60
+    FROM documents
+    """,
+)(text.fingerprints)
+
+
+# ------------------------------------------------- event analytics
+
+register(
+    "events_hourly",
+    """
+    SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)(events.hourly_window)
+
+register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 90
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_sec, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           MIN(epoch_sec) AS session_start,
+           MAX(epoch_sec) AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)(events.sessionize)
+
+register(
+    "events_funnel",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY 1
+    """,
+)(events.event_type_funnel)
