@@ -653,3 +653,15 @@ register(
     FROM events GROUP BY 1
     """,
 )(events.event_type_funnel)
+
+
+# ------------------------------------------------- multimodal (charter)
+
+from data_pipeline_for_e_commerce_shop_spark.operators.multimodal import (  # noqa: E402
+    multimodal_features,
+)
+
+# Arrow-batched mapInPandas feature extraction: byte-stat features are
+# not SQL-expressible -> rows-only check; plumbing covered by
+# tests/test_multimodal.py.
+register("multimodal_features")(multimodal_features)

@@ -1,0 +1,165 @@
+"""End-to-end medallion pipeline: raw CSVs -> gates -> validated zone ->
+KPI merge, including the violation twins from FIXTURES.md §5."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.pipeline import MedallionPipeline
+from data_pipeline_for_e_commerce_shop_spark.quality.gates import (
+    DataValidationError,
+)
+
+ORDERS_CSV = """order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item
+1,10,delivered,2024-03-01 10:00:00,,2024-03-01 12:00:00,2024-03-02 10:00:00,2
+2,11,returned,2024-03-01 11:00:00,2024-03-05 10:00:00,,,1
+3,12,shipped,2024-03-02 09:00:00,,2024-03-02 10:00:00,,1
+"""
+
+ITEMS_CSV = """id,order_id,user_id,product_id,status,created_at,shipped_at,delivered_at,returned_at,sale_price
+100,1,10,500,complete,2024-03-01 10:00:00,,,,19.99
+101,1,10,501,complete,2024-03-01 10:00:00,,,,5.50
+102,2,11,500,returned,2024-03-01 11:00:00,,,2024-03-05 10:00:00,19.99
+103,3,12,502,shipped,2024-03-02 09:00:00,,,,7.25
+"""
+
+PRODUCTS_CSV = """id,sku,cost,category,name,brand,retail_price,department
+500,SKU500,10.00,widgets,Widget,BrandA,19.99,home
+501,SKU501,2.00,gadgets,Gadget,BrandB,5.50,home
+502,SKU502,3.00,widgets,Widget2,BrandA,7.25,garden
+"""
+
+
+def _write(tmp, name, content):
+    p = os.path.join(tmp, name)
+    with open(p, "w") as f:
+        f.write(content)
+    return p
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = str(tmp_path / "raw")
+    os.makedirs(d)
+    return d
+
+
+def test_end_to_end_batch(spark, tmp_path, raw_dir):
+    paths = {
+        "orders": [_write(raw_dir, "orders_part1.csv", ORDERS_CSV)],
+        "order_items": [_write(raw_dir, "order_items_part1.csv", ITEMS_CSV)],
+        "products": [_write(raw_dir, "products.csv", PRODUCTS_CSV)],
+    }
+    pipe = MedallionPipeline(spark, str(tmp_path / "zones"))
+    result = pipe.run_batch(paths)
+    assert result.status == "SUCCESS"
+    assert all(v == 0 for v in result.ri_violation_counts.values())
+
+    validated = spark.read.parquet(str(tmp_path / "zones/validated/order_items"))
+    assert validated.count() == 4
+    # per-row dt partitioning: two distinct days (reference would have
+    # collapsed everything onto first() date)
+    assert validated.select("dt").distinct().count() == 2
+
+    cat = spark.read.parquet(str(tmp_path / "zones/kpis/category"))
+    rows = {
+        (r["category"], str(r["order_date"])): r for r in cat.collect()
+    }
+    assert float(rows[("widgets", "2024-03-01")]["daily_revenue"]) == pytest.approx(39.98)
+    assert rows[("widgets", "2024-03-01")]["avg_return_rate"] == pytest.approx(0.5)
+
+    okpi = spark.read.parquet(str(tmp_path / "zones/kpis/order"))
+    d1 = [r for r in okpi.collect() if str(r["order_date"]) == "2024-03-01"][0]
+    assert d1["total_orders"] == 2
+    assert float(d1["total_revenue"]) == pytest.approx(45.48)
+    assert d1["unique_customers"] == 2
+    assert sorted(d1["data_sources"]) == ["order_items", "orders"]
+
+
+def test_null_gate_quarantines(spark, tmp_path, raw_dir):
+    bad_orders = ORDERS_CSV + "4,,delivered,2024-03-02 10:00:00,,,,1\n"
+    paths = {"orders": [_write(raw_dir, "orders_part1.csv", bad_orders)]}
+    pipe = MedallionPipeline(spark, str(tmp_path / "zones"))
+    df, res = pipe.validate_and_load("orders", paths["orders"])
+    assert df.count() == 3  # bad row removed
+    rejected = spark.read.parquet(str(tmp_path / "zones/rejected/orders"))
+    assert rejected.count() == 1
+    assert rejected.collect()[0]["error_type"] == "NULL_VALIDATION_ERROR"
+
+
+def test_null_gate_strict_raises(spark, tmp_path, raw_dir):
+    bad_orders = ORDERS_CSV + "4,,delivered,2024-03-02 10:00:00,,,,1\n"
+    pipe = MedallionPipeline(spark, str(tmp_path / "zones"))
+    with pytest.raises(DataValidationError) as exc:
+        pipe.validate_and_load(
+            "orders", [_write(raw_dir, "orders.csv", bad_orders)], strict=True
+        )
+    assert exc.value.error_type == "NULL_VALIDATION_ERROR"
+
+
+def test_ri_gate_quarantines_orphans(spark, tmp_path, raw_dir):
+    orphan_items = ITEMS_CSV + "104,999,13,500,complete,2024-03-02 10:00:00,,,,1.00\n"
+    paths = {
+        "orders": [_write(raw_dir, "orders_part1.csv", ORDERS_CSV)],
+        "order_items": [_write(raw_dir, "order_items_part1.csv", orphan_items)],
+        "products": [_write(raw_dir, "products.csv", PRODUCTS_CSV)],
+    }
+    pipe = MedallionPipeline(spark, str(tmp_path / "zones"))
+    result = pipe.run_batch(paths)
+    assert result.ri_violation_counts["order_items.order_id"] == 1
+    validated = spark.read.parquet(str(tmp_path / "zones/validated/order_items"))
+    assert validated.count() == 4  # orphan excluded
+    rejected = spark.read.parquet(str(tmp_path / "zones/rejected/order_items"))
+    assert rejected.filter(F.col("error_type") == "REFERENTIAL_ERROR").count() == 1
+
+
+def test_missing_header_raises(spark, tmp_path, raw_dir):
+    no_header_col = ORDERS_CSV.replace("num_of_item", "wrong_name")
+    pipe = MedallionPipeline(spark, str(tmp_path / "zones"))
+    with pytest.raises(DataValidationError) as exc:
+        pipe.validate_and_load(
+            "orders", [_write(raw_dir, "orders.csv", no_header_col)]
+        )
+    assert exc.value.error_type == "SCHEMA_ERROR"
+
+
+def test_partial_sources_converge_to_complete(spark, tmp_path, raw_dir):
+    """FIXTURES §5.5: orders-only batch then items-only batch must
+    coalesce to the same KPI row a complete batch produces."""
+    zones_partial = str(tmp_path / "partial")
+    pipe = MedallionPipeline(spark, zones_partial)
+    pipe.run_batch({"orders": [_write(raw_dir, "orders_part1.csv", ORDERS_CSV)]})
+    pipe.run_batch(
+        {
+            "order_items": [_write(raw_dir, "order_items_part1.csv", ITEMS_CSV)],
+            "products": [_write(raw_dir, "products.csv", PRODUCTS_CSV)],
+        }
+    )
+    partial = spark.read.parquet(f"{zones_partial}/kpis/order")
+
+    zones_full = str(tmp_path / "full")
+    pipe2 = MedallionPipeline(spark, zones_full)
+    pipe2.run_batch(
+        {
+            "orders": [_write(raw_dir, "o2.csv", ORDERS_CSV)],
+            "order_items": [_write(raw_dir, "i2.csv", ITEMS_CSV)],
+            "products": [_write(raw_dir, "p2.csv", PRODUCTS_CSV)],
+        }
+    )
+    full = spark.read.parquet(f"{zones_full}/kpis/order")
+
+    key = lambda r: str(r["order_date"])  # noqa: E731
+    p = {key(r): r for r in partial.collect()}
+    f_ = {key(r): r for r in full.collect()}
+    assert set(p) == set(f_)
+    for k in f_:
+        # orders-only fields came from batch 1, revenue fields from batch 2
+        assert p[k]["total_orders"] == f_[k]["total_orders"]
+        assert float(p[k]["total_revenue"]) == pytest.approx(
+            float(f_[k]["total_revenue"])
+        )
+        assert p[k]["unique_customers"] == f_[k]["unique_customers"]
+        assert sorted(p[k]["data_sources"]) == ["order_items", "orders"]

@@ -1,0 +1,203 @@
+"""Control-plane semantics: gated streaming ingest (T1/T2), debounce
+windows (T3/T4), single-flight runner + state machine (T5-T9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_for_e_commerce_shop_spark.schemas import ORDERS_SCHEMA
+from data_pipeline_for_e_commerce_shop_spark.streaming.debounce import debounce_batches
+from data_pipeline_for_e_commerce_shop_spark.streaming.ingest import run_gated_ingest
+from data_pipeline_for_e_commerce_shop_spark.streaming.runner import (
+    BatchStateTable,
+    run_until_drained,
+)
+
+GOOD_CSV = """order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item
+1,10,delivered,2024-03-01 10:00:00,,,,2
+2,11,shipped,2024-03-01 11:00:00,,,,1
+"""
+
+BAD_ROW_CSV = """order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item
+notanint,10,delivered,2024-03-01 10:00:00,,,,2
+3,12,delivered,2024-03-02 10:00:00,,,,1
+"""
+
+
+def test_gated_ingest_routes_corrupt_rows(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    os.makedirs(inbox)
+    (inbox / "orders_part1.csv").write_text(GOOD_CSV)
+    (inbox / "orders_part2.csv").write_text(BAD_ROW_CSV)
+
+    run_gated_ingest(
+        spark,
+        str(inbox),
+        ORDERS_SCHEMA,
+        admitted_path=str(tmp_path / "admitted"),
+        rejected_path=str(tmp_path / "rejected"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    admitted = spark.read.parquet(str(tmp_path / "admitted"))
+    rejected = spark.read.parquet(str(tmp_path / "rejected"))
+    assert admitted.count() == 3
+    assert rejected.count() == 1
+    assert rejected.collect()[0]["error_type"] == "SCHEMA_ERROR"
+    # provenance columns survive the gate
+    assert "_source_file" in admitted.columns
+    assert admitted.filter(F.col("_entity") != "orders").count() == 0
+
+    # exactly-once: re-running with the same checkpoint ingests nothing new
+    run_gated_ingest(
+        spark,
+        str(inbox),
+        ORDERS_SCHEMA,
+        admitted_path=str(tmp_path / "admitted"),
+        rejected_path=str(tmp_path / "rejected"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert spark.read.parquet(str(tmp_path / "admitted")).count() == 3
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_ts", T.TimestampType(), False),
+        T.StructField("group_key", T.StringType(), False),
+        T.StructField("file_path", T.StringType(), False),
+    ]
+)
+
+
+def _ev(sec, key, path):
+    return (dt.datetime(2024, 3, 1, 10, 0, 0) + dt.timedelta(seconds=sec), key, path)
+
+
+def test_debounce_gap_semantics(spark):
+    """Reference T3: events within 90 s share a batch; an event beyond
+    the gap opens a NEW batch (lambda/s3_validation.py:64-71)."""
+    events = spark.createDataFrame(
+        [
+            _ev(0, "g1", "a.csv"),
+            _ev(60, "g1", "b.csv"),      # within gap of previous -> same window
+            _ev(200, "g1", "c.csv"),     # 140s after b -> NEW window
+            _ev(10, "g2", "x.csv"),      # separate group key
+        ],
+        EVENT_SCHEMA,
+    )
+    batches = debounce_batches(events, watermark=None).collect()
+    by_key = {}
+    for r in batches:
+        by_key.setdefault(r["group_key"], []).append(r)
+    assert len(by_key["g1"]) == 2
+    first, second = sorted(by_key["g1"], key=lambda r: r["batch_start"])
+    assert first["file_paths"] == ["a.csv", "b.csv"]
+    assert second["file_paths"] == ["c.csv"]
+    assert len(by_key["g2"]) == 1
+    assert all(r["status"] == "pending" for r in batches)
+    # batch_id idempotent: same inputs -> same ids
+    again = {r["batch_id"] for r in debounce_batches(events, watermark=None).collect()}
+    assert again == {r["batch_id"] for r in batches}
+
+
+def test_debounce_streaming_mode(spark, tmp_path):
+    """Same debounce through readStream + watermark (append mode):
+    windows older than the watermark emit, state is bounded."""
+    src = tmp_path / "events"
+    os.makedirs(src)
+    events = spark.createDataFrame(
+        [_ev(0, "g1", "a.csv"), _ev(30, "g1", "b.csv"), _ev(4000, "g1", "z.csv")],
+        EVENT_SCHEMA,
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    batches = debounce_batches(stream, watermark="10 minutes")
+    q = (
+        batches.writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from debounced").collect()
+    # the first window (a+b) is older than watermark set by z -> emitted;
+    # z's window stays open in state (append semantics)
+    assert len(got) == 1
+    assert got[0]["file_paths"] == ["a.csv", "b.csv"]
+
+
+def _mk_batches(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.StringType(), False),
+            T.StructField("group_key", T.StringType(), True),
+            T.StructField("file_paths", T.ArrayType(T.StringType()), True),
+            T.StructField("batch_start", T.TimestampType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_runner_fifo_and_state_machine(spark, tmp_path):
+    table = BatchStateTable(spark, str(tmp_path / "state"))
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    table.enqueue(
+        _mk_batches(
+            spark,
+            [
+                ("b1", "g1", ["a.csv"], t0),
+                ("b2", "g1", ["b.csv"], t0 + dt.timedelta(seconds=100)),
+            ],
+        )
+    )
+    # idempotent enqueue: same ids don't duplicate
+    table.enqueue(_mk_batches(spark, [("b1", "g1", ["a.csv"], t0)]))
+    assert table.read().count() == 2
+
+    processed = []
+    stats = run_until_drained(table, lambda row: processed.append(row["batch_id"]))
+    assert processed == ["b1", "b2"]  # FIFO by created_at
+    assert stats == {"done": 2, "failed": 0}
+    state = {r["batch_id"]: r for r in table.read().collect()}
+    assert all(r["status"] == "done" for r in state.values())
+    assert all(r["processing_started_at"] is not None for r in state.values())
+    assert all(r["completed_at"] is not None for r in state.values())
+
+
+def test_runner_retries_then_fails(spark, tmp_path):
+    table = BatchStateTable(spark, str(tmp_path / "state"))
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    table.enqueue(_mk_batches(spark, [("bad", "g1", ["x.csv"], t0)]))
+
+    attempts = []
+
+    def process(row):
+        attempts.append(row["attempts"])
+        raise RuntimeError("boom")
+
+    stats = run_until_drained(table, process, max_attempts=3)
+    assert stats == {"done": 0, "failed": 1}
+    row = table.read().collect()[0]
+    assert row["attempts"] == 3            # reference Step Functions Retry 3x
+    assert "boom" in row["last_error"]
+
+
+def test_runner_single_flight(spark, tmp_path):
+    """T6: while a batch is processing, claim_next yields nothing
+    (reference controller probe, lambda/controller.py:52-61)."""
+    table = BatchStateTable(spark, str(tmp_path / "state"))
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    table.enqueue(
+        _mk_batches(spark, [("b1", "g1", ["a.csv"], t0), ("b2", "g1", ["b.csv"], t0)])
+    )
+    first = table.claim_next()
+    assert first is not None and first["status"] == "processing"
+    assert table.claim_next() is None  # single flight
+    table.finish(first["batch_id"], "done")
+    second = table.claim_next()
+    assert second is not None and second["batch_id"] != first["batch_id"]
