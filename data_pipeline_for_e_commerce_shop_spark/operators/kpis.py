@@ -109,7 +109,7 @@ def order_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB twin of order_kpis: HLL distinct counts (SURVEY §4.4).
 
     Exact countDistinct is an Expand + double shuffle; at cluster scale
-    approx_count_distinct(rsd=0.01) is one pass, mergeable, ~1% error.
+    approx_count_distinct (HLL++, rsd=0.02) is one pass, mergeable.
     Not oracle-checked (sketch internals differ across engines) —
     rows-only check.
     """
@@ -117,7 +117,7 @@ def order_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.to_date("o_orderdate").alias("order_date"))
         .agg(
-            F.approx_count_distinct("o_orderkey", 0.01).alias("total_orders_approx"),
-            F.approx_count_distinct("o_custkey", 0.01).alias("unique_customers_approx"),
+            F.approx_count_distinct("o_orderkey", 0.02).alias("total_orders_approx"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("unique_customers_approx"),
         )
     )

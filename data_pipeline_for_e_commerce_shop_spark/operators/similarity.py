@@ -23,23 +23,37 @@ from pyspark.sql import functions as F
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
 
 
-def _cosine(a: str, b: str) -> Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+def as_double(col: str) -> Column:
+    """array<float> -> array<double> once, before any pair math."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def norm(col: str | Column) -> Column:
+    """L2 norm via sequential left-to-right fold (matches DuckDB's
+    list_dot_product evaluation order, so oracles agree bitwise)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
-    def sq_norm(col: str) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
 
-    return dot / (sq_norm(a) * sq_norm(b))
+def _cosine(a: str, b: str) -> Column:
+    """Full cosine for pre-doubled arrays; prefer precomputing norms on
+    each SIDE of a join (see brute_force_topk) so the O(pairs) work is
+    one dot product, not three."""
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -49,12 +63,16 @@ def brute_force_topk(
     whole corpus.  Query side is broadcast; ranking is a per-query
     window with deterministic tie-break on corpus vec_id."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms computed ONCE per side (O(n)), so the O(n_queries * n)
+    # pair stage is a single dot product per pair.
     queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("q_emb"),
+    ).withColumn("q_norm", norm("q_emb"))
     corpus = emb.select(
-        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
-    )
+        F.col("vec_id").alias("corpus_id"),
+        as_double("embedding").alias("c_emb"),
+    ).withColumn("c_norm", norm("c_emb"))
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -62,7 +80,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "corpus_id",
-            F.round(_cosine("q_emb", "c_emb"), 9).alias("cosine"),
+            F.round(
+                dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 9
+            ).alias("cosine"),
         )
     )
     from pyspark.sql import Window
@@ -120,18 +140,23 @@ def lsh_topk(
     """Approximate top-k: exact re-scoring restricted to the query's
     LSH bucket.  At scale the corpus is hash-partitioned by bucket, so
     each query probes one partition group instead of the full corpus."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket("embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("bucket", lsh_bucket("emb"))
+        .withColumn("nrm", norm("emb"))
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("emb").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_norm"),
     )
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"),
-        F.col("embedding").alias("c_emb"),
+        F.col("emb").alias("c_emb"),
         F.col("bucket").alias("c_bucket"),
+        F.col("nrm").alias("c_norm"),
     )
     scored = (
         F.broadcast(queries)
@@ -140,7 +165,9 @@ def lsh_topk(
         .select(
             "query_id",
             "corpus_id",
-            F.round(_cosine("q_emb", "c_emb"), 9).alias("cosine"),
+            F.round(
+                dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 9
+            ).alias("cosine"),
         )
     )
     from pyspark.sql import Window

@@ -392,19 +392,27 @@ _SHINGLE_CTE = """
         ELSE [] END)) AS shingle
       FROM documents
     ),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
-             MIN(md5(shingle || '#0')) AS mh0, MIN(md5(shingle || '#1')) AS mh1,
-             MIN(md5(shingle || '#2')) AS mh2, MIN(md5(shingle || '#3')) AS mh3,
-             MIN(md5(shingle || '#4')) AS mh4, MIN(md5(shingle || '#5')) AS mh5,
-             MIN(md5(shingle || '#6')) AS mh6, MIN(md5(shingle || '#7')) AS mh7
-      FROM sh GROUP BY doc_id
+             MIN((h * 769169 + 12289) % 1000000007) AS mh0,
+             MIN((h * 394913 + 52501) % 1000000007) AS mh1,
+             MIN((h * 860273 + 86969) % 1000000007) AS mh2,
+             MIN((h * 519787 + 23131) % 1000000007) AS mh3,
+             MIN((h * 943237 + 65537) % 1000000007) AS mh4,
+             MIN((h * 627433 + 41947) % 1000000007) AS mh5,
+             MIN((h * 285377 + 91193) % 1000000007) AS mh6,
+             MIN((h * 736061 + 33599) % 1000000007) AS mh7
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS band_no, mh0 || mh1 AS band_hash FROM sig
-      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig
+      SELECT doc_id, 0 AS band_no, concat_ws('-', mh0, mh1) AS band_hash FROM sig
+      UNION ALL SELECT doc_id, 1, concat_ws('-', mh2, mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat_ws('-', mh4, mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat_ws('-', mh6, mh7) FROM sig
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -491,11 +499,11 @@ register("dedup_simhash_pairs")(dedup.simhash_near_pairs)  # rows-only: pair blo
                     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.8
+    ) WHERE cosine >= 0.3
     """,
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_duplicates(spark, sf_dir, threshold=0.8)
+    return dedup.embedding_near_duplicates(spark, sf_dir, threshold=0.3)
 
 
 # ------------------------------------------- similarity search (charter)
