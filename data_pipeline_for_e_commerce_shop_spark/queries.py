@@ -673,3 +673,54 @@ from data_pipeline_for_e_commerce_shop_spark.operators.multimodal import (  # no
 # not SQL-expressible -> rows-only check; plumbing covered by
 # tests/test_multimodal.py.
 register("multimodal_features")(multimodal_features)
+
+
+# ------------------------------------------------- as-of join (extension)
+
+from data_pipeline_for_e_commerce_shop_spark.operators.asof import (  # noqa: E402
+    purchases_last_click,
+)
+
+register(
+    "asof_purchase_click",
+    """
+    SELECT a.event_id,
+           a.user_id,
+           CAST(floor(epoch(a.ts)) AS BIGINT) AS purchase_epoch,
+           FLOOR(a.value * 100) / 100.0 AS value,
+           b.event_id AS click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)(purchases_last_click)
+
+
+# ------------------------------------------------- cube rollup (extension)
+
+@register(
+    "brand_category_cube",
+    """
+    SELECT p_brand, p_type,
+           SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,
+           COUNT(*) AS n_items,
+           CAST(GROUPING(p_brand) * 2 + GROUPING(p_type) AS BIGINT) AS level
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY CUBE(p_brand, p_type)
+    """,
+)
+def brand_category_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(brand, category): all four aggregation levels in one Expand
+    + single hash agg (SURVEY §2.4 extension — the KPI hierarchy the
+    reference recomputes per level)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .cube("p_brand", "p_type")
+        .agg(
+            money_sum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id("p_brand", "p_type").alias("level"),
+        )
+    )
