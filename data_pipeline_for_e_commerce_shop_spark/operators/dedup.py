@@ -53,14 +53,17 @@ def _shingles(docs: DataFrame) -> DataFrame:
     """
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (auto step
     # -1) while DuckDB's generate_series(1, 0) is empty — guard docs
-    # shorter than the shingle width explicitly.
+    # shorter than the shingle width explicitly.  Tokenize ONCE in a
+    # prior projection (split is O(len(text)); referencing it three
+    # times in one expression would re-split per reference).
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     sh = F.expr(
-        "case when size(split(text, ' ')) >= 3 then"
-        " transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "case when size(toks) >= 3 then"
+        " transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', slice(toks, i, 3)))"
         " else array() end"
     )
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return toks.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 # Universal-hash parameters for the k permutations: mh_i = min over
@@ -106,18 +109,26 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"stack({n_bands}, {stack_args}) as (band_no, band_hash)"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Pair generation via per-bucket collect_set + in-bucket expansion:
+    # ONE pass over the signatures and ONE shuffle (vs a self-join that
+    # recomputes the whole signature lineage for each side).  A bucket
+    # must fit in executor memory — fine by construction (a band hash
+    # collides only for near-dups); a degenerate corpus (e.g. millions
+    # of identical docs) should be exact-deduped FIRST, which is also
+    # the correct pipeline order at 100 TB.
+    buckets = (
+        bands.groupBy("band_no", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x as doc_a, y as doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -199,27 +210,38 @@ def simhash_near_pairs(
     signature halves (a pair with distance <= max_hamming shares a half
     whenever one half is clean — standard simhash chunk blocking)."""
     sig = simhash_signatures(spark, sf_dir)
-    halves = sig.select(
+    # One (block_no, block_key) row per half: blocking becomes a plain
+    # equi-bucket problem.  An OR-of-equalities join condition cannot
+    # hash-partition (Spark plans it as BroadcastNestedLoopJoin — O(n²),
+    # unusable at scale); stacking the halves into rows keeps every step
+    # an equi shuffle, same shape as the minhash banding above.
+    blocks = sig.select(
         "doc_id",
         "simhash",
-        F.col("simhash").bitwiseAND(F.lit(255)).alias("lo"),
-        F.shiftright(F.col("simhash").cast("int"), 8).cast("long").alias("hi"),
+        F.expr(
+            "stack(2, 0, simhash % 256,"
+            " 1, simhash div 256) as (block_no, block_key)"
+        ),
     )
-    a = halves.alias("a")
-    b = halves.alias("b")
-    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
-        (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
-    )
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+    buckets = (
+        blocks.groupBy("block_no", "block_key")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct("doc_id", "simhash"))
+            ).alias("members")
         )
+        .where(F.size("members") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(members, (x, i) ->"
+        " transform(slice(members, i + 2, size(members)),"
+        " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b,"
+        " x.simhash as sh_a, y.simhash as sh_b))))"
+    )
+    ham = F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
