@@ -87,6 +87,44 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_seconds: int = DEBOUNCE_GAP
     )
 
 
+def purchase_click_window(
+    spark: SparkSession, sf_dir: str, lookback_seconds: int = 3600
+) -> DataFrame:
+    """Interval (range) join: for each purchase, the count and value of
+    the same user's clicks in the preceding hour — conversion-context
+    attribution.
+
+    The join is equi on user_id with the time range as a residual
+    predicate, so Spark plans a hash/sort-merge join partitioned by
+    user, never a nested-loop: at 100 TB the shuffle is keyed and the
+    range filter is evaluated stream-side per matched pair.  (A pure
+    range join with NO equi key would need bucketized time — see
+    asof.py for the ordered alternative.)  Left join keeps zero-click
+    purchases with n_clicks = 0.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", sec.alias("p_sec"), "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        sec.alias("c_sec"),
+        F.floor(F.col("value") * 100).alias("c_cents"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_sec") >= F.col("p_sec") - lookback_seconds)
+        & (F.col("c_sec") < F.col("p_sec")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "p_sec").agg(
+        F.count("c_sec").alias("n_clicks"),
+        (F.coalesce(F.sum("c_cents"), F.lit(0)) / 100.0).alias("click_value"),
+    )
+
+
 def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type pivot (counts per type) — the KV-serving
     shape of the reference's per-key KPI rows, as one wide row per

@@ -724,3 +724,102 @@ def brand_category_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id("p_brand", "p_type").alias("level"),
         )
     )
+
+
+# --------------------------------------------- interval join (extension)
+
+register(
+    "events_interval_join",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS p_sec,
+           COUNT(c.ts) AS n_clicks,
+           COALESCE(SUM(CAST(FLOOR(c.value*100) AS BIGINT)), 0)/100.0 AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND floor(epoch(c.ts)) >= floor(epoch(p.ts)) - 3600
+     AND floor(epoch(c.ts)) <  floor(epoch(p.ts))
+    GROUP BY 1, 2, 3
+    """,
+)(events.purchase_click_window)
+
+
+# ------------------------------------------ string parsing (F8/P9 family)
+
+@register(
+    "priority_parse",
+    """
+    SELECT CAST(regexp_extract(o_orderpriority, '([0-9]+)-(.*)', 1) AS BIGINT)
+             AS priority_rank,
+           lower(regexp_extract(o_orderpriority, '([0-9]+)-(.*)', 2))
+             AS priority_label,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def priority_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-string parsing (the reference's filename parser
+    pattern, lambda/s3_validation.py:115-125, applied to a data
+    column): regexp_extract of '<rank>-<LABEL>' into typed parts, then
+    a grouped profile.  All JVM-side string expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.regexp_extract("o_orderpriority", r"([0-9]+)-(.*)", 1)
+            .cast("long")
+            .alias("priority_rank"),
+            F.lower(F.regexp_extract("o_orderpriority", r"([0-9]+)-(.*)", 2))
+            .alias("priority_label"),
+            "o_custkey",
+        )
+        .groupBy("priority_rank", "priority_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# -------------------------------------------- quantiles (extension)
+
+@register(
+    "segment_price_quantiles",
+    """
+    SELECT c_mktsegment,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles of order value per market segment.
+
+    percentile_disc picks an actual data value (no interpolation), so
+    Spark and the oracle agree bit-exactly on doubles.  customer is
+    dim-sized -> broadcast; the agg is a single shuffle on segment.
+    At 100 TB swap in approx_percentile(...) for one-pass sketching.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
