@@ -1,0 +1,69 @@
+"""Plan-shape contracts: scale properties asserted, not hoped for.
+
+Every registered query must compile to a plan that survives a 100x
+scale-up: no nested-loop joins (the brute-force ANN baseline is the
+one deliberate exception — broadcasting Q query rows against a single
+corpus scan IS the definition of brute force), dims broadcast, scans
+pruned to the columns actually used.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_for_e_commerce_shop_spark import queries as Q
+from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+    broadcast_join_count,
+    has_nested_loop_join,
+    physical_plan,
+    scan_pushed_filters,
+    scan_read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+# Brute-force ANN: broadcast-NL of a handful of query vectors against
+# one corpus scan is the intended physical shape (similarity.py).
+NESTED_LOOP_OK = {"ann_brute_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(Q.QUERIES))
+def test_no_nested_loop_joins(spark, name):
+    if name in NESTED_LOOP_OK:
+        pytest.skip("broadcast-NL is the intended brute-force plan")
+    df = Q.QUERIES[name](spark, SF)
+    assert not has_nested_loop_join(df), f"{name} plans a nested-loop join"
+
+
+def test_flagship_broadcasts_dims(spark):
+    """category_kpis: both dimension joins must be broadcast — a
+    shuffle join against part/orders wastes a full fact shuffle."""
+    df = Q.QUERIES["category_kpis"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_flagship_scan_pruned(spark):
+    """The lineitem scan must read only the columns the query uses,
+    not the full 16-column schema."""
+    df = Q.QUERIES["category_kpis"](spark, SF)
+    schemas = scan_read_schemas(df)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li, f"no lineitem scan found: {schemas}"
+    assert "l_comment" not in li[0] and "l_shipmode" not in li[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """events filtered by event_type: the predicate must appear in the
+    parquet scan's PushedFilters, not only in a post-scan Filter."""
+    df = Q.QUERIES["asof_purchase_click"](spark, SF)
+    pushed = " ".join(scan_pushed_filters(df))
+    assert "event_type" in pushed, physical_plan(df)
+
+
+def test_interval_join_is_equi_keyed(spark):
+    """The range join must hash/broadcast on user_id with the time
+    range as residual — never a pure cross product."""
+    df = Q.QUERIES["events_interval_join"](spark, SF)
+    plan = physical_plan(df)
+    assert "NestedLoopJoin" not in plan
+    assert "Join" in plan
