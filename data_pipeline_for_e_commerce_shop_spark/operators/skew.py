@@ -1,0 +1,70 @@
+"""Skew-mitigation operators (SURVEY §4.4: "salting only if skew
+observed").
+
+A hot group key makes one reducer the straggler: every row for that key
+lands in a single shuffle partition regardless of cluster size.  Spark's
+hash aggregation already does partial (map-side) combine, which handles
+*sum-like* skew for free — but when the per-group state is wide (many
+distinct-ish aggregates) or the operator is `collect_set`-shaped, an
+explicit two-phase salted aggregation bounds any single task's state:
+
+    phase 1: groupBy(key, salt)  — fan the hot key over S sub-groups
+    phase 2: groupBy(key)        — merge the S partials
+
+Correctness requires the aggregate to be decomposable (sum/count/min/
+max/HLL merge...).  The salt is a deterministic hash of a high-
+cardinality column — NOT rand() — so a re-run (or a task retry at
+100 TB) produces identical partials; results are bit-equal to the
+unsalted plan, which is exactly what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+N_SALTS = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    salt_source: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Two-phase count/sum/distinct-merge aggregation over a skewed key.
+
+    Emits per-key: row count, exact value sum in cents, and the number
+    of distinct users (merged from per-salt partial sets — the pattern
+    that matters, since countDistinct state is what actually blows up
+    on a hot key).
+    """
+    salt = (F.abs(F.hash(F.col(salt_source))) % n_salts).alias("_salt")
+    partial = (
+        df.groupBy(F.col(key), salt)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("_cents"),
+            F.collect_set("user_id").alias("_users"),
+        )
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("_n").alias("n_events"),
+            (F.sum("_cents") / 100.0).alias("total_value"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("_users")))
+            ).alias("n_users"),
+        )
+    )
+
+
+def event_type_salted_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPIs per event_type — a 5-value key over the whole events table,
+    i.e. maximal skew: without salting, 5 reducer tasks do all the work
+    no matter how many executors exist."""
+    events = load_table(spark, sf_dir, "events")
+    return salted_agg(events, key="event_type", salt_source="user_id")

@@ -823,3 +823,63 @@ def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p75"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ------------------------------------------- set operations (U-family)
+
+@register(
+    "customer_retention_setops",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1996)
+    SELECT 'retained' AS cohort, o_custkey
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'churned' AS cohort, o_custkey
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    """,
+)
+def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (SURVEY §2.7 — absent in the reference):
+    customers active in 1995 split into retained (also in 1996) vs
+    churned.  Both set ops hash-partition on the key; the two cohort
+    branches reuse the same year-filtered scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    y96 = (
+        orders.where(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    retained = y95.intersect(y96).select(
+        F.lit("retained").alias("cohort"), "o_custkey"
+    )
+    churned = y95.exceptAll(y96).select(
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return retained.unionByName(churned)
+
+
+# --------------------------------------------- skew mitigation (§4.4)
+
+from data_pipeline_for_e_commerce_shop_spark.operators.skew import (  # noqa: E402
+    event_type_salted_kpis,
+)
+
+register(
+    "event_type_salted_kpis",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value*100) AS BIGINT))/100.0 AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)(event_type_salted_kpis)
