@@ -67,6 +67,41 @@ def coalescing_merge(
     return joined.select(*out_cols)
 
 
+def additive_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Accumulating upsert: matched keys ADD the source partials to the
+    target's running totals (null-safe), unmatched keys insert/persist.
+
+    This is the merge flavor incremental (streaming) aggregation needs —
+    coalescing_merge's new-over-old overwrite is correct for the
+    reference's per-batch full recompute, but a micro-batch carries only
+    a DELTA, so totals must accumulate.  Only decomposable aggregates
+    (count/sum/min/max/HLL) can ride this path; averages and ratios are
+    derived from the accumulated terms at read time.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+    )
+    joined = t.join(s, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+    ] + [
+        (
+            F.coalesce(F.col(f"t.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+        ).alias(c)
+        for c in sum_cols
+    ]
+    return joined.select(*out_cols)
+
+
 def upsert_parquet_table(
     spark,
     table_path: str,

@@ -1,0 +1,95 @@
+"""T5/T11 at scale: incremental KPI maintenance from a file stream.
+
+The reference recomputes KPIs per batch and point-upserts them
+(scripts/transformation.py:187-205 → helperfunction.py:53-208).  At
+100 TB you never recompute the whole history: each arriving micro-batch
+contributes a PARTIAL aggregate (counts + integer-cent sums — the
+decomposable terms), which an additive merge folds into the serving
+table.  Averages/ratios are derived from the accumulated terms at read
+time, so they are always consistent with the totals.
+
+Exactly-once: the checkpoint tracks processed files, so a restarted
+``availableNow`` run skips everything already folded in — re-running
+the stream does NOT double-count (tests/test_incremental.py).  With a
+transactional table format the merge itself is also atomic; on plain
+parquet the read-modify-write in upsert is the single-writer section.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from data_pipeline_for_e_commerce_shop_spark.operators.merge import additive_merge
+
+KEY_COLS = ["category", "order_date"]
+SUM_COLS = ["n_items", "revenue_cents", "n_returned"]
+
+
+def partial_category_kpis(batch: DataFrame) -> DataFrame:
+    """Per-micro-batch decomposable terms for the category KPIs."""
+    return batch.groupBy("category", "order_date").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.floor(F.col("sale_price") * 100))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.when(F.col("status") == "returned", 1)).alias("n_returned"),
+    )
+
+
+def accumulate_into(spark: SparkSession, table_path: str, partial: DataFrame) -> None:
+    """Fold one batch's partials into the parquet serving table."""
+    import os
+
+    if os.path.isdir(table_path) and any(
+        f.endswith(".parquet") for f in os.listdir(table_path)
+    ):
+        target = spark.read.parquet(table_path)
+        merged = additive_merge(target, partial, KEY_COLS, SUM_COLS)
+    else:
+        merged = partial
+    out = merged.cache()
+    out.count()  # materialize before overwriting the input path
+    out.write.mode("overwrite").parquet(table_path)
+    out.unpersist()
+
+
+def serving_view(spark: SparkSession, table_path: str) -> DataFrame:
+    """Derived KPIs from the accumulated terms — identical shape to the
+    batch category_kpis output."""
+    t = spark.read.parquet(table_path)
+    return t.select(
+        "category",
+        "order_date",
+        (F.col("revenue_cents") / 100.0).alias("daily_revenue"),
+        (F.col("revenue_cents") / 100.0 / F.col("n_items")).alias(
+            "avg_order_value"
+        ),
+        (F.col("n_returned") / F.col("n_items")).alias("avg_return_rate"),
+    )
+
+
+def run_incremental_kpis(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    table_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available files into the serving table
+    (Trigger.AvailableNow), then stop.  Call again after new files
+    arrive — the checkpoint guarantees each file folds in exactly once.
+    """
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        accumulate_into(spark, table_path, partial_category_kpis(batch))
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
