@@ -92,3 +92,34 @@ def test_quarantine_provenance_columns(spark, tmp_path):
     assert out["reason"] == "bad row"
     assert out["error_type"] == "SCHEMA_ERROR"
     assert out["rejected_at"] is not None
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
+    """Co-located bucketed tables: the fact-to-fact join plans with
+    ZERO shuffle exchanges (the bucketing paid the shuffle at write)."""
+    from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+        exchange_count,
+        physical_plan,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from data_pipeline_for_e_commerce_shop_spark.sources.sinks import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/bdb'")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        write_bucketed(li, "bdb.li_b", "l_orderkey", n_buckets=4)
+        write_bucketed(orders, "bdb.ord_b", "o_orderkey", n_buckets=4)
+        a = spark.table("bdb.li_b")
+        b = spark.table("bdb.ord_b")
+        joined = a.join(b.hint("merge"), a.l_orderkey == b.o_orderkey)
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert exchange_count(joined) == 0, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
