@@ -765,22 +765,26 @@ def priority_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-string parsing (the reference's filename parser
     pattern, lambda/s3_validation.py:115-125, applied to a data
     column): regexp_extract of '<rank>-<LABEL>' into typed parts, then
-    a grouped profile.  All JVM-side string expressions."""
+    a grouped profile.  All JVM-side string expressions.
+
+    The parse happens ABOVE the aggregation: grouping on the raw
+    5-value string (which functionally determines the parsed pair)
+    keeps the regexp out of the countDistinct expand, so it runs 5
+    times instead of per input row — ~3x faster at sf0.1.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.select(
-            F.regexp_extract("o_orderpriority", r"([0-9]+)-(.*)", 1)
-            .cast("long")
-            .alias("priority_rank"),
-            F.lower(F.regexp_extract("o_orderpriority", r"([0-9]+)-(.*)", 2))
-            .alias("priority_label"),
-            "o_custkey",
-        )
-        .groupBy("priority_rank", "priority_label")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-        )
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return agg.select(
+        F.regexp_extract("o_orderpriority", r"([0-9]+)-(.*)", 1)
+        .cast("long")
+        .alias("priority_rank"),
+        F.lower(F.regexp_extract("o_orderpriority", r"([0-9]+)-(.*)", 2))
+        .alias("priority_label"),
+        "n_orders",
+        "n_customers",
     )
 
 
