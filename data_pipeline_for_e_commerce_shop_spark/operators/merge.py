@@ -72,6 +72,7 @@ def additive_merge(
     source: DataFrame,
     keys: list[str],
     sum_cols: list[str],
+    sketch_cols: list[str] | None = None,
 ) -> DataFrame:
     """Accumulating upsert: matched keys ADD the source partials to the
     target's running totals (null-safe), unmatched keys insert/persist.
@@ -82,6 +83,11 @@ def additive_merge(
     a DELTA, so totals must accumulate.  Only decomposable aggregates
     (count/sum/min/max/HLL) can ride this path; averages and ratios are
     derived from the accumulated terms at read time.
+
+    ``sketch_cols`` are binary HLL sketch columns (``hll_sketch_agg``
+    partials) merged with ``hll_union`` — the scale answer to exact
+    countDistinct, whose per-key state cannot accumulate (SURVEY §4.4):
+    a sketch column makes distinct-count maintenance as cheap as a sum.
     """
     t = target.alias("t")
     s = source.alias("s")
@@ -99,6 +105,14 @@ def additive_merge(
         ).alias(c)
         for c in sum_cols
     ]
+    for c in sketch_cols or []:
+        tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+        out_cols.append(
+            F.when(tc.isNull(), sc)
+            .when(sc.isNull(), tc)
+            .otherwise(F.hll_union(tc, sc))
+            .alias(c)
+        )
     return joined.select(*out_cols)
 
 

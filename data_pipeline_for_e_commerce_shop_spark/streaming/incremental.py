@@ -25,16 +25,24 @@ from data_pipeline_for_e_commerce_shop_spark.operators.merge import additive_mer
 
 KEY_COLS = ["category", "order_date"]
 SUM_COLS = ["n_items", "revenue_cents", "n_returned"]
+SKETCH_COLS = ["users_hll"]
 
 
 def partial_category_kpis(batch: DataFrame) -> DataFrame:
-    """Per-micro-batch decomposable terms for the category KPIs."""
+    """Per-micro-batch decomposable terms for the category KPIs.
+
+    Distinct users travel as an HLL sketch (binary column): exact
+    per-batch countDistinct cannot accumulate across batches, but
+    sketches union associatively — the estimate at read time covers
+    every batch ever folded in.
+    """
     return batch.groupBy("category", "order_date").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.floor(F.col("sale_price") * 100))
         .cast("long")
         .alias("revenue_cents"),
         F.count(F.when(F.col("status") == "returned", 1)).alias("n_returned"),
+        F.hll_sketch_agg("user_id").alias("users_hll"),
     )
 
 
@@ -46,7 +54,9 @@ def accumulate_into(spark: SparkSession, table_path: str, partial: DataFrame) ->
         f.endswith(".parquet") for f in os.listdir(table_path)
     ):
         target = spark.read.parquet(table_path)
-        merged = additive_merge(target, partial, KEY_COLS, SUM_COLS)
+        merged = additive_merge(
+            target, partial, KEY_COLS, SUM_COLS, sketch_cols=SKETCH_COLS
+        )
     else:
         merged = partial
     out = merged.cache()
@@ -67,6 +77,7 @@ def serving_view(spark: SparkSession, table_path: str) -> DataFrame:
             "avg_order_value"
         ),
         (F.col("n_returned") / F.col("n_items")).alias("avg_return_rate"),
+        F.hll_sketch_estimate("users_hll").alias("n_users_approx"),
     )
 
 

@@ -23,17 +23,21 @@ SCHEMA = StructType(
         StructField("order_date", StringType()),
         StructField("status", StringType()),
         StructField("sale_price", DoubleType()),
+        StructField("user_id", StringType()),
     ]
 )
 
 WAVE1 = [
-    ("toys", "2024-03-01", "delivered", 10.00),
-    ("toys", "2024-03-01", "returned", 5.50),
-    ("books", "2024-03-01", "delivered", 3.25),
+    ("toys", "2024-03-01", "delivered", 10.00, "u1"),
+    ("toys", "2024-03-01", "returned", 5.50, "u2"),
+    ("books", "2024-03-01", "delivered", 3.25, "u1"),
 ]
 WAVE2 = [
-    ("toys", "2024-03-01", "delivered", 2.00),   # accumulates into existing key
-    ("books", "2024-03-02", "delivered", 8.00),  # new key inserts
+    # accumulates into the existing key; u1 already seen in wave 1
+    ("toys", "2024-03-01", "delivered", 2.00, "u1"),
+    ("toys", "2024-03-01", "delivered", 1.00, "u3"),
+    # new key inserts
+    ("books", "2024-03-02", "delivered", 8.00, "u4"),
 ]
 
 
@@ -43,6 +47,7 @@ def _collect_kpis(spark, table_path):
             r["daily_revenue"],
             round(r["avg_order_value"], 6),
             round(r["avg_return_rate"], 6),
+            r["n_users_approx"],
         )
         for r in serving_view(spark, table_path).collect()
     }
@@ -72,6 +77,10 @@ def test_incremental_converges_to_batch_recompute(spark, tmp_path):
             r["daily_revenue"],
             round(r["avg_order_value"], 6),
             round(r["avg_return_rate"], 6),
+            # HLL is exact at these cardinalities; crucially u1 appears
+            # in BOTH waves but counts once — per-batch exact distincts
+            # could never merge to this.
+            r["n_users"],
         )
         for r in full.groupBy("category", "order_date")
         .agg(
@@ -87,6 +96,7 @@ def test_incremental_converges_to_batch_recompute(spark, tmp_path):
                 F.count(F.when(F.col("status") == "returned", 1))
                 / F.count(F.lit(1))
             ).alias("avg_return_rate"),
+            F.countDistinct("user_id").alias("n_users"),
         )
         .collect()
     }
@@ -121,8 +131,17 @@ def test_partial_terms_are_decomposable(spark):
             F.sum("n_items").alias("n_items"),
             F.sum("revenue_cents").alias("revenue_cents"),
             F.sum("n_returned").alias("n_returned"),
+            F.hll_union_agg("users_hll").alias("users_hll"),
         )
     )
-    assert {tuple(r) for r in merged.collect()} == {
-        tuple(r) for r in both.collect()
-    }
+    # Sketch BYTES are not canonical across groupings — compare the
+    # estimates (exact at these cardinalities), and the sums directly.
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.withColumn(
+                "users_hll", F.hll_sketch_estimate("users_hll")
+            ).collect()
+        }
+
+    assert norm(merged) == norm(both)
