@@ -83,6 +83,50 @@ def kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows (SURVEY §2.5 extension): customers bucketed
+    into spend quartiles with their exact percentile rank.
+
+    ntile/percent_rank need a total order over the whole frame — an
+    unavoidable global sort — so the grouped spend is computed first
+    (one shuffle on o_custkey), then a single range-partitioned sort of
+    the much smaller per-customer aggregate, never of the fact table.
+    Tie-break on o_custkey keeps both functions deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        "n_orders",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+    )
+
+
+def grouping_sets_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((brand), (type), ()) — the sparse cousin of
+    rollup/cube (SURVEY §2.4 extension): per-brand and per-type KPI
+    marginals plus the grand total in ONE Expand + hash agg, skipping
+    the (brand, type) cross level a CUBE would also compute."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select("p_brand", "p_type", "l_extendedprice")
+    return joined.groupingSets(
+        [["p_brand"], ["p_type"], []], "p_brand", "p_type"
+    ).agg(
+        money_sum("l_extendedprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.grouping_id("p_brand", "p_type").alias("level"),
+    )
+
+
 def ordered_head(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     """O1: FIFO head — oldest-n pending-like rows, deterministic
     tie-break (reference controller GSI query ScanIndexForward Limit=1,

@@ -534,6 +534,11 @@ register("ann_brute_topk", _COSINE_TOPK_ORACLE)(similarity.brute_force_topk)
 # covered by tests/test_similarity.py.
 register("ann_lsh_topk")(similarity.lsh_topk)
 
+# IVF-bucketed top-k (scale path #2): inverted centroid lists + n_probe
+# re-scoring.  Nearest-centroid argmin is a window over a cross join —
+# not reasonably SQL-expressible -> rows-only; recall asserted in tests.
+register("ann_ivf_topk")(similarity.ivf_topk)
+
 
 # ------------------------------------------------- text analysis (charter)
 
@@ -868,6 +873,95 @@ def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("churned").alias("cohort"), "o_custkey"
     )
     return retained.unionByName(churned)
+
+
+# ------------------------------------ multi-hop dimensional join (J-chain)
+
+@register(
+    "regional_revenue",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))/100.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star chain: fact ⋈ 5 dims with a
+    local-supplier residual predicate (c_nationkey = s_nationkey).
+
+    The reference never joins more than 3 tables
+    (scripts/transformation.py:180-184); this exercises Catalyst's join
+    reordering + chained broadcasts: every dim (customer, supplier,
+    nation, region) is broadcast, so the fact table never shuffles —
+    the only exchange is the final groupBy on (region, nation), 125
+    groups.  Discounted revenue uses exact integer cents (the product
+    is computed identically left-to-right on both engines)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ------------------------------------------ rank-family windows (§2.5)
+
+register(
+    "customer_spend_quartiles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))/100.0 AS total_spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, total_spend, n_orders,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 9) AS pct_rank
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend DESC, o_custkey ASC)
+    """,
+)(windows.customer_spend_quartiles)
+
+
+# ------------------------------------------ grouping sets (§2.4)
+
+register(
+    "grouping_sets_kpis",
+    """
+    SELECT p_brand, p_type,
+           SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,
+           COUNT(*) AS n_items,
+           CAST(GROUPING(p_brand) * 2 + GROUPING(p_type) AS BIGINT) AS level
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+    """,
+)(windows.grouping_sets_kpis)
 
 
 # --------------------------------------------- skew mitigation (§4.4)

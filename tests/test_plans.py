@@ -24,7 +24,10 @@ SF = "/root/testdata/sf0.001"
 
 # Brute-force ANN: broadcast-NL of a handful of query vectors against
 # one corpus scan is the intended physical shape (similarity.py).
-NESTED_LOOP_OK = {"ann_brute_topk"}
+# IVF ANN: nearest-centroid assignment broadcasts the model-sized
+# centroid table (k rows) against the corpus — also intended; the
+# pair-scoring join itself is equi-keyed on cluster_id.
+NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
