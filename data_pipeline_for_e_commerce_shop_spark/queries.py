@@ -654,6 +654,26 @@ register(
     """,
 )(events.sessionize)
 
+from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa: E402
+    stream_hourly_kpis,
+)
+
+# A REAL Structured Streaming job (readStream -> watermark -> tumbling
+# window -> availableNow drain): decomposable aggregates make the
+# streamed result bit-identical to the batch dual, so it gets a full
+# value-hash oracle — the stream/batch duality gate.
+register(
+    "events_stream_hourly",
+    """
+    SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)(stream_hourly_kpis)
+
 register(
     "events_funnel",
     """

@@ -1,0 +1,82 @@
+"""Event-time windowed aggregation as a real Structured Streaming job
+(SURVEY §2.9 T8 — the watermarking the reference never had: its whole
+control plane is processing-time, lambda/s3_validation.py:64-112).
+
+``stream_hourly_kpis`` runs ``readStream -> withWatermark -> tumbling
+window -> memory sink`` with Trigger.AvailableNow, drains every
+available file, and returns the finished aggregate as a batch
+DataFrame.  The aggregate columns are decomposable (counts + integer
+cents), so the streaming result is bit-identical to the batch dual
+(operators/events.hourly_window) and DuckDB — the stream/batch duality
+Spark promises, asserted by the oracle gate.
+
+Scale: the same program pointed at an arriving directory with a
+micro-batch trigger is the production form; state is bounded by the
+watermark (windows older than max(event_time) - delay are finalized
+and evicted).  Complete output mode is used here only because the
+memory sink collects the whole small aggregate; a file/Delta sink at
+scale would use append mode and emit each window once, on watermark
+close.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _as_stream_dir(file_path: str) -> str:
+    """Expose a single data file as a streamable directory via symlink
+    (cached per source file; nothing is copied)."""
+    d = _STREAM_DIRS.get(file_path)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
+        _STREAM_DIRS[file_path] = d
+    return d
+
+
+def stream_hourly_kpis(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Hourly counts + exact value sums per event_type, computed by a
+    streaming query over the events table and returned as a DataFrame."""
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    # The file stream source lists a DIRECTORY (that's its contract —
+    # new files appearing under it become new micro-batches).  The
+    # testdata table is a single file, so stage a symlink to it inside
+    # a temp dir and stream that dir; no data is copied.
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(src))
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long nanos (see schemas.load_table)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100)) / 100.0).alias("total_value"),
+        )
+    )
+    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -201,3 +201,19 @@ def test_runner_single_flight(spark, tmp_path):
     table.finish(first["batch_id"], "done")
     second = table.claim_next()
     assert second is not None and second["batch_id"] != first["batch_id"]
+
+
+def test_stream_batch_duality(spark, sf_dir):
+    """T8 extension: the event-time streaming hourly aggregate (real
+    readStream + watermark + availableNow drain) is bit-identical to
+    its batch dual — decomposable aggregates guarantee it."""
+    from data_pipeline_for_e_commerce_shop_spark.operators import events
+    from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (
+        stream_hourly_kpis,
+    )
+
+    streamed = stream_hourly_kpis(spark, sf_dir)
+    batch = events.hourly_window(spark, sf_dir).drop("n_users")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
