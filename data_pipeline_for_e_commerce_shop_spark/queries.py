@@ -919,12 +919,13 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     local-supplier residual predicate (c_nationkey = s_nationkey).
 
     The reference never joins more than 3 tables
-    (scripts/transformation.py:180-184); this exercises Catalyst's join
-    reordering + chained broadcasts: every dim (customer, supplier,
-    nation, region) is broadcast, so the fact table never shuffles —
-    the only exchange is the final groupBy on (region, nation), 125
-    groups.  Discounted revenue uses exact integer cents (the product
-    is computed identically left-to-right on both engines)."""
+    (scripts/transformation.py:180-184); this exercises chained
+    broadcasts: customer, supplier, nation, region are all broadcast,
+    so the fact side shuffles only for the lineitem⋈orders equi join
+    (both fact-sized at scale — a shuffle join is the right plan) and
+    for the final groupBy on (region, nation), 125 groups.  Discounted
+    revenue uses exact integer cents (the product is computed
+    identically left-to-right on both engines)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")

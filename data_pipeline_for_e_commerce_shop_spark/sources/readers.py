@@ -104,3 +104,15 @@ def with_source_file(df: DataFrame) -> DataFrame:
     filename routing/parsing (reference lambda/s3_validation.py:115-125)
     is an expression, not driver code."""
     return df.withColumn("_source_file", F.input_file_name())
+
+
+def normalize_path(path: str) -> str:
+    """P10: path normalization before planning (the reference rewrites
+    s3:// -> s3a:// for Hadoop's S3 connector and URL-decodes keys,
+    scripts/transformation.py:18-27 + lambda/s3_validation.py:44).
+    Pure pre-plan Python: scheme rewrite + percent-decoding."""
+    from urllib.parse import unquote_plus
+
+    if path.startswith("s3://"):
+        path = "s3a://" + path[len("s3://"):]
+    return unquote_plus(path)

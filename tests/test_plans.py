@@ -63,6 +63,15 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "event_type" in pushed, physical_plan(df)
 
 
+def test_regional_revenue_broadcasts_all_dims(spark):
+    """The 6-table chain must broadcast all four dimension tables
+    (customer, supplier, nation, region); only the lineitem⋈orders
+    fact join and the final agg may shuffle."""
+    df = Q.QUERIES["regional_revenue"](spark, SF)
+    assert broadcast_join_count(df) >= 4, physical_plan(df)
+    assert not has_nested_loop_join(df)
+
+
 def test_interval_join_is_equi_keyed(spark):
     """The range join must hash/broadcast on user_id with the time
     range as residual — never a pure cross product."""

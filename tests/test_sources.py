@@ -123,3 +123,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
         assert joined.count() == li.count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_normalize_path():
+    """P10/F10: scheme rewrite + URL-decode, pre-plan (reference
+    scripts/transformation.py:18-27, lambda/s3_validation.py:44)."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.readers import (
+        normalize_path,
+    )
+
+    assert normalize_path("s3://b/raw/orders_part1.csv") == "s3a://b/raw/orders_part1.csv"
+    assert normalize_path("s3://b/raw/my%20file+x.csv") == "s3a://b/raw/my file x.csv"
+    assert normalize_path("/local/path.csv") == "/local/path.csv"
