@@ -133,6 +133,66 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 12
+) -> DataFrame:
+    """Dedup GROUPS: connected components over the LSH candidate-pair
+    graph — the step that turns pairwise matches into keep-one-per-
+    cluster decisions (cluster_id = smallest doc_id in the component,
+    i.e. the canonical survivor).
+
+    Distributed min-label propagation: every node starts labelled with
+    its own id; each round joins labels across edges and keeps the
+    minimum; converged when no label changes.  Rounds = graph diameter
+    (near-dup components are dense and shallow, so a handful).  Each
+    round is ONE shuffle join + aggregate; lineage is truncated per
+    round with localCheckpoint so the plan stays constant-size.  At
+    100 TB swap the propagation loop for the alternating small-star /
+    large-star rounds of Kiveris et al. "Connected Components in
+    MapReduce" — same join shape, provably fewer rounds on skewed
+    graphs.
+    """
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    edges = edges.localCheckpoint(eager=True)  # compute LSH lineage once
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def near_duplicates_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -7,7 +7,7 @@ they run at scan speed with full whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
@@ -101,6 +101,44 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("re_tokens"),
         F.ceil(F.length("text") / 4).cast("long").alias("len4_token_estimate"),
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Three aggregates over ONE tokenized explode: term frequency per
+    (doc, term), document frequency per term, corpus size; then
+    score = tf * ln((N+1)/(df+1)) and a per-doc top-k window.  The
+    doc-frequency table is term-keyed (vocabulary-sized, far smaller
+    than the corpus at scale) and joins back by term hash-partitioned;
+    nothing driver-side except the corpus-count scalar.  Scores are
+    rounded to 9 decimals so JVM and libm ln() agree bitwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 9
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
     )
 
 

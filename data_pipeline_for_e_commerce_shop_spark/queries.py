@@ -78,6 +78,34 @@ register(
 register("order_kpis_approx")(kpis.order_kpis_approx)
 
 
+@register("category_kpis_sql", ORACLES["category_kpis"])
+def category_kpis_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query through the OTHER front door: plain Spark SQL
+    over registered temp views — proving the SQL entry point produces
+    the identical plan and values as the DataFrame build (same oracle).
+    """
+    for t in ("lineitem", "orders", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p_type AS category,
+               to_date(o_orderdate) AS order_date,
+               -- 100.0D: a bare 100.0 literal is DECIMAL in Spark SQL
+               -- (unlike lit(100.0)), which would switch the division
+               -- to decimal arithmetic and drift from the oracle.
+               SUM(FLOOR(l_extendedprice * 100)) / 100.0D AS daily_revenue,
+               SUM(FLOOR(l_extendedprice * 100)) / 100.0D
+                 / COUNT(l_linenumber) AS avg_order_value,
+               COUNT(IF(l_returnflag = 'R', 1, NULL))
+                 / COUNT(l_linenumber) AS avg_return_rate
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+        """
+    )
+
+
 # ------------------------------------------------- joins / predicates
 
 @register(
@@ -435,6 +463,27 @@ register(
     _SHINGLE_CTE + "SELECT doc_a, doc_b FROM cand",
 )(dedup.lsh_candidate_pairs)
 
+# Connected components over the candidate-pair graph; the oracle is
+# the same graph's transitive closure via a recursive CTE, so the
+# iterative Spark propagation is value-checked end-to-end.
+register(
+    "dedup_clusters",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)(dedup.duplicate_clusters)
+
 register(
     "dedup_near_jaccard",
     _SHINGLE_CTE
@@ -600,6 +649,28 @@ register(
     FROM documents
     """,
 )(text.token_counts)
+
+register(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln((n + 1.0) / (df + 1.0)), 9) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)(text.tfidf_top_terms)
 
 register(
     "text_fingerprint",
