@@ -152,24 +152,38 @@ def duplicate_clusters(
     MapReduce" — same join shape, provably fewer rounds on skewed
     graphs.
     """
-    pairs = lsh_candidate_pairs(spark, sf_dir)
+    # Materialize the LSH lineage ONCE before mirroring: the union's two
+    # branches would otherwise each recompute shingling+minhash+banding.
+    pairs = lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    edges = edges.localCheckpoint(eager=True)  # compute LSH lineage once
+    # Size the loop's parallelism to the graph, not the session default:
+    # per-round shuffles on a candidate graph orders of magnitude
+    # smaller than the corpus would otherwise be pure task overhead.
+    n_parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, edges.count() // 1_000_000 + 1),
+    )
+    edges = edges.coalesce(n_parts)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .coalesce(n_parts)
         .localCheckpoint(eager=True)
     )
+    # Labels only ever decrease, so sum(label) strictly decreases while
+    # anything changes: convergence is ONE aggregate per round, not a
+    # self-join diff.
+    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        labels_new = (
             labels.join(neigh_min, labels.node == neigh_min.src, "left")
             .select(
                 "node",
@@ -179,15 +193,11 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels_new.agg(F.sum("label")).collect()[0][0]
+        labels = labels_new
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

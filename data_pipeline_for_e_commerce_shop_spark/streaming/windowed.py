@@ -66,14 +66,22 @@ def stream_hourly_kpis(
         )
     )
     sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The stateful shuffle's partition count is fixed at query start and
+    # becomes the state-store count; scope it down for this drain (a few
+    # thousand windows), then restore the session default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
         "event_type",
