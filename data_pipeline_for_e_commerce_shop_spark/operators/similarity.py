@@ -97,6 +97,33 @@ def brute_force_topk(
     )
 
 
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus statistics over the vector column: count, mean
+    L2 norm, mean first component — the sanity profile run before any
+    ANN build.
+
+    Mean norms go through exact fixed-point micro-units
+    (floor(norm * 1e6) summed as BIGINT) because a double AVG is
+    summation-order-dependent: at cluster scale partial-agg order is
+    nondeterministic, so plain AVG(double) isn't reproducible run to
+    run, let alone engine to engine (same rule as money, scalars.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("emb")
+    )
+    n = F.count(F.lit(1))
+    micro = lambda c: F.sum(F.floor(c * 1_000_000)) / 1_000_000.0  # noqa: E731
+    return (
+        emb.select("label", norm("emb").alias("nrm"), F.col("emb")[0].alias("c0"))
+        .groupBy("label")
+        .agg(
+            n.alias("n_vecs"),
+            (micro(F.col("nrm")) / n).alias("mean_norm"),
+            (micro(F.col("c0")) / n).alias("mean_c0"),
+        )
+    )
+
+
 N_PLANES = 4  # 4 sign bits -> 16 buckets
 
 

@@ -142,6 +142,46 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+# Per-language sampling rates (percent) for the stratified sample: the
+# shape of a real training-mix re-weighting (upsample scarce languages,
+# downsample dominant ones).
+STRATA_RATES = {"en": 20, "de": 40, "es": 60, "fr": 80, "zh": 90}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff
+    md5('sample-'||doc_id) mod 100 < rate(lang).
+
+    ``df.sample`` is seeded per-partition — its output changes with
+    partitioning and engine, so it can never be oracle-checked or
+    reproduced across reruns of a 100 TB job.  Hash-bucket sampling is
+    a pure row-local predicate: reproducible anywhere, pushes down to
+    the scan, trivially re-weightable by editing the rate map, and
+    honest about being a [0,100) bucket draw per key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample-"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in STRATA_RATES.items() for x in kv]
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate_map[F.col("lang")])
+        .select("doc_id", "lang", "bucket")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text + a 60-bit numeric prefix for compact join keys."""

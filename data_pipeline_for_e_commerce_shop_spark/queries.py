@@ -683,6 +683,37 @@ register(
 )(text.fingerprints)
 
 
+register(
+    "text_stratified_sample",
+    """
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 40
+                             WHEN 'es' THEN 60 WHEN 'fr' THEN 80
+                             WHEN 'zh' THEN 90 ELSE 0 END
+    """,
+)(text.stratified_sample)
+
+register(
+    "embedding_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           (SUM(CAST(FLOOR(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])))
+                           * 1000000) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_norm,
+           (SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+             / 1000000.0) / COUNT(*) AS mean_c0
+    FROM embeddings
+    GROUP BY label
+    """,
+)(similarity.embedding_stats)
+
+
 # ------------------------------------------------- event analytics
 
 register(
