@@ -37,9 +37,18 @@ def salted_agg(
     """Two-phase count/sum/distinct-merge aggregation over a skewed key.
 
     Emits per-key: row count, exact value sum in cents, and the number
-    of distinct users (merged from per-salt partial sets — the pattern
-    that matters, since countDistinct state is what actually blows up
-    on a hot key).
+    of distinct users (the pattern that matters, since countDistinct
+    state is what actually blows up on a hot key).
+
+    The distinct-count merge is DECOMPOSABLE: the salt is a hash of the
+    distinct-counted column itself (``salt_source`` = ``user_id``), so
+    every distinct user lands in exactly one salt bucket and the per-salt
+    ``countDistinct`` partials are disjoint — their plain SUM is the
+    exact global distinct count.  No task ever holds more than ~1/S of
+    any key's user set, and nothing ships materialized user arrays
+    (the earlier collect_set -> flatten -> array_distinct merge
+    re-assembled the full per-key user set in one reducer — the exact
+    OOM salting exists to prevent).
     """
     salt = (F.abs(F.hash(F.col(salt_source))) % n_salts).alias("_salt")
     partial = (
@@ -47,7 +56,7 @@ def salted_agg(
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(F.floor(F.col("value") * 100)).alias("_cents"),
-            F.collect_set("user_id").alias("_users"),
+            F.countDistinct(F.col(salt_source)).alias("_du"),
         )
     )
     return (
@@ -55,9 +64,7 @@ def salted_agg(
         .agg(
             F.sum("_n").alias("n_events"),
             (F.sum("_cents") / 100.0).alias("total_value"),
-            F.size(
-                F.array_distinct(F.flatten(F.collect_list("_users")))
-            ).alias("n_users"),
+            F.sum("_du").cast("int").alias("n_users"),
         )
     )
 

@@ -98,6 +98,16 @@ TESTDATA_TABLES = [
 ]
 
 
+def ensure_nanos_conf(spark) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable on ANY session.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable read
+    switch: nanos columns arrive as bigint (then converted by callers).
+    Without it Spark 4 refuses the footer type outright.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Parquet scan for a driver testdata table (column-pruned and
     filter-pushed automatically by Catalyst).
@@ -106,7 +116,15 @@ def load_table(spark, sf_dir: str, name: str):
     it as long nanos (legacy.parquet.nanosAsLong) and we convert via
     integer division to microseconds — the same truncation DuckDB's
     ``CAST(ts AS TIMESTAMP)`` applies, so oracle comparisons agree.
+
+    The nanosAsLong conf is set HERE, at runtime, not only in
+    ``session.get_spark``: callers (the correctness driver, notebooks)
+    build their own sessions, and without the conf every events read
+    dies with PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable on an
+    existing session and is a read-path-only switch, so setting it
+    unconditionally is safe for all other tables.
     """
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

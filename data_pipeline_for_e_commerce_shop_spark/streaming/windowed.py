@@ -21,19 +21,31 @@ close.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schemas import ensure_nanos_conf
+
 _STREAM_DIRS: dict[str, str] = {}
+
+
+def _cleanup_stream_dirs() -> None:
+    for d in _STREAM_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_DIRS.clear()
+
+
+atexit.register(_cleanup_stream_dirs)
 
 
 def _as_stream_dir(file_path: str) -> str:
     """Expose a single data file as a streamable directory via symlink
-    (cached per source file; nothing is copied)."""
+    (cached per source file; nothing is copied; removed at exit)."""
     d = _STREAM_DIRS.get(file_path)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="stream_src_")
@@ -48,6 +60,7 @@ def stream_hourly_kpis(
     """Hourly counts + exact value sums per event_type, computed by a
     streaming query over the events table and returned as a DataFrame."""
     src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)  # events.ts is TIMESTAMP(NANOS); see schemas.load_table
     schema = spark.read.parquet(src).schema
     # The file stream source lists a DIRECTORY (that's its contract —
     # new files appearing under it become new micro-batches).  The
@@ -65,10 +78,13 @@ def stream_hourly_kpis(
             (F.sum(F.floor(F.col("value") * 100)) / 100.0).alias("total_value"),
         )
     )
-    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    sink = "stream_hourly_sink"
+    spark.catalog.dropTempView(sink)  # clear any leftover from a crashed run
     # The stateful shuffle's partition count is fixed at query start and
     # becomes the state-store count; scope it down for this drain (a few
-    # thousand windows), then restore the session default.
+    # thousand windows), then restore the session default.  NOTE: the
+    # conf is session-global — concurrent queries on the same session
+    # would see the temporary value for the duration of the drain.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -82,9 +98,14 @@ def stream_hourly_kpis(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
         "event_type",
         "n_events",
         "total_value",
     )
+    # Materialize off the memory sink (localCheckpoint cuts the lineage)
+    # so the per-call temp view can be dropped instead of accumulating.
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
