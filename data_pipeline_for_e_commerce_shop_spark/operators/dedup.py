@@ -320,37 +320,57 @@ def simhash_near_pairs(
 def embedding_near_duplicates(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked on `label` (the coarse
-    cluster id), exact cosine via a sequential double fold — the same
-    left-to-right order DuckDB's list aggregates use.
+    """Embedding-cosine near-dup pairs, blocked on the deterministic
+    LSH bucket (random-hyperplane sign bits, similarity.lsh_bucket) with
+    Hamming-1 multi-probe; exact cosine verify within the block via a
+    sequential double fold — the same left-to-right order DuckDB's list
+    aggregates use.
 
-    At 100 TB the label block is replaced by an ANN index / LSH bucket
-    (see similarity.py); the verify math is identical.
+    Scale shape: the pair join is an EQUI-join on the bucket id — each
+    bucket holds ~n/2^N_PLANES vectors, so pair work is O(n²/2^P) spread
+    over hash partitions instead of O(n²/L) within data-dependent label
+    blocks (a hot label previously meant one straggler task).  The probe
+    side fans out (1 + N_PLANES)× (home bucket + each 1-bit flip); the
+    home side is stored once.  A pair is emitted by exactly one probe
+    row (probes of a vector are 5 distinct buckets), so no distinct
+    pass is needed.  Recall: a pair at cosine ≥ 0.95 (≤ 18°) survives
+    unless ≥ 2 of the 4 hyperplanes split it (~5%); raise N_PLANES'
+    probe radius for higher recall, same plan shape.
     """
     from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        N_PLANES,
         as_double,
         dot,
+        lsh_bucket,
         norm,
     )
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", as_double("embedding").alias("emb"))
+        .select("vec_id", as_double("embedding").alias("emb"))
         .withColumn("nrm", norm("emb"))  # O(n) once, not O(pairs)
+        .withColumn("bucket", lsh_bucket("emb"))
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(probes).alias("probe"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("bucket").alias("probe"),
+    )
+    cos = dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 9).alias("cosine"),
-        )
+        a.join(b, "probe")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 9).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

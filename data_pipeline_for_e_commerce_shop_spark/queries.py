@@ -503,8 +503,9 @@ register(
     """,
 )(dedup.near_duplicates_jaccard)
 
-register(
-    "dedup_simhash",
+# Simhash signature CTE, shared by the signature query and the pair
+# query: ends with table sigt(doc_id, simhash).
+_SIMHASH_SIG_CTE = (
     """
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct(
@@ -525,29 +526,93 @@ register(
     )
     + """
       FROM hb GROUP BY doc_id
-    )
-    SELECT doc_id, CAST("""
+    ),
+    sigt AS (
+      SELECT doc_id, CAST("""
     + " + ".join(
         "(CASE WHEN v%d > 0 THEN %d ELSE 0 END)" % (b, 1 << b) for b in range(16)
     )
     + """ AS BIGINT) AS simhash
-    FROM votes
-    """,
+      FROM votes
+    )
+"""
+)
+
+register(
+    "dedup_simhash",
+    _SIMHASH_SIG_CTE + "SELECT doc_id, simhash FROM sigt",
 )(dedup.simhash_signatures)
 
-register("dedup_simhash_pairs")(dedup.simhash_near_pairs)  # rows-only: pair blocking
+# Half-blocking pair search: a Hamming<=3 pair shares an 8-bit half
+# whenever one half is clean; the bucket join and the XOR popcount
+# verify are both plain SQL, so this graduates from rows-only to a
+# full hash-checked oracle.
+register(
+    "dedup_simhash_pairs",
+    _SIMHASH_SIG_CTE
+    + """
+    , blocks AS (
+      SELECT doc_id, simhash, 0 AS block_no, simhash % 256 AS block_key FROM sigt
+      UNION ALL
+      SELECT doc_id, simhash, 1, simhash // 256 FROM sigt
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.block_no = b.block_no AND a.block_key = b.block_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)(dedup.simhash_near_pairs)
+
+
+# The LSH planes are md5-deterministic (similarity._plane), so the
+# oracle recomputes the SAME ±1 plane constants with Python's hashlib
+# at import time and embeds them as literal arrays — the bucketing,
+# multi-probe fan-out, and exact cosine verify are all reproduced in
+# plain SQL.
+import hashlib  # noqa: E402
+
+
+def _plane_literal(p: int, dim: int = 64) -> str:
+    signs = [
+        "1.0"
+        if int(hashlib.md5(f"plane-{p}-{j}".encode()).hexdigest()[0], 16) % 2
+        else "-1.0"
+        for j in range(dim)
+    ]
+    return "[" + ", ".join(signs) + "]"
+
+
+_EMB_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_literal(p)}) > 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p in range(similarity.N_PLANES)
+)
+
+_EMB_PROBES = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(similarity.N_PLANES)]
+)
 
 
 @register(
     "dedup_embedding_cosine",
-    """
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bk AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_EMB_BUCKET_EXPR} AS bucket
+      FROM e
+    ),
+    probes AS (
+      SELECT vec_id, v, nrm, unnest([{_EMB_PROBES}]) AS probe FROM bk
+    )
     SELECT vec_a, vec_b, cosine FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-                   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-                    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) AS cosine
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cosine
+      FROM probes a JOIN bk b ON a.probe = b.bucket AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.3
     """,
 )
@@ -578,10 +643,39 @@ _COSINE_TOPK_ORACLE = """
 
 register("ann_brute_topk", _COSINE_TOPK_ORACLE)(similarity.brute_force_topk)
 
-# LSH-bucketed top-k: bucketing reproduces in SQL but the oracle cost is
-# O(planes x dims) expression text; checked rows-only with recall
-# covered by tests/test_similarity.py.
-register("ann_lsh_topk")(similarity.lsh_topk)
+# LSH-bucketed top-k: the md5-derived hyperplanes are recomputed as
+# literal ±1 arrays (_plane_literal above) so the bucketing, the
+# Hamming-1 multi-probe fan-out, and the in-bucket exact re-scoring are
+# all reproduced in SQL — a full hash-checked oracle, not rows-only.
+register(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bk AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_EMB_BUCKET_EXPR} AS bucket
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+             unnest([{_EMB_PROBES}]) AS probe
+      FROM bk WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT query_id, c.vec_id AS corpus_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 9) AS cosine
+      FROM q JOIN bk c ON q.probe = c.bucket
+      WHERE query_id != c.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)(similarity.lsh_topk)
 
 # IVF-bucketed top-k (scale path #2): inverted centroid lists + n_probe
 # re-scoring.  Nearest-centroid argmin is a window over a cross join —
@@ -796,10 +890,42 @@ from data_pipeline_for_e_commerce_shop_spark.operators.multimodal import (  # no
     multimodal_features,
 )
 
-# Arrow-batched mapInPandas feature extraction: byte-stat features are
-# not SQL-expressible -> rows-only check; plumbing covered by
-# tests/test_multimodal.py.
-register("multimodal_features")(multimodal_features)
+# Arrow-batched mapInPandas feature extraction.  The stubbed features
+# are deterministic byte statistics of the utf-8 payload, so the whole
+# output IS SQL-expressible: DuckDB recomputes every byte from
+# hex(encode(text)) digit pairs — a full value-hash oracle around the
+# Python mapInPandas stage (plumbing also covered by
+# tests/test_multimodal.py).
+register(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, modality, nb, hx,
+             CASE WHEN nb > 0 THEN
+               list_transform(generate_series(1, nb),
+                 i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))
+             ELSE [] END AS bytes
+      FROM m
+    )
+    SELECT media_id, modality,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CASE WHEN nb > 0 THEN CAST(list_sum(bytes) AS DOUBLE) / nb
+                ELSE 0.0 END AS byte_mean,
+           CAST(len(list_distinct(bytes)) AS INT) AS distinct_bytes,
+           lower(substr(hx, 1, 8)) AS head_hex
+    FROM b
+    """,
+)(multimodal_features)
 
 
 # ------------------------------------------------- as-of join (extension)

@@ -72,6 +72,16 @@ def test_regional_revenue_broadcasts_all_dims(spark):
     assert not has_nested_loop_join(df)
 
 
+def test_embedding_dedup_pair_join_is_bucket_keyed(spark):
+    """The near-dup pair join must be an equi-join on the LSH bucket
+    (SortMerge/ShuffledHash on `probe`) — never an all-pairs nested
+    loop; that's the whole 100 TB story of the operator."""
+    df = Q.QUERIES["dedup_embedding_cosine"](spark, SF)
+    plan = physical_plan(df)
+    assert not has_nested_loop_join(df), plan
+    assert "probe" in plan
+
+
 def test_interval_join_is_equi_keyed(spark):
     """The range join must hash/broadcast on user_id with the time
     range as residual — never a pure cross product."""
