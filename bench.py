@@ -3,16 +3,22 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
 Each query is fully materialized through the `noop` sink (count() would
-let Spark skip projection work); per-query wall-clock seconds are
-reported plus the total.
+let Spark skip projection work).  Every query is timed N_RUNS times and
+the MEDIAN is reported (per-run seconds vary ±20% on a shared box, see
+BASELINE.md; medians make round-over-round comparison meaningful).  The
+JSON carries per-query medians, the max-min spread, and the total of
+medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+N_RUNS = 3
 
 
 def main() -> int:
@@ -27,24 +33,33 @@ def main() -> int:
 
     # Untimed warm-up: absorb one-time session costs (executor spin-up,
     # first-job scheduling, shared codegen) so they don't land on
-    # whichever query happens to run first alphabetically.
+    # whichever query happens to run first.  Uses the first available
+    # query rather than a hardcoded name; a failed warm-up is reported,
+    # not swallowed.
+    warm = next(iter(sorted(queries)))
     try:
-        queries["category_kpis"](spark, sf_dir).write.format("noop").mode(
+        queries[warm](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-    except Exception:
-        pass
+    except Exception as exc:
+        print(f"bench warm-up ({warm}) failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
         try:
             df = fn(spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+            spread[name] = round(max(runs) - min(runs), 3)
         except Exception as exc:  # record failures, don't abort the run
             timings[name] = -1.0
+            spread[name] = 0.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -55,6 +70,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -134,72 +134,133 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def duplicate_clusters(
-    spark: SparkSession, sf_dir: str, max_iter: int = 12
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
 ) -> DataFrame:
     """Dedup GROUPS: connected components over the LSH candidate-pair
     graph — the step that turns pairwise matches into keep-one-per-
     cluster decisions (cluster_id = smallest doc_id in the component,
     i.e. the canonical survivor).
 
-    Distributed min-label propagation: every node starts labelled with
-    its own id; each round joins labels across edges and keeps the
-    minimum; converged when no label changes.  Rounds = graph diameter
-    (near-dup components are dense and shallow, so a handful).  Each
-    round is ONE shuffle join + aggregate; lineage is truncated per
-    round with localCheckpoint so the plan stays constant-size.  At
-    100 TB swap the propagation loop for the alternating small-star /
-    large-star rounds of Kiveris et al. "Connected Components in
-    MapReduce" — same join shape, provably fewer rounds on skewed
-    graphs.
+    Algorithm: alternating large-star / small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    Each round rewires edges toward per-neighborhood minima:
+
+      large-star(u): every neighbor v > u re-attaches to
+                     min(N(u) ∪ {u});
+      small-star(u): every neighbor v < u (plus u) re-attaches to
+                     min of the smaller neighborhood.
+
+    The fixed point is a star per component, centered at the component
+    minimum.  Convergence is O(log n) rounds REGARDLESS of diameter —
+    the 100 TB story: a pathological duplicate chain (diameter ~n)
+    would take ~n rounds of plain min-label propagation but still only
+    ~log n star rounds, and each round is equi-join + groupBy shaped
+    (no node ever materializes its whole component).  Lineage is
+    truncated per round with localCheckpoint so the plan stays
+    constant-size.
+
+    Raises RuntimeError if the loop exhausts before the fixed point:
+    unconverged labels would silently violate the transitivity the
+    clustering promises (the DuckDB oracle is the full recursive-CTE
+    transitive closure, which would catch it anyway — this fails fast
+    with a diagnosable message instead).
     """
-    # Materialize the LSH lineage ONCE before mirroring: the union's two
-    # branches would otherwise each recompute shingling+minhash+banding.
+    # Materialize the LSH lineage ONCE: everything below reuses it.
     pairs = lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    )
+    return connected_components(spark, pairs, max_iter=max_iter)
+
+
+def connected_components(
+    spark: SparkSession, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Small-star/large-star connected components over an arbitrary
+    (doc_a, doc_b) pair DataFrame; see duplicate_clusters for the
+    algorithm story.  Returns (doc_id, cluster_id = component min)."""
     # Size the loop's parallelism to the graph, not the session default:
     # per-round shuffles on a candidate graph orders of magnitude
     # smaller than the corpus would otherwise be pure task overhead.
+    n_edges = pairs.count()
     n_parts = max(
         1,
-        min(spark.sparkContext.defaultParallelism, edges.count() // 1_000_000 + 1),
+        min(spark.sparkContext.defaultParallelism, n_edges // 1_000_000 + 1),
     )
-    edges = edges.coalesce(n_parts)
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .coalesce(n_parts)
         .localCheckpoint(eager=True)
     )
-    # Labels only ever decrease, so sum(label) strictly decreases while
-    # anything changes: convergence is ONE aggregate per round, not a
-    # self-join diff.
-    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        neigh_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+    # Canonical directed edges big -> small: (u, v) with u > v.
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
         )
-        labels_new = (
-            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+        .distinct()
+        .coalesce(n_parts)
+        .localCheckpoint(eager=True)
+    )
+
+    def _stat(e: DataFrame) -> tuple:
+        """(count, summed edge hash): changes w.h.p. whenever the edge
+        SET changes — one aggregate per round, no self-join diff.
+        (Hash sum goes through decimal so ANSI mode can't overflow.)"""
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    cur = _stat(edges)
+    converged = n_edges == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        # ---- large-star: full neighborhoods need both directions.
+        sym = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            # emit (v, min(N(u) ∪ {u})): v > u >= least(u, mn), so the
+            # result stays canonically big -> small with no self loops.
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
             )
+            .distinct()
+        )
+        # ---- small-star: neighborhoods of strictly-smaller neighbors
+        # (ls is already big -> small, so group as-is).
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        edges = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))  # drop (mn, mn) self loop
+            .distinct()
+            .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
-        new_sum = labels_new.agg(F.sum("label")).collect()[0][0]
-        labels = labels_new
-        if new_sum == cur_sum:
-            break
-        cur_sum = new_sum
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        new = _stat(edges)
+        if new == cur:
+            converged = True
+        cur = new
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not reach the star fixed point in "
+            f"{max_iter} rounds ({n_edges} candidate edges); output would "
+            f"not be transitively closed — raise max_iter"
+        )
+    # Fixed point = stars: every non-center node carries exactly one
+    # edge (node, center); the min-agg is belt-and-braces.
+    mapping = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return nodes.join(mapping, nodes.node == mapping.u, "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
     )
 
 

@@ -111,25 +111,33 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     (doc, term), document frequency per term, corpus size; then
     score = tf * ln((N+1)/(df+1)) and a per-doc top-k window.  The
     doc-frequency table is term-keyed (vocabulary-sized, far smaller
-    than the corpus at scale) and joins back by term hash-partitioned;
-    nothing driver-side except the corpus-count scalar.  Scores are
-    rounded to 9 decimals so JVM and libm ln() agree bitwise.
+    than the corpus at scale) and joins back by term hash-partitioned.
+    The corpus count rides the SAME plan as a broadcast 1-row aggregate
+    crossJoined onto the vocabulary table — no eager docs.count() job,
+    so the whole operator is one action with one corpus scan shared by
+    Catalyst.  Scores are rounded to 9 decimals so JVM and libm ln()
+    agree bitwise.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    df = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))  # 1-row corpus count, vocab-sized result
     )
     scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         "tf",
         F.round(
-            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 9
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+            9,
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(

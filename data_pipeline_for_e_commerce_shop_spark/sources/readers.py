@@ -108,11 +108,16 @@ def with_source_file(df: DataFrame) -> DataFrame:
 
 def normalize_path(path: str) -> str:
     """P10: path normalization before planning (the reference rewrites
-    s3:// -> s3a:// for Hadoop's S3 connector and URL-decodes keys,
-    scripts/transformation.py:18-27 + lambda/s3_validation.py:44).
-    Pure pre-plan Python: scheme rewrite + percent-decoding."""
+    s3:// -> s3a:// for Hadoop's S3 connector, scripts/transformation.py:18-27,
+    and form-decodes S3 EVENT-NOTIFICATION keys, lambda/s3_validation.py:44).
+
+    Decoding applies ONLY to the S3 branch: object keys arriving via
+    event notifications are form-encoded, but a local (or already-
+    decoded) path containing a literal '+' or '%XX' — e.g. 'a+b.csv' —
+    must pass through untouched.
+    """
     from urllib.parse import unquote_plus
 
     if path.startswith("s3://"):
-        path = "s3a://" + path[len("s3://"):]
-    return unquote_plus(path)
+        return "s3a://" + unquote_plus(path[len("s3://"):])
+    return path

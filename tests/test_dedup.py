@@ -8,6 +8,32 @@ from collections import defaultdict
 from data_pipeline_for_e_commerce_shop_spark.operators import dedup
 
 
+def test_connected_components_long_chain(spark):
+    """A path graph of 200 nodes (diameter 199) must converge within
+    the default star-round budget — the property plain min-label
+    propagation (rounds = diameter) does NOT have — and label every
+    node with the chain minimum."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in
+           dedup.connected_components(spark, pairs).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_when_budget_too_small(spark):
+    """Loop exhaustion must raise, never return unconverged labels."""
+    import pytest
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        dedup.connected_components(spark, pairs, max_iter=1)
+
+
 def test_duplicate_clusters_consistent(spark, sf_dir):
     pairs = dedup.lsh_candidate_pairs(spark, sf_dir).collect()
     clusters = {

@@ -135,3 +135,7 @@ def test_normalize_path():
     assert normalize_path("s3://b/raw/orders_part1.csv") == "s3a://b/raw/orders_part1.csv"
     assert normalize_path("s3://b/raw/my%20file+x.csv") == "s3a://b/raw/my file x.csv"
     assert normalize_path("/local/path.csv") == "/local/path.csv"
+    # Local paths with literal '+'/'%XX' must pass through untouched —
+    # only S3 event-notification keys are form-encoded.
+    assert normalize_path("/local/a+b.csv") == "/local/a+b.csv"
+    assert normalize_path("/local/100%20.csv") == "/local/100%20.csv"
