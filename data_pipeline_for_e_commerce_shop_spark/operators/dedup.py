@@ -75,13 +75,8 @@ MINHASH_A = [769_169, 394_913, 860_273, 519_787, 943_237, 627_433, 285_377, 736_
 MINHASH_B = [12_289, 52_501, 86_969, 23_131, 65_537, 41_947, 91_193, 33_599]
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=8 minhash signature columns per doc, one shuffle.
-
-    DuckDB equivalent of h:
-    ``CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)``.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _signatures(docs: DataFrame) -> DataFrame:
+    """k=8 minhash signature columns per doc, one shuffle."""
     sh = _shingles(docs).withColumn(
         "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     )
@@ -92,6 +87,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_no, band_hash): one row per signature band."""
+    n_bands = N_MINHASH // BAND_ROWS
+    stack_args = ", ".join(
+        f"{b}, concat_ws('-', mh{2 * b}, mh{2 * b + 1})" for b in range(n_bands)
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) as (band_no, band_hash)"),
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 minhash signature columns per doc, one shuffle.
+
+    DuckDB equivalent of h:
+    ``CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)``.
+    """
+    return _signatures(load_table(spark, sf_dir, "documents"))
+
+
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature (4 bands x 2
     rows), self-join each band bucket, emit distinct (doc_a < doc_b).
@@ -100,15 +116,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-s^2)^4 — the classic banding curve.  The join is an equi-join
     on (band_no, band_hash): shuffle-partitioned by bucket, no O(n^2).
     """
-    sig = minhash_signatures(spark, sf_dir)
-    n_bands = N_MINHASH // BAND_ROWS
-    stack_args = ", ".join(
-        f"{b}, concat_ws('-', mh{2 * b}, mh{2 * b + 1})" for b in range(n_bands)
-    )
-    bands = sig.select(
-        "doc_id",
-        F.expr(f"stack({n_bands}, {stack_args}) as (band_no, band_hash)"),
-    )
+    bands = _band_rows(minhash_signatures(spark, sf_dir))
     # Pair generation via per-bucket collect_set + in-bucket expansion:
     # ONE pass over the signatures and ONE shuffle (vs a self-join that
     # recomputes the whole signature lineage for each side).  A bucket
@@ -375,6 +383,63 @@ def simhash_near_pairs(
         .select("p.doc_a", "p.doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the shape every
+    production training-data pipeline actually runs (the full-corpus
+    self-joins above are the bootstrap; day 2 onward is always
+    batch-vs-corpus).
+
+    Split here is deterministic (doc_id % 5 == 4 plays the new batch);
+    in production the corpus side is the persisted fingerprint/band
+    store, not a rescan.  Each new doc gets:
+      is_exact_dup — its md5 fingerprint exists in the corpus;
+      is_near_dup  — it shares an LSH band bucket with a corpus doc;
+      decision     — drop_exact / drop_near / keep.
+
+    Scale shape: both probes are LEFT SEMI joins keyed on fingerprint /
+    (band_no, band_hash) — the batch side (small) shuffles against the
+    corpus fingerprint store; no pair materialization, no O(n²).  The
+    corpus store is append-only: kept docs' fingerprints and bands are
+    unioned in after the gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 5) == 4
+    batch = docs.where(is_new)
+    corpus = docs.where(~is_new)
+
+    batch_fp = batch.select("doc_id", F.md5("text").alias("fp"))
+    corpus_fp = corpus.select(F.md5("text").alias("fp"))
+    exact = (
+        batch_fp.join(corpus_fp, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("_e", F.lit(True))
+    )
+
+    batch_bands = _band_rows(_signatures(batch))
+    corpus_bands = _band_rows(_signatures(corpus))
+    near = (
+        batch_bands.join(corpus_bands, ["band_no", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_n", F.lit(True))
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_e", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("_n", F.lit(False)).alias("is_near_dup"),
+            F.when(F.col("_e"), "drop_exact")
+            .when(F.col("_n"), "drop_near")
+            .otherwise("keep")
+            .alias("decision"),
+        )
     )
 
 

@@ -150,6 +150,63 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def zipf_top_terms(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Corpus-wide term frequencies, top-k with rank — the Zipf head.
+
+    One explode + one groupBy(term): partial aggregation combines
+    map-side, so the shuffle carries one row per (partition, term), not
+    per token.  The top-k runs as `orderBy().limit(k)` — Spark plans
+    TakeOrderedAndProject (per-partition partial top-k, merged on the
+    driver), so no task ever sorts the whole vocabulary; the rank
+    window then runs over only the k survivors.  Deterministic
+    tie-break on term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = freq.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "n", "rank"
+    )
+
+
+# Quality-gate thresholds: drop reasons are checked in this order and
+# concatenated, so the reason string is deterministic.
+GATE_MIN_TOKENS = 8
+GATE_MIN_TTR = 0.45
+GATE_MAX_STOP_RATIO = 0.35
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop gate over the quality features with REASON CODES — the
+    form a training-data filter actually ships (an unexplained boolean
+    is an un-debuggable corpus).
+
+    Pure projection over quality_scores' single pass: stays at scan
+    speed; the reasons string is a fixed-order concat so it is
+    reproducible and groupable (`GROUP BY reasons` gives the drop
+    histogram for free).
+    """
+    feats = quality_scores(spark, sf_dir)
+    checks = [
+        ("short", F.col("n_tokens") < GATE_MIN_TOKENS),
+        ("low_ttr", F.col("type_token_ratio") < GATE_MIN_TTR),
+        ("stopword_heavy", F.col("stopword_ratio") > GATE_MAX_STOP_RATIO),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return feats.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 # Per-language sampling rates (percent) for the stratified sample: the
 # shape of a real training-mix re-weighting (upsample scarce languages,
 # downsample dominant ones).

@@ -566,6 +566,44 @@ register(
 )(dedup.simhash_near_pairs)
 
 
+# Day-2 dedup: a new batch (doc_id % 5 == 4) gated against the corpus
+# via exact-fingerprint and LSH-band semi joins; the oracle replays the
+# same split, probes, and decision CASE.
+register(
+    "dedup_incremental",
+    _SHINGLE_CTE
+    + """
+    , fps AS (
+      SELECT doc_id, md5(text) AS fp, (doc_id % 5 = 4) AS is_new
+      FROM documents
+    ),
+    exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM fps b JOIN fps c ON b.fp = c.fp
+      WHERE b.is_new AND NOT c.is_new
+    ),
+    near AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands nb
+      JOIN fps fn ON fn.doc_id = nb.doc_id AND fn.is_new
+      JOIN bands cb ON nb.band_no = cb.band_no
+                   AND nb.band_hash = cb.band_hash
+      JOIN fps fc ON fc.doc_id = cb.doc_id AND NOT fc.is_new
+    )
+    SELECT f.doc_id,
+           (e.doc_id IS NOT NULL) AS is_exact_dup,
+           (nr.doc_id IS NOT NULL) AS is_near_dup,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN nr.doc_id IS NOT NULL THEN 'drop_near'
+                ELSE 'keep' END AS decision
+    FROM fps f
+    LEFT JOIN exact e ON f.doc_id = e.doc_id
+    LEFT JOIN near nr ON f.doc_id = nr.doc_id
+    WHERE f.is_new
+    """,
+)(dedup.incremental_dedup)
+
+
 # The LSH planes are md5-deterministic (similarity._plane), so the
 # oracle recomputes the SAME ±1 plane constants with Python's hashlib
 # at import time and embeds them as literal arrays — the bucketing,
@@ -678,9 +716,59 @@ register(
 )(similarity.lsh_topk)
 
 # IVF-bucketed top-k (scale path #2): inverted centroid lists + n_probe
-# re-scoring.  Nearest-centroid argmin is a window over a cross join —
-# not reasonably SQL-expressible -> rows-only; recall asserted in tests.
-register("ann_ivf_topk")(similarity.ivf_topk)
+# re-scoring.  EVERYTHING is deterministic — the centroid "training
+# sample" is a Knuth-hash order LIMIT, assignment is a window over a
+# cross join — so the whole pipeline replays in SQL: full value-hash
+# oracle.
+register(
+    "ann_ivf_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cluster_id, v AS cv, nrm AS cn
+      FROM n
+      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      LIMIT 8
+    ),
+    corpus AS (
+      SELECT corpus_id, c_emb, c_norm, cluster_id FROM (
+        SELECT n.vec_id AS corpus_id, n.v AS c_emb, n.nrm AS c_norm,
+               cent.cluster_id,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC,
+                          cent.cluster_id ASC) AS pr
+        FROM n CROSS JOIN cent
+      ) WHERE pr <= 1
+    ),
+    q AS (
+      SELECT query_id, q_emb, q_norm, cluster_id FROM (
+        SELECT n.vec_id AS query_id, n.v AS q_emb, n.nrm AS q_norm,
+               cent.cluster_id,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC,
+                          cent.cluster_id ASC) AS pr
+        FROM n CROSS JOIN cent
+        WHERE n.vec_id < 5
+      ) WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT query_id, corpus_id,
+             round(list_dot_product(q_emb, c_emb) / (q_norm * c_norm), 9) AS cosine
+      FROM q JOIN corpus USING (cluster_id)
+      WHERE query_id != corpus_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)(similarity.ivf_topk)
 
 
 # ------------------------------------------------- text analysis (charter)
@@ -791,6 +879,52 @@ register(
                              WHEN 'zh' THEN 90 ELSE 0 END
     """,
 )(text.stratified_sample)
+
+register(
+    "text_zipf_topk",
+    """
+    WITH freq AS (
+      SELECT term, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY 1
+    )
+    SELECT term, n, rank FROM (
+      SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+      FROM freq
+    ) WHERE rank <= 20
+    """,
+)(text.zipf_top_terms)
+
+register(
+    "text_quality_gate",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) / len(toks) AS ttr,
+             len(list_filter(toks,
+                 x -> list_contains(['the','a','and','of','to'], x)))
+               / len(toks) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           (reasons = '') AS keep,
+           reasons
+    FROM (
+      SELECT doc_id,
+             concat_ws(',',
+               CASE WHEN n_tokens < 8 THEN 'short' END,
+               CASE WHEN ttr < 0.45 THEN 'low_ttr' END,
+               CASE WHEN stop_ratio > 0.35 THEN 'stopword_heavy' END
+             ) AS reasons
+      FROM f
+    )
+    """,
+)(text.quality_gate)
 
 register(
     "embedding_stats",
@@ -1230,3 +1364,44 @@ register(
     GROUP BY 1
     """,
 )(event_type_salted_kpis)
+
+
+# --------------------------------------- cohort / retention (extension)
+
+from data_pipeline_for_e_commerce_shop_spark.operators import (  # noqa: E402
+    retention,
+)
+
+register(
+    "cohort_retention",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    c AS (
+      SELECT o_custkey, MIN(date_trunc('month', d)) AS cohort_month
+      FROM o GROUP BY 1
+    )
+    SELECT cohort_month,
+           CAST((year(date_trunc('month', d)) - year(cohort_month)) * 12
+                + (month(date_trunc('month', d)) - month(cohort_month))
+                AS BIGINT) AS month_offset,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM o JOIN c USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)(retention.cohort_retention)
+
+register(
+    "cumulative_active_users",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ),
+    d AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY 1)
+    SELECT day, n_new_users,
+           SUM(n_new_users) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS cum_users
+    FROM d
+    """,
+)(retention.cumulative_active_users)

@@ -1,0 +1,99 @@
+"""Semantic invariants for the round-2 extension operators — properties
+the value-hash parity gate can't state (it only proves Spark == DuckDB,
+not that both are right)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.operators import (
+    dedup,
+    retention,
+    text,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_decisions_partition_the_batch(spark):
+    df = dedup.incremental_dedup(spark, SF).cache()
+    try:
+        n_batch = df.count()
+        # decision is a total function of the two flags, in precedence order
+        bad = df.where(
+            (F.col("is_exact_dup") & (F.col("decision") != "drop_exact"))
+            | (
+                ~F.col("is_exact_dup")
+                & F.col("is_near_dup")
+                & (F.col("decision") != "drop_near")
+            )
+            | (
+                ~F.col("is_exact_dup")
+                & ~F.col("is_near_dup")
+                & (F.col("decision") != "keep")
+            )
+        ).count()
+        assert bad == 0
+        # every batch doc gets exactly one verdict row
+        assert df.select("doc_id").distinct().count() == n_batch
+    finally:
+        df.unpersist()
+
+
+def test_incremental_exact_dup_is_also_band_dup(spark):
+    """An identical text shares every minhash band, so exact dups must
+    be a subset of band-level near dups — a cross-check that the two
+    probes ran over the same corpus split."""
+    df = dedup.incremental_dedup(spark, SF)
+    violations = df.where(
+        F.col("is_exact_dup") & ~F.col("is_near_dup")
+    ).count()
+    assert violations == 0
+
+
+def test_cohort_offset_zero_matches_cohort_size(spark):
+    """month_offset=0 counts every customer in the cohort (each customer
+    orders in their own first month, by construction)."""
+    tri = retention.cohort_retention(spark, SF).cache()
+    try:
+        assert tri.where(F.col("month_offset") < 0).count() == 0
+        sizes = tri.where(F.col("month_offset") == 0)
+        total_offset0 = sizes.agg(F.sum("n_customers")).first()[0]
+        n_customers = (
+            tri.sparkSession.read.parquet(f"{SF}/orders.parquet")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        assert total_offset0 == n_customers
+    finally:
+        tri.unpersist()
+
+
+def test_cumulative_users_monotone_and_totals(spark):
+    rows = (
+        retention.cumulative_active_users(spark, SF)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows, "no event days"
+    running = 0
+    for r in rows:
+        running += r.n_new_users
+        assert r.cum_users == running
+    # final cumulative == distinct users overall
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert running == ev.select("user_id").distinct().count()
+
+
+def test_quality_gate_reasons_consistent(spark):
+    df = text.quality_gate(spark, SF)
+    assert df.where(F.col("keep") & (F.col("reasons") != "")).count() == 0
+    assert df.where(~F.col("keep") & (F.col("reasons") == "")).count() == 0
+
+
+def test_zipf_ranks_dense_and_ordered(spark):
+    rows = text.zipf_top_terms(spark, SF, k=10).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)

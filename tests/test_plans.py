@@ -27,7 +27,10 @@ SF = "/root/testdata/sf0.001"
 # IVF ANN: nearest-centroid assignment broadcasts the model-sized
 # centroid table (k rows) against the corpus — also intended; the
 # pair-scoring join itself is equi-keyed on cluster_id.
-NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk"}
+# TF-IDF: the corpus doc count rides the plan as a ONE-ROW broadcast
+# crossJoin (the scalar-subquery shape) instead of an eager count() —
+# a 1-row broadcast NL is O(n), not O(n^2).
+NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
