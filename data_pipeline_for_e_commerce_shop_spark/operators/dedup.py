@@ -19,7 +19,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
@@ -40,6 +40,40 @@ def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.md5("text").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dup_rate_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report sliced by PREDICTED language — the
+    composition a corpus-curation dashboard runs (is my German split
+    more duplicated than my English one?).
+
+    Everything stays in one lineage: the language argmax (inlined
+    expressions from text.pred_lang_cols — no doc_id join) and the
+    fingerprint ride the same projection; the per-fingerprint family
+    size is a window over partitionBy(fp) — ONE shuffle, and dup
+    families are small by construction (identical texts), so no
+    group blows up a task.  The final per-language rollup aggregates
+    ~|languages| rows.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        pred_lang_cols,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred, _ = pred_lang_cols()
+    tagged = docs.select(
+        pred.alias("pred_lang"), F.md5("text").alias("fp")
+    )
+    fam = Window.partitionBy("fp")
+    flagged = tagged.select(
+        "pred_lang", (F.count(F.lit(1)).over(fam) > 1).alias("is_dup")
+    )
+    n_dup = F.count(F.when(F.col("is_dup"), True))
+    return flagged.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_dup.alias("n_dup_docs"),
+        (n_dup / F.count(F.lit(1))).alias("dup_rate"),
     )
 
 

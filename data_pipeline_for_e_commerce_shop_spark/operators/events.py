@@ -125,6 +125,36 @@ def purchase_click_window(
     )
 
 
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-lag histogram: users bucketed by whole
+    hours between their FIRST click and FIRST purchase.
+
+    One conditional-min aggregation keyed on user_id (both firsts in a
+    single pass — no click⋈purchase join, no window), then a histogram
+    groupBy whose input is one row per converting user.  The event_type
+    filter is pushed to the parquet scan.  Integer epoch-second
+    arithmetic keeps the bucket boundaries engine-exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    per_user = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", sec)).alias("c"),
+            F.min(F.when(F.col("event_type") == "purchase", sec)).alias("p"),
+        )
+    )
+    converted = per_user.where(
+        F.col("c").isNotNull() & (F.col("p") >= F.col("c"))
+    )
+    bucket = F.floor((F.col("p") - F.col("c")) / 3600).cast("long")
+    return (
+        converted.groupBy(bucket.alias("hours_to_convert"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type pivot (counts per type) — the KV-serving
     shape of the reference's per-key KPI rows, as one wide row per

@@ -121,3 +121,31 @@ def order_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("o_custkey", 0.02).alias("unique_customers_approx"),
         )
     )
+
+
+def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × order-status revenue matrix via `pivot` with an EXPLICIT
+    value list — the wide-format dual of the grouped KPI rows
+    (reference per-status buckets, scripts/helperfunction.py:117).
+
+    Passing the status values up front matters at scale: without them
+    Spark runs an extra distinct-values job over the whole fact before
+    it can even plan the agg.  With them, the pivot is one hash
+    aggregation — same cost as the long-format groupBy.  Money cells
+    use exact integer cents; a month with no orders in a status stays
+    NULL (not 0) to distinguish "absent" from "zero revenue".
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(
+            F.trunc(F.to_date("o_orderdate"), "MM").alias("month")
+        )
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(money_sum("o_totalprice"))
+    )
+    return piv.select(
+        "month",
+        F.col("F").alias("revenue_f"),
+        F.col("O").alias("revenue_o"),
+        F.col("P").alias("revenue_p"),
+    )

@@ -69,3 +69,34 @@ def cumulative_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).alias("cum_users"),
     )
+
+
+def rolling_active_users(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Per event day: distinct users active in the trailing 7-day
+    window — EXACT, decomposed so it scales.
+
+    A windowed COUNT(DISTINCT) over the raw fact either rescans per
+    day or funnels everything through one partition.  Decomposition:
+    dedup to (day, user) once, then each pair contributes to the ≤7
+    window-end days it covers (a 7-row `sequence` explode — bounded
+    fan-out, unlike a range self-join), semi-join back to real event
+    days, and count distinct users per window end.  Both shuffles key
+    on (day, user): spread over users, no single-partition sort, no
+    per-day rescan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", window_days - 1))
+        ).alias("day"),
+    )
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )

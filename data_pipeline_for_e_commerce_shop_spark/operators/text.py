@@ -35,26 +35,29 @@ def _hit_count(words: list[str]) -> Column:
     return F.size(F.filter(_toks(), lambda t: F.array_contains(arr, t)))
 
 
-def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-vote language ID: per-language hit counts in one pass,
-    argmax with deterministic tie-break (score desc, lang asc)."""
-    docs = load_table(spark, sf_dir, "documents")
-    scores = docs.select(
-        "doc_id",
-        "lang",
-        *[_hit_count(w).alias(f"score_{lang}") for lang, w in LEXICONS.items()],
-    )
-    langs = sorted(LEXICONS)  # asc order = tie-break priority
+def pred_lang_cols() -> tuple[Column, Column]:
+    """(pred_lang, best_score) argmax expressions over the lexicon hit
+    counts — deterministic tie-break (score desc, lang asc).  Pure
+    column expressions over `text`, so other operators (e.g. dedup's
+    per-language dup rate) can inline them without a join."""
     pred = None
     best = None
-    for lang in langs:
-        s = F.col(f"score_{lang}")
+    for lang in sorted(LEXICONS):  # asc order = tie-break priority
+        s = _hit_count(LEXICONS[lang])
         if pred is None:
             pred, best = F.lit(lang), s
         else:
             pred = F.when(s > best, F.lit(lang)).otherwise(pred)
             best = F.when(s > best, s).otherwise(best)
-    return scores.select(
+    return pred, best
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-vote language ID: per-language hit counts in one pass,
+    argmax with deterministic tie-break (score desc, lang asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred, best = pred_lang_cols()
+    return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("pred_lang"),
@@ -171,6 +174,36 @@ def zipf_top_terms(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
     return top.withColumn("rank", F.row_number().over(w)).select(
         "term", "n", "rank"
+    )
+
+
+def bigram_top_terms(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Corpus-wide bigram frequencies, top-k — the n-gram statistics a
+    tokenizer-training / contamination-check pipeline pulls.
+
+    Bigrams are built with a JVM-side `transform` over the token array
+    (adjacent-pair zip) — no UDF, no self-join; then the same
+    explode → partial-agg → TakeOrdered shape as the unigram Zipf
+    head.  The `size >= 2` guard keeps `sequence` from generating a
+    descending range on single-token docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), i ->"
+        " concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    )
+    freq = (
+        docs.select(_toks().alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("bigram").asc()]
+    top = freq.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "bigram", "n", "rank"
     )
 
 

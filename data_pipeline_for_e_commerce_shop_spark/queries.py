@@ -1405,3 +1405,143 @@ register(
     FROM d
     """,
 )(retention.cumulative_active_users)
+
+register(
+    "rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT du.user_id, d.day
+      FROM du JOIN days d ON d.day >= du.day AND d.day <= du.day + 6
+    )
+    SELECT day, COUNT(DISTINCT user_id) AS active_7d
+    FROM contrib GROUP BY 1
+    """,
+)(retention.rolling_active_users)
+
+
+# ------------------------------------------------ basket / conversion
+
+from data_pipeline_for_e_commerce_shop_spark.operators import (  # noqa: E402
+    basket,
+)
+
+register(
+    "basket_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    c AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+                  AS rank
+      FROM c
+    ) WHERE rank <= 20
+    """,
+)(basket.part_pair_topk)
+
+register(
+    "monthly_status_pivot",
+    """
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+           SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(FLOOR(o_totalprice*100) AS BIGINT) END)/100.0
+             AS revenue_f,
+           SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(FLOOR(o_totalprice*100) AS BIGINT) END)/100.0
+             AS revenue_o,
+           SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(FLOOR(o_totalprice*100) AS BIGINT) END)/100.0
+             AS revenue_p
+    FROM orders GROUP BY 1
+    """,
+)(kpis.monthly_status_pivot)
+
+register(
+    "time_to_conversion",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS c,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    )
+    SELECT CAST(FLOOR((p - c) / 3600.0) AS BIGINT) AS hours_to_convert,
+           COUNT(*) AS n_users
+    FROM pu
+    WHERE c IS NOT NULL AND p >= c
+    GROUP BY 1
+    """,
+)(events.time_to_conversion)
+
+# Dup-rate by PREDICTED language: the oracle replays the lexicon argmax
+# (same CASE as text_lang_id), the fp-family window, and the rollup.
+register(
+    "dup_rate_by_language",
+    """
+    WITH s AS (
+      SELECT md5(text) AS fp,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','fast','order','key'], t))) AS score_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['data','merge','window','batch'], t))) AS score_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['join','filter','row','table'], t))) AS score_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['spark','query','stream','vector'], t))) AS score_fr
+      FROM documents
+    ),
+    tagged AS (
+      SELECT CASE
+               WHEN score_de >= score_en AND score_de >= score_es
+                    AND score_de >= score_fr THEN 'de'
+               WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+               WHEN score_es >= score_fr THEN 'es'
+               ELSE 'fr'
+             END AS pred_lang,
+             fp
+      FROM s
+    ),
+    flagged AS (
+      SELECT pred_lang,
+             COUNT(*) OVER (PARTITION BY fp) > 1 AS is_dup
+      FROM tagged
+    )
+    SELECT pred_lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN is_dup THEN 1 END) AS n_dup_docs,
+           COUNT(CASE WHEN is_dup THEN 1 END) / COUNT(*) AS dup_rate
+    FROM flagged GROUP BY 1
+    """,
+)(dedup.dup_rate_by_language)
+
+register(
+    "text_bigram_topk",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    freq AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+    SELECT bigram, n, rank FROM (
+      SELECT bigram, n,
+             row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
+      FROM freq
+    ) WHERE rank <= 20
+    """,
+)(text.bigram_top_terms)

@@ -97,3 +97,78 @@ def test_zipf_ranks_dense_and_ordered(spark):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_rolling_7d_bounds_daily_actives(spark):
+    """active_7d on day D must be >= the 1-day distinct count for D and
+    <= the all-time distinct user count."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.retention import (
+        rolling_active_users,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    daily = (
+        ev.select(
+            F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("d1"))
+    )
+    total = ev.select("user_id").distinct().count()
+    joined = rolling_active_users(spark, SF).join(daily, "day").collect()
+    assert joined
+    for r in joined:
+        assert r.d1 <= r.active_7d <= total
+
+
+def test_basket_pairs_are_ordered_and_real(spark):
+    from data_pipeline_for_e_commerce_shop_spark.operators.basket import (
+        part_pair_topk,
+    )
+
+    rows = part_pair_topk(spark, SF, k=10).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    for r in rows:
+        assert r.part_a < r.part_b
+        # n_orders really is the co-occurrence count for that pair
+        n = (
+            li.where(F.col("l_partkey") == r.part_a)
+            .select("l_orderkey")
+            .join(
+                li.where(F.col("l_partkey") == r.part_b).select("l_orderkey"),
+                "l_orderkey",
+            )
+            .count()
+        )
+        assert n == r.n_orders
+
+
+def test_pivot_matches_long_form(spark):
+    """The wide pivot must agree with the long groupBy it reshapes."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.kpis import (
+        monthly_status_pivot,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        money_sum,
+    )
+
+    wide = {r.month: r for r in monthly_status_pivot(spark, SF).collect()}
+    long = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "MM").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(money_sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    assert long
+    for r in long:
+        got = getattr(wide[r.month], f"revenue_{r.o_orderstatus.lower()}")
+        assert got == r.rev
