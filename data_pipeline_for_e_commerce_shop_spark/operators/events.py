@@ -166,3 +166,62 @@ def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase: how many users
+    reached each stage IN ORDER (a purchase before any view does not
+    count).
+
+    Spark side: ONE shuffle — per user, collect the (sec, stage) pairs,
+    sort in-array, and walk them with a JVM-side `aggregate` fold that
+    carries first-view/first-click/first-purchase state.  The oracle
+    proves the same result with a 3-level min-chain (fv, then min click
+    >= fv, then min purchase >= fc) — two independent algorithms, one
+    answer.  Equal-second ties sort by stage rank, which makes the fold
+    equivalent to the chain's >= comparisons.
+
+    Skew note: the per-user array is event-count sized; a bot user with
+    millions of events would need a `slice` cap or pre-aggregation to
+    (user, stage, min-sec-per-hour) first.  Typical user histories are
+    bounded, so the fold state is O(1) and the array small.
+    """
+    stage_rank = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_timestamp("ts").alias("s"), stage_rank.alias("r")
+            ).alias("e"),
+        )
+    )
+    walked = ev.groupBy("user_id").agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(e)),
+              named_struct('fv', CAST(NULL AS BIGINT),
+                           'fc', CAST(NULL AS BIGINT),
+                           'fp', CAST(NULL AS BIGINT)),
+              (acc, x) -> named_struct(
+                'fv', CASE WHEN acc.fv IS NULL AND x.r = 0
+                           THEN x.s ELSE acc.fv END,
+                'fc', CASE WHEN acc.fc IS NULL AND acc.fv IS NOT NULL
+                                AND x.r = 1 THEN x.s ELSE acc.fc END,
+                'fp', CASE WHEN acc.fp IS NULL AND acc.fc IS NOT NULL
+                                AND x.r = 2 THEN x.s ELSE acc.fp END)
+            )
+            """
+        ).alias("st")
+    )
+    return walked.agg(
+        F.count("st.fv").alias("n_view"),
+        F.count("st.fc").alias("n_view_click"),
+        F.count("st.fp").alias("n_full_funnel"),
+    )

@@ -344,3 +344,29 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of L2-normalized embeddings, emitted
+    long-form as (vec_id, i, q) — the storage-shrink step before an ANN
+    index ships (4x smaller than float32, 8x than double).
+
+    q = floor(x/||v|| * 127 + 0.5): floor-plus-half instead of round()
+    because floor is exactly specified in both engines while round()
+    half-case rules differ.  |x|/||v|| <= 1 bounds q to [-127, 127] with
+    no clamp.  Pure projection + posexplode: no shuffle, scan speed.
+    The long form keeps the oracle scalar (engines need not agree on
+    array hashing) and is also the layout a columnar int8 index scan
+    wants.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm("emb"))
+    )
+    q = F.expr(
+        "transform(emb, x -> CAST(floor(x / nrm * 127 + 0.5) AS BIGINT))"
+    )
+    return emb.select(
+        "vec_id", F.posexplode(q).alias("pos", "q")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "q")

@@ -291,3 +291,36 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
     )
+
+
+# Chunking geometry: 32-token windows every 24 tokens (8-token overlap).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window packing step of an LLM training-data pipeline.
+
+    Chunk starts are `sequence(0, n_tokens-1, stride)`, so the last
+    chunk may be short (kept: a training pipeline drops or pads them
+    downstream — that policy belongs to the consumer, not the
+    splitter).  All slicing is JVM-side array math inside one
+    projection + explode: no UDF, no shuffle at all — the operator is
+    embarrassingly parallel and runs at scan speed at any SF.  The
+    empty-doc guard keeps `sequence` from a descending range.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(sequence(0, size(toks) - 1, {CHUNK_STRIDE}), s ->"
+        f" named_struct("
+        f"   'chunk_id', CAST(s div {CHUNK_STRIDE} AS BIGINT),"
+        f"   'chunk_text', concat_ws(' ', slice(toks, s + 1, {CHUNK_TOKENS})),"
+        f"   'n_tokens', size(slice(toks, s + 1, {CHUNK_TOKENS}))))"
+    )
+    return (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )

@@ -1545,3 +1545,86 @@ register(
     ) WHERE rank <= 20
     """,
 )(text.bigram_top_terms)
+
+
+# --------------------------------------- chunking / quantization / anomaly
+
+from data_pipeline_for_e_commerce_shop_spark.operators import (  # noqa: E402
+    outliers,
+)
+
+register(
+    "text_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+           array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
+           len(toks[s + 1 : s + 32]) AS n_tokens
+    FROM t CROSS JOIN UNNEST(range(0, len(toks), 24)) AS u(s)
+    WHERE len(toks) > 0
+    """,
+)(text.chunk_documents)
+
+register(
+    "embedding_quantize",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, i, CAST(floor(v[i] / nrm * 127 + 0.5) AS BIGINT) AS q
+    FROM n CROSS JOIN UNNEST(range(1, len(v) + 1)) AS u(i)
+    """,
+)(similarity.quantize_embeddings)
+
+register(
+    "price_outliers",
+    """
+    WITH f AS (
+      SELECT o_orderkey, c_mktsegment,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    st AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             SUM(cents) AS s, SUM(cents * cents) AS ss
+      FROM f GROUP BY 1
+    ),
+    seg AS (
+      SELECT c_mktsegment,
+             CAST(s AS DOUBLE) / n AS mean_cents,
+             sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n))
+                  / (n - 1)) AS std_cents
+      FROM st
+    )
+    SELECT o_orderkey, f.c_mktsegment AS segment, cents / 100.0 AS price,
+           round((cents - mean_cents) / std_cents, 6) AS z
+    FROM f JOIN seg USING (c_mktsegment)
+    WHERE abs(round((cents - mean_cents) / std_cents, 6)) >= 1.7
+    """,
+)(outliers.price_outliers)
+
+# Ordered funnel: the Spark side walks each user's sorted event array
+# with a fold; the oracle is an INDEPENDENT algorithm (3-level min
+# chain) that must land on the same three counts.
+register(
+    "funnel_ordered",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    v AS (SELECT user_id, MIN(s) AS fv FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(s) AS fc FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND s >= fv GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(s) AS fp FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND s >= fc GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)(events.ordered_funnel)

@@ -172,3 +172,99 @@ def test_pivot_matches_long_form(spark):
     for r in long:
         got = getattr(wide[r.month], f"revenue_{r.o_orderstatus.lower()}")
         assert got == r.rev
+
+
+def test_chunks_reassemble_to_document(spark):
+    """Stride-24/width-32 chunks: dropping each chunk's 8-token overlap
+    tail reconstructs the original token stream."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    chunks = chunk_documents(spark, SF).collect()
+    seen = {}
+    for c in chunks:
+        toks = c.chunk_text.split(" ")
+        assert c.n_tokens == len(toks)
+        seen.setdefault(c.doc_id, {})[c.chunk_id] = toks
+    for doc_id, by_id in seen.items():
+        rebuilt = []
+        for cid in sorted(by_id):
+            rebuilt.extend(by_id[cid][:CHUNK_STRIDE] if cid < max(by_id) else by_id[cid])
+        # overlap-trimmed concat must equal the source tokens
+        assert rebuilt == docs[doc_id], f"doc {doc_id} mismatch"
+    assert set(seen) == {d for d, t in docs.items() if t != [""]}
+
+
+def test_quantization_bounds_and_reconstruction(spark):
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(spark, SF).cache()
+    try:
+        assert q.where((F.col("q") > 127) | (F.col("q") < -127)).count() == 0
+        # every vector emits exactly 64 positions
+        bad = (
+            q.groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("i").alias("d"))
+            .where((F.col("n") != 64) | (F.col("d") != 64))
+            .count()
+        )
+        assert bad == 0
+        # dequantized norm ~ 127 (unit vector scaled): mean |q| can't be 0
+        assert q.agg(F.max(F.abs("q"))).first()[0] > 0
+    finally:
+        q.unpersist()
+
+
+def test_outlier_z_scores_against_plain_python(spark):
+    import statistics
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.outliers import (
+        price_outliers,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    import collections
+
+    by_seg = collections.defaultdict(list)
+    for r in rows:
+        by_seg[r.c_mktsegment].append(int(r.o_totalprice * 100) // 1)
+    expected = set()
+    for seg, cents in by_seg.items():
+        m = statistics.fmean(cents)
+        sd = statistics.stdev(cents)
+        for r in rows:
+            if r.c_mktsegment != seg:
+                continue
+            z = (int(r.o_totalprice * 100) - m) / sd
+            if abs(round(z, 6)) >= 1.7:
+                expected.add(r.o_orderkey)
+    got = {r.o_orderkey for r in price_outliers(spark, SF).collect()}
+    # Python fmean/stdev use different summation order than the exact
+    # decimal moments — allow edge flips only at the threshold boundary
+    assert len(got.symmetric_difference(expected)) <= max(1, len(expected) // 50)
+
+
+def test_ordered_funnel_monotone(spark):
+    from data_pipeline_for_e_commerce_shop_spark.operators.events import (
+        ordered_funnel,
+    )
+
+    r = ordered_funnel(spark, SF).first()
+    assert r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+    assert r.n_view > 0
