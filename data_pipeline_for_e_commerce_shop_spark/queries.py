@@ -1004,6 +1004,42 @@ register(
     """,
 )(stream_hourly_kpis)
 
+from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa: E402
+    stream_sessionize,
+)
+
+# Streaming sessionization (session_window + availableNow drain) held
+# to the IDENTICAL oracle as the batch lag/running-sum form — the
+# strongest stream/batch duality statement in the suite: two different
+# engines' algorithms (stateful window merge vs window functions) and
+# a third engine's SQL all land on the same value hash.
+register(
+    "events_stream_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 90
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_sec, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           MIN(epoch_sec) AS session_start,
+           MAX(epoch_sec) AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)(stream_sessionize)
+
 register(
     "events_funnel",
     """

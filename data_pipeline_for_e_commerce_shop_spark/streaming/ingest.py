@@ -81,3 +81,44 @@ def run_gated_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    out_table: str,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key ingest: ``dropDuplicatesWithinWatermark``
+    over an arriving file stream — the streaming form of the batch
+    exact-dedup operator (operators/dedup.exact_duplicates) and the
+    idempotency layer a replaying upstream (the reference's at-least-
+    once S3-event Lambda, lambda/s3_validation.py:33-40) requires.
+
+    WithinWatermark (not plain dropDuplicates) is the part that
+    scales: per-key state is EVICTED once the watermark passes it, so
+    state is bounded by (keys arriving per watermark window), not by
+    all keys ever seen.  Returns the deduped materialized batch.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+        .withWatermark(watermark_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+    spark.catalog.dropTempView(out_table)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(out_table).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(out_table)
+    return out

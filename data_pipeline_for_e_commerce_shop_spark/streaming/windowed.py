@@ -109,3 +109,90 @@ def stream_hourly_kpis(
     out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def stream_sessionize(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 90
+) -> DataFrame:
+    """Gap-based sessionization as a REAL streaming query:
+    ``readStream -> withWatermark -> session_window -> availableNow``
+    — the stateful-merge dual of the batch lag/running-sum form
+    (operators/events.sessionize), held to the SAME DuckDB oracle.
+
+    Semantics alignment (the subtle part): the batch form opens a new
+    session when the integer-second gap is STRICTLY > gap_seconds;
+    ``session_window`` merges events whose windows overlap OR TOUCH
+    (verified empirically: two events exactly window-length apart
+    merge).  Streaming on second-truncated timestamps with a window of
+    exactly gap_seconds therefore merges iff diff <= gap_seconds —
+    identical partitions to the batch form.
+
+    session_no / session_start / session_end are recovered from the
+    drained windows: start = window.start, last event = window.end -
+    gap, and session_no by per-user rank over start times — a batch
+    window over the (small) finished aggregate, not the stream.
+    """
+    src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(src))
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    win = f"{gap_seconds} seconds"
+    agg = (
+        stream.withColumn(
+            "tsec", F.timestamp_seconds(F.unix_timestamp("ts"))
+        )
+        .withWatermark("tsec", "1 hour")
+        .groupBy(F.session_window("tsec", win).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100)) / 100.0).alias(
+                "total_value"
+            ),
+        )
+    )
+    sink = "stream_session_sink"
+    spark.catalog.dropTempView(sink)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from pyspark.sql import Window
+
+    sess = spark.table(sink).select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+        (F.unix_timestamp(F.col("w.end")).cast("long") - gap_seconds).alias(
+            "session_end"
+        ),
+        "n_events",
+        "total_value",
+    )
+    numbered = sess.select(
+        "user_id",
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("session_start")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("session_no"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "total_value",
+    )
+    out = numbered.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

@@ -217,3 +217,35 @@ def test_stream_batch_duality(spark, sf_dir):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_dedup_drops_replayed_files(spark, tmp_path):
+    """The same micro-batch replayed as a second file must not emit its
+    keys twice (at-least-once upstream -> exactly-once downstream)."""
+    import shutil
+
+    from data_pipeline_for_e_commerce_shop_spark.streaming.ingest import (
+        run_streaming_dedup,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    base = spark.range(100).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS BIGINT)) AS ts",
+        "id % 7 AS user_id",
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    f1 = next((tmp_path / "b1").glob("*.parquet"))
+    shutil.copy(f1, src / "a.parquet")
+    shutil.copy(f1, src / "b.parquet")  # the replay
+
+    out = run_streaming_dedup(
+        spark,
+        str(src),
+        base.schema,
+        "dedup_sink_test",
+        ["event_id"],
+    )
+    assert out.count() == 100
+    assert out.select("event_id").distinct().count() == 100
