@@ -149,3 +149,57 @@ def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("revenue_o"),
         F.col("P").alias("revenue_p"),
     )
+
+
+def order_reconciliation(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Cross-table audit: booked order totals vs the amount recomputed
+    from line items (extendedprice * (1-discount) * (1+tax)), top-k by
+    absolute drift — the reconciliation report a finance pipeline runs
+    nightly.  (The synthetic generator does NOT maintain the TPC-H
+    invariant, so drift is nonzero for every order; the report shape is
+    the point.)
+
+    Exactness: each line's amount is floored to integer cents BEFORE
+    summing (deterministic in any engine and any order), and the same
+    formula text runs on both sides.  The fact-fact join is keyed on
+    o_orderkey — the line aggregation shuffles once on the same key, so
+    AQE plans a co-partitioned join; top-k is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+            * 100
+        ).alias("line_cents"),
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum("line_cents").alias("recomputed_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("booked_cents"),
+    )
+    joined = orders.join(
+        recomputed, orders.o_orderkey == recomputed.l_orderkey
+    )
+    diff = F.col("booked_cents") - F.col("recomputed_cents")
+    scored = joined.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (F.col("booked_cents") / 100.0).alias("booked"),
+        (F.col("recomputed_cents") / 100.0).alias("recomputed"),
+        (diff / 100.0).alias("drift"),
+        F.abs(diff).alias("abs_cents"),
+    )
+    order = [F.col("abs_cents").desc(), F.col("o_orderkey").asc()]
+    top = scored.orderBy(*order).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("o_orderkey", "status", "booked", "recomputed", "drift", "rank")
+    )

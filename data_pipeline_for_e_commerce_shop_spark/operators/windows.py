@@ -139,3 +139,32 @@ def ordered_head(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
         .limit(n)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     )
+
+
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order day: that day's exact revenue plus the trailing-30-day
+    revenue via a RANGE frame (value-based window — the frame type the
+    rows-based moving average can't express when days are missing).
+
+    Decomposed so the window never sees the fact table: one groupBy
+    collapses orders to ~|days| rows of exact cents, then the range
+    window (ordered by integer day) runs over that small aggregate in
+    a single partition — thousands of rows, not billions.  Summing
+    integer cents keeps the trailing total order-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("day_i", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_i").rangeBetween(-29, 0)
+    return daily.select(
+        "day",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.sum("cents").over(w) / 100.0).alias("revenue_30d"),
+    )

@@ -1664,3 +1664,76 @@ register(
            (SELECT COUNT(*) FROM p) AS n_full_funnel
     """,
 )(events.ordered_funnel)
+
+
+# ------------------------------------------- reconciliation / range frame
+
+register(
+    "order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100) AS BIGINT))
+               AS recomputed_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS booked_cents,
+             recomputed_cents
+      FROM orders JOIN li ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderkey, status,
+           booked_cents / 100.0 AS booked,
+           recomputed_cents / 100.0 AS recomputed,
+           (booked_cents - recomputed_cents) / 100.0 AS drift,
+           rank
+    FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY abs(booked_cents - recomputed_cents) DESC,
+                        o_orderkey ASC) AS rank
+      FROM j
+    ) WHERE rank <= 20
+    """,
+)(kpis.order_reconciliation)
+
+register(
+    "trailing_30d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_i
+      FROM orders GROUP BY 1, 3
+    )
+    SELECT day, cents / 100.0 AS revenue,
+           SUM(cents) OVER (ORDER BY day_i
+                            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+             / 100.0 AS revenue_30d
+    FROM daily
+    """,
+)(windows.trailing_30d_revenue)
+
+
+# 100 TB twin of segment_price_quantiles: one-pass mergeable sketch
+# (GK/KLL-style approx_percentile) — sketch internals are engine-
+# specific, so rows-only by contract (like order_kpis_approx).
+def segment_price_quantiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias(
+            "quartiles_approx"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register("segment_price_quantiles_approx")(segment_price_quantiles_approx)
