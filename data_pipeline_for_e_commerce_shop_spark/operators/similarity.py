@@ -370,3 +370,56 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode(q).alias("pos", "q")
     ).select("vec_id", (F.col("pos") + 1).alias("i"), "q")
+
+
+# Output schema for the applyInPandas centroid stage.
+CENTROID_SCHEMA = (
+    "label INT, n_vectors BIGINT, dim INT, centroid ARRAY<DOUBLE>, "
+    "centroid_norm DOUBLE"
+)
+
+
+def label_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via ``applyInPandas`` — the
+    grouped-Arrow API (mapInPandas' shuffle-full sibling: one pandas
+    frame PER GROUP, the shape a sklearn/torch mini-fit needs).
+
+    Engine-exact mean despite float nondeterminism: inside pandas each
+    component is floored to integer MICRO-UNITS and summed as int64
+    (order-independent — the same fixed-point trick as
+    embedding_stats), and only the final divide runs in doubles.  The
+    oracle replays floor(x*1e6) sums in SQL.  Groups are labels
+    (bounded cardinality, ~even sizes), so no group overwhelms one
+    task; each group's frame is |group| x dim floats — Arrow-batched
+    once, no Python-per-row cost.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["emb"].to_numpy())  # |group| x dim float64
+        micro = np.floor(mat * 1_000_000).astype(np.int64)
+        sums = micro.sum(axis=0)  # int64: exact, order-independent
+        n = len(pdf)
+        cent = sums / 1_000_000.0 / n
+        # strict left-to-right accumulation: same order as the fold in
+        # norm() and DuckDB's list_dot_product, so oracles agree bitwise
+        # (np.sum would use pairwise summation — different rounding)
+        acc = 0.0
+        for v in cent:
+            acc += v * v
+        nrm = float(np.sqrt(acc))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [n],
+                "dim": [mat.shape[1]],
+                "centroid": [cent.tolist()],
+                "centroid_norm": [round(nrm, 9)],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("emb")
+    )
+    return emb.groupBy("label").applyInPandas(centroid, CENTROID_SCHEMA)

@@ -1737,3 +1737,55 @@ def segment_price_quantiles_approx(
 
 
 register("segment_price_quantiles_approx")(segment_price_quantiles_approx)
+
+
+# applyInPandas grouped-Arrow centroid, exposed long-form (scalar
+# columns) so the value-hash stays engine-portable; the fixed-point
+# micro-unit sums make the mean exact and the norm is a sequential
+# fold on both sides.
+def _label_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = similarity.label_centroids_pandas(spark, sf_dir)
+    return df.select(
+        "label",
+        "n_vectors",
+        "dim",
+        F.posexplode("centroid").alias("pos", "c"),
+        "centroid_norm",
+    ).select(
+        "label",
+        "n_vectors",
+        "dim",
+        (F.col("pos") + 1).alias("i"),
+        "c",
+        "centroid_norm",
+    )
+
+
+register(
+    "embedding_label_centroids",
+    """
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    m AS (
+      SELECT label, i,
+             SUM(CAST(FLOOR(v[i] * 1000000) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM v CROSS JOIN UNNEST(range(1, len(v) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT label, CAST(i AS INT) AS i, n,
+             (CAST(s AS DOUBLE) / 1000000.0) / n AS c
+      FROM m
+    ),
+    nrm AS (
+      SELECT label, round(sqrt(list_dot_product(cl, cl)), 9) AS centroid_norm
+      FROM (SELECT label, list(c ORDER BY i) AS cl FROM c GROUP BY 1)
+      GROUP BY 1, cl
+    )
+    SELECT c.label, n AS n_vectors, CAST(64 AS INT) AS dim, i, c,
+           centroid_norm
+    FROM c JOIN nrm ON c.label = nrm.label
+    """,
+)(_label_centroids_long)

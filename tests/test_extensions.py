@@ -268,3 +268,19 @@ def test_ordered_funnel_monotone(spark):
     r = ordered_funnel(spark, SF).first()
     assert r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
     assert r.n_view > 0
+
+
+def test_apply_in_pandas_centroids(spark):
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        label_centroids_pandas,
+    )
+
+    rows = label_centroids_pandas(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    for r in rows:
+        assert r.dim == 64 and len(r.centroid) == 64
+        # mean of unit-ish vectors: norm strictly between 0 and 1
+        assert 0 < r.centroid_norm < 1
