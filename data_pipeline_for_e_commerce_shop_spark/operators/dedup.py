@@ -482,33 +482,49 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on the deterministic
     LSH bucket (random-hyperplane sign bits, similarity.lsh_bucket) with
-    Hamming-1 multi-probe; exact cosine verify within the block via a
-    sequential double fold — the same left-to-right order DuckDB's list
-    aggregates use.
+    Hamming-1 multi-probe; the in-bucket verify is an Arrow-grouped
+    numpy int64 matmul over MICRO-UNIT QUANTIZED vectors.
 
-    Scale shape: the pair join is an EQUI-join on the bucket id — each
-    bucket holds ~n/2^N_PLANES vectors, so pair work is O(n²/2^P) spread
-    over hash partitions instead of O(n²/L) within data-dependent label
-    blocks (a hot label previously meant one straggler task).  The probe
-    side fans out (1 + N_PLANES)× (home bucket + each 1-bit flip); the
-    home side is stored once.  A pair is emitted by exactly one probe
-    row (probes of a vector are 5 distinct buckets), so no distinct
-    pass is needed.  Recall: a pair at cosine ≥ 0.95 (≤ 18°) survives
-    unless ≥ 2 of the 4 hyperplanes split it (~5%); raise N_PLANES'
-    probe radius for higher recall, same plan shape.
+    Exactness across engines: each component is floored to integer
+    micro-units (x -> floor(x * 1e6), <= 1e6 in magnitude), so every
+    pair dot is a sum of 64 products <= 1e12 — max 6.4e13, exactly
+    representable in BOTH int64 and float64.  Integer arithmetic is
+    order-independent, so numpy's matmul, a JVM fold, and DuckDB's
+    list_dot_product all produce the SAME number; the final
+    divide-by-norms runs elementwise in IEEE doubles and the 9-digit
+    rounding happens JVM-side (Spark's decimal-exact round == DuckDB's;
+    np.round is not).  Cosine of the quantized vectors differs from
+    true cosine by O(1e-6) — the documented semantics of the operator.
+
+    Scale shape: the pair stage is a groupBy on the bucket id — each
+    bucket holds ~n/2^N_PLANES vectors, so pair work is O(n²/2^P)
+    spread over hash partitions instead of O(n²/L) within
+    data-dependent label blocks.  The probe side fans out
+    (1 + N_PLANES)x (home bucket + each 1-bit flip); the home side is
+    stored once; a pair is emitted by exactly one probe row, so no
+    distinct pass is needed.  Within a bucket the scoring is one
+    vectorized matmul per Arrow group instead of |pairs| interpreted
+    fold evaluations — the hybrid the charter prescribes when built-in
+    expressions can't vectorize.  Recall: a pair at cosine >= 0.95
+    (<= 18 deg) survives unless >= 2 of the 4 hyperplanes split it
+    (~5%); raise N_PLANES' probe radius for higher recall, same shape.
     """
+    import numpy as np
+    import pandas as pd
+
     from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
         N_PLANES,
         as_double,
-        dot,
         lsh_bucket,
-        norm,
     )
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("emb"))
-        .withColumn("nrm", norm("emb"))  # O(n) once, not O(pairs)
+        .withColumn(
+            "micro",
+            F.expr("transform(emb, x -> CAST(floor(x * 1000000) AS BIGINT))"),
+        )
         .withColumn("bucket", lsh_bucket("emb"))
     )
     probes = F.array(
@@ -516,21 +532,48 @@ def embedding_near_duplicates(
         *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
     )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
+        "vec_id",
+        "micro",
         F.explode(probes).alias("probe"),
+        F.lit(True).alias("is_probe"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
+        "vec_id",
+        "micro",
         F.col("bucket").alias("probe"),
+        F.lit(False).alias("is_probe"),
     )
-    cos = dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        a.join(b, "probe")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 9).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa = pdf[pdf["is_probe"]]
+        hb = pdf[~pdf["is_probe"]]
+        if pa.empty or hb.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ma = np.stack(pa["micro"].to_numpy()).astype(np.int64)
+        mb = np.stack(hb["micro"].to_numpy()).astype(np.int64)
+        dots = ma @ mb.T                       # exact int64
+        na = np.sqrt((ma * ma).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((mb * mb).sum(axis=1).astype(np.float64))
+        cos = dots.astype(np.float64) / (na[:, None] * nb[None, :])
+        ia = pa["vec_id"].to_numpy()
+        ib = hb["vec_id"].to_numpy()
+        keep = ia[:, None] < ib[None, :]
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": ia[r], "vec_b": ib[c], "cosine": cos[r, c]}
+        )
+
+    pairs = (
+        a.unionByName(b)
+        .groupBy("probe")
+        .applyInPandas(score_bucket, "vec_a LONG, vec_b LONG, cosine DOUBLE")
     )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 9).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+

@@ -633,6 +633,10 @@ _EMB_PROBES = ", ".join(
 )
 
 
+# Pair scoring runs on MICRO-UNIT QUANTIZED vectors (floor(x*1e6) as
+# int64): every dot is exact in int64 AND float64 (max 6.4e13 < 2^53),
+# so numpy's matmul in the applyInPandas stage and list_dot_product
+# here produce the same number; only the norm divide is IEEE.
 @register(
     "dedup_embedding_cosine",
     f"""
@@ -640,16 +644,20 @@ _EMB_PROBES = ", ".join(
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     bk AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+      SELECT vec_id,
+             CAST(list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))
+                  AS DOUBLE[]) AS m,
              {_EMB_BUCKET_EXPR} AS bucket
       FROM e
     ),
     probes AS (
-      SELECT vec_id, v, nrm, unnest([{_EMB_PROBES}]) AS probe FROM bk
+      SELECT vec_id, m, unnest([{_EMB_PROBES}]) AS probe FROM bk
     )
     SELECT vec_a, vec_b, cosine FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cosine
+             round(list_dot_product(a.m, b.m)
+                   / (sqrt(list_dot_product(a.m, a.m))
+                      * sqrt(list_dot_product(b.m, b.m))), 9) AS cosine
       FROM probes a JOIN bk b ON a.probe = b.bucket AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.3
     """,
