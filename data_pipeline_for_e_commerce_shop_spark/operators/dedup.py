@@ -577,3 +577,48 @@ def embedding_near_duplicates(
     ).where(F.col("cosine") >= threshold)
 
 
+
+
+def benchmark_contamination(
+    spark: SparkSession, sf_dir: str, flag_at: float = 0.5
+) -> DataFrame:
+    """Decontamination check: what fraction of each candidate document's
+    3-gram shingles also occur in the held-out BENCHMARK set (here the
+    deterministic doc_id % 20 == 0 slice plays the benchmark — in
+    production it's the eval suites' text).  The step every serious
+    training-data pipeline runs before a model ships; flagged docs are
+    dropped so eval numbers stay honest.
+
+    Scale shape: the benchmark shingle set is distinct-reduced (its
+    size is benchmark-corpus-bound, not training-corpus-bound) and the
+    membership probe is a shingle-keyed LEFT SEMI join — broadcastable
+    when the benchmark is small, hash-partitioned otherwise; either
+    way no pair materialization.  One shingle explode feeds both the
+    per-doc totals and the hit counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    is_bench = (F.col("doc_id") % 20) == 0
+    bench_shingles = sh.where(is_bench).select("shingle").distinct()
+    cand = sh.where(~is_bench)
+    totals = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        cand.join(bench_shingles, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    contamination = F.coalesce("n_contaminated", F.lit(0)) / F.col(
+        "n_shingles"
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            contamination.alias("contamination"),
+            (contamination >= flag_at).alias("flagged"),
+        )
+    )

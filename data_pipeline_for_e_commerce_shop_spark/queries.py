@@ -1797,3 +1797,29 @@ register(
     FROM c JOIN nrm ON c.label = nrm.label
     """,
 )(_label_centroids_long)
+
+
+# Decontamination vs the benchmark slice (doc_id % 20 == 0): the oracle
+# replays the shingling CTE, the distinct benchmark set, and the semi
+# probe.
+register(
+    "benchmark_contamination",
+    _SHINGLE_CTE
+    + """
+    , bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+    ),
+    cdocs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 != 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cdocs GROUP BY 1),
+    hit AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM cdocs WHERE shingle IN (SELECT shingle FROM bench)
+      GROUP BY 1
+    )
+    SELECT t.doc_id, n_shingles,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           COALESCE(n_contaminated, 0) / n_shingles AS contamination,
+           (COALESCE(n_contaminated, 0) / n_shingles >= 0.5) AS flagged
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)(dedup.benchmark_contamination)

@@ -284,3 +284,29 @@ def test_apply_in_pandas_centroids(spark):
         assert r.dim == 64 and len(r.centroid) == 64
         # mean of unit-ish vectors: norm strictly between 0 and 1
         assert 0 < r.centroid_norm < 1
+
+
+def test_contamination_benchmark_docs_excluded_and_bounded(spark):
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    df = benchmark_contamination(spark, SF).cache()
+    try:
+        assert df.where((F.col("doc_id") % 20) == 0).count() == 0
+        assert (
+            df.where(
+                (F.col("contamination") < 0)
+                | (F.col("contamination") > 1)
+                | (F.col("n_contaminated") > F.col("n_shingles"))
+            ).count()
+            == 0
+        )
+        assert (
+            df.where(
+                F.col("flagged") != (F.col("contamination") >= 0.5)
+            ).count()
+            == 0
+        )
+    finally:
+        df.unpersist()
