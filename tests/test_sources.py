@@ -139,3 +139,45 @@ def test_normalize_path():
     # only S3 event-notification keys are form-encoded.
     assert normalize_path("/local/a+b.csv") == "/local/a+b.csv"
     assert normalize_path("/local/100%20.csv") == "/local/100%20.csv"
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path, sf_dir):
+    import glob
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.sinks import (
+        compact_table,
+    )
+
+    tbl = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # fragment: many tiny files, as a per-batch writer would leave
+    orders.repartition(40).write.mode("overwrite").parquet(tbl)
+    before = len(glob.glob(f"{tbl}/*.parquet"))
+    assert before >= 40
+    n_rows = orders.count()
+
+    after = compact_table(spark, tbl, target_rows_per_file=n_rows)
+    assert after < before and after <= 2
+    assert spark.read.parquet(tbl).count() == n_rows
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.readers import (
+        read_with_schema_evolution,
+    )
+
+    tbl = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("name"))
+    v1.write.mode("overwrite").parquet(tbl)
+    v2 = spark.range(5, 10).select(
+        F.col("id"), F.lit("b").alias("name"), F.lit(1.5).alias("score")
+    )
+    v2.write.mode("append").parquet(tbl)
+
+    df = read_with_schema_evolution(spark, tbl)
+    assert set(df.columns) == {"id", "name", "score"}
+    assert df.count() == 10
+    # v1 rows surface NULL for the later-added column
+    assert df.where(F.col("score").isNull()).count() == 5
