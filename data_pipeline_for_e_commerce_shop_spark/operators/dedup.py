@@ -346,27 +346,34 @@ def near_duplicates_jaccard(
 SIMHASH_BITS = 16
 
 
-def _hex_bit(h, b: int):
-    """Bit b of a 16-hex-char hash: parity of hex digit b.
-
-    Engine-portable: Spark ``conv(substr(h,b+1,1),16,10) % 2``,
-    DuckDB ``(strpos('0123456789abcdef', substr(h,b+1,1))-1) % 2``.
-    """
-    return F.conv(F.substring(h, b + 1, 1), 16, 10).cast("int") % 2
-
-
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit simhash per doc from shingle md5 bits.
 
     bit_b(sig) = majority vote over shingles of bit_b(md5(shingle));
     computed as 16 conditional sums in ONE aggregation (same explode as
     minhash — at scale these two share the shingle scan).
+
+    The 16 digit parities are extracted from TWO `conv` calls (the
+    first/second 8 hex chars as 32-bit ints) + shift/AND, instead of 16
+    per-digit conv(substring(...)) string ops — ~2x faster voting, same
+    bits (the oracle keeps its independent per-digit strpos parity).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).withColumn("h", F.md5("shingle"))
+    sh = (
+        _shingles(docs)
+        .withColumn("h", F.md5("shingle"))
+        .withColumn("x1", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+        .withColumn("x2", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
+    )
+
+    def _bit(b: int):
+        # parity (lowest bit) of hex digit b+1: digits 1..8 live in x1,
+        # 9..16 in x2, most-significant digit first
+        col, off = ("x1", 7 - b) if b < 8 else ("x2", 15 - b)
+        return F.shiftright(F.col(col), 4 * off).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(_hex_bit(F.col("h"), b) * 2 - 1).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
+        F.sum(_bit(b) * 2 - 1).alias(f"v{b}") for b in range(SIMHASH_BITS)
     ]
     votes = sh.groupBy("doc_id").agg(*aggs)
     sig = None
