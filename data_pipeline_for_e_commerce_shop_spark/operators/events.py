@@ -168,6 +168,27 @@ def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Strict-order funnel fold over a user's (sec, stage-rank) structs,
+# sorted ascending: carries first-view/first-click/first-purchase state.
+# Shared with the property test (tests/test_extensions.py) that fuzzes
+# its equivalence to the independent min-chain formulation.
+FUNNEL_FOLD_EXPR = """
+    aggregate(
+      array_sort(collect_list(e)),
+      named_struct('fv', CAST(NULL AS BIGINT),
+                   'fc', CAST(NULL AS BIGINT),
+                   'fp', CAST(NULL AS BIGINT)),
+      (acc, x) -> named_struct(
+        'fv', CASE WHEN acc.fv IS NULL AND x.r = 0
+                   THEN x.s ELSE acc.fv END,
+        'fc', CASE WHEN acc.fc IS NULL AND acc.fv IS NOT NULL
+                        AND x.r = 1 THEN x.s ELSE acc.fc END,
+        'fp', CASE WHEN acc.fp IS NULL AND acc.fc IS NOT NULL
+                        AND x.r = 2 THEN x.s ELSE acc.fp END)
+    )
+"""
+
+
 def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel view -> click -> purchase: how many users
     reached each stage IN ORDER (a purchase before any view does not
@@ -201,25 +222,7 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    walked = ev.groupBy("user_id").agg(
-        F.expr(
-            """
-            aggregate(
-              array_sort(collect_list(e)),
-              named_struct('fv', CAST(NULL AS BIGINT),
-                           'fc', CAST(NULL AS BIGINT),
-                           'fp', CAST(NULL AS BIGINT)),
-              (acc, x) -> named_struct(
-                'fv', CASE WHEN acc.fv IS NULL AND x.r = 0
-                           THEN x.s ELSE acc.fv END,
-                'fc', CASE WHEN acc.fc IS NULL AND acc.fv IS NOT NULL
-                                AND x.r = 1 THEN x.s ELSE acc.fc END,
-                'fp', CASE WHEN acc.fp IS NULL AND acc.fc IS NOT NULL
-                                AND x.r = 2 THEN x.s ELSE acc.fp END)
-            )
-            """
-        ).alias("st")
-    )
+    walked = ev.groupBy("user_id").agg(F.expr(FUNNEL_FOLD_EXPR).alias("st"))
     return walked.agg(
         F.count("st.fv").alias("n_view"),
         F.count("st.fc").alias("n_view_click"),

@@ -310,3 +310,60 @@ def test_contamination_benchmark_docs_excluded_and_bounded(spark):
         )
     finally:
         df.unpersist()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_event = st.tuples(st.integers(0, 5), st.integers(0, 2))  # tiny sec domain -> ties
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    histories=st.lists(st.lists(_event, min_size=0, max_size=8), min_size=1, max_size=6)
+)
+def test_funnel_fold_equals_min_chain(spark, histories):
+    """Property: the sorted-array fold (Spark) computes exactly the
+    3-level min-chain (fv; min click >= fv; min purchase >= fc) for any
+    event sequence, including equal-second ties."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.events import (
+        FUNNEL_FOLD_EXPR,
+    )
+
+    rows = [
+        (uid, s, r)
+        for uid, hist in enumerate(histories)
+        for (s, r) in hist
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id INT, s BIGINT, r INT")
+    got = {
+        r.user_id: (r.st.fv, r.st.fc, r.st.fp)
+        for r in df.select(
+            "user_id", F.struct("s", "r").alias("e")
+        )
+        .groupBy("user_id")
+        .agg(F.expr(FUNNEL_FOLD_EXPR).alias("st"))
+        .collect()
+    }
+
+    def chain(events):
+        views = [s for s, r in events if r == 0]
+        fv = min(views) if views else None
+        fc = fp = None
+        if fv is not None:
+            clicks = [s for s, r in events if r == 1 and s >= fv]
+            fc = min(clicks) if clicks else None
+        if fc is not None:
+            purch = [s for s, r in events if r == 2 and s >= fc]
+            fp = min(purch) if purch else None
+        return fv, fc, fp
+
+    for uid, hist in enumerate(histories):
+        if hist:
+            assert got[uid] == chain(hist), (uid, hist)
