@@ -203,3 +203,38 @@ def order_reconciliation(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
         top.withColumn("rank", F.row_number().over(w))
         .select("o_orderkey", "status", "booked", "recomputed", "drift", "rank")
     )
+
+
+def category_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per part category plus its SHARE of that month's
+    total — contribution analysis (which categories carry the quarter).
+
+    The share window runs over the (month, category) AGGREGATE — a few
+    thousand rows — never the fact; partitioned by month, so no
+    single-partition funnel either.  Exact integer cents make the
+    share's numerator/denominator engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.trunc(F.to_date("o_orderdate"), "MM").alias("month")
+    )
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("month", F.col("p_type").alias("category"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("cents").over(Window.partitionBy("month"))
+    return monthly.select(
+        "month",
+        "category",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.col("cents") / total).alias("share"),
+    )

@@ -100,3 +100,35 @@ def rolling_active_users(
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order month: active customers split into NEW (first-ever
+    order that month) vs RETURNING — the growth-vs-loyalty lifecycle
+    view on top of the cohort machinery.
+
+    Same decomposition as the cohort triangle: one groupBy(custkey)
+    derives each customer's first month (shuffle spread over
+    customers), then both monthly counts come from month-keyed
+    aggregates — the join that combines them touches |months| rows,
+    not the fact.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.trunc(F.to_date("o_orderdate"), "MM").alias("month")
+    )
+    active = orders.distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("month").alias("month"))
+    new = firsts.groupBy("month").agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        active.join(new, "month", "left")
+        .select(
+            "month",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.col("n_active") - F.coalesce("n_new", F.lit(0))).alias(
+                "n_returning"
+            ),
+        )
+    )

@@ -1823,3 +1823,43 @@ register(
     FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
     """,
 )(dedup.benchmark_contamination)
+
+
+register(
+    "new_vs_returning",
+    """
+    WITH o AS (
+      SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS month
+      FROM orders
+    ),
+    act AS (
+      SELECT month, COUNT(*) AS n_active FROM (SELECT DISTINCT * FROM o)
+      GROUP BY 1
+    ),
+    fs AS (SELECT o_custkey, MIN(month) AS month FROM o GROUP BY 1),
+    nw AS (SELECT month, COUNT(*) AS n_new FROM fs GROUP BY 1)
+    SELECT act.month, n_active,
+           COALESCE(n_new, 0) AS n_new,
+           n_active - COALESCE(n_new, 0) AS n_returning
+    FROM act LEFT JOIN nw ON act.month = nw.month
+    """,
+)(retention.new_vs_returning)
+
+register(
+    "category_revenue_share",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             p_type AS category,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT month, category,
+           cents / 100.0 AS revenue,
+           cents / SUM(cents) OVER (PARTITION BY month) AS share
+    FROM m
+    """,
+)(kpis.category_revenue_share)

@@ -367,3 +367,36 @@ def test_funnel_fold_equals_min_chain(spark, histories):
     for uid, hist in enumerate(histories):
         if hist:
             assert got[uid] == chain(hist), (uid, hist)
+
+
+def test_new_vs_returning_partitions_actives(spark):
+    rows = retention.new_vs_returning(spark, SF).collect()
+    assert rows
+    assert sum(r.n_new for r in rows) == (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.n_new + r.n_returning == r.n_active
+        assert r.n_new >= 0 and r.n_returning >= 0
+    # the first month has no returning customers
+    first = min(rows, key=lambda r: r.month)
+    assert first.n_returning == 0
+
+
+def test_revenue_share_sums_to_one_per_month(spark):
+    from collections import defaultdict
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.kpis import (
+        category_revenue_share,
+    )
+
+    by_month = defaultdict(float)
+    for r in category_revenue_share(spark, SF).collect():
+        assert 0 <= r.share <= 1
+        by_month[r.month] += r.share
+    assert by_month
+    for m, tot in by_month.items():
+        assert abs(tot - 1.0) < 1e-9, (m, tot)
