@@ -48,23 +48,23 @@ def dup_rate_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition a corpus-curation dashboard runs (is my German split
     more duplicated than my English one?).
 
-    Everything stays in one lineage: the language argmax (inlined
-    expressions from text.pred_lang_cols — no doc_id join) and the
-    fingerprint ride the same projection; the per-fingerprint family
-    size is a window over partitionBy(fp) — ONE shuffle, and dup
-    families are small by construction (identical texts), so no
-    group blows up a task.  The final per-language rollup aggregates
-    ~|languages| rows.
+    Everything stays in one lineage: the language scores and the
+    fingerprint ride one projection, the argmax a second (cheap column
+    refs — see text.pred_lang_over_scores), so there is no doc_id
+    join; the per-fingerprint family size is a window over
+    partitionBy(fp) — ONE shuffle, and dup families are small by
+    construction (identical texts), so no group blows up a task.  The
+    final per-language rollup aggregates ~|languages| rows.
     """
     from data_pipeline_for_e_commerce_shop_spark.operators.text import (
-        pred_lang_cols,
+        lang_score_cols,
+        pred_lang_over_scores,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pred, _ = pred_lang_cols()
-    tagged = docs.select(
-        pred.alias("pred_lang"), F.md5("text").alias("fp")
-    )
+    scored = docs.select(F.md5("text").alias("fp"), *lang_score_cols())
+    pred, _ = pred_lang_over_scores()
+    tagged = scored.select(pred.alias("pred_lang"), "fp")
     fam = Window.partitionBy("fp")
     flagged = tagged.select(
         "pred_lang", (F.count(F.lit(1)).over(fam) > 1).alias("is_dup")
@@ -208,7 +208,8 @@ def duplicate_clusters(
     with a diagnosable message instead).
     """
     # Materialize the LSH lineage ONCE: everything below reuses it.
-    pairs = lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    # connected_components checkpoints its input itself
+    pairs = lsh_candidate_pairs(spark, sf_dir)
     return connected_components(spark, pairs, max_iter=max_iter)
 
 
@@ -218,6 +219,11 @@ def connected_components(
     """Small-star/large-star connected components over an arbitrary
     (doc_a, doc_b) pair DataFrame; see duplicate_clusters for the
     algorithm story.  Returns (doc_id, cluster_id = component min)."""
+    # Cut the caller's lineage FIRST: the count below, the node union,
+    # and the canonical-edge derivation would otherwise each re-execute
+    # the incoming plan (for LSH candidates that is the whole
+    # shingle+minhash+banding pipeline, three times over).
+    pairs = pairs.localCheckpoint(eager=True)
     # Size the loop's parallelism to the graph, not the session default:
     # per-round shuffles on a candidate graph orders of magnitude
     # smaller than the corpus would otherwise be pure task overhead.
@@ -442,9 +448,11 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both probes are LEFT SEMI joins keyed on fingerprint /
     (band_no, band_hash) — the batch side (small) shuffles against the
-    corpus fingerprint store; no pair materialization, no O(n²).  The
-    corpus store is append-only: kept docs' fingerprints and bands are
-    unioned in after the gate.
+    corpus fingerprint store; no pair materialization, no O(n²).  (In
+    the production pipeline the corpus store is append-only — kept
+    docs' fingerprints/bands get unioned in after the gate; this query
+    returns the gate decisions, the store update is the caller's
+    write.)
     """
     docs = load_table(spark, sf_dir, "documents")
     is_new = (F.col("doc_id") % 5) == 4

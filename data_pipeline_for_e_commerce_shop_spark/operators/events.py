@@ -56,7 +56,11 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_seconds: int = DEBOUNCE_GAP
     """
     events = load_table(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # both windows MUST share one ordering (epoch_sec, event_id): the lag
+    # diff is computed on integer seconds, so ordering by raw ts would
+    # let a same-second tie (sub-second order opposite to event_id) mark
+    # the flag on one row and cumulative-sum it in another order
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
     marked = events.select(
         "user_id",
         "event_id",

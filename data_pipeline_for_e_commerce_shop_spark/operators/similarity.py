@@ -127,21 +127,29 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 4  # 4 sign bits -> 16 buckets
 
 
-def _plane(dim: int, p: int) -> Column:
-    """Deterministic pseudo-random hyperplane p: component j is
-    ±1 from the parity of hex digit j of md5('plane-p-j').
+def plane_signs(p: int, dim: int = 64) -> list[int]:
+    """Hyperplane p as ±1 ints: component j is the parity of the FIRST
+    hex digit of md5('plane-p-j').  THE single source of truth for the
+    plane construction — the Spark expression (_plane) and the DuckDB
+    oracle literals (queries._plane_literal) both derive from it, so
+    the seed rule cannot drift between engines."""
+    import hashlib
 
-    Engine-portable (md5-derived) and cheap: a ±1 plane turns the dot
-    product into signed sums.  DuckDB computes the identical plane.
-    """
-    comps = [
-        (
-            F.conv(F.substring(F.md5(F.lit(f"plane-{p}-{j}")), 1, 1), 16, 10)
-            .cast("int") % 2
-        ) * 2 - 1
+    return [
+        1
+        if int(hashlib.md5(f"plane-{p}-{j}".encode()).hexdigest()[0], 16) % 2
+        else -1
         for j in range(dim)
     ]
-    return F.array(*[c.cast("double") for c in comps])
+
+
+def _plane(dim: int, p: int) -> Column:
+    """Hyperplane p as a literal ±1.0 array (see plane_signs): the
+    constants are computed at plan-build time in Python — no per-row
+    md5 expressions for Catalyst to fold."""
+    return F.array(
+        *[F.lit(float(s)) for s in plane_signs(p, dim)]
+    )
 
 
 def lsh_bucket(emb_col: str, dim: int = 64) -> Column:

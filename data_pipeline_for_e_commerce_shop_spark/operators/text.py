@@ -35,15 +35,25 @@ def _hit_count(words: list[str]) -> Column:
     return F.size(F.filter(_toks(), lambda t: F.array_contains(arr, t)))
 
 
-def pred_lang_cols() -> tuple[Column, Column]:
-    """(pred_lang, best_score) argmax expressions over the lexicon hit
-    counts — deterministic tie-break (score desc, lang asc).  Pure
-    column expressions over `text`, so other operators (e.g. dedup's
-    per-language dup rate) can inline them without a join."""
+def lang_score_cols() -> list[Column]:
+    """One `score_<lang>` hit-count column per lexicon language —
+    project these ONCE, then run the argmax over the column refs."""
+    return [
+        _hit_count(w).alias(f"score_{lang}") for lang, w in LEXICONS.items()
+    ]
+
+
+def pred_lang_over_scores() -> tuple[Column, Column]:
+    """(pred_lang, best_score) argmax over ALREADY-PROJECTED
+    `score_<lang>` columns — deterministic tie-break (score desc, lang
+    asc).  The when-chain embeds its running `best` once per level, so
+    it MUST reference cheap column refs, never the hit-count
+    expressions directly: inlining them would copy the split+filter
+    subtree O(2^|langs|) times into the plan."""
     pred = None
     best = None
     for lang in sorted(LEXICONS):  # asc order = tie-break priority
-        s = _hit_count(LEXICONS[lang])
+        s = F.col(f"score_{lang}")
         if pred is None:
             pred, best = F.lit(lang), s
         else:
@@ -56,8 +66,9 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language ID: per-language hit counts in one pass,
     argmax with deterministic tie-break (score desc, lang asc)."""
     docs = load_table(spark, sf_dir, "documents")
-    pred, best = pred_lang_cols()
-    return docs.select(
+    scored = docs.select("doc_id", "lang", *lang_score_cols())
+    pred, best = pred_lang_over_scores()
+    return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("pred_lang"),

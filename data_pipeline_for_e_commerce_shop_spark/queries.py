@@ -604,22 +604,17 @@ register(
 )(dedup.incremental_dedup)
 
 
-# The LSH planes are md5-deterministic (similarity._plane), so the
-# oracle recomputes the SAME ±1 plane constants with Python's hashlib
-# at import time and embeds them as literal arrays — the bucketing,
-# multi-probe fan-out, and exact cosine verify are all reproduced in
-# plain SQL.
-import hashlib  # noqa: E402
-
-
+# The LSH planes come from ONE source of truth —
+# similarity.plane_signs — embedded here as SQL literal arrays, so the
+# bucketing, multi-probe fan-out, and verify are reproduced in plain
+# SQL and the seed rule cannot drift between the Spark and oracle
+# sides.
 def _plane_literal(p: int, dim: int = 64) -> str:
-    signs = [
-        "1.0"
-        if int(hashlib.md5(f"plane-{p}-{j}".encode()).hexdigest()[0], 16) % 2
-        else "-1.0"
-        for j in range(dim)
-    ]
-    return "[" + ", ".join(signs) + "]"
+    return (
+        "["
+        + ", ".join(f"{s}.0" for s in similarity.plane_signs(p, dim))
+        + "]"
+    )
 
 
 _EMB_BUCKET_EXPR = " + ".join(
@@ -973,7 +968,7 @@ register(
              CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
              CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                        - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 90
+                         OVER (PARTITION BY user_id ORDER BY epoch_sec, event_id) > 90
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
@@ -1029,7 +1024,7 @@ register(
              CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
              CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                        - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 90
+                         OVER (PARTITION BY user_id ORDER BY epoch_sec, event_id) > 90
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),

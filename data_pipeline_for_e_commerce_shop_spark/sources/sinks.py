@@ -110,21 +110,32 @@ def compact_table(
     Rewrites the table with a row-count-targeted file size:
     `maxRecordsPerFile` bounds file size without a global repartition;
     the `coalesce` merges existing small partitions WITHOUT a shuffle
-    (coalesce only unions read splits).  When `partition_col` is given
-    the layout is preserved via dynamic partition overwrite, so
-    readers' partition pruning keeps working and untouched partitions
-    are not clobbered.  Returns the number of files after compaction.
+    (coalesce only unions read splits).  With `partition_col` the
+    partition directory layout is re-created so readers' partition
+    pruning keeps working; note the row target then applies per task x
+    partition, so tune `target_rows_per_file` to the largest partition,
+    and the WHOLE table is rewritten — compact one partition at a time
+    by passing that partition's path instead.  Returns the number of
+    files after compaction.
 
-    At 100 TB this runs per-partition (compact yesterday, not the whole
-    table) — pass the single partition's path.
+    LOCAL-FILESYSTEM ONLY: the finishing swap uses directory renames,
+    which (a) do not exist atomically on object stores and (b) leave a
+    window between the two moves where the table directory is absent —
+    a crash there is rolled back on the next call only manually.  At
+    100 TB use a transactional table format (Delta/Iceberg OPTIMIZE);
+    this utility is the plain-parquet equivalent for dev/CI data.
     """
     import glob
     import os
+    import shutil
 
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)  # debris from a crashed run
+    shutil.rmtree(old, ignore_errors=True)
     w = (
         df.coalesce(n_files)
         .write.mode("overwrite")
@@ -133,16 +144,13 @@ def compact_table(
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(tmp)
-    # atomic-ish swap: the table is a directory; readers started before
-    # the swap keep their snapshot (file handles), new readers see the
-    # compacted layout.  A table format (Delta/Iceberg) makes this a
-    # real transaction; plain parquet gets rename-ordering.
-    import shutil
-
-    old = path.rstrip("/") + "._compact_old"
     shutil.move(path, old)
-    shutil.move(tmp, path)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        shutil.move(old, path)  # roll the original back into place
+        raise
     shutil.rmtree(old)
     return len(
-        [f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)]
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )

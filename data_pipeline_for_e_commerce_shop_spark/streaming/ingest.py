@@ -110,6 +110,10 @@ def run_streaming_dedup(
         .withWatermark(watermark_col, watermark)
         .dropDuplicatesWithinWatermark(key_cols)
     )
+    for active in spark.streams.active:
+        if active.name == out_table:  # leftover from an interrupted call
+            active.stop()
+            active.awaitTermination()
     spark.catalog.dropTempView(out_table)
     q = (
         stream.writeStream.format("memory")

@@ -54,6 +54,30 @@ def _as_stream_dir(file_path: str) -> str:
     return d
 
 
+def _drain_to_memory(spark: SparkSession, agg, sink: str) -> None:
+    """Run agg -> memory sink (complete mode, availableNow) and wait.
+
+    A leftover ACTIVE query with the same sink name (interrupted
+    awaitTermination, crashed caller) would make queryName().start()
+    raise — stop it first; the per-call temp view is likewise dropped
+    up front.  Names are fixed (not uuid-per-call) so repeated calls
+    can't leak an unbounded set of views on a long-lived session.
+    """
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+            q.awaitTermination()
+    spark.catalog.dropTempView(sink)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_hourly_kpis(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -79,7 +103,6 @@ def stream_hourly_kpis(
         )
     )
     sink = "stream_hourly_sink"
-    spark.catalog.dropTempView(sink)  # clear any leftover from a crashed run
     # The stateful shuffle's partition count is fixed at query start and
     # becomes the state-store count; scope it down for this drain (a few
     # thousand windows), then restore the session default.  NOTE: the
@@ -88,14 +111,7 @@ def stream_hourly_kpis(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _drain_to_memory(spark, agg, sink)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(sink).select(
@@ -153,18 +169,10 @@ def stream_sessionize(
         )
     )
     sink = "stream_session_sink"
-    spark.catalog.dropTempView(sink)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _drain_to_memory(spark, agg, sink)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     from pyspark.sql import Window
