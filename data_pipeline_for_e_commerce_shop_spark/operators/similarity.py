@@ -431,3 +431,44 @@ def label_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", as_double("embedding").alias("emb")
     )
     return emb.groupBy("label").applyInPandas(centroid, CENTROID_SCHEMA)
+
+
+def ann_recall(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Recall@k of the two approximate indexes against the exact brute
+    scan — the quality dial next to ANN's latency dial.
+
+    Per query: |approx top-k ∩ brute top-k| / k.  All three pipelines
+    are deterministic (md5 hyperplanes, Knuth-hash centroid sample), so
+    recall is an exact, hash-checkable number, not a statistic.
+
+    Scale: the joins are equi-joins on (query_id, corpus_id) over
+    n_queries×k rows — tiny relative to the index scans that feed them;
+    at 100 TB the cost is the two approximate scans themselves, which
+    is the point of measuring them against brute only on a small query
+    panel.
+    """
+    brute = brute_force_topk(spark, sf_dir, k=k).select("query_id", "corpus_id")
+    keys = ["query_id", "corpus_id"]
+    lsh = (
+        lsh_topk(spark, sf_dir, k=k)
+        .select(*keys)
+        .withColumn("hit", F.lit(1))
+    )
+    ivf = (
+        ivf_topk(spark, sf_dir, k=k)
+        .select(*keys)
+        .withColumn("hit", F.lit(1))
+    )
+    l_rec = (
+        brute.join(lsh, keys, "left")
+        .groupBy("query_id")
+        .agg((F.count("hit") / float(k)).alias("lsh_recall"))
+    )
+    v_rec = (
+        brute.join(ivf, keys, "left")
+        .groupBy("query_id")
+        .agg((F.count("hit") / float(k)).alias("ivf_recall"))
+    )
+    return l_rec.join(v_rec, "query_id").select(
+        "query_id", "lsh_recall", "ivf_recall"
+    )

@@ -335,3 +335,78 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
     )
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 repetition filters, adapted to the word-bag corpus): the
+    fraction of repeated words, the share of the single most frequent
+    word, and the fraction of duplicated word 3-grams.
+
+    Everything is a single map-side projection — array ops plus one
+    higher-order `aggregate` run-length scan over the SORTED token
+    array for the max-frequency word (sorting the per-doc array is
+    O(n log n) per row, NOT a shuffle).  No explode, no groupBy: at
+    100 TB this runs at scan speed with full whole-stage codegen,
+    which is exactly what a pre-training quality filter needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    base = docs.select(
+        "doc_id",
+        toks.alias("ws"),
+        F.array_sort(toks).alias("sorted_ws"),
+    )
+    n = F.size("ws")
+    nd = F.size(F.array_distinct("ws"))
+    # Max run length in the sorted array == max frequency of any word.
+    top = F.aggregate(
+        F.col("sorted_ws"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("ws", i),
+                F.element_at("ws", i + 1),
+                F.element_at("ws", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    scored = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        nd.cast("long").alias("n_distinct_words"),
+        (F.lit(1.0) - nd / n).alias("word_rep_ratio"),
+        top.cast("long").alias("top_word_count"),
+        (top / n).alias("top_word_ratio"),
+        tri.alias("tg"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "word_rep_ratio",
+        "top_word_count",
+        "top_word_ratio",
+        F.size("tg").cast("long").alias("n_trigrams"),
+        F.when(F.size("tg") > 0, F.lit(1.0) - F.size(F.array_distinct("tg")) / F.size("tg"))
+        .otherwise(F.lit(0.0))
+        .alias("trigram_dup_ratio"),
+    )

@@ -688,9 +688,7 @@ register("ann_brute_topk", _COSINE_TOPK_ORACLE)(similarity.brute_force_topk)
 # literal ±1 arrays (_plane_literal above) so the bucketing, the
 # Hamming-1 multi-probe fan-out, and the in-bucket exact re-scoring are
 # all reproduced in SQL — a full hash-checked oracle, not rows-only.
-register(
-    "ann_lsh_topk",
-    f"""
+_LSH_TOPK_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -715,17 +713,16 @@ register(
                                    ORDER BY cosine DESC, corpus_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-)(similarity.lsh_topk)
+    """
+
+register("ann_lsh_topk", _LSH_TOPK_ORACLE)(similarity.lsh_topk)
 
 # IVF-bucketed top-k (scale path #2): inverted centroid lists + n_probe
 # re-scoring.  EVERYTHING is deterministic — the centroid "training
 # sample" is a Knuth-hash order LIMIT, assignment is a window over a
 # cross join — so the whole pipeline replays in SQL: full value-hash
 # oracle.
-register(
-    "ann_ivf_topk",
-    """
+_IVF_TOPK_ORACLE = """
     WITH n AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -770,8 +767,30 @@ register(
                                    ORDER BY cosine DESC, corpus_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
+    """
+
+register("ann_ivf_topk", _IVF_TOPK_ORACLE)(similarity.ivf_topk)
+
+# Recall gauge: |approx ∩ brute| / k per query — the quality dial every
+# ANN deployment needs next to its latency dial.  All three pipelines
+# are md5/Knuth-deterministic, so the recall itself is hash-checkable:
+# the oracle simply composes the three top-k oracles as CTE subqueries.
+register(
+    "ann_recall",
+    f"""
+    WITH brute AS ({_COSINE_TOPK_ORACLE}),
+         lsh AS ({_LSH_TOPK_ORACLE}),
+         ivf AS ({_IVF_TOPK_ORACLE})
+    SELECT query_id, lsh_hits / 5.0 AS lsh_recall, ivf_hits / 5.0 AS ivf_recall
+    FROM (
+      SELECT b.query_id, COUNT(l.corpus_id) AS lsh_hits
+      FROM brute b LEFT JOIN lsh l USING (query_id, corpus_id) GROUP BY 1
+    ) JOIN (
+      SELECT b.query_id, COUNT(v.corpus_id) AS ivf_hits
+      FROM brute b LEFT JOIN ivf v USING (query_id, corpus_id) GROUP BY 1
+    ) USING (query_id)
     """,
-)(similarity.ivf_topk)
+)(similarity.ann_recall)
 
 
 # ------------------------------------------------- text analysis (charter)
@@ -1585,6 +1604,39 @@ register(
     """,
 )(text.bigram_top_terms)
 
+register(
+    "text_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, max(c) AS top_word_count FROM (
+        SELECT doc_id, w, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(ws) AS w FROM base
+        ) GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS tg
+      FROM base
+    )
+    SELECT b.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+           (1.0 - len(list_distinct(ws)) / len(ws)) AS word_rep_ratio,
+           CAST(top_word_count AS BIGINT) AS top_word_count,
+           (top_word_count / len(ws)) AS top_word_ratio,
+           CAST(len(tg) AS BIGINT) AS n_trigrams,
+           CASE WHEN len(tg) > 0
+                THEN 1.0 - len(list_distinct(tg)) / len(tg)
+                ELSE 0.0 END AS trigram_dup_ratio
+    FROM base b JOIN freq USING (doc_id) JOIN tri USING (doc_id)
+    """,
+)(text.repetition_scores)
+
 
 # --------------------------------------- chunking / quantization / anomaly
 
@@ -1858,3 +1910,43 @@ register(
     FROM m
     """,
 )(kpis.category_revenue_share)
+
+from data_pipeline_for_e_commerce_shop_spark.operators import scd  # noqa: E402
+
+register(
+    "scd2_priority_history",
+    """
+    WITH log AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate,
+             o_orderkey, o_orderpriority
+      FROM orders
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                    OR lag(o_orderpriority) OVER w != o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM log
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)
+    ),
+    islands AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY odate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    hist AS (
+      SELECT o_custkey, island, o_orderpriority,
+             min(odate) AS valid_from, max(odate) AS last_seen,
+             COUNT(*) AS n_orders
+      FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+             AS valid_to,
+           last_seen,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(island AS BIGINT) AS version
+    FROM hist
+    """,
+)(scd.priority_history)

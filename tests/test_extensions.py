@@ -400,3 +400,70 @@ def test_revenue_share_sums_to_one_per_month(spark):
     assert by_month
     for m, tot in by_month.items():
         assert abs(tot - 1.0) < 1e-9, (m, tot)
+
+
+def test_repetition_ratios_consistent(spark):
+    """word_rep_ratio and top_word_ratio must agree with a plain-Python
+    recount of the same document, and top_word_count is a frequency,
+    so it is bounded by n_words and at least ceil(n/ndistinct)."""
+    rows = text.repetition_scores(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert rows
+    for r in rows[:50]:
+        ws = docs[r["doc_id"]].split(" ")
+        assert r["n_words"] == len(ws)
+        assert r["n_distinct_words"] == len(set(ws))
+        top = max(ws.count(w) for w in set(ws))
+        assert r["top_word_count"] == top
+        assert abs(r["top_word_ratio"] - top / len(ws)) < 1e-12
+        tgs = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        assert r["n_trigrams"] == len(tgs)
+        exp_tri = 1.0 - len(set(tgs)) / len(tgs) if tgs else 0.0
+        assert abs(r["trigram_dup_ratio"] - exp_tri) < 1e-12
+
+
+def test_ann_recall_bounds_and_lsh_quality(spark):
+    from data_pipeline_for_e_commerce_shop_spark.operators import similarity
+
+    rows = similarity.ann_recall(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["lsh_recall"] <= 1.0
+        assert 0.0 <= r["ivf_recall"] <= 1.0
+
+
+def test_scd2_intervals_tile_each_customer(spark):
+    """Per customer: versions are 1..n, intervals are ordered,
+    valid_to equals the next version's valid_from, exactly one open
+    interval (the last), and n_orders sums to the customer's orders."""
+    from collections import defaultdict
+
+    from data_pipeline_for_e_commerce_shop_spark.operators import scd
+
+    hist = scd.priority_history(spark, SF).collect()
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .count()
+        .collect()
+    )
+    order_counts = {r["o_custkey"]: r["count"] for r in orders}
+    by_cust = defaultdict(list)
+    for r in hist:
+        by_cust[r["custkey"]].append(r)
+    assert by_cust
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["n_orders"] for r in rows) == order_counts[cust]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["last_seen"] <= b["valid_from"]
+            # adjacent islands must differ in the tracked attribute
+            assert a["priority"] != b["priority"]
+        assert rows[-1]["valid_to"] is None
