@@ -1062,6 +1062,33 @@ register(
     """,
 )(stream_sessionize)
 
+from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa: E402
+    stream_interval_join,
+)
+
+# Shared by the batch interval join (registered below) and its
+# stream-stream dual: one oracle, two engines' algorithms.
+_INTERVAL_JOIN_ORACLE = """
+    SELECT p.event_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS p_sec,
+           COUNT(c.ts) AS n_clicks,
+           COALESCE(SUM(CAST(FLOOR(c.value*100) AS BIGINT)), 0)/100.0 AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND floor(epoch(c.ts)) >= floor(epoch(p.ts)) - 3600
+     AND floor(epoch(c.ts)) <  floor(epoch(p.ts))
+    GROUP BY 1, 2, 3
+    """
+
+# Stream-STREAM join (two watermarked readStream sources, equi key +
+# event-time range predicate) — the stateful join capability itself,
+# held to the SAME oracle as the batch interval join.
+register(
+    "events_stream_interval_join", _INTERVAL_JOIN_ORACLE
+)(stream_interval_join)
+
 register(
     "events_funnel",
     """
@@ -1174,20 +1201,7 @@ def brand_category_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- interval join (extension)
 
 register(
-    "events_interval_join",
-    """
-    SELECT p.event_id,
-           p.user_id,
-           CAST(floor(epoch(p.ts)) AS BIGINT) AS p_sec,
-           COUNT(c.ts) AS n_clicks,
-           COALESCE(SUM(CAST(FLOOR(c.value*100) AS BIGINT)), 0)/100.0 AS click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id
-     AND floor(epoch(c.ts)) >= floor(epoch(p.ts)) - 3600
-     AND floor(epoch(c.ts)) <  floor(epoch(p.ts))
-    GROUP BY 1, 2, 3
-    """,
+    "events_interval_join", _INTERVAL_JOIN_ORACLE
 )(events.purchase_click_window)
 
 

@@ -204,3 +204,135 @@ def stream_sessionize(
     out = numbered.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def stream_interval_join(
+    spark: SparkSession, sf_dir: str, lookback_seconds: int = 3600
+) -> DataFrame:
+    """Stream-STREAM interval join: purchases joined to the same user's
+    clicks in the preceding hour, as two readStream sources with
+    watermarks on both sides — the flagship stateful-join capability of
+    Structured Streaming (the batch dual is
+    operators/events.purchase_click_window, same DuckDB oracle).
+
+    Both event-times are truncated to whole seconds BEFORE the join so
+    the range predicate is bit-identical to the batch form's
+    floor(epoch(..)) integer comparison.  The join itself is INNER —
+    inner matches are emitted as both sides arrive, independent of
+    watermark progress, so an availableNow drain is complete.  The
+    watermark (2 h > the 1 h lookback) is what BOUNDS THE JOIN STATE:
+    click rows older than max(event_time) - 2 h can never match a
+    future purchase and are evicted — at 100 TB of arriving events the
+    state store holds a sliding 2-hour band per user, not the stream's
+    history.  Zero-click purchases (the batch LEFT join's null side)
+    are restored by a batch anti-side join after the drain: a streaming
+    LEFT outer join only emits its null rows once the watermark passes
+    them, which an availableNow drain of a finite file never reaches —
+    the batch patch-up is the deterministic way to the same result.
+    """
+    src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    is_nanos = (
+        dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+        == "bigint"
+    )
+
+    def _stream() -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(_as_stream_dir(src))
+        if is_nanos:
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return s.withColumn(
+            "tsec", F.timestamp_seconds(F.unix_timestamp("ts"))
+        )
+
+    purchases = (
+        _stream()
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("tsec").alias("p_tsec"))
+        .withWatermark("p_tsec", "2 hours")
+    )
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("tsec").alias("c_tsec"),
+            F.floor(F.col("value") * 100).alias("c_cents"),
+        )
+        .withWatermark("c_tsec", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (
+            F.col("c_tsec")
+            >= F.col("p_tsec") - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
+        )
+        & (F.col("c_tsec") < F.col("p_tsec")),
+        "inner",
+    ).select("event_id", "user_id", "p_tsec", "c_cents")
+
+    sink = "stream_interval_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in spark.streams.active:
+            if q.name == sink:
+                q.stop()
+                q.awaitTermination()
+        spark.catalog.dropTempView(sink)
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    matched = (
+        spark.table(sink)
+        .groupBy("event_id", "user_id", "p_tsec")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            (F.sum("c_cents") / 100.0).alias("click_value"),
+        )
+    )
+    # Batch patch-up of the LEFT side: every purchase, zero-filled when
+    # the stream produced no pairs for it.
+    from ..schemas import load_table
+
+    all_p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").cast("long").alias("p_sec"),
+        )
+    )
+    out = (
+        all_p.join(
+            matched.select(
+                "event_id",
+                F.unix_timestamp("p_tsec").cast("long").alias("p_sec_m"),
+                "n_clicks",
+                "click_value",
+            ),
+            ["event_id"],
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "p_sec",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

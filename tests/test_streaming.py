@@ -249,3 +249,26 @@ def test_streaming_dedup_drops_replayed_files(spark, tmp_path):
     )
     assert out.count() == 100
     assert out.select("event_id").distinct().count() == 100
+
+
+def test_stream_interval_join_matches_batch_dual(spark):
+    """The stream-stream watermarked join must produce exactly the
+    batch interval join's rows (same keys, same counts, same cents)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.events import (
+        purchase_click_window,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (
+        stream_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r["event_id"], r["user_id"], r["p_sec"]): (r["n_clicks"], r["click_value"])
+        for r in stream_interval_join(spark, sf).collect()
+    }
+    batch = {
+        (r["event_id"], r["user_id"], r["p_sec"]): (r["n_clicks"], r["click_value"])
+        for r in purchase_click_window(spark, sf).collect()
+    }
+    assert streamed == batch
+    assert any(v[0] > 0 for v in batch.values())
