@@ -93,3 +93,84 @@ def validate_entity(
             NULL_VALIDATION_ERROR, f"null values in required columns: {nulls}"
         )
     return df
+
+
+# ------------------------- declarative expectation suite (dbt-test-like)
+
+# Rules as DATA: (table, rule_name, violation_predicate_sql).  Each
+# table is scanned ONCE — every rule becomes one conditional sum in a
+# single map-side-combined aggregation — then the wide row is unpivoted
+# to one row per rule.  Adding a rule costs one expression, never a
+# scan: the 100 TB cost of the whole suite is |tables| passes, same as
+# the reference's single null gate (scripts/validation.py:83-91), while
+# covering nulls, domains, ranges, and uniqueness together.
+EXPECTATIONS: list[tuple[str, str, str]] = [
+    ("orders", "orderkey_not_null", "o_orderkey IS NULL"),
+    ("orders", "custkey_not_null", "o_custkey IS NULL"),
+    ("orders", "totalprice_positive", "o_totalprice <= 0"),
+    ("orders", "status_in_domain", "o_orderstatus NOT IN ('O','F','P')"),
+    ("orders", "orderdate_in_range",
+     "o_orderdate < TIMESTAMP '1995-01-01' OR o_orderdate >= TIMESTAMP '2001-01-01'"),
+    ("lineitem", "orderkey_not_null", "l_orderkey IS NULL"),
+    ("lineitem", "quantity_in_range", "l_quantity <= 0 OR l_quantity > 45"),
+    ("lineitem", "price_non_negative", "l_extendedprice < 0"),
+    ("lineitem", "returnflag_in_domain", "l_returnflag NOT IN ('A','N','R')"),
+    ("customer", "custkey_not_null", "c_custkey IS NULL"),
+    ("customer", "acctbal_in_range",
+     "c_acctbal < 0.0"),
+]
+
+# Uniqueness is not row-local; expressed as count(*) - count(distinct key).
+UNIQUE_KEYS: list[tuple[str, str, str]] = [
+    ("orders", "orderkey_unique", "o_orderkey"),
+    ("customer", "custkey_unique", "c_custkey"),
+]
+
+
+def expectation_summary(spark, sf_dir: str) -> DataFrame:
+    """Evaluate the whole expectation suite; one row per rule with
+    n_rows / n_violations / violation_rate / passed."""
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    per_table = []
+    for table in sorted({t for t, _, _ in EXPECTATIONS}):
+        df = load_table(spark, sf_dir, table)
+        rules = [(r, p) for t, r, p in EXPECTATIONS if t == table]
+        aggs = [
+            F.sum(F.expr(pred).cast("long")).alias(rule)
+            for rule, pred in rules
+        ] + [F.count(F.lit(1)).alias("_n")]
+        for t, rule, key in UNIQUE_KEYS:
+            if t == table:
+                aggs.append(
+                    (F.count(key) - F.countDistinct(key)).alias(rule)
+                )
+                rules.append((rule, None))
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{rule}', {rule}" for rule, _ in rules)
+        long = wide.select(
+            F.lit(table).alias("table_name"),
+            F.expr(
+                f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+            ),
+            F.col("_n").alias("n_rows"),
+        )
+        per_table.append(
+            long.select(
+                "table_name",
+                "rule",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_violations").cast("long").alias("n_violations"),
+                (F.col("n_violations") / F.col("n_rows")).alias(
+                    "violation_rate"
+                ),
+                F.when(F.col("n_violations") == 0, 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("passed"),
+            )
+        )
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1964,3 +1964,36 @@ register(
     FROM hist
     """,
 )(scd.priority_history)
+
+from data_pipeline_for_e_commerce_shop_spark.quality import gates  # noqa: E402
+
+
+def _dq_oracle() -> str:
+    """Build the expectation-suite oracle from the SAME rule table the
+    Spark operator evaluates (quality/gates.EXPECTATIONS) — the two
+    sides cannot drift."""
+    ctes, rows = [], []
+    for table in sorted({t for t, _, _ in gates.EXPECTATIONS}):
+        rules = [(r, p) for t, r, p in gates.EXPECTATIONS if t == table]
+        uniq = [(r, k) for t, r, k in gates.UNIQUE_KEYS if t == table]
+        cols = ", ".join(
+            f"SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS {r}" for r, p in rules
+        )
+        if uniq:
+            cols += ", " + ", ".join(
+                f"COUNT({k}) - COUNT(DISTINCT {k}) AS {r}" for r, k in uniq
+            )
+        ctes.append(f"{table}_w AS (SELECT {cols}, COUNT(*) AS _n FROM {table})")
+        for r, _ in rules + uniq:
+            rows.append(
+                f"SELECT '{table}' AS table_name, '{r}' AS rule, "
+                f"CAST(_n AS BIGINT) AS n_rows, "
+                f"CAST({r} AS BIGINT) AS n_violations, "
+                f"CAST({r} AS DOUBLE) / _n AS violation_rate, "
+                f"CAST(CASE WHEN {r} = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed "
+                f"FROM {table}_w"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+register("dq_expectations", _dq_oracle())(gates.expectation_summary)
