@@ -129,3 +129,65 @@ def decode_media_real(media: DataFrame) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: synthesize media -> Arrow-batched features."""
     return extract_features(media_table(spark, sf_dir))
+
+
+# Frame-sampling geometry: fixed 64-byte "frames", keep every 2nd one.
+FRAME_BYTES = 64
+FRAME_STRIDE = 2
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+        T.StructField("head_hex", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Video-style frame sampling as the CARDINALITY-CHANGING
+    mapInPandas shape: each payload is cut into fixed FRAME_BYTES
+    frames, every FRAME_STRIDE-th frame is kept, and one output row is
+    emitted per sampled frame (extract_features is 1:1; this is 1:N —
+    the batch contract a real pyav frame sampler would use).
+
+    No shuffle: frames inherit the scan partitioning, Python cost is
+    amortized per Arrow batch, and downstream per-frame stages (CLIP
+    embedding, OCR, ...) consume the exploded rows directly.  The
+    per-frame stats stand in for the decoded tensor (codecs are not in
+    this container — see decode_media_real).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, lens, sums, heads = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for k in range(0, n_frames, FRAME_STRIDE):
+                    fr = b[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    ids.append(mid)
+                    nos.append(k)
+                    lens.append(len(fr))
+                    sums.append(sum(fr))
+                    heads.append(fr[:4].hex())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "head_hex": pd.Series(heads, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: synthesize media -> sampled per-frame rows."""
+    return sample_frames(media_table(spark, sf_dir))

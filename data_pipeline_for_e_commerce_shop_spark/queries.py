@@ -1146,6 +1146,46 @@ register(
     """,
 )(multimodal_features)
 
+from data_pipeline_for_e_commerce_shop_spark.operators.multimodal import (  # noqa: E402
+    multimodal_frames,
+)
+
+# The 1:N frame-sampling mapInPandas shape (fixed 64-byte frames, every
+# 2nd kept).  Frames are slices of the utf-8 payload, so DuckDB replays
+# the sampling as hex-substring arithmetic — full value-hash oracle
+# around a cardinality-changing Python stage.
+register(
+    "multimodal_frames",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    fr AS (
+      SELECT media_id, hx, nb,
+             unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT), 2)) AS frame_no
+      FROM m WHERE nb > 0
+    ),
+    s AS (
+      SELECT media_id, frame_no,
+             least(64, nb - frame_no * 64) AS frame_len,
+             substr(hx, frame_no * 128 + 1, 128) AS fhx
+      FROM fr
+    )
+    SELECT media_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(frame_len AS BIGINT) AS frame_len,
+           CAST(list_sum(list_transform(generate_series(1, frame_len),
+                 i -> (strpos('0123456789ABCDEF', substr(fhx, 2*i-1, 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF', substr(fhx, 2*i, 1)) - 1)))
+                AS BIGINT) AS byte_sum,
+           lower(substr(fhx, 1, 8)) AS head_hex
+    FROM s
+    """,
+)(multimodal_frames)
+
 
 # ------------------------------------------------- as-of join (extension)
 

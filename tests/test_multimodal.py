@@ -67,3 +67,38 @@ def test_payload_roundtrip_is_exact(spark, sf_dir):
             hashlib.md5(bytes(m["payload"])).hexdigest()
             == hashlib.md5(d["text"].encode()).hexdigest()
         )
+
+
+def test_frame_sampling_geometry(spark):
+    """Sampled frames: even frame_no only, full frames are FRAME_BYTES
+    long, the tail frame is the remainder, and frame bytes reassemble
+    from the payload slices."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        media_table,
+        sample_frames,
+    )
+
+    media = media_table(spark, "/root/testdata/sf0.001")
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    rows = sample_frames(media).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        b = payloads[r["media_id"]]
+        assert r["frame_no"] % FRAME_STRIDE == 0
+        fr = b[r["frame_no"] * FRAME_BYTES : (r["frame_no"] + 1) * FRAME_BYTES]
+        assert r["frame_len"] == len(fr) > 0
+        assert r["byte_sum"] == sum(fr)
+        assert r["head_hex"] == fr[:4].hex()
+        seen.add((r["media_id"], r["frame_no"]))
+    # every expected sampled frame is present exactly once
+    expected = {
+        (mid, k)
+        for mid, b in payloads.items()
+        for k in range(0, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_STRIDE)
+    }
+    assert seen == expected and len(rows) == len(expected)
