@@ -49,10 +49,14 @@ def main() -> int:
     for name in sorted(queries):
         fn = queries[name]
         try:
-            df = fn(spark, sf_dir)
             runs = []
             for _ in range(N_RUNS):
+                # fn() is INSIDE the timed region: for batch queries it
+                # only builds the plan (sub-ms), but streaming queries
+                # run their availableNow drain there — excluding it
+                # would under-report every streaming query as ~0.
                 t0 = time.time()
+                df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             timings[name] = round(statistics.median(runs), 3)
