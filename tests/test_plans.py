@@ -30,7 +30,9 @@ SF = "/root/testdata/sf0.001"
 # TF-IDF: the corpus doc count rides the plan as a ONE-ROW broadcast
 # crossJoin (the scalar-subquery shape) instead of an eager count() —
 # a 1-row broadcast NL is O(n), not O(n^2).
-NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk"}
+NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
+                  # composes all three top-k pipelines, including brute
+                  "ann_recall"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
@@ -92,3 +94,39 @@ def test_interval_join_is_equi_keyed(spark):
     plan = physical_plan(df)
     assert "NestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_repetition_is_shuffle_free_projection(spark):
+    """Gopher repetition scoring must stay a pure map-side projection:
+    zero exchanges, scan pruned to (doc_id, text)."""
+    from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+        exchange_count,
+    )
+
+    df = Q.QUERIES["text_repetition"](spark, SF)
+    assert exchange_count(df) == 0
+    schemas = scan_read_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+
+def test_scd2_single_shuffle(spark):
+    """The SCD2 builder must shuffle the change log exactly once (hash
+    on the dimension key); both windows and the island aggregation
+    reuse that partitioning."""
+    from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+        exchange_count,
+    )
+
+    df = Q.QUERIES["scd2_priority_history"](spark, SF)
+    assert exchange_count(df) == 1
+
+
+def test_frame_sampling_no_shuffle(spark):
+    """The 1:N frame sampler inherits scan partitioning — any Exchange
+    means the mapInPandas stage was accidentally repartitioned."""
+    from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+        exchange_count,
+    )
+
+    df = Q.QUERIES["multimodal_frames"](spark, SF)
+    assert exchange_count(df) == 0
