@@ -1089,6 +1089,27 @@ register(
     "events_stream_interval_join", _INTERVAL_JOIN_ORACLE
 )(stream_interval_join)
 
+from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa: E402
+    stream_enriched_kpis,
+)
+
+# Stream-STATIC broadcast enrichment (dim re-read per micro-batch) —
+# the third streaming join shape; decomposable aggregates give it the
+# same full value-hash oracle as a batch join+agg.
+register(
+    "events_stream_enriched",
+    """
+    SELECT c_mktsegment AS segment,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)(stream_enriched_kpis)
+
 register(
     "events_funnel",
     """

@@ -336,3 +336,65 @@ def stream_interval_join(
     out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def stream_enriched_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the events stream enriched against the
+    customer dimension (broadcast — the dim is re-read per micro-batch
+    and never shuffles the stream side), then aggregated per market
+    segment — the canonical "enrich arriving facts with a dim table"
+    streaming shape, completing the join-family coverage next to the
+    stream-stream interval join.
+
+    At scale the static side is a slowly-changing dim snapshot: Spark
+    re-plans it each micro-batch, so a dim update is picked up on the
+    next trigger without restarting the stream.  Decomposable
+    aggregates (count + integer cents) make the drained result
+    bit-identical to the batch dual — same DuckDB oracle.
+    """
+    src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(src))
+
+    from ..schemas import load_table
+
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    # Streaming forbids exact COUNT(DISTINCT ...): aggregate the stream
+    # to (segment, type, USER) partials — the decomposable form — and
+    # finalize the distinct count over the drained partials in batch.
+    # Partial cardinality is bounded by the dim size, not the stream.
+    agg = (
+        stream.join(dim, "user_id", "inner")
+        .groupBy("c_mktsegment", "event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        )
+    )
+    sink = "stream_enriched_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain_to_memory(spark, agg, sink)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = (
+        spark.table(sink)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count("user_id").alias("n_users"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

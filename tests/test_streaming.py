@@ -272,3 +272,36 @@ def test_stream_interval_join_matches_batch_dual(spark):
     }
     assert streamed == batch
     assert any(v[0] > 0 for v in batch.values())
+
+
+def test_stream_enriched_matches_batch_join(spark):
+    """Stream-static enrichment must equal the batch join+agg, and the
+    per-batch dim side must be broadcast."""
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (
+        stream_enriched_kpis,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["n_users"], r["total_value"])
+        for r in stream_enriched_kpis(spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events")
+    customer = load_table(spark, sf, "customer")
+    from pyspark.sql import functions as F
+
+    exp = {
+        (r["c_mktsegment"], r["event_type"]): (r["n"], r["u"], r["v"])
+        for r in events.join(
+            customer, events.user_id == customer.c_custkey
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("u"),
+            (F.sum(F.floor(F.col("value") * 100)) / 100.0).alias("v"),
+        )
+        .collect()
+    }
+    assert got == exp
