@@ -103,7 +103,9 @@ def ensure_nanos_conf(spark) -> None:
 
     ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable read
     switch: nanos columns arrive as bigint (then converted by callers).
-    Without it Spark 4 refuses the footer type outright.
+    Without it Spark 4 refuses the footer type outright.  Harmless for
+    non-nanos files, so it is set unconditionally — testdata vintages
+    have shipped events.ts as either TIMESTAMP(NANOS) or timestamp[us].
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -112,22 +114,28 @@ def load_table(spark, sf_dir: str, name: str):
     """Parquet scan for a driver testdata table (column-pruned and
     filter-pushed automatically by Catalyst).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark reads
-    it as long nanos (legacy.parquet.nanosAsLong) and we convert via
-    integer division to microseconds — the same truncation DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` applies, so oracle comparisons agree.
+    ``events.ts`` has shipped in two parquet vintages: TIMESTAMP(NANOS)
+    (arrives as long nanos under legacy.parquet.nanosAsLong; converted
+    here by integer division to microseconds — the same truncation
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` applies) and plain timestamp[us]
+    (arrives as TIMESTAMP_NTZ).  Both are normalised to the session
+    TIMESTAMP type so every downstream operator sees ONE canonical
+    column type regardless of which files are on disk.  Sessions run
+    UTC (session.get_spark) so the NTZ→LTZ cast is value-preserving.
 
-    The nanosAsLong conf is set HERE, at runtime, not only in
-    ``session.get_spark``: callers (the correctness driver, notebooks)
-    build their own sessions, and without the conf every events read
-    dies with PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable on an
-    existing session and is a read-path-only switch, so setting it
-    unconditionally is safe for all other tables.
+    The conf is set HERE, at runtime, not only in ``session.get_spark``:
+    callers (the correctness driver, notebooks) build their own
+    sessions, and the conf is a read-path-only switch that is safe to
+    set unconditionally.
     """
     ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dt == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

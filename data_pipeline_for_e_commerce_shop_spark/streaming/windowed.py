@@ -54,6 +54,20 @@ def _as_stream_dir(file_path: str) -> str:
     return d
 
 
+def _canon_ts(df, schema, col: str = "ts"):
+    """Normalise the events ``ts`` column to the session TIMESTAMP type
+    regardless of parquet vintage (long nanos under nanosAsLong, or
+    timestamp[us] arriving as TIMESTAMP_NTZ) — the streaming twin of
+    ``schemas.load_table``'s canonicalisation, so stream and batch
+    duals always aggregate the same column type."""
+    dt = dict((f.name, f.dataType.simpleString()) for f in schema).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _drain_to_memory(spark: SparkSession, agg, sink: str) -> None:
     """Run agg -> memory sink (complete mode, availableNow) and wait.
 
@@ -90,10 +104,9 @@ def stream_hourly_kpis(
     # new files appearing under it become new micro-batches).  The
     # testdata table is a single file, so stage a symlink to it inside
     # a temp dir and stream that dir; no data is copied.
-    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(src))
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long nanos (see schemas.load_table)
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _canon_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(src)), schema
+    )
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -151,9 +164,9 @@ def stream_sessionize(
     src = f"{sf_dir}/events.parquet"
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(src))
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _canon_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(src)), schema
+    )
     win = f"{gap_seconds} seconds"
     agg = (
         stream.withColumn(
@@ -233,15 +246,10 @@ def stream_interval_join(
     src = f"{sf_dir}/events.parquet"
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(src).schema
-    is_nanos = (
-        dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
-        == "bigint"
-    )
-
     def _stream() -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(_as_stream_dir(src))
-        if is_nanos:
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        s = _canon_ts(
+            spark.readStream.schema(schema).parquet(_as_stream_dir(src)), schema
+        )
         return s.withColumn(
             "tsec", F.timestamp_seconds(F.unix_timestamp("ts"))
         )

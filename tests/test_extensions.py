@@ -106,10 +106,12 @@ def test_rolling_7d_bounds_daily_actives(spark):
         rolling_active_users,
     )
 
-    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events")
     daily = (
         ev.select(
-            F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("day"),
+            F.to_date(F.col("ts")).alias("day"),
             "user_id",
         )
         .groupBy("day")
