@@ -1,0 +1,185 @@
+"""Corpus-assembly operators: the steps between "cleaned documents"
+and "training batches" in a large-scale pipeline — sequence packing,
+deterministic corpus shuffling with split assignment, and source
+mixing to target weights.
+
+These extend the reference's batch-ETL surface (scripts/
+transformation.py's clean→aggregate→write shape) with the corpus-prep
+stages an LLM data pipeline runs after dedup/quality filtering.  All
+randomness is md5-derived (engine-portable, reproducible), all
+arithmetic is integer-exact, so every operator is value-checkable
+against a DuckDB oracle.
+
+Scale notes (100 TB):
+- ``pack_sequences`` shuffles once on the shard key (``source``) and
+  sorts within shards; shards are the parallel unit, so a skewed
+  source is handled by splitting it into sub-shards upstream (the
+  pack ids stay deterministic because offsets are per-shard).
+- ``shuffle_split`` is a pure projection (zero shuffle): the shuffle
+  ORDER is the hash key itself — consumers export in key order with
+  ``repartitionByRange(shuffle_key)``, which Spark range-samples
+  without a global sort bottleneck.
+- ``source_mix`` aggregates per-source counts (|sources| rows),
+  derives integer keep-thresholds on the driver-free broadcast path,
+  and rescans the corpus once with a broadcast hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+
+CTX_TOKENS = 256  # pack capacity (tokens) — fixed for determinism
+
+#: fraction boundaries for split assignment, in percent of hash space
+TRAIN_PCT = 80
+VAL_PCT = 90  # [80, 90) val, [90, 100) test
+
+
+def _hash_mod(prefix: str, key, mod: int) -> F.Column:
+    """First 8 md5 hex digits of ``prefix || key`` as BIGINT, mod m —
+    the repo-wide portable deterministic draw (same digits DuckDB
+    extracts with ``('0x' || substr(md5(...), 1, 8))::BIGINT``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, ctx: int = CTX_TOKENS
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid head to
+    tail per source shard in doc_id order and cut every ``ctx`` tokens
+    — the standard packing used to build fixed-length training
+    contexts without padding waste.
+
+    Emits one row per document with its shard stream offset, the pack
+    it starts in, and how many packs it spans (a document longer than
+    the remaining pack space crosses the boundary — concat-then-chunk
+    semantics, not greedy bin packing, so the mapping is a pure
+    prefix-sum and needs ONE shuffle on the shard key).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("offset_in_shard"),
+        F.floor((cum - F.col("n_tokens")) / ctx).cast("long").alias("pack_id"),
+        (F.floor((cum - 1) / ctx) - F.floor((cum - F.col("n_tokens")) / ctx) + 1)
+        .cast("long")
+        .alias("n_packs_spanned"),
+    )
+
+
+def shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + train/val/test assignment.
+
+    The shuffle order IS the md5 key: sorting by ``shuffle_key``
+    produces the same permutation on any engine, any partitioning, any
+    run — unlike ``df.orderBy(rand())``.  Split membership uses an
+    INDEPENDENT hash draw (different prefix), so resizing the split
+    fractions never re-shuffles the order, and vice versa.
+
+    This operator is a zero-shuffle projection; the exporter applies
+    ``repartitionByRange("shuffle_key")`` at write time, which samples
+    range bounds instead of globally sorting through one partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split_pct = _hash_mod("split-", F.col("doc_id"), 100)
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuffle-"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+        _hash_mod("shuffle-", F.col("doc_id"), 1024)
+        .cast("int")
+        .alias("shuffle_bucket"),
+        F.when(split_pct < TRAIN_PCT, F.lit("train"))
+        .when(split_pct < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _source_weight() -> F.Column:
+    """Deterministic integer mixing weight per source: 1 + (numeric
+    suffix mod 3) — src0→1, src1→2, src2→3, src3→1, …  Stands in for
+    a configured mixing table; integer weights keep every downstream
+    threshold exact."""
+    return 1 + (
+        F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long") % 3
+    )
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each source so the kept corpus matches target mixing
+    weights, keeping ALL of the bottleneck source (the one whose
+    supply-to-weight ratio is smallest).
+
+    Mechanics: with per-source supply n_s and weight W_s, the
+    bottleneck s* minimizes n_s/W_s; every source keeps
+    ``floor(1e6 * W_s * n_s* / (W_s* * n_s))`` parts-per-million of its
+    documents via an md5 draw.  All thresholds are BIGINT arithmetic —
+    bit-identical across engines.  Tie on the ratio breaks to the
+    smaller source name (compared as exact integer cross-products, no
+    float ratios anywhere).
+
+    Plan shape: one |sources|-row aggregate, a 1-row bottleneck
+    reduction crossed back over the source table, and ONE corpus rescan
+    with a broadcast join — the same stats-rescore shape as
+    ``outliers.price_outliers``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("weight", _source_weight())
+    )
+    # Bottleneck = argmin n_s/W_s, compared exactly: a/b < c/d  ⟺
+    # a*d < c*b for positive integers.  min_by over a sortable struct
+    # gives the argmin in one reduction; the (n*1e6)/w integer quotient
+    # ranks identically to the rational and ties break on source asc.
+    star = counts.agg(
+        F.min_by(
+            F.struct("n_docs", "weight"),
+            F.struct(
+                (F.col("n_docs") * 1000000 / F.col("weight")).cast("long"),
+                F.col("source"),
+            ),
+        ).alias("s")
+    ).select(
+        F.col("s.n_docs").alias("n_star"), F.col("s.weight").alias("w_star")
+    )
+    cuts = counts.crossJoin(F.broadcast(star)).select(
+        "source",
+        (
+            (F.lit(1000000) * F.col("weight") * F.col("n_star"))
+            / (F.col("w_star") * F.col("n_docs"))
+        )
+        .cast("long")
+        .alias("cut_ppm"),
+    )
+    drawn = docs.select(
+        "doc_id", "source", _hash_mod("mix-", F.col("doc_id"), 1000000).alias("draw")
+    )
+    return (
+        drawn.join(F.broadcast(cuts), "source")
+        .where(F.col("draw") < F.col("cut_ppm"))
+        .select("doc_id", "source", "cut_ppm")
+    )

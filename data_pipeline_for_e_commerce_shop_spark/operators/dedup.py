@@ -637,3 +637,39 @@ def benchmark_contamination(
             (contamination >= flag_at).alias("flagged"),
         )
     )
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster: elect each duplicate cluster's surviving
+    document by quality (highest quality_score, ties to the smallest
+    doc_id) — the decision step that turns clustering output into a
+    concrete drop list, completing the dedup pipeline end to end:
+    shingle → minhash → LSH bands → candidate pairs → connected
+    components → representative election.
+
+    The election joins the cluster map (|clustered docs| rows — already
+    tiny relative to the corpus) to per-doc quality features and takes
+    one row per cluster via an argmax window.  At 100 TB the cluster
+    map is a small fraction of the corpus (only docs with candidate
+    pairs appear), so the join broadcasts the cluster side against the
+    quality scan and the window shuffles |clustered docs| rows on
+    cluster_id — nothing corpus-sized ever re-shuffles.
+    """
+    from .text import quality_scores
+
+    clusters = duplicate_clusters(spark, sf_dir)
+    quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    member = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        member.withColumn("pos", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+                "rep_doc_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

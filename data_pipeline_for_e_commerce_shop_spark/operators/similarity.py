@@ -472,3 +472,58 @@ def ann_recall(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     return l_rec.join(v_rec, "query_id").select(
         "query_id", "lsh_recall", "ivf_recall"
     )
+
+
+N_PROJ_DIMS = 16  # reduced dimensionality
+PROJ_PLANE_BASE = 100  # plane seeds 100..115 — disjoint from LSH 0..3
+
+
+def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction 64 → 16: component j
+    of the reduced vector is the signed sum of the input against the
+    ±1 hyperplane seeded ``plane-(100+j)`` (same md5 seed rule as the
+    LSH planes — one source of truth, see plane_signs).
+
+    Arithmetic is EXACT: inputs are micro-unit quantized
+    (floor(x·1e6) as int64) before projection, so each component is an
+    integer dot (|r| ≤ 64·1e6 < 2^53) reproduced bit-for-bit by the
+    DuckDB oracle.  Long-form output (vec_id, dim_no, r) keeps the
+    schema engine-portable like quantize_embeddings.
+
+    Plan: pure projection over the embeddings scan — zero shuffle, no
+    UDF; Catalyst folds the ±1 literals into the fold expressions.  At
+    100 TB this is scan-speed and the natural pre-step before an
+    ANN index build on the reduced space.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    quantized = emb.select("vec_id", q.alias("q"))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(
+                    *[
+                        F.lit(int(s))
+                        for s in plane_signs(PROJ_PLANE_BASE + j, dim=64)
+                    ]
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"r{j}")
+        for j in range(N_PROJ_DIMS)
+    ]
+    wide = quantized.select("vec_id", *comps)
+    return wide.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"r{j}") for j in range(N_PROJ_DIMS)])),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("dim_no"),
+        F.col("col").alias("r"),
+    )

@@ -2058,3 +2058,152 @@ def _dq_oracle() -> str:
 
 
 register("dq_expectations", _dq_oracle())(gates.expectation_summary)
+
+
+# --------------------------------------------------- corpus assembly
+# Sequence packing, deterministic shuffle/split, source mixing — the
+# corpus-prep stages between "cleaned documents" and "training
+# batches" (operators/corpus.py).
+
+from data_pipeline_for_e_commerce_shop_spark.operators import corpus  # noqa: E402
+
+register(
+    "corpus_pack_sequences",
+    """
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sized
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS offset_in_shard,
+           CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id,
+           CAST(floor((cum - 1) / 256)
+                - floor((cum - n_tokens) / 256) + 1 AS BIGINT)
+             AS n_packs_spanned
+    FROM c
+    """,
+)(corpus.pack_sequences)
+
+register(
+    "corpus_shuffle_split",
+    """
+    SELECT doc_id,
+           md5('shuffle-' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(CAST(('0x' || substr(md5('shuffle-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1024 AS INT) AS shuffle_bucket,
+           CASE WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)(corpus.shuffle_split)
+
+register(
+    "corpus_source_mix",
+    r"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+             1 + (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 3)
+               AS weight
+      FROM documents GROUP BY source
+    ),
+    star AS (
+      SELECT n_docs AS n_star, weight AS w_star
+      FROM counts
+      ORDER BY CAST(floor(n_docs * 1000000 / weight) AS BIGINT), source
+      LIMIT 1
+    ),
+    cuts AS (
+      SELECT source,
+             CAST(floor((1000000 * weight * n_star) / (w_star * n_docs))
+                  AS BIGINT) AS cut_ppm
+      FROM counts CROSS JOIN star
+    )
+    SELECT d.doc_id, d.source, cut_ppm
+    FROM documents d JOIN cuts USING (source)
+    WHERE CAST(('0x' || substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < cut_ppm
+    """,
+)(corpus.source_mix)
+
+
+# Representative election over the duplicate clusters: recursive-CTE
+# closure (as dedup_clusters) + the text_quality score formula + a
+# per-cluster argmax — the oracle replays the WHOLE pipeline.
+register(
+    "dedup_cluster_reps",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    q AS (
+      SELECT doc_id,
+             ((len(list_distinct(toks)) / len(toks)) * 0.5 +
+              (len(list_filter(toks,
+                 x -> list_contains(['the','a','and','of','to'], x)))
+               / len(toks)) * 0.25 + 0.25) AS quality_score
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT cluster_id, rep_doc_id, n_members FROM (
+      SELECT cluster_id, doc_id AS rep_doc_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality_score DESC, doc_id ASC)
+               AS pos,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM clusters JOIN q USING (doc_id)
+    ) WHERE pos = 1
+    """,
+)(dedup.cluster_representatives)
+
+
+# Random-projection reduction: 16 planes seeded plane-100..115 (same
+# md5 seed rule as the LSH planes), replayed as SQL literals; integer
+# micro-unit dots are exact on both engines.
+register(
+    "embedding_random_projection",
+    "WITH e AS (\n"
+    "  SELECT vec_id,\n"
+    "         CAST(list_transform(CAST(embedding AS DOUBLE[]),\n"
+    "              x -> CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE[]) AS q\n"
+    "  FROM embeddings\n"
+    ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({j} AS INT) AS dim_no,"
+        f" CAST(list_dot_product(q, {_plane_literal(100 + j)}) AS BIGINT) AS r"
+        " FROM e"
+        for j in range(16)
+    ),
+)(similarity.random_projection_reduce)
+
+
+# Custom stateful streaming operator (applyInPandasWithState) held to
+# the IDENTICAL oracle as the batch lag/running-sum sessionizer and
+# the session_window streaming form — three execution strategies, one
+# value hash.
+from data_pipeline_for_e_commerce_shop_spark.streaming.stateful import (  # noqa: E402
+    stateful_sessionize,
+)
+
+register("events_stateful_sessionize", ORACLES["events_sessionize"])(
+    stateful_sessionize
+)

@@ -68,8 +68,10 @@ def _canon_ts(df, schema, col: str = "ts"):
     return df
 
 
-def _drain_to_memory(spark: SparkSession, agg, sink: str) -> None:
-    """Run agg -> memory sink (complete mode, availableNow) and wait.
+def _drain_to_memory(
+    spark: SparkSession, agg, sink: str, output_mode: str = "complete"
+) -> None:
+    """Run agg -> memory sink (availableNow) and wait.
 
     A leftover ACTIVE query with the same sink name (interrupted
     awaitTermination, crashed caller) would make queryName().start()
@@ -85,7 +87,7 @@ def _drain_to_memory(spark: SparkSession, agg, sink: str) -> None:
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

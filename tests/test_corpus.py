@@ -1,0 +1,102 @@
+"""Property tests for the corpus-assembly operators (packing, shuffle/
+split, source mixing) plus the dedup representative election and the
+random-projection reduction — invariants the oracle hash can't state
+directly (contiguity, partition-ness, boundedness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.operators import corpus, dedup, similarity
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_offsets_are_contiguous_per_shard(spark):
+    """Documents tile each shard stream head-to-tail: every offset
+    equals the previous document's offset + length, starting at 0."""
+    rows = (
+        corpus.pack_sequences(spark, SF)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    assert rows
+    pos: dict[str, int] = {}
+    for r in rows:
+        expect = pos.get(r.source, 0)
+        assert r.offset_in_shard == expect, (r.source, r.doc_id)
+        pos[r.source] = expect + r.n_tokens
+        assert r.pack_id == expect // corpus.CTX_TOKENS
+        assert r.n_packs_spanned >= 1
+
+
+def test_pack_spans_match_token_extent(spark):
+    """A doc spans exactly the packs its [offset, offset+n) token
+    interval touches."""
+    for r in corpus.pack_sequences(spark, SF).collect():
+        first = r.offset_in_shard // corpus.CTX_TOKENS
+        last = (r.offset_in_shard + r.n_tokens - 1) // corpus.CTX_TOKENS
+        assert (r.pack_id, r.n_packs_spanned) == (first, last - first + 1)
+
+
+def test_shuffle_split_partitions_corpus(spark):
+    df = corpus.shuffle_split(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    assert df.count() == docs.count()
+    assert df.select("doc_id").distinct().count() == docs.count()
+    by_split = dict(
+        df.groupBy("split").count().collect()
+    )
+    n = docs.count()
+    # hash draws: expect roughly 80/10/10 (loose bounds at tiny sf)
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split.get("train", 0) > n // 2
+    bad = df.where(
+        (F.col("shuffle_bucket") < 0) | (F.col("shuffle_bucket") >= 1024)
+    ).count()
+    assert bad == 0
+
+
+def test_shuffle_key_order_is_deterministic(spark):
+    a = [r.doc_id for r in corpus.shuffle_split(spark, SF).orderBy("shuffle_key", "doc_id").collect()]
+    b = [r.doc_id for r in corpus.shuffle_split(spark, SF).orderBy("shuffle_key", "doc_id").collect()]
+    assert a == b and a != sorted(a)
+
+
+def test_source_mix_keeps_bottleneck_fully(spark):
+    kept = corpus.source_mix(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    supply = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept_counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    cuts = {r.source: r.cut_ppm for r in kept.select("source", "cut_ppm").distinct().collect()}
+    # at least one source hits cut_ppm == 1e6 (the bottleneck keeps all)
+    full = [s for s, c in cuts.items() if c == 1_000_000]
+    assert full, cuts
+    for s in full:
+        assert kept_counts[s] == supply[s]
+    for s, n in kept_counts.items():
+        assert n <= supply[s]
+
+
+def test_cluster_reps_are_members(spark):
+    reps = dedup.cluster_representatives(spark, SF)
+    clusters = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(spark, SF).collect()
+    }
+    rows = reps.collect()
+    assert rows
+    for r in rows:
+        assert (r.rep_doc_id, r.cluster_id) in clusters
+        assert r.n_members >= 2  # clusters come from candidate PAIRS
+
+
+def test_random_projection_shape_and_bounds(spark):
+    df = similarity.random_projection_reduce(spark, SF)
+    n_vec = load_table(spark, SF, "embeddings").count()
+    assert df.count() == n_vec * similarity.N_PROJ_DIMS
+    mx = df.agg(F.max(F.abs(F.col("r")))).first()[0]
+    assert mx <= 64 * 1_000_000
+    # components are not degenerate (some nonzero)
+    assert df.where(F.col("r") != 0).count() > 0

@@ -32,7 +32,10 @@ SF = "/root/testdata/sf0.001"
 # a 1-row broadcast NL is O(n), not O(n^2).
 NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # composes all three top-k pipelines, including brute
-                  "ann_recall"}
+                  "ann_recall",
+                  # bottleneck-source reduction rides the plan as a
+                  # ONE-ROW broadcast crossJoin (scalar-subquery shape)
+                  "corpus_source_mix"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
