@@ -183,3 +183,80 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw") < F.col("cut_ppm"))
         .select("doc_id", "source", "cut_ppm")
     )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl corpus diff: classify every document as added /
+    removed / changed between two snapshots by fingerprint — the
+    operator that turns "re-crawl everything" into "process the
+    delta" (the day-2 economics of a 100 TB corpus).
+
+    Snapshots are derived deterministically from the documents table
+    (the same device as benchmark_contamination's doc_id slicing):
+    the PREVIOUS snapshot lacks doc_id % 7 == 3 (docs added since) and
+    saw a shorter text for doc_id % 11 == 0 (docs edited since);
+    doc_id % 13 == 5 has since been deleted (removed rows).
+
+    Plan: two scans of the corpus joined full-outer on doc_id — the
+    join key is the primary key, so at scale both sides bucket/
+    co-partition on doc_id and the join is shuffle-free against a
+    bucketed snapshot store; fingerprints travel, text does not.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prev = (
+        docs.where((F.col("doc_id") % 7) != 3)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    (F.col("doc_id") % 11) == 0,
+                    F.substring(
+                        F.col("text"), 1, F.length("text") - F.lit(5)
+                    ),
+                ).otherwise(F.col("text"))
+            ).alias("fp_prev"),
+        )
+    )
+    curr = docs.where((F.col("doc_id") % 13) != 5).select(
+        "doc_id", F.md5(F.col("text")).alias("fp_curr")
+    )
+    joined = prev.join(curr, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_prev").isNull(), F.lit("added"))
+        .when(F.col("fp_curr").isNull(), F.lit("removed"))
+        .when(F.col("fp_prev") != F.col("fp_curr"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select("doc_id", status.alias("status"))
+        .where(F.col("status") != "unchanged")
+    )
+
+
+QUALITY_ACCEPT_PPM = 500000  # peak acceptance rate at quality 1.0
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: accept each document with probability
+    proportional to its quality score (peak 50% at quality 1.0) via a
+    deterministic md5 draw — upweights clean text in the kept corpus
+    without a separate filter/sort pass.
+
+    The acceptance threshold is floor(quality * 500000) ppm: quality
+    is a deterministic double computed identically on both engines
+    (see text.quality_scores), so the floor is bit-stable and the
+    draw replays exactly in SQL.  Pure projection over one scan —
+    the same zero-shuffle shape as the quality gate.
+    """
+    from .text import quality_scores
+
+    scored = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    cut = F.floor(F.col("quality_score") * QUALITY_ACCEPT_PPM).cast("long")
+    draw = _hash_mod("qsample-", F.col("doc_id"), 1000000)
+    return (
+        scored.select(
+            "doc_id", "quality_score", cut.alias("cut_ppm"), draw.alias("draw")
+        )
+        .where(F.col("draw") < F.col("cut_ppm"))
+        .select("doc_id", "quality_score", "cut_ppm")
+    )

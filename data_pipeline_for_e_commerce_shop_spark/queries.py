@@ -2207,3 +2207,56 @@ from data_pipeline_for_e_commerce_shop_spark.streaming.stateful import (  # noqa
 register("events_stateful_sessionize", ORACLES["events_sessionize"])(
     stateful_sessionize
 )
+
+
+# Crawl-over-crawl delta: snapshots derived deterministically from the
+# corpus (doc_id slicing, same device as benchmark_contamination) so
+# added/removed/changed classification is fully replayable.
+register(
+    "corpus_snapshot_diff",
+    """
+    WITH prev AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0
+                      THEN substr(text, 1, length(text) - 5)
+                      ELSE text END) AS fp_prev
+      FROM documents WHERE doc_id % 7 != 3
+    ),
+    curr AS (
+      SELECT doc_id, md5(text) AS fp_curr
+      FROM documents WHERE doc_id % 13 != 5
+    )
+    SELECT doc_id, status FROM (
+      SELECT COALESCE(prev.doc_id, curr.doc_id) AS doc_id,
+             CASE WHEN fp_prev IS NULL THEN 'added'
+                  WHEN fp_curr IS NULL THEN 'removed'
+                  WHEN fp_prev != fp_curr THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id
+    ) WHERE status != 'unchanged'
+    """,
+)(corpus.snapshot_diff)
+
+register(
+    "corpus_quality_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             ((len(list_distinct(toks)) / len(toks)) * 0.5 +
+              (len(list_filter(toks,
+                 x -> list_contains(['the','a','and','of','to'], x)))
+               / len(toks)) * 0.25 + 0.25) AS quality_score
+      FROM t
+    )
+    SELECT doc_id, quality_score, cut_ppm FROM (
+      SELECT doc_id, quality_score,
+             CAST(floor(quality_score * 500000) AS BIGINT) AS cut_ppm,
+             CAST(('0x' || substr(md5('qsample-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS draw
+      FROM q
+    ) WHERE draw < cut_ppm
+    """,
+)(corpus.quality_weighted_sample)

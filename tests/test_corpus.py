@@ -100,3 +100,32 @@ def test_random_projection_shape_and_bounds(spark):
     assert mx <= 64 * 1_000_000
     # components are not degenerate (some nonzero)
     assert df.where(F.col("r") != 0).count() > 0
+
+
+def test_snapshot_diff_statuses(spark):
+    rows = corpus.snapshot_diff(spark, SF).collect()
+    assert rows
+    by_status: dict[str, set[int]] = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(r.doc_id)
+    # added = docs missing from the previous snapshot (doc_id % 7 == 3)
+    # minus those deleted since (doc_id % 13 == 5)
+    for d in by_status.get("added", ()):
+        assert d % 7 == 3 and d % 13 != 5
+    for d in by_status.get("removed", ()):
+        assert d % 13 == 5 and d % 7 != 3
+    for d in by_status.get("changed", ()):
+        assert d % 11 == 0 and d % 7 != 3 and d % 13 != 5
+
+
+def test_quality_sample_threshold_consistency(spark):
+    kept = corpus.quality_weighted_sample(spark, SF)
+    rows = kept.collect()
+    assert rows
+    for r in rows:
+        assert r.cut_ppm <= corpus.QUALITY_ACCEPT_PPM
+        # cut really is the floor of quality * peak
+        assert r.cut_ppm == int(r.quality_score * corpus.QUALITY_ACCEPT_PPM)
+    # acceptance rate lands between the min and max possible quality
+    n_docs = load_table(spark, SF, "documents").count()
+    assert 0 < len(rows) < n_docs
