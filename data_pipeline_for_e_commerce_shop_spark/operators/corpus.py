@@ -74,14 +74,18 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sized = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
-    cum = F.sum("n_tokens").over(w)
-    return sized.select(
+    # Materialize the prefix sum ONCE as a column: deriving all three
+    # outputs from the same window expression would otherwise evaluate
+    # the running sum once per reference in the Window operator.
+    cum = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    off = F.col("cum") - F.col("n_tokens")
+    return cum.select(
         "source",
         "doc_id",
         "n_tokens",
-        (cum - F.col("n_tokens")).alias("offset_in_shard"),
-        F.floor((cum - F.col("n_tokens")) / ctx).cast("long").alias("pack_id"),
-        (F.floor((cum - 1) / ctx) - F.floor((cum - F.col("n_tokens")) / ctx) + 1)
+        off.alias("offset_in_shard"),
+        F.floor(off / ctx).cast("long").alias("pack_id"),
+        (F.floor((F.col("cum") - 1) / ctx) - F.floor(off / ctx) + 1)
         .cast("long")
         .alias("n_packs_spanned"),
     )

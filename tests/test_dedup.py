@@ -17,8 +17,10 @@ def test_connected_components_long_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
+    # driver_threshold=0 forces the DISTRIBUTED star loop (the size
+    # gate would otherwise shortcut a 199-edge graph to union-find)
     out = {r.doc_id: r.cluster_id for r in
-           dedup.connected_components(spark, pairs).collect()}
+           dedup.connected_components(spark, pairs, driver_threshold=0).collect()}
     assert out == {i: 0 for i in range(n)}
 
 
@@ -31,7 +33,32 @@ def test_connected_components_raises_when_budget_too_small(spark):
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="fixed point"):
-        dedup.connected_components(spark, pairs, max_iter=1)
+        dedup.connected_components(
+            spark, pairs, max_iter=1, driver_threshold=0
+        )
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find shortcut and the distributed star loop
+    must produce the IDENTICAL labeling on the same graph (chains,
+    a triangle, an isolated pair, shared-minimum merges)."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 42), (42, 40), (7, 3)],
+        "doc_a long, doc_b long",
+    )
+    fast = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(spark, pairs).collect()
+    )
+    slow = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(
+            spark, pairs, driver_threshold=0
+        ).collect()
+    )
+    assert fast == slow
+    assert fast == [(3, 3), (5, 3), (7, 3), (9, 3), (20, 20), (21, 20),
+                    (40, 40), (41, 40), (42, 40)]
 
 
 def test_duplicate_clusters_consistent(spark, sf_dir):
