@@ -264,3 +264,57 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw") < F.col("cut_ppm"))
         .select("doc_id", "quality_score", "cut_ppm")
     )
+
+
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus pipeline funnel: quality gate → exact dedup →
+    near-dup cluster canonicalization → per-language survivor counts
+    and token totals — the report every corpus build publishes
+    ("started with N docs, kept M, here is where the rest went"), and
+    the proof that the operator suite COMPOSES: this chains
+    text.quality_gate, dedup.exact_duplicates and
+    dedup.duplicate_clusters as DataFrame stages in one lazy plan.
+
+    Keep rules at each stage (each strictly narrows the previous):
+    - gated: quality_gate's reason string is empty
+    - exact-canonical: doc_id is the minimum among its md5(text) twins
+    - near-canonical: doc is not in any LSH duplicate cluster, or IS
+      the cluster minimum (the canonical survivor)
+
+    Scale: the gate is scan-speed; exact dedup shuffles (fp, doc_id)
+    once; the cluster map is candidate-sized (tiny vs the corpus) and
+    joins as a broadcast; the final rollup is a |langs|-row aggregate.
+    """
+    from . import dedup as D
+    from .text import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    gate = quality_gate(spark, sf_dir).select("doc_id", "keep")
+    canon = D.exact_duplicates(spark, sf_dir).select("fp", "keep_id")
+    clusters = D.duplicate_clusters(spark, sf_dir)
+
+    per_doc = (
+        docs.join(gate, "doc_id")
+        .join(canon, "fp")
+        .join(F.broadcast(clusters), "doc_id", "left")
+    )
+    gated = F.col("keep")
+    exact_keep = F.col("doc_id") == F.col("keep_id")
+    near_keep = F.col("cluster_id").isNull() | (
+        F.col("cluster_id") == F.col("doc_id")
+    )
+    final = gated & exact_keep & near_keep
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(gated, 1)).alias("n_gated"),
+        F.count(F.when(gated & exact_keep, 1)).alias("n_after_exact"),
+        F.count(F.when(final, 1)).alias("n_final"),
+        F.coalesce(
+            F.sum(F.when(final, F.col("n_tokens"))), F.lit(0)
+        ).alias("n_tokens_final"),
+    )

@@ -2260,3 +2260,59 @@ register(
     ) WHERE draw < cut_ppm
     """,
 )(corpus.quality_weighted_sample)
+
+
+# End-to-end funnel: the oracle replays the ENTIRE pipeline — quality
+# gate formula, exact-dup canonical election, recursive-CTE cluster
+# closure — and must land on the same per-language survivor counts.
+register(
+    "corpus_pipeline_funnel",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    feats AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (len(toks) >= 8
+              AND (len(list_distinct(toks)) / len(toks)) >= 0.45
+              AND (len(list_filter(toks,
+                     x -> list_contains(['the','a','and','of','to'], x)))
+                   / len(toks)) <= 0.35) AS gated
+      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+            FROM documents)
+    ),
+    canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM feats GROUP BY fp),
+    per_doc AS (
+      SELECT f.lang, f.n_tokens, f.gated,
+             (f.doc_id = c.keep_id) AS exact_keep,
+             (cl.cluster_id IS NULL OR cl.cluster_id = f.doc_id)
+               AS near_keep
+      FROM feats f
+      JOIN canon c ON f.fp = c.fp
+      LEFT JOIN clusters cl ON f.doc_id = cl.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN gated THEN 1 END) AS n_gated,
+           COUNT(CASE WHEN gated AND exact_keep THEN 1 END)
+             AS n_after_exact,
+           COUNT(CASE WHEN gated AND exact_keep AND near_keep THEN 1 END)
+             AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN gated AND exact_keep AND near_keep
+                                  THEN n_tokens END), 0) AS BIGINT)
+             AS n_tokens_final
+    FROM per_doc GROUP BY lang
+    """,
+)(corpus.pipeline_funnel)

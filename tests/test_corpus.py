@@ -129,3 +129,16 @@ def test_quality_sample_threshold_consistency(spark):
     # acceptance rate lands between the min and max possible quality
     n_docs = load_table(spark, SF, "documents").count()
     assert 0 < len(rows) < n_docs
+
+
+def test_pipeline_funnel_monotone(spark):
+    """Each funnel stage strictly narrows: docs >= gated >= exact >=
+    final; token totals only count final survivors."""
+    rows = corpus.pipeline_funnel(spark, SF).collect()
+    assert rows
+    langs = {r.lang for r in rows}
+    assert langs == {r.lang for r in load_table(spark, SF, "documents").select("lang").distinct().collect()}
+    for r in rows:
+        assert r.n_docs >= r.n_gated >= r.n_after_exact >= r.n_final >= 0
+        if r.n_final == 0:
+            assert r.n_tokens_final == 0
