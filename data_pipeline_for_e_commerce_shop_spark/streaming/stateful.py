@@ -78,43 +78,75 @@ def _sessionize_group(
     it; a live source would need watermark-driven late-event dropping
     in front of this operator.
     """
+    import numpy as np
+
     (user_id,) = key
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["epoch_sec", "event_id"], kind="mergesort")
 
     if state.exists:
-        session_no, start, last, n, cents = state.get
+        session_no0, c_start, c_last, c_n, c_cents = state.get
     else:
-        session_no, start, last, n, cents = 0, None, None, 0, 0
+        session_no0, c_start, c_last, c_n, c_cents = 0, None, None, 0, 0
 
-    out: list[tuple] = []
-    for epoch_sec, _eid, ecents in zip(
-        rows["epoch_sec"].to_numpy(),
-        rows["event_id"].to_numpy(),
-        rows["cents"].to_numpy(),
-    ):
-        e, c = int(epoch_sec), int(ecents)
-        if start is None:
-            start, last, n, cents = e, e, 1, c
-        elif e - last > GAP_SECONDS:
-            out.append((user_id, session_no, start, last, n, cents))
-            session_no += 1
-            start, last, n, cents = e, e, 1, c
-        else:
-            last, n, cents = e, n + 1, cents + c
-    if start is not None:
-        out.append((user_id, session_no, start, last, n, cents))
-    state.update((session_no, start, last, n, cents))
+    cols = [
+        "user_id",
+        "session_no",
+        "session_start",
+        "session_end",
+        "n_events",
+        "cents",
+    ]
+    es = rows["epoch_sec"].to_numpy(np.int64)
+    cs = rows["cents"].to_numpy(np.int64)
+    if len(es) == 0:
+        yield pd.DataFrame([], columns=cols)
+        return
+
+    # Vectorized gap fold (no per-event Python loop): mark session
+    # breaks, cumsum to segment ids, reduce per segment.  Cent sums go
+    # through bincount's float64 — exact (per-session cents << 2^53).
+    breaks = np.ones(len(es), dtype=bool)
+    breaks[1:] = (es[1:] - es[:-1]) > GAP_SECONDS
+    extend_first = c_start is not None and (es[0] - c_last) <= GAP_SECONDS
+    seg = np.cumsum(breaks) - 1
+    first_idx = np.nonzero(breaks)[0]
+    last_idx = np.append(first_idx[1:] - 1, len(es) - 1)
+    starts = es[first_idx]
+    ends = es[last_idx]
+    counts = np.bincount(seg).astype(np.int64)
+    cents = np.rint(np.bincount(seg, weights=cs)).astype(np.int64)
+
+    if c_start is None:
+        base = session_no0  # first batch for this user
+    elif extend_first:
+        base = session_no0  # segment 0 continues the carried session
+        starts[0] = c_start
+        counts[0] += c_n
+        cents[0] += c_cents
+    else:
+        base = session_no0 + 1  # carried session closed by the gap
+
+    session_nos = base + np.arange(len(starts), dtype=np.int64)
+    state.update(
+        (
+            int(session_nos[-1]),
+            int(starts[-1]),
+            int(ends[-1]),
+            int(counts[-1]),
+            int(cents[-1]),
+        )
+    )
     yield pd.DataFrame(
-        out,
-        columns=[
-            "user_id",
-            "session_no",
-            "session_start",
-            "session_end",
-            "n_events",
-            "cents",
-        ],
+        {
+            "user_id": np.full(len(starts), user_id, dtype=np.int64),
+            "session_no": session_nos,
+            "session_start": starts,
+            "session_end": ends,
+            "n_events": counts,
+            "cents": cents,
+        },
+        columns=cols,
     )
 
 

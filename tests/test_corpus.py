@@ -142,3 +142,57 @@ def test_pipeline_funnel_monotone(spark):
         assert r.n_docs >= r.n_gated >= r.n_after_exact >= r.n_final >= 0
         if r.n_final == 0:
             assert r.n_tokens_final == 0
+
+
+def test_stateful_sessionize_group_state_carry():
+    """Drive the applyInPandasWithState fold function directly across
+    two micro-batches with a stub state: batch 2 must EXTEND the open
+    session when within the gap, and OPEN a new one past the gap."""
+    import pandas as pd
+
+    from data_pipeline_for_e_commerce_shop_spark.streaming import stateful
+
+    class StubState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def batch(rows):
+        return [pd.DataFrame(rows, columns=["epoch_sec", "event_id", "cents"])]
+
+    st = StubState()
+    out1 = list(
+        stateful._sessionize_group((7,), batch([(100, 1, 10), (150, 2, 5)]), st)
+    )[0]
+    assert out1.to_dict("records") == [
+        {"user_id": 7, "session_no": 0, "session_start": 100,
+         "session_end": 150, "n_events": 2, "cents": 15}
+    ]
+    # batch 2a: within gap of 150 -> extends session 0
+    out2 = list(
+        stateful._sessionize_group((7,), batch([(200, 3, 1)]), st)
+    )[0]
+    assert out2.to_dict("records") == [
+        {"user_id": 7, "session_no": 0, "session_start": 100,
+         "session_end": 200, "n_events": 3, "cents": 16}
+    ]
+    # batch 3: past the gap -> NEW session 1 (session 0 already emitted)
+    out3 = list(
+        stateful._sessionize_group((7,), batch([(500, 4, 2), (1000, 5, 3)]), st)
+    )[0]
+    assert out3.to_dict("records") == [
+        {"user_id": 7, "session_no": 1, "session_start": 500,
+         "session_end": 500, "n_events": 1, "cents": 2},
+        {"user_id": 7, "session_no": 2, "session_start": 1000,
+         "session_end": 1000, "n_events": 1, "cents": 3},
+    ]
