@@ -712,3 +712,38 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def chunk_level_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document dedup: fingerprint fixed 32-token NON-overlapping
+    chunks and report, per document, how much of it is boilerplate —
+    text that also appears verbatim elsewhere in the corpus (nav bars,
+    license blocks, templated paragraphs survive document-level dedup
+    because the documents differ overall).
+
+    Composition: text.chunk_documents with stride == size (windows must
+    not overlap or a doc would "duplicate" itself), md5 per chunk, a
+    corpus-wide fingerprint frequency, and a per-doc rollup.  Plan:
+    chunking is scan-speed projection+explode; the frequency is one
+    (fp) shuffle with map-side partial counts; the join back is
+    fp-keyed equi; the rollup is one (doc_id) shuffle.  Nothing is
+    ever pairwise — the same count-not-pairs shape as exact_duplicates.
+    """
+    from .text import CHUNK_TOKENS, chunk_documents
+
+    chunks = chunk_documents(
+        spark, sf_dir, tokens=CHUNK_TOKENS, stride=CHUNK_TOKENS
+    ).select("doc_id", F.md5("chunk_text").alias("fp"))
+    freq = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    dup = F.col("n_occurrences") > 1
+    return (
+        chunks.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(dup, 1)).alias("n_dup_chunks"),
+            (F.count(F.when(dup, 1)) / F.count(F.lit(1))).alias(
+                "dup_chunk_rate"
+            ),
+        )
+    )

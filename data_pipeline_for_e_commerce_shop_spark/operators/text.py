@@ -309,7 +309,12 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
     """Split documents into fixed-size token chunks with overlap — the
     context-window packing step of an LLM training-data pipeline.
 
@@ -323,11 +328,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     chunks = F.expr(
-        f"transform(sequence(0, size(toks) - 1, {CHUNK_STRIDE}), s ->"
+        f"transform(sequence(0, size(toks) - 1, {stride}), s ->"
         f" named_struct("
-        f"   'chunk_id', CAST(s div {CHUNK_STRIDE} AS BIGINT),"
-        f"   'chunk_text', concat_ws(' ', slice(toks, s + 1, {CHUNK_TOKENS})),"
-        f"   'n_tokens', size(slice(toks, s + 1, {CHUNK_TOKENS}))))"
+        f"   'chunk_id', CAST(s div {stride} AS BIGINT),"
+        f"   'chunk_text', concat_ws(' ', slice(toks, s + 1, {tokens})),"
+        f"   'n_tokens', size(slice(toks, s + 1, {tokens}))))"
     )
     return (
         docs.select("doc_id", _toks().alias("toks"))

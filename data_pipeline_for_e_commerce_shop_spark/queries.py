@@ -2316,3 +2316,26 @@ register(
     FROM per_doc GROUP BY lang
     """,
 )(corpus.pipeline_funnel)
+
+
+# Sub-document dedup: non-overlapping 32-token chunk fingerprints,
+# corpus-wide frequency, per-doc boilerplate rate.
+register(
+    "dedup_chunk_level",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[s + 1 : s + 32], ' ')) AS fp
+      FROM t CROSS JOIN UNNEST(range(0, len(toks), 32)) AS u(s)
+      WHERE len(toks) > 0
+    ),
+    cnt AS (SELECT fp, COUNT(*) AS n FROM ch GROUP BY fp)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(CASE WHEN n > 1 THEN 1 END) AS n_dup_chunks,
+           COUNT(CASE WHEN n > 1 THEN 1 END) / COUNT(*) AS dup_chunk_rate
+    FROM ch JOIN cnt USING (fp)
+    GROUP BY doc_id
+    """,
+)(dedup.chunk_level_duplicates)

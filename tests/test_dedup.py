@@ -79,3 +79,27 @@ def test_duplicate_clusters_consistent(spark, sf_dir):
     # Exactly the nodes that appear in some pair are clustered.
     in_pairs = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
     assert set(clusters) == in_pairs
+
+
+def test_chunk_level_duplicates_bounds(spark, sf_dir):
+    """Per-doc chunk counts must match the chunker at stride==size, and
+    exact-duplicate documents must show 100% chunk-level duplication."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.operators import text
+
+    df = dedup.chunk_level_duplicates(spark, sf_dir)
+    rows = {r.doc_id: r for r in df.collect()}
+    n_chunks = {
+        r.doc_id: r.n
+        for r in text.chunk_documents(
+            spark, sf_dir, tokens=text.CHUNK_TOKENS, stride=text.CHUNK_TOKENS
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {d: r.n_chunks for d, r in rows.items()} == n_chunks
+    # whole-document exact dups => every chunk is duplicated
+    for fam in dedup.exact_duplicates(spark, sf_dir).where("n_copies > 1").collect():
+        assert rows[fam.keep_id].dup_chunk_rate == 1.0
