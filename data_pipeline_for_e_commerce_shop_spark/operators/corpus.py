@@ -318,3 +318,36 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(final, F.col("n_tokens"))), F.lit(0)
         ).alias("n_tokens_final"),
     )
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE check: near-duplicate document pairs that
+    straddle split boundaries — the defect that silently inflates eval
+    scores (a test doc whose near-twin sits in train).  Run after
+    shuffle_split and before any eval set ships.
+
+    Composition: LSH candidate pairs (already verified-near by the
+    banding curve) joined twice against the split assignment; pairs
+    within one split are benign and dropped.  Output is the pair list
+    with both splits, ordered split names first (train<val via string
+    sort is wrong — we emit raw names; consumers aggregate).  Plan:
+    the split map is a zero-shuffle projection joined by doc_id onto
+    the candidate pairs (candidate-sized, tiny vs the corpus), so the
+    whole check costs ~one LSH pass regardless of corpus size.
+    """
+    from . import dedup as D
+
+    splits = shuffle_split(spark, sf_dir).select("doc_id", "split")
+    pairs = D.lsh_candidate_pairs(spark, sf_dir)
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b")
+    )

@@ -2339,3 +2339,28 @@ register(
     GROUP BY doc_id
     """,
 )(dedup.chunk_level_duplicates)
+
+
+# Cross-split leakage: LSH near-dup pairs that straddle the
+# train/val/test assignment — the oracle replays the banding CTE and
+# the split hash draw.
+register(
+    "corpus_split_leakage",
+    _SHINGLE_CTE
+    + """
+    , sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT doc_a, sa.split AS split_a, doc_b, sb.split AS split_b
+    FROM cand
+    JOIN sp sa ON cand.doc_a = sa.doc_id
+    JOIN sp sb ON cand.doc_b = sb.doc_id
+    WHERE sa.split != sb.split
+    """,
+)(corpus.split_leakage)

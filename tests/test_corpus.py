@@ -196,3 +196,19 @@ def test_stateful_sessionize_group_state_carry():
         {"user_id": 7, "session_no": 2, "session_start": 1000,
          "session_end": 1000, "n_events": 1, "cents": 3},
     ]
+
+
+def test_split_leakage_consistency(spark):
+    """Every reported leak pair must be an LSH candidate pair with
+    genuinely different split assignments; within-split pairs must
+    never appear."""
+    from data_pipeline_for_e_commerce_shop_spark.operators import dedup as D
+
+    leaks = corpus.split_leakage(spark, SF).collect()
+    splits = {r.doc_id: r.split for r in corpus.shuffle_split(spark, SF).collect()}
+    pairs = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(spark, SF).collect()}
+    for r in leaks:
+        assert (r.doc_a, r.doc_b) in pairs
+        assert splits[r.doc_a] == r.split_a != r.split_b == splits[r.doc_b]
+    n_cross = sum(1 for a, b in pairs if splits[a] != splits[b])
+    assert len(leaks) == n_cross

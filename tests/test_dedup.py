@@ -103,3 +103,47 @@ def test_chunk_level_duplicates_bounds(spark, sf_dir):
     # whole-document exact dups => every chunk is duplicated
     for fam in dedup.exact_duplicates(spark, sf_dir).where("n_copies > 1").collect():
         assert rows[fam.keep_id].dup_chunk_rate == 1.0
+
+
+def test_connected_components_hypothesis_random_graphs(spark):
+    """Hypothesis: on arbitrary small random graphs, the size-gated
+    union-find path labels every node with its true component minimum
+    (checked against an independent pure-Python BFS closure)."""
+    from hypothesis import given, settings, strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def check(edges):
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.connected_components(spark, pairs).collect()
+        }
+        # independent closure: BFS over adjacency
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seen: set[int] = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, stack = set(), [start]
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                stack.extend(adj[x] - comp)
+            seen |= comp
+            m = min(comp)
+            for x in comp:
+                assert got[x] == m, (x, got[x], m)
+        assert set(got) == set(adj)
+
+    check()
