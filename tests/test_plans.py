@@ -133,3 +133,42 @@ def test_frame_sampling_no_shuffle(spark):
 
     df = Q.QUERIES["multimodal_frames"](spark, SF)
     assert exchange_count(df) == 0
+
+
+def test_corpus_ops_plan_shapes(spark):
+    """Corpus-assembly plan contracts: shuffle/split and the
+    quality-weighted sample are ZERO-shuffle projections; packing
+    shuffles exactly once (on the shard key); the random projection is
+    a zero-shuffle scan pruned to (vec_id, embedding)."""
+    from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+        exchange_count,
+    )
+
+    assert exchange_count(Q.QUERIES["corpus_shuffle_split"](spark, SF)) == 0
+    assert exchange_count(Q.QUERIES["corpus_quality_sample"](spark, SF)) == 0
+    assert exchange_count(Q.QUERIES["corpus_pack_sequences"](spark, SF)) == 1
+
+    rp = Q.QUERIES["embedding_random_projection"](spark, SF)
+    assert exchange_count(rp) == 0
+    schemas = scan_read_schemas(rp)
+    assert schemas and all("label" not in s for s in schemas)
+
+
+def test_source_mix_broadcasts_cut_table(spark):
+    """The per-source threshold table must broadcast onto the corpus
+    rescan — a shuffle join keyed on `source` (20 values) would both
+    shuffle the corpus AND skew."""
+    df = Q.QUERIES["corpus_source_mix"](spark, SF)
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
+def test_split_leakage_no_corpus_shuffle_on_text(spark):
+    """The leakage check's split-map joins must be equi-joins; the
+    documents text column is read only by the shingle pipeline, never
+    by the split projection."""
+    df = Q.QUERIES["corpus_split_leakage"](spark, SF)
+    assert not has_nested_loop_join(df)
+    split_scans = [
+        s for s in scan_read_schemas(df) if "text" not in s
+    ]
+    assert split_scans, "expected a text-free documents scan for the split map"
