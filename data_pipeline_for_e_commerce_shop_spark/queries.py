@@ -2364,3 +2364,28 @@ register(
     WHERE sa.split != sb.split
     """,
 )(corpus.split_leakage)
+
+
+# Z-order clustering key: the oracle replays the 5-step bit-spreading
+# chain as generated BIGINT expressions (identical shift/or/mask
+# semantics in DuckDB).
+from data_pipeline_for_e_commerce_shop_spark.operators import layout  # noqa: E402
+
+
+def _spread_sql(expr: str) -> str:
+    e = f"({expr} & 4294967295)"
+    for shift, mask in layout._SPREAD_STEPS:
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+register(
+    "layout_morton_codes",
+    f"""
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           ({_spread_sql('l_orderkey')}
+            | ({_spread_sql('l_partkey')} << 1)) AS morton
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)(layout.morton_codes)

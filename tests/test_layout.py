@@ -1,0 +1,85 @@
+"""Z-order layout: code correctness properties + the actual payoff —
+per-file min/max spans after a z-ordered write must be narrow on BOTH
+dimensions (that is what makes parquet stats prune)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.operators import layout
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_morton_interleave_known_values(spark):
+    rows = spark.range(1).select(
+        layout.morton_code(F.lit(0), F.lit(0)).alias("z00"),
+        layout.morton_code(F.lit(1), F.lit(0)).alias("z10"),
+        layout.morton_code(F.lit(0), F.lit(1)).alias("z01"),
+        layout.morton_code(F.lit(3), F.lit(5)).alias("z35"),
+        layout.morton_code(F.lit(0xFFFFFFFF), F.lit(0xFFFFFFFF)).alias("zmax"),
+    ).first()
+    assert rows.z00 == 0
+    assert rows.z10 == 1          # bit 0 of a -> position 0
+    assert rows.z01 == 2          # bit 0 of b -> position 1
+    # a=0b011 spreads to 0b000101; b=0b101 spreads to 0b010001 << 1
+    assert rows.z35 == 0b100111
+    assert rows.zmax == -1        # all 64 bits set
+
+def test_morton_locality_monotone_within_quadrant(spark):
+    """Doubling both coordinates doubles-ish the code: codes respect
+    quadrant ordering (the defining Z-curve property)."""
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], "a long, b long"
+    ).select("a", "b", layout.morton_code(F.col("a"), F.col("b")).alias("z"))
+    rows = df.collect()
+    codes = {(r.a, r.b): r.z for r in rows}
+    assert len(set(codes.values())) == 64  # bijective on the grid
+    # every point in the lower-left quadrant sorts before any point in
+    # the upper-right quadrant
+    low = max(z for (a, b), z in codes.items() if a < 4 and b < 4)
+    high = min(z for (a, b), z in codes.items() if a >= 4 and b >= 4)
+    assert low < high
+
+
+def test_zordered_write_narrows_file_spans(spark, tmp_path):
+    """After write_zordered on (l_orderkey, l_partkey), the AVERAGE
+    per-file value span of EACH dimension must be far below the global
+    span — the property min/max pruning needs.  A single-column sort
+    would narrow one dimension and leave the other full-width."""
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "zorder")
+    layout.write_zordered(li, path, "l_orderkey", "l_partkey", n_files=16)
+
+    spans = {"l_orderkey": [], "l_partkey": []}
+    glob_minmax = {}
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for col in spans:
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[col].append(max(maxs) - min(mins))
+            g = glob_minmax.setdefault(col, [min(mins), max(maxs)])
+            g[0] = min(g[0], min(mins))
+            g[1] = max(g[1], max(maxs))
+    assert len(spans["l_orderkey"]) >= 8  # really multiple files
+    fracs = {}
+    for col, ss in spans.items():
+        global_span = glob_minmax[col][1] - glob_minmax[col][0]
+        fracs[col] = (sum(ss) / len(ss)) / global_span
+        # BOTH dims narrow (a single-column sort leaves one full-width;
+        # measured at 16 files: ~0.41 / ~0.30)
+        assert fracs[col] < 0.55, (col, fracs)
+    # compact rectangles: the average covered AREA fraction is small
+    assert fracs["l_orderkey"] * fracs["l_partkey"] < 0.2, fracs
