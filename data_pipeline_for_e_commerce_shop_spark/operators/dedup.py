@@ -386,6 +386,60 @@ def near_duplicates_jaccard(
     )
 
 
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration gauge: minhash-ESTIMATED Jaccard vs EXACT Jaccard,
+    per LSH candidate pair — the check a corpus engineer runs before
+    trusting a k=8 signature at their dedup threshold.
+
+    est = (# matching signature components) / k; exact = |A∩B|/|A∪B| on
+    the distinct shingle sets.  Both are ratios of small integers, so
+    the comparison (and the reported |est − exact|) is bit-identical in
+    any engine — the oracle replays signatures AND sets from the same
+    md5 shingle CTE.
+
+    Scale: candidates only (banding has already pruned the corpus), so
+    the signature and shingle-set joins ship candidate-sized sides; the
+    corpus is never self-joined.  The k equality tests are projections.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    side = minhash_signatures(spark, sf_dir).join(
+        _shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("shingle")).alias("sh_set")),
+        "doc_id",
+    )
+    a = side.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = side.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    ).cast("long")
+    est = n_match / F.lit(N_MINHASH)
+    exact = F.size(F.array_intersect("set_a", "set_b")) / F.size(
+        F.array_union("set_a", "set_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match_components"),
+            est.alias("est_jaccard"),
+            exact.alias("jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 16

@@ -164,6 +164,53 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def rare_token_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rare-token score per document — the
+    deterministic stand-in for a CCNet-style LM perplexity filter: a
+    document dominated by tokens that are rare ACROSS the corpus is
+    likely junk (OCR noise, boilerplate markup, wrong language).
+
+    A token is "rare" iff its corpus frequency is strictly below the
+    corpus MEAN frequency — tested as the integer cross-product
+    ``n * vocab_size < corpus_tokens`` (no division, bit-exact in any
+    engine).  Per doc: token count, rare-instance count and fraction,
+    and the minimum corpus frequency seen (the OOV-proxy).
+
+    Scale: the frequency table is vocabulary-sized (≪ corpus), so it
+    rides back onto the token stream as a BROADCAST join; the 1-row
+    corpus totals crossJoin onto it in the same plan (no eager count
+    job).  At a 100 TB corpus a raw token vocabulary can outgrow the
+    broadcast limit (~10M+ types) — drop the hint there and the same
+    plan shuffles on `token`, still vocabulary-keyed.  Final rollup is
+    one groupBy(doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    totals = freq.agg(
+        F.sum("n").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    marked = freq.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "n",
+        (F.col("n") * F.col("vocab_size") < F.col("corpus_tokens")).alias(
+            "is_rare"
+        ),
+    )
+    n_rare = F.count(F.when(F.col("is_rare"), True))
+    return (
+        toks.join(F.broadcast(marked), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_rare.alias("n_rare_tokens"),
+            (n_rare / F.count(F.lit(1))).alias("rare_frac"),
+            F.min("n").alias("min_token_freq"),
+        )
+    )
+
+
 def zipf_top_terms(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Corpus-wide term frequencies, top-k with rank — the Zipf head.
 

@@ -503,6 +503,40 @@ register(
     """,
 )(dedup.near_duplicates_jaccard)
 
+# Signature-estimate calibration: replay BOTH the k=8 signatures and
+# the exact shingle sets from the same CTE, then compare per candidate
+# pair.  All ratios divide small exact integers, so est/exact/abs_err
+# hash bit-identically.
+register(
+    "dedup_minhash_estimate",
+    _SHINGLE_CTE
+    + """
+    , sets AS (
+      SELECT doc_id, list_sort(list(DISTINCT shingle)) AS sh_set
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, n_match_components,
+           n_match_components / 8 AS est_jaccard, jaccard,
+           abs(n_match_components / 8 - jaccard) AS abs_err
+    FROM (
+      SELECT doc_a, doc_b,
+             CAST((sga.mh0 = sgb.mh0)::INT + (sga.mh1 = sgb.mh1)::INT
+                + (sga.mh2 = sgb.mh2)::INT + (sga.mh3 = sgb.mh3)::INT
+                + (sga.mh4 = sgb.mh4)::INT + (sga.mh5 = sgb.mh5)::INT
+                + (sga.mh6 = sgb.mh6)::INT + (sga.mh7 = sgb.mh7)::INT
+               AS BIGINT) AS n_match_components,
+             (len(list_intersect(sta.sh_set, stb.sh_set)) /
+              len(list_distinct(list_concat(sta.sh_set, stb.sh_set))))
+               AS jaccard
+      FROM cand
+      JOIN sig sga ON cand.doc_a = sga.doc_id
+      JOIN sig sgb ON cand.doc_b = sgb.doc_id
+      JOIN sets sta ON cand.doc_a = sta.doc_id
+      JOIN sets stb ON cand.doc_b = stb.doc_id
+    )
+    """,
+)(dedup.minhash_estimate_quality)
+
 # Simhash signature CTE, shared by the signature query and the pair
 # query: ends with table sigt(doc_id, simhash).
 _SIMHASH_SIG_CTE = (
@@ -917,6 +951,34 @@ register(
     ) WHERE rank <= 20
     """,
 )(text.zipf_top_terms)
+
+# Rare-token (LM-filter proxy) score: the rarity test is the integer
+# cross-product n*vocab < corpus_tokens — no division, so Spark and
+# DuckDB agree bit-for-bit; rare_frac divides two exact integers.
+register(
+    "text_rare_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS corpus_tokens,
+             COUNT(*) AS vocab_size
+      FROM freq
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (f.n * tot.vocab_size < tot.corpus_tokens)
+             AS BIGINT) AS n_rare_tokens,
+           CAST(COUNT(*) FILTER (f.n * tot.vocab_size < tot.corpus_tokens)
+             AS BIGINT) / COUNT(*) AS rare_frac,
+           MIN(f.n) AS min_token_freq
+    FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)(text.rare_token_scores)
 
 register(
     "text_quality_gate",

@@ -469,3 +469,38 @@ def test_scd2_intervals_tile_each_customer(spark):
             # adjacent islands must differ in the tracked attribute
             assert a["priority"] != b["priority"]
         assert rows[-1]["valid_to"] is None
+
+
+def test_minhash_estimate_calibration_invariants(spark):
+    rows = dedup.minhash_estimate_quality(spark, SF).collect()
+    assert rows  # LSH finds candidates in the seeded-dup corpus
+    for r in rows:
+        assert 0 <= r["n_match_components"] <= 8
+        assert r["est_jaccard"] == r["n_match_components"] / 8
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert abs(abs(r["est_jaccard"] - r["jaccard"]) - r["abs_err"]) == 0
+        # identical texts must agree on every signature component
+        if r["jaccard"] == 1.0:
+            assert r["n_match_components"] == 8
+
+
+def test_rare_token_scores_consistent(spark):
+    scored = {r["doc_id"]: r for r in text.rare_token_scores(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(scored) == len(docs)
+    # independent recomputation in plain python
+    from collections import Counter
+
+    freq = Counter()
+    for d in docs:
+        freq.update(d["text"].split(" "))
+    corpus_tokens = sum(freq.values())
+    vocab = len(freq)
+    for d in docs:
+        toks = d["text"].split(" ")
+        n_rare = sum(1 for t in toks if freq[t] * vocab < corpus_tokens)
+        r = scored[d["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_rare_tokens"] == n_rare
+        assert r["min_token_freq"] == min(freq[t] for t in toks)
+        assert r["rare_frac"] == n_rare / len(toks)

@@ -35,7 +35,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "ann_recall",
                   # bottleneck-source reduction rides the plan as a
                   # ONE-ROW broadcast crossJoin (scalar-subquery shape)
-                  "corpus_source_mix"}
+                  "corpus_source_mix",
+                  # corpus totals (1 row) crossJoin onto the vocabulary
+                  # table — same scalar-subquery shape as tfidf
+                  "text_rare_tokens"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
