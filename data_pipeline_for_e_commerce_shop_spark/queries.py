@@ -980,6 +980,91 @@ register(
     """,
 )(text.rare_token_scores)
 
+
+# ------------------------------------------------------------ PII scan
+# The testdata carries no organic PII, so the query derives a
+# deterministic PII-bearing column from event/user ids (both engines
+# build the identical string), then applies the GENERIC privacy
+# operator.  Patterns are single-sourced from privacy.PII_PATTERNS into
+# the oracle, so Spark and DuckDB run the same regexes.
+
+def _pii_oracle() -> str:
+    from data_pipeline_for_e_commerce_shop_spark.quality.privacy import (
+        PII_PATTERNS,
+    )
+
+    counts = ",\n             ".join(
+        f"len(regexp_extract_all(contact_blob, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "contact_blob"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    sums = ",\n           ".join(
+        f"CAST(SUM(n_{name}) AS BIGINT) AS n_{name}s"
+        for name, _, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH derived AS (
+      SELECT event_type,
+             concat('uid ', user_id, ' mail u', user_id,
+                    '@shop.example.com ip 10.', user_id % 200, '.',
+                    event_id % 250, '.7 call 555-',
+                    lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'))
+               AS contact_blob
+      FROM events
+    ),
+    scanned AS (
+      SELECT event_type,
+             {counts},
+             {red} AS redacted_text
+      FROM derived
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           {sums},
+           CAST(SUM(length(redacted_text)) AS BIGINT) AS n_redacted_chars
+    FROM scanned GROUP BY event_type
+    """
+
+
+@register("events_pii_scan", _pii_oracle())
+def events_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over a derived contact blob, rolled up by
+    event_type: per-type match counts and total redacted length (the
+    byte-level check that redaction produced identical text in both
+    engines).  The scan itself is quality.privacy.pii_scan — pure
+    projections, no shuffle beyond the final small rollup."""
+    from data_pipeline_for_e_commerce_shop_spark.quality.privacy import (
+        PII_PATTERNS,
+        pii_scan,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    derived = ev.select(
+        "event_type",
+        F.concat(
+            F.lit("uid "),
+            F.col("user_id").cast("string"),
+            F.lit(" mail u"),
+            F.col("user_id").cast("string"),
+            F.lit("@shop.example.com ip 10."),
+            (F.col("user_id") % 200).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 250).cast("string"),
+            F.lit(".7 call 555-"),
+            F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        ).alias("contact_blob"),
+    )
+    scanned = pii_scan(derived, "contact_blob")
+    sums = [
+        F.sum(f"n_{name}").alias(f"n_{name}s") for name, _, _ in PII_PATTERNS
+    ]
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *sums,
+        F.sum(F.length("redacted_text")).alias("n_redacted_chars"),
+    )
+
 register(
     "text_quality_gate",
     """

@@ -504,3 +504,34 @@ def test_rare_token_scores_consistent(spark):
         assert r["n_rare_tokens"] == n_rare
         assert r["min_token_freq"] == min(freq[t] for t in toks)
         assert r["rare_frac"] == n_rare / len(toks)
+
+
+def test_pii_scan_generic_operator(spark):
+    from data_pipeline_for_e_commerce_shop_spark.quality.privacy import pii_scan
+
+    rows = [
+        ("two mails a@b.com and c.d@e-f.org here", 2, 0, 0),
+        ("ip 192.168.0.1 and 10.0.0.255", 0, 2, 0),
+        ("call 555-1234 or 555-0000", 0, 0, 2),
+        ("clean text no pii at all", 0, 0, 0),
+        ("mixed a@b.co 1.2.3.4 555-9999", 1, 1, 1),
+        # version strings are NOT ipv4 (word boundary + 4 octets)
+        ("release v1.2.3 is out", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], ["payload"]
+    )
+    got = {r["payload"]: r for r in pii_scan(df, "payload").collect()}
+    for t, n_email, n_ip, n_phone in rows:
+        r = got[t]
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (
+            n_email,
+            n_ip,
+            n_phone,
+        ), t
+    assert got["mixed a@b.co 1.2.3.4 555-9999"]["redacted_text"] == (
+        "mixed [EMAIL] [IP] [PHONE]"
+    )
+    assert got["clean text no pii at all"]["redacted_text"] == (
+        "clean text no pii at all"
+    )
