@@ -527,3 +527,206 @@ def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("dim_no"),
         F.col("col").alias("r"),
     )
+
+
+KMEANS_K = 8
+KMEANS_ITER = 3
+MICRO = 1_000_000
+# At/below this corpus size the whole Lloyd loop runs on the driver
+# (numpy int64) — launching n_iter+2 distributed jobs for data that
+# fits in one task is pure scheduling overhead.  Same principle as the
+# connected-components size gate: the DISTRIBUTED loop below is the
+# 100 TB path, the driver path is the small-data fast path, and both
+# compute the bit-identical integer trajectory (one oracle checks
+# whichever ran).
+KMEANS_DRIVER_MAX = 200_000
+
+
+def _kmeans_driver(
+    spark: SparkSession, pdf, k: int, n_iter: int, dim: int
+) -> DataFrame:
+    """Driver-side Lloyd on the collected quantized corpus — numpy
+    int64 throughout; float division only inside floor(mean), exact
+    because |sum| < 2^53 (mirrors the SQL oracle's arithmetic)."""
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    vecs = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["v"]])
+    order = np.lexsort((ids, (ids * 2654435761) % 4294967296))
+    seed_ids = ids[order[:k]]
+    # centroid columns ordered by cluster_id ASC so argmin's
+    # first-match tie-break picks the smallest cid, like the oracle
+    cid_order = np.sort(seed_ids)
+    id_to_row = {int(i): j for j, i in enumerate(ids)}
+    cents = np.stack([vecs[id_to_row[int(c)]] for c in cid_order])
+
+    def dists(c):
+        # (n, k): int64 exact; peak memory n*k*8 bytes — bounded by the
+        # size gate
+        return (
+            ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        )
+
+    for _ in range(n_iter):
+        assign = dists(cents).argmin(axis=1)
+        for j in range(k):
+            members = vecs[assign == j]
+            if len(members):
+                cents[j] = np.floor(
+                    members.sum(axis=0) / len(members)
+                ).astype(np.int64)
+    import pandas as pd
+
+    d = dists(cents)
+    assign = d.argmin(axis=1)
+    out = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster_id": cid_order[assign],
+            "sq_dist": d[np.arange(len(ids)), assign],
+        }
+    )
+    return spark.createDataFrame(
+        out, "vec_id bigint, cluster_id bigint, sq_dist bigint"
+    )
+
+
+def kmeans_lloyd(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    driver_max: int = KMEANS_DRIVER_MAX,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, every iteration
+    bit-exact: vectors are micro-unit quantized (floor(x·1e6) as int64)
+    so squared-L2 distances are pure integer arithmetic, and centroid
+    updates use floor(mean) per component — Spark and the unrolled
+    DuckDB oracle replay the identical trajectory, making an ITERATIVE
+    ML algorithm value-hash-checkable end-to-end (same idea as the
+    connected-components oracle, but with dense vector state).
+
+    Seeding matches ivf_topk: the k seeds are the corpus rows with the
+    smallest Knuth multiplicative hash of vec_id (cluster_id = seed's
+    vec_id — stable across iterations).  A cluster that loses all
+    members keeps its previous centroid (standard Lloyd fallback),
+    mirrored by the oracle's LEFT JOIN + COALESCE.
+
+    Size gate: at/below `driver_max` vectors the loop runs on the
+    driver in numpy (see KMEANS_DRIVER_MAX).  Above it, the
+    DISTRIBUTED loop: the k×64-int centroid model is driver state
+    shipped per round as a broadcast one-row struct-array table (data,
+    not literals — the plan shape and generated code are identical
+    every round), assignment is a higher-order-function argmin (zero
+    shuffle; the 1-row broadcast crossJoin is the scalar-subquery
+    shape), and the centroid update is one groupBy(cluster_id) whose
+    map-side partials shrink the shuffle to k rows per partition.  Per
+    iteration the working set — localCheckpoint'ed once, spread to
+    cluster parallelism if the scan arrived under-partitioned — is
+    read ONCE.  n_iter is fixed, so the job graph is statically
+    n_iter+2 jobs.
+
+    Returns the final assignment: (vec_id, cluster_id, sq_dist).
+    """
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * MICRO).cast("long"),
+        ).alias("v"),
+    )
+
+    if driver_max:
+        # ONE probe job doubles as the collect: fetch at most
+        # driver_max+1 rows (Arrow path when enabled); if the corpus
+        # fit, we already hold it
+        probe = emb.limit(driver_max + 1).toPandas()
+        if len(probe) <= driver_max:
+            return _kmeans_driver(spark, probe, k, n_iter, dim)
+
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par, "vec_id")
+    emb = emb.localCheckpoint(eager=True)
+
+    seeds = (
+        emb.withColumn(
+            "_h",
+            F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(4294967296)),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids: dict[int, list[int]] = {r["vec_id"]: list(r["v"]) for r in seeds}
+
+    def _assigned(cent: dict[int, list[int]]) -> DataFrame:
+        # The k-row model ships as a broadcast ONE-ROW table holding an
+        # array of (cid, centroid) structs — data, not literals, so the
+        # plan shape (and its generated code) is IDENTICAL every round
+        # and the codegen/optimizer work is paid once, not per
+        # iteration.  The argmin runs as higher-order functions:
+        # transform scores each centroid once, aggregate folds to the
+        # min — expression size O(1) in k and dim, zero shuffle (the
+        # 1-row broadcast crossJoin is the scalar-subquery shape).
+        # Strict < keeps the first (smallest cid) on ties — same order
+        # as the oracle's (dist ASC, cluster_id ASC) row_number.
+        cent_df = spark.createDataFrame(
+            [([(cid, cent[cid]) for cid in sorted(cent)],)],
+            "cents array<struct<cid:bigint,c:array<bigint>>>",
+        )
+        scored = F.transform(
+            F.col("cents"),
+            lambda ce: F.struct(
+                ce["cid"].alias("cid"),
+                F.aggregate(
+                    F.zip_with("v", ce["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+            ),
+        )
+        init = F.struct(
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("long").alias("d"),
+        )
+        best = F.aggregate(
+            scored,
+            init,
+            lambda acc, s: F.when(
+                acc["d"].isNull() | (s["d"] < acc["d"]), s
+            ).otherwise(acc),
+        )
+        return emb.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            "v",
+            best["cid"].alias("cluster_id"),
+            best["d"].alias("sq_dist"),
+        )
+
+    for _ in range(n_iter):
+        means = (
+            _assigned(centroids)
+            .groupBy("cluster_id")
+            .agg(
+                *[
+                    F.floor(
+                        F.sum(F.element_at("v", i + 1)) * 1.0
+                        / F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        upd = {
+            r["cluster_id"]: [r[f"m{i}"] for i in range(dim)] for r in means
+        }
+        centroids = {
+            cid: upd.get(cid, prev) for cid, prev in centroids.items()
+        }
+
+    return _assigned(centroids).select("vec_id", "cluster_id", "sq_dist")

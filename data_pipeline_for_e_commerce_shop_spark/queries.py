@@ -2343,6 +2343,72 @@ register(
 )(similarity.random_projection_reduce)
 
 
+def _kmeans_oracle(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd trajectory: each iteration is an argmin-assignment
+    CTE + a floor(mean) centroid CTE (LEFT JOIN + COALESCE keeps empty
+    clusters on their previous centroid, mirroring the Spark driver
+    loop).  All distances are integers carried exactly in doubles
+    (< 2^53), so every iteration is bit-identical to the operator."""
+    sq = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cluster_id, v
+      FROM q ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      LIMIT {k}
+    )"""
+    ]
+    for t in range(1, n_iter + 1):
+        d = sq.format(a="q.v", b="c.v")
+        parts.append(
+            f""",
+    asg{t} AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT q.vec_id, q.v, c.cluster_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {d} ASC, c.cluster_id ASC) AS rk
+        FROM q CROSS JOIN cent{t - 1} c
+      ) WHERE rk = 1
+    ),
+    mean{t} AS (
+      SELECT cluster_id, i,
+             CAST(floor(SUM(v[i]) * 1.0 / COUNT(*)) AS BIGINT) AS m
+      FROM asg{t} CROSS JOIN generate_series(1, {dim}) AS g(i)
+      GROUP BY cluster_id, i
+    ),
+    cent{t} AS (
+      SELECT p.cluster_id, COALESCE(mm.mv, p.v) AS v
+      FROM cent{t - 1} p
+      LEFT JOIN (SELECT cluster_id, list(m ORDER BY i) AS mv
+                 FROM mean{t} GROUP BY cluster_id) mm
+        USING (cluster_id)
+    )"""
+        )
+    d = sq.format(a="q.v", b="c.v")
+    parts.append(
+        f"""
+    SELECT vec_id, cluster_id, sq_dist FROM (
+      SELECT q.vec_id, c.cluster_id, {d} AS sq_dist,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {d} ASC, c.cluster_id ASC) AS rk
+      FROM q CROSS JOIN cent{n_iter} c
+    ) WHERE rk = 1
+    """
+    )
+    return "".join(parts)
+
+
+register("embedding_kmeans", _kmeans_oracle())(similarity.kmeans_lloyd)
+
+
 # Custom stateful streaming operator (applyInPandasWithState) held to
 # the IDENTICAL oracle as the batch lag/running-sum sessionizer and
 # the session_window streaming form — three execution strategies, one

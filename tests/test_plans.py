@@ -38,7 +38,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "corpus_source_mix",
                   # corpus totals (1 row) crossJoin onto the vocabulary
                   # table — same scalar-subquery shape as tfidf
-                  "text_rare_tokens"}
+                  "text_rare_tokens",
+                  # Lloyd assignment broadcasts the k-row centroid
+                  # model against the corpus — same shape as IVF
+                  "embedding_kmeans"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))

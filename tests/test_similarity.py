@@ -62,3 +62,75 @@ def test_topk_shape(spark, sf_dir):
             assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
             cosines = [r.cosine for r in rs]
             assert cosines == sorted(cosines, reverse=True)
+
+
+def test_kmeans_lloyd_matches_python_replay(spark):
+    """Full plain-python replay of the integer Lloyd trajectory —
+    seeds, assignments, floor-mean updates — must equal the operator."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        KMEANS_ITER,
+        KMEANS_K,
+        MICRO,
+        kmeans_lloyd,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    import math
+
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * MICRO) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    seeds = sorted(vecs, key=lambda i: ((i * 2654435761) % 4294967296, i))[
+        :KMEANS_K
+    ]
+    centroids = {i: list(vecs[i]) for i in seeds}
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign():
+        return {
+            vid: min(
+                centroids, key=lambda c: (sqd(v, centroids[c]), c)
+            )
+            for vid, v in vecs.items()
+        }
+
+    for _ in range(KMEANS_ITER):
+        asg = assign()
+        members: dict[int, list[int]] = {}
+        for vid, c in asg.items():
+            members.setdefault(c, []).append(vid)
+        for c, vids in members.items():
+            n = len(vids)
+            centroids[c] = [
+                math.floor(sum(vecs[vid][i] for vid in vids) / n)
+                for i in range(64)
+            ]
+    final = assign()
+
+    got = {r["vec_id"]: r for r in kmeans_lloyd(spark, sf).collect()}
+    assert set(got) == set(vecs)
+    for vid, r in got.items():
+        assert r["cluster_id"] == final[vid], vid
+        assert r["sq_dist"] == sqd(vecs[vid], centroids[final[vid]])
+
+
+def test_kmeans_distributed_path_matches_driver_path(spark):
+    """Force the distributed Lloyd loop (driver_max=0) and require the
+    bit-identical trajectory as the size-gated driver path."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    via_driver = {
+        r["vec_id"]: (r["cluster_id"], r["sq_dist"])
+        for r in kmeans_lloyd(spark, sf).collect()
+    }
+    via_cluster = {
+        r["vec_id"]: (r["cluster_id"], r["sq_dist"])
+        for r in kmeans_lloyd(spark, sf, driver_max=0).collect()
+    }
+    assert via_driver == via_cluster
