@@ -58,3 +58,26 @@ def pii_scan(df: DataFrame, text_col: str) -> DataFrame:
         for name, pat, _ in PII_PATTERNS
     ]
     return df.select("*", *counts, redacted(text_col).alias("redacted_text"))
+
+
+def k_anonymity(
+    df: DataFrame, quasi_ids: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: the size
+    of every equivalence class, flagged when it re-identifies to fewer
+    than `k` rows.  The release gate a privacy review runs before a
+    table with demographic columns ships.
+
+    One groupBy on the quasi-ids (map-side partials; equivalence
+    classes are the natural key distribution, so the shuffle is the
+    aggregate's own) — no windows, no self-joins.
+    """
+    return (
+        df.groupBy(*quasi_ids)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            *quasi_ids,
+            "class_size",
+            (F.col("class_size") < k).alias("below_k"),
+        )
+    )

@@ -1027,6 +1027,31 @@ def _pii_oracle() -> str:
     """
 
 
+@register(
+    "customer_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment, class_size, below_k FROM (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+             COUNT(*) < 5 AS below_k
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table over the
+    (nation, market-segment) quasi-identifier pair — the generic
+    quality.privacy.k_anonymity operator applied to the demographic
+    columns a release review would flag."""
+    from data_pipeline_for_e_commerce_shop_spark.quality.privacy import (
+        k_anonymity,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
 @register("events_pii_scan", _pii_oracle())
 def events_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over a derived contact blob, rolled up by
