@@ -1,0 +1,144 @@
+"""Graph scoring over the co-purchase graph — authority ranking, the
+second iterative graph algorithm after connected components
+(operators/dedup.py).  Corpus-curation pipelines run the same shape as
+document/domain authority scoring (PageRank-style centrality over the
+link graph) to prioritize crawl seeds; here the graph is part
+co-occurrence in orders (see operators/basket.py).
+
+Arithmetic contract: every quantity is BIGINT.  Scores start at SCALE
+micro-units; each transfer floors ``pr·w DIV outw`` and the damping
+mix floors ``85·x DIV 100`` — integer-exact, so the unrolled DuckDB
+oracle replays the identical trajectory (same device as the Lloyd
+k-means and CC oracles).
+
+Scale (100 TB): one fact scan builds the edge list (in-bucket pair
+expansion — no fact self-join); each iteration is edges⋈scores on src
+(both sides hash-partitioned by src; at scale persist the edge list
+partitioned by src ONCE and every round reuses the layout) followed by
+a groupBy(dst) whose map-side partials shrink the shuffle to one row
+per (partition, dst).  n_iter is fixed, so the WHOLE ranking is one
+lazy plan — no per-round driver action at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+PR_SCALE = 1_000_000  # initial score in micro-units
+PR_D_NUM = 85  # damping 0.85 as an integer ratio
+PR_D_DEN = 100
+PR_ITER = 2
+
+
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Directed edge list (src, dst, w) — both directions of the
+    undirected co-purchase pair, w = number of orders containing both
+    parts, pruned to pairs seen in at least `min_support` orders.  Same
+    in-bucket expansion as basket.part_pair_topk: one scan, no fact
+    self-join.
+
+    The support threshold is the standard association-mining noise
+    gate: singleton co-occurrences are coincidence, not signal, and on
+    a sparse catalog they are ~all pairs (sf0.1: 1.196M pairs, of
+    which only 3.6k repeat).  Pruning BEFORE the union/direction step
+    keeps the iterated edge table signal-sized; the full pair
+    aggregate still runs once — it is the same shape the basket_pairs
+    query pays."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                " struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pair")
+    ).select("pair.part_a", "pair.part_b")
+    und = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_support)
+    )
+    fwd = und.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
+    )
+    rev = und.select(
+        F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
+    )
+    return fwd.unionByName(rev)
+
+
+def part_pagerank(
+    spark: SparkSession, sf_dir: str, n_iter: int = PR_ITER
+) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph, `n_iter` damped
+    rounds from a uniform SCALE start.  Every node has out-edges (both
+    directions are materialized), so there is no dangling mass.
+
+    Returns (part_id, pr) — the final micro-unit score per part.
+    """
+    # Materialize the NARROW (src, dst, w) edge list ONCE: without the
+    # checkpoint every later mention re-expands the scan→basket→pair
+    # subtree and the unrolled plan grows combinatorially (observed:
+    # 28 scans / 82 exchanges for 2 rounds; 1 after).  Same device as
+    # the connected-components lineage truncation — at 100 TB this is
+    # the persisted, src-partitioned edge list every iteration reuses.
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # out-weight and score tables are NODE-sized (≪ edges): checkpoint
+    # outw once, then each round joins them onto the edge list as
+    # BROADCASTS — the edge table itself never shuffles; the only
+    # per-round exchange is the groupBy(dst), shrunk map-side to one
+    # row per (partition, dst).  At a node count past broadcast reach,
+    # drop the hints and both joins fall back to hash joins on src —
+    # the same plan Pregel-style engines run.
+    outw = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("outw"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = outw.select(F.col("src").alias("part_id"))
+
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    pr = nodes.select("part_id", F.lit(PR_SCALE).cast("long").alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                F.broadcast(pr.select(F.col("part_id").alias("src"), "pr")),
+                "src",
+            )
+            .join(F.broadcast(outw), "src")
+            .select("dst", F.expr("pr * w div outw").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        pr = (
+            nodes.join(
+                F.broadcast(
+                    contrib.select(F.col("dst").alias("part_id"), "inflow")
+                ),
+                "part_id",
+                "left",
+            )
+            .select(
+                "part_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{PR_D_NUM} * coalesce(inflow, 0) div {PR_D_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr

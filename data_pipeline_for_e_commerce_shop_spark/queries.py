@@ -2434,6 +2434,61 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
 register("embedding_kmeans", _kmeans_oracle())(similarity.kmeans_lloyd)
 
 
+def _pagerank_oracle(n_iter: int = 2) -> str:
+    """Unrolled damped PageRank trajectory over the co-purchase graph;
+    all transfers are positive-integer floor divisions (DuckDB `//` ==
+    Spark `div` here), so every round is bit-identical."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.graph import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_SCALE,
+    )
+
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    parts = [
+        f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS w
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst, w FROM und
+      UNION ALL SELECT part_b, part_a, w FROM und
+    ),
+    outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    e AS (SELECT edges.src, dst, w, outw
+          FROM edges JOIN outw USING (src)),
+    pr0 AS (SELECT src AS part_id, CAST({PR_SCALE} AS BIGINT) AS pr
+            FROM outw)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{t} AS (
+      SELECT dst, SUM((pr * w) // outw) AS inflow
+      FROM e JOIN pr{t - 1} p ON e.src = p.part_id
+      GROUP BY dst
+    ),
+    pr{t} AS (
+      SELECT n.part_id,
+             CAST({base} + ({PR_D_NUM} * COALESCE(c.inflow, 0))
+                  // {PR_D_DEN} AS BIGINT) AS pr
+      FROM pr0 n LEFT JOIN c{t} c ON n.part_id = c.dst
+    )"""
+        )
+    parts.append(f"\n    SELECT part_id, pr FROM pr{n_iter}\n    ")
+    return "".join(parts)
+
+
+from data_pipeline_for_e_commerce_shop_spark.operators import graph  # noqa: E402
+
+register("part_pagerank", _pagerank_oracle())(graph.part_pagerank)
+
+
 # Custom stateful streaming operator (applyInPandasWithState) held to
 # the IDENTICAL oracle as the batch lag/running-sum sessionizer and
 # the session_window streaming form — three execution strategies, one

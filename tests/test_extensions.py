@@ -535,3 +535,51 @@ def test_pii_scan_generic_operator(spark):
     assert got["clean text no pii at all"]["redacted_text"] == (
         "clean text no pii at all"
     )
+
+
+def test_pagerank_bounds_and_python_replay(spark):
+    """Replay the integer PageRank trajectory in plain python from the
+    raw lineitem pairs and require equality; check the damped floor."""
+    from collections import Counter, defaultdict
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.graph import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_ITER,
+        PR_SCALE,
+        part_pagerank,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    w = Counter()
+    for ps in baskets.values():
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                w[(a, b)] += 1
+    edges = defaultdict(list)
+    for (a, b), n in w.items():
+        if n >= 2:
+            edges[a].append((b, n))
+            edges[b].append((a, n))
+    outw = {u: sum(n for _, n in vs) for u, vs in edges.items()}
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    pr = {u: PR_SCALE for u in edges}
+    for _ in range(PR_ITER):
+        inflow = defaultdict(int)
+        for u, vs in edges.items():
+            for v, n in vs:
+                inflow[v] += pr[u] * n // outw[u]
+        pr = {u: base + PR_D_NUM * inflow[u] // PR_D_DEN for u in edges}
+
+    got = {r["part_id"]: r["pr"] for r in part_pagerank(spark, SF).collect()}
+    assert got == pr
+    assert all(v >= base for v in got.values())
