@@ -730,3 +730,183 @@ def kmeans_lloyd(
         }
 
     return _assigned(centroids).select("vec_id", "cluster_id", "sq_dist")
+
+
+# Product quantization: M subspaces x KSUB codes, trained on a
+# bounded deterministic sample — the fourth rung of the ANN ladder
+# (brute -> LSH -> IVF -> PQ/ADC).
+PQ_M = 4
+PQ_SUBDIM = 16  # 64 dims / 4 subspaces
+PQ_KSUB = 16  # codes per subspace -> 4 bytes per vector
+PQ_TRAIN = 1024  # codebook training sample (bounded at ANY corpus size)
+PQ_ITER = 2
+
+
+def _lloyd_np(vecs, k: int, n_iter: int):
+    """Integer Lloyd on a numpy (n, d) int64 matrix: centroids start at
+    the first k rows (caller pre-orders), cid = row index, argmin ties
+    break to the lowest cid, updates floor the mean, empty clusters
+    keep their centroid.  Bit-identical to the unrolled SQL."""
+    import numpy as np
+
+    cents = vecs[:k].copy()
+    for _ in range(n_iter):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = vecs[assign == j]
+            if len(members):
+                cents[j] = np.floor(
+                    members.sum(axis=0) / len(members)
+                ).astype(np.int64)
+    return cents
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: vectors compress to PQ_M codebook
+    codes (4 bytes each); queries score candidates through the
+    asymmetric distance — sum over subspaces of the exact distance
+    from the query SUBvector to the candidate's ASSIGNED centroid.
+
+    Everything is integer-exact end-to-end (micro-unit quantization,
+    floor-mean codebook training, integer squared distances), so the
+    whole pipeline — sample, 4 codebook trainings, corpus encode, ADC
+    scores, final ranking — replays bit-for-bit in the DuckDB oracle.
+
+    Scale (100 TB): codebooks train on a HASH-BOUNDED sample
+    (PQ_TRAIN rows collected once — model-sized regardless of corpus
+    size, the standard PQ practice); the encode pass is a pure
+    projection against the broadcast one-row codebook table (zero
+    shuffle, the plan-stable model-shipping device from kmeans_lloyd);
+    ADC scoring broadcasts the n_queries query vectors and reads each
+    corpus row once; the final top-k is a per-query window over
+    candidate-sized input.  In production the 4-byte codes column is
+    what you PERSIST — a 64x compression of the float corpus — and
+    re-ranking reads full vectors only for the top candidates.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * MICRO).cast("long"),
+        ).alias("v"),
+    )
+
+    # Bounded training sample + query vectors: two model-sized collects.
+    samp_pdf = (
+        emb.withColumn(
+            "_h",
+            F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(4294967296)),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(PQ_TRAIN)
+        .select("vec_id", "v")
+        .toPandas()
+    )
+    samp = np.stack(
+        [np.asarray(v, dtype=np.int64) for v in samp_pdf["v"]]
+    )
+    codebooks = [
+        _lloyd_np(
+            samp[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM], PQ_KSUB, PQ_ITER
+        )
+        for s in range(PQ_M)
+    ]
+    q_pdf = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "v")
+        .toPandas()
+    )
+
+    model = spark.createDataFrame(
+        [
+            (
+                [[[int(x) for x in c] for c in cb] for cb in codebooks],
+                [
+                    (int(r["vec_id"]), [int(x) for x in r["v"]])
+                    for _, r in q_pdf.iterrows()
+                ],
+            )
+        ],
+        "cb array<array<array<bigint>>>, "
+        "qs array<struct<qid:bigint,q:array<bigint>>>",
+    )
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # Encode: per subspace, HOF argmin over the 16 codebook entries —
+    # ties to the lowest code (transform exposes the index).
+    def code(s: int):
+        sub = F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        scored = F.transform(
+            F.element_at("cb", s + 1),
+            lambda c, i: F.struct(i.alias("code"), sqd(sub, c).alias("d")),
+        )
+        init = F.struct(
+            F.lit(None).cast("integer").alias("code"),
+            F.lit(None).cast("long").alias("d"),
+        )
+        best = F.aggregate(
+            scored,
+            init,
+            lambda acc, e: F.when(
+                acc["d"].isNull() | (e["d"] < acc["d"]), e
+            ).otherwise(acc),
+        )
+        return best["code"].alias(f"c{s}")
+
+    encoded = emb.crossJoin(F.broadcast(model)).select(
+        "vec_id", "cb", "qs", *[code(s) for s in range(PQ_M)]
+    )
+
+    # ADC: per corpus row, one struct per query — the codes columns are
+    # projected above so the 4 argmin folds are not re-inlined per
+    # query (CollapseProject keeps multiply-referenced non-cheap
+    # expressions in their own projection).
+    def adc(qcol):
+        return sum(
+            sqd(
+                F.slice(qcol, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.element_at(
+                    F.element_at("cb", s + 1), F.col(f"c{s}") + 1
+                ),
+            )
+            for s in range(PQ_M)
+        )
+
+    pairs = encoded.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.explode(
+            F.transform(
+                "qs",
+                lambda e: F.struct(
+                    e["qid"].alias("query_id"),
+                    adc(e["q"]).cast("long").alias("approx_sq_dist"),
+                ),
+            )
+        ).alias("p"),
+    ).select("corpus_id", "p.query_id", "p.approx_sq_dist")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        pairs.where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_sq_dist", "rank")
+    )

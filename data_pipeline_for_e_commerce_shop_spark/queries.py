@@ -2489,6 +2489,123 @@ from data_pipeline_for_e_commerce_shop_spark.operators import graph  # noqa: E40
 register("part_pagerank", _pagerank_oracle())(graph.part_pagerank)
 
 
+def _pq_oracle() -> str:
+    """Unrolled PQ pipeline: hash-bounded sample, PQ_M independent
+    integer-Lloyd codebook trainings (PQ_ITER rounds each), full-corpus
+    encode, ADC scoring, per-query top-k — every stage integer-exact,
+    so the oracle replays the operator's whole trajectory."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        PQ_ITER,
+        PQ_KSUB,
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_TRAIN,
+    )
+
+    dist = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    hash_order = "(vec_id * 2654435761) % 4294967296, vec_id"
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    samp AS (
+      SELECT vec_id, v FROM q ORDER BY {hash_order} LIMIT {PQ_TRAIN}
+    )"""
+    ]
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        d = dist.format(a="t.sub", b="c.c")
+        parts.append(
+            f""",
+    sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sub FROM samp),
+    cents{s}_0 AS (
+      SELECT rn - 1 AS cid, v[{lo}:{hi}] AS c FROM (
+        SELECT vec_id, v,
+               row_number() OVER (ORDER BY {hash_order}) AS rn
+        FROM samp
+      ) WHERE rn <= {PQ_KSUB}
+    )"""
+        )
+        for t in range(1, PQ_ITER + 1):
+            parts.append(
+                f""",
+    asg{s}_{t} AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT t.vec_id, t.sub, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {d} ASC, c.cid ASC) AS rk
+        FROM sub{s} t CROSS JOIN cents{s}_{t - 1} c
+      ) WHERE rk = 1
+    ),
+    mean{s}_{t} AS (
+      SELECT cid, i,
+             CAST(floor(SUM(sub[i]) * 1.0 / COUNT(*)) AS BIGINT) AS m
+      FROM asg{s}_{t} CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS g(i)
+      GROUP BY cid, i
+    ),
+    cents{s}_{t} AS (
+      SELECT p.cid, COALESCE(mm.mv, p.c) AS c
+      FROM cents{s}_{t - 1} p
+      LEFT JOIN (SELECT cid, list(m ORDER BY i) AS mv
+                 FROM mean{s}_{t} GROUP BY cid) mm
+        USING (cid)
+    )"""
+            )
+        parts.append(
+            f""",
+    enc{s} AS (
+      SELECT vec_id, cid AS c{s} FROM (
+        SELECT t.vec_id, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {d} ASC, c.cid ASC) AS rk
+        FROM (SELECT vec_id, v[{lo}:{hi}] AS sub FROM q) t
+        CROSS JOIN cents{s}_{PQ_ITER} c
+      ) WHERE rk = 1
+    )"""
+        )
+    enc_joins = " ".join(
+        f"JOIN enc{s} USING (vec_id)" for s in range(PQ_M)
+    )
+    adc_terms = []
+    cb_joins = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        adc_terms.append(
+            dist.format(a=f"qv.v[{lo}:{hi}]", b=f"k{s}.c")
+        )
+        cb_joins.append(f"JOIN cents{s}_{PQ_ITER} k{s} ON k{s}.cid = codes.c{s}")
+    parts.append(
+        f""",
+    codes AS (
+      SELECT q.vec_id, c0, c1, c2, c3 FROM q {enc_joins}
+    ),
+    qv AS (SELECT vec_id AS query_id, v FROM q WHERE vec_id < 5),
+    adc AS (
+      SELECT query_id, codes.vec_id AS corpus_id,
+             CAST({" + ".join(adc_terms)} AS BIGINT) AS approx_sq_dist
+      FROM qv CROSS JOIN codes
+      {" ".join(cb_joins)}
+      WHERE query_id != codes.vec_id
+    )
+    SELECT query_id, corpus_id, approx_sq_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_sq_dist ASC, corpus_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+    )
+    return "".join(parts)
+
+
+register("ann_pq_topk", _pq_oracle())(similarity.pq_topk)
+
+
 # Custom stateful streaming operator (applyInPandasWithState) held to
 # the IDENTICAL oracle as the batch lag/running-sum sessionizer and
 # the session_window streaming form — three execution strategies, one

@@ -41,7 +41,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "text_rare_tokens",
                   # Lloyd assignment broadcasts the k-row centroid
                   # model against the corpus — same shape as IVF
-                  "embedding_kmeans"}
+                  "embedding_kmeans",
+                  # PQ ships the one-row codebook/query model as a
+                  # broadcast crossJoin (scalar-subquery shape)
+                  "ann_pq_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))

@@ -134,3 +134,36 @@ def test_kmeans_distributed_path_matches_driver_path(spark):
         for r in kmeans_lloyd(spark, sf, driver_max=0).collect()
     }
     assert via_driver == via_cluster
+
+
+def test_pq_topk_ranks_and_recall(spark):
+    """PQ output shape invariants plus a recall floor against the
+    exact brute-force top-k (compressed distances are approximate, but
+    4x16 codes on 64 dims must beat random chance by a wide margin)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = pq_topk(spark, sf).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 5
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        ds = [r["approx_sq_dist"] for r in rs]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds)
+        assert all(r["corpus_id"] != q for r in rs)
+
+    brute = {}
+    for r in brute_force_topk(spark, sf).collect():
+        brute.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    hits = sum(
+        len(brute[q] & {r["corpus_id"] for r in rs})
+        for q, rs in by_q.items()
+    )
+    # 25 slots; random chance on a 500-doc corpus would be ~0.25 hits
+    assert hits >= 5, f"PQ recall collapsed: {hits}/25"
