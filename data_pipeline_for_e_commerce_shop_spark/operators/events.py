@@ -232,3 +232,78 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("st.fc").alias("n_view_click"),
         F.count("st.fp").alias("n_full_funnel"),
     )
+
+
+def rate_anomaly(
+    spark: SparkSession,
+    sf_dir: str,
+    trail: int = 24,
+    min_trail: int = 12,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Event-rate anomaly detection: per event_type, each hour's count
+    is z-scored against the TRAILING `trail`-hour window (current hour
+    excluded) and flagged when |z| >= z_cut — the traffic-spike /
+    outage monitor an ops dashboard runs over the event stream.
+
+    Determinism contract: the trailing variance is computed from
+    integer sums — var = (cnt·Σn² − (Σn)²) / cnt², one exact-integer
+    numerator and ONE double division — then std = sqrt, z =
+    (cnt·n − Σn) / (cnt·std); identical IEEE ops in Spark and DuckDB,
+    with the final z rounded to 9 decimals (the tfidf device).  Hours
+    with fewer than `min_trail` trailing rows or zero variance emit a
+    NULL z and no flag (warm-up / constant-rate guard).
+
+    Scale: one fact scan → hourly aggregate (tiny: |hours|·|types|
+    rows), then a ROWS-frame window per event_type over that aggregate
+    — the window input is already reduced, so the sort is per-type over
+    hours, not over raw events.
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(-trail, -1)
+    )
+    n = F.col("n_events")
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(n * n).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    stats = hourly.select(
+        "event_type",
+        "hour_epoch",
+        "n_events",
+        cnt.alias("trail_cnt"),
+        s1.alias("trail_sum"),
+        s2.alias("trail_sumsq"),
+    )
+    var_num = (
+        F.col("trail_cnt") * F.col("trail_sumsq")
+        - F.col("trail_sum") * F.col("trail_sum")
+    )
+    std = F.sqrt(var_num / (F.col("trail_cnt") * F.col("trail_cnt")))
+    z = F.round(
+        (F.col("trail_cnt") * n - F.col("trail_sum"))
+        / (F.col("trail_cnt") * std),
+        9,
+    )
+    ok = (F.col("trail_cnt") >= min_trail) & (var_num > 0)
+    return stats.select(
+        "event_type",
+        "hour_epoch",
+        "n_events",
+        "trail_cnt",
+        F.when(ok, z).alias("z_score"),
+        F.coalesce(
+            F.when(ok, F.abs(z) >= z_cut), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -2605,6 +2605,46 @@ def _pq_oracle() -> str:
 
 register("ann_pq_topk", _pq_oracle())(similarity.pq_topk)
 
+# Trailing-window z-score anomaly flags: the variance numerator is an
+# exact integer (cnt·Σn² − (Σn)²), so the one double division + sqrt +
+# final division are the identical IEEE ops on both engines; z rounds
+# to 9 decimals (the tfidf device).
+register(
+    "events_rate_anomaly",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+               AS hour_epoch,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hour_epoch, n_events,
+             COUNT(*) OVER w AS trail_cnt,
+             SUM(n_events) OVER w AS trail_sum,
+             SUM(n_events * n_events) OVER w AS trail_sumsq
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_epoch, n_events, trail_cnt,
+           CASE WHEN ok THEN z END AS z_score,
+           COALESCE(CASE WHEN ok THEN abs(z) >= 3.0 END, FALSE)
+             AS is_anomaly
+    FROM (
+      SELECT *,
+             round((trail_cnt * n_events - trail_sum) /
+                   (trail_cnt * sqrt(
+                     (trail_cnt * trail_sumsq - trail_sum * trail_sum)
+                     * 1.0 / (trail_cnt * trail_cnt))), 9) AS z,
+             trail_cnt >= 12 AND
+               (trail_cnt * trail_sumsq - trail_sum * trail_sum) > 0
+               AS ok
+      FROM stats
+    )
+    """,
+)(events.rate_anomaly)
+
 
 # Custom stateful streaming operator (applyInPandasWithState) held to
 # the IDENTICAL oracle as the batch lag/running-sum sessionizer and

@@ -583,3 +583,59 @@ def test_pagerank_bounds_and_python_replay(spark):
     got = {r["part_id"]: r["pr"] for r in part_pagerank(spark, SF).collect()}
     assert got == pr
     assert all(v >= base for v in got.values())
+
+
+def test_rate_anomaly_python_replay(spark):
+    """Replay the trailing z-score from raw events in plain python."""
+    import math
+    from collections import Counter, defaultdict
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.events import (
+        rate_anomaly,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events").collect()
+    counts = Counter(
+        (r["event_type"], int(r["ts"].timestamp()) // 3600 * 3600)
+        for r in ev
+    )
+    series = defaultdict(list)
+    for (et, h), n in counts.items():
+        series[et].append((h, n))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        for i, (h, n) in enumerate(pts):
+            tr = pts[max(0, i - 24) : i]
+            cnt, s1 = len(tr), sum(x for _, x in tr)
+            s2 = sum(x * x for _, x in tr)
+            var_num = cnt * s2 - s1 * s1
+            if cnt >= 12 and var_num > 0:
+                z = round(
+                    (cnt * n - s1)
+                    / (cnt * math.sqrt(var_num * 1.0 / (cnt * cnt))),
+                    9,
+                )
+                expect[(et, h)] = (n, cnt, z, abs(z) >= 3.0)
+            else:
+                expect[(et, h)] = (n, cnt, None, False)
+
+    got = {
+        (r["event_type"], r["hour_epoch"]): (
+            r["n_events"],
+            r["trail_cnt"],
+            r["z_score"],
+            r["is_anomaly"],
+        )
+        for r in rate_anomaly(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for key in expect:
+        g, e = got[key], expect[key]
+        assert g[:2] == e[:2], key
+        if e[2] is None:
+            assert g[2] is None, key
+        else:
+            assert g[2] is not None and abs(g[2] - e[2]) < 1e-9, key
+        assert g[3] == e[3], key
