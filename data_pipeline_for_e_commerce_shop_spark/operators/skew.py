@@ -20,7 +20,7 @@ unsalted plan, which is exactly what the DuckDB oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
@@ -75,3 +75,44 @@ def event_type_salted_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter how many executors exist."""
     events = load_table(spark, sf_dir, "events")
     return salted_agg(events, key="event_type", salt_source="user_id")
+
+
+def key_skew_report(
+    df: DataFrame, key: str, top: int = 5
+) -> DataFrame:
+    """Shuffle-key skew diagnostic — the measurement that decides
+    whether a join/agg on `key` needs salting, AQE skew splitting, or
+    nothing (SURVEY §4.4: "salting only if skew observed").
+
+    One pass builds the per-key frequency table (the same map-side
+    partial combine the real aggregation would use); a second
+    vocabulary-sized pass reduces it to ONE summary row per key rank:
+    the `top` hottest keys with their share of all rows in ppm
+    (integer arithmetic — exact), against the key count and a
+    perfectly-uniform share for contrast.  A key whose ppm is orders
+    of magnitude above uniform_ppm is the straggler-maker.
+
+    Scale: the frequency table is |keys|-sized, the result is
+    `top` rows; nothing here shuffles more than the aggregation under
+    diagnosis would.
+    """
+    freq = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    totals = freq.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col(key).asc())
+    return (
+        freq.orderBy(F.col("n").desc(), F.col(key).asc())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rank"),
+            F.col(key).cast("string").alias("key_value"),
+            F.col("n").alias("n_rows"),
+            F.expr("n * 1000000 div total_rows").alias("share_ppm"),
+            F.col("n_keys"),
+            F.expr("1000000 div n_keys").alias("uniform_ppm"),
+        )
+    )

@@ -2605,6 +2605,41 @@ def _pq_oracle() -> str:
 
 register("ann_pq_topk", _pq_oracle())(similarity.pq_topk)
 
+# Shuffle-key skew diagnostic over the event stream: shares in exact
+# integer ppm; the hottest event_type keys vs the uniform share.
+@register(
+    "events_key_skew",
+    """
+    WITH freq AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_rows, COUNT(*) AS n_keys
+      FROM freq
+    )
+    SELECT rank, key_value, n_rows, share_ppm, n_keys, uniform_ppm
+    FROM (
+      SELECT row_number() OVER (ORDER BY n DESC, event_type ASC) AS rank,
+             CAST(event_type AS VARCHAR) AS key_value,
+             n AS n_rows,
+             n * 1000000 // total_rows AS share_ppm,
+             n_keys,
+             1000000 // n_keys AS uniform_ppm
+      FROM freq CROSS JOIN tot
+    ) WHERE rank <= 5
+    """,
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for the event_type shuffle key — the diagnostic
+    behind the salted-agg decision (operators/skew.py)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    return key_skew_report(ev, "event_type", top=5)
+
+
 # Trailing-window z-score anomaly flags: the variance numerator is an
 # exact integer (cnt·Σn² − (Σn)²), so the one double division + sqrt +
 # final division are the identical IEEE ops on both engines; z rounds

@@ -44,7 +44,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "embedding_kmeans",
                   # PQ ships the one-row codebook/query model as a
                   # broadcast crossJoin (scalar-subquery shape)
-                  "ann_pq_topk"}
+                  "ann_pq_topk",
+                  # 1-row totals crossJoin (scalar-subquery shape)
+                  "events_key_skew"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
