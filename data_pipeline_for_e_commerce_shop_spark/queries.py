@@ -2605,6 +2605,91 @@ def _pq_oracle() -> str:
 
 register("ann_pq_topk", _pq_oracle())(similarity.pq_topk)
 
+# Classic pricing-summary scan-aggregate (the TPC-H Q1 shape): one
+# fact scan, grouped by the two flag columns, every money/percent
+# quantity carried as exact integers (cents, percent points) and
+# divided ONCE at the end — identical doubles on both engines.
+@register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(price_c) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM(price_c * (100 - disc_p)) AS BIGINT) / 10000.0
+             AS sum_disc_price,
+           CAST(SUM(price_c * (100 - disc_p) * (100 + tax_p)) AS BIGINT)
+             / 1000000.0 AS sum_charge,
+           CAST(SUM(qty) AS BIGINT) * 1.0 / COUNT(*) AS avg_qty,
+           CAST(SUM(price_c) AS BIGINT) * 1.0 / (COUNT(*) * 100)
+             AS avg_price,
+           CAST(SUM(disc_p) AS BIGINT) * 1.0 / (COUNT(*) * 100)
+             AS avg_disc,
+           COUNT(*) AS count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity) AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report — the canonical whole-scan aggregate
+    (TPC-H Q1 shape): group the shipped fact by return flag and line
+    status; sums/averages of quantity, base price, discounted price,
+    and charge.  Cents/percent-point integer arithmetic end-to-end,
+    one division per output column (functions/scalars.py discipline).
+
+    Plan: scan → partial agg → 6-row final agg; the filter and the
+    4-column read schema push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-08-06 00:00:00").cast("timestamp")
+    )
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_p"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_p"),
+    )
+    cnt = F.count(F.lit(1))
+    return pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        (F.sum("price_c") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("price_c") * (100 - F.col("disc_p"))))
+        .cast("long")
+        .alias("_sdp"),
+        (
+            F.sum(
+                F.col("price_c")
+                * (100 - F.col("disc_p"))
+                * (100 + F.col("tax_p"))
+            )
+        )
+        .cast("long")
+        .alias("_sc"),
+        (F.sum("qty") * 1.0 / cnt).alias("avg_qty"),
+        (F.sum("price_c") * 1.0 / (cnt * 100)).alias("avg_price"),
+        (F.sum("disc_p") * 1.0 / (cnt * 100)).alias("avg_disc"),
+        cnt.alias("count_order"),
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        (F.col("_sdp") / 10000.0).alias("sum_disc_price"),
+        (F.col("_sc") / 1000000.0).alias("sum_charge"),
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
+    )
+
+
 # Shuffle-key skew diagnostic over the event stream: shares in exact
 # integer ppm; the hottest event_type keys vs the uniform share.
 @register(
