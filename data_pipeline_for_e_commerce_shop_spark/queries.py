@@ -2605,6 +2605,67 @@ def _pq_oracle() -> str:
 
 register("ann_pq_topk", _pq_oracle())(similarity.pq_topk)
 
+# User-journey transition matrix: per-user event sequences (ordered by
+# ts, event_id tie-break) reduced to (from, to) transition counts with
+# integer-ppm row shares — the Markov view a product-analytics /
+# session-modeling pipeline derives from the event stream.
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rowtot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+      FROM trans GROUP BY from_type
+    )
+    SELECT from_type, to_type, n AS n_transitions,
+           n * 1000000 // row_n AS share_ppm
+    FROM trans JOIN rowtot USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from, to) event-type transition counts over per-user ordered
+    sequences, with each row's share of its from-type in exact integer
+    ppm.  One shuffle on user_id for the lead window (the sessionize
+    partitioning), then a |types|²-sized aggregate; the row-total join
+    is vocabulary-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.floor(F.unix_timestamp("ts")).cast("long"), F.col("event_id")
+    )
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowtot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return trans.join(F.broadcast(rowtot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.expr("n * 1000000 div row_n").alias("share_ppm"),
+    )
+
+
 # Classic pricing-summary scan-aggregate (the TPC-H Q1 shape): one
 # fact scan, grouped by the two flag columns, every money/percent
 # quantity carried as exact integers (cents, percent points) and
