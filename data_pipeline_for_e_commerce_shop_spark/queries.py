@@ -2605,6 +2605,52 @@ def _pq_oracle() -> str:
 
 register("ann_pq_topk", _pq_oracle())(similarity.pq_topk)
 
+# Arrow grouped-aggregate pandas UDAF: the §2.11 surface's third leg
+# (mapInPandas feature extraction and applyInPandas centroids are the
+# other two).  Median = linear interpolation — pandas' Series.median
+# and DuckDB's quantile_cont(0.5) compute the identical IEEE midpoint,
+# so even the Python-aggregated column is value-hash-checked.
+@register(
+    "segment_acctbal_median",
+    """
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.5) AS median_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def segment_acctbal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment median account balance via a GROUPED_AGG pandas UDAF
+    (Arrow-batched — the vectorized aggregation path for logic with no
+    built-in equivalent; exact percentile_disc / approx_percentile are
+    the JVM-side twins in segment_price_quantiles*).
+
+    Scale: same shuffle as any groupBy(segment); each group's balances
+    stream to ONE Arrow batch per group — fine for bounded groups
+    (segments), the wrong tool for unbounded ones (use the sketch twin
+    there)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module runs under `from __future__
+    # import annotations`, which stringifies the hints the decorator
+    # form would otherwise infer the eval type from
+    median_udaf = pandas_udf(
+        lambda v: float(v.median()), "double", PandasUDFType.GROUPED_AGG
+    )
+    # JVM aggregates can't share an agg with a GROUPED_AGG pandas UDF
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second
+    # pandas aggregate over the same Arrow batch
+    count_udaf = pandas_udf(
+        lambda v: len(v), "long", PandasUDFType.GROUPED_AGG
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        median_udaf("c_acctbal").alias("median_acctbal"),
+        count_udaf("c_acctbal").alias("n_customers"),
+    )
+
+
 # User-journey transition matrix: per-user event sequences (ordered by
 # ts, event_id tie-break) reduced to (from, to) transition counts with
 # integer-ppm row shares — the Markov view a product-analytics /
