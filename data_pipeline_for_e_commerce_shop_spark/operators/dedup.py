@@ -142,22 +142,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(load_table(spark, sf_dir, "documents"))
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates: band the signature (4 bands x 2
-    rows), self-join each band bucket, emit distinct (doc_a < doc_b).
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidates from band rows.
 
-    Pairs with Jaccard ~s collide in a band with prob s^2; 4 bands give
-    1-(1-s^2)^4 — the classic banding curve.  The join is an equi-join
-    on (band_no, band_hash): shuffle-partitioned by bucket, no O(n^2).
+    Pair generation via per-bucket collect_set + in-bucket expansion:
+    ONE pass over the signatures and ONE shuffle (vs a self-join that
+    recomputes the whole signature lineage for each side).  A bucket
+    must fit in executor memory — fine by construction (a band hash
+    collides only for near-dups); a degenerate corpus (e.g. millions
+    of identical docs) should be exact-deduped FIRST, which is also
+    the correct pipeline order at 100 TB.
     """
-    bands = _band_rows(minhash_signatures(spark, sf_dir))
-    # Pair generation via per-bucket collect_set + in-bucket expansion:
-    # ONE pass over the signatures and ONE shuffle (vs a self-join that
-    # recomputes the whole signature lineage for each side).  A bucket
-    # must fit in executor memory — fine by construction (a band hash
-    # collides only for near-dups); a degenerate corpus (e.g. millions
-    # of identical docs) should be exact-deduped FIRST, which is also
-    # the correct pipeline order at 100 TB.
     buckets = (
         bands.groupBy("band_no", "band_hash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
@@ -173,6 +168,17 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature (4 bands x 2
+    rows), self-join each band bucket, emit distinct (doc_a < doc_b).
+
+    Pairs with Jaccard ~s collide in a band with prob s^2; 4 bands give
+    1-(1-s^2)^4 — the classic banding curve.  The join is an equi-join
+    on (band_no, band_hash): shuffle-partitioned by bucket, no O(n^2).
+    """
+    return _pairs_from_bands(_band_rows(minhash_signatures(spark, sf_dir)))
 
 
 def duplicate_clusters(
@@ -400,15 +406,34 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates only (banding has already pruned the corpus), so
     the signature and shingle-set joins ship candidate-sized sides; the
     corpus is never self-joined.  The k equality tests are projections.
+
+    Single-pass side table: ONE shingle explode + ONE groupBy computes
+    the sorted shingle set AND all k minhash aggregates together
+    (Spark has no subtree CSE, so expressing sets and signatures as
+    separate lineages would re-scan and re-explode the corpus 3× —
+    observed 10 scans/14 explodes before this fusion); the table is
+    localCheckpoint'ed because candidates, side A, and side B all read
+    it.  At 100 TB this is the persisted signature/fingerprint store
+    the incremental-dedup path already assumes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(spark, sf_dir)
-    side = minhash_signatures(spark, sf_dir).join(
-        _shingles(docs)
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("shingle")).alias("sh_set")),
-        "doc_id",
+    sh = _shingles(docs).withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     )
+    side = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_set("shingle")).alias("sh_set"),
+            *[
+                F.min(
+                    (F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+                ).alias(f"mh{i}")
+                for i in range(N_MINHASH)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand = _pairs_from_bands(_band_rows(side))
     a = side.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_set").alias("set_a"),
