@@ -307,3 +307,87 @@ def rate_anomaly(
             F.when(ok, F.abs(z) >= z_cut), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streaks (gaps-and-islands).
+
+    The classic island trick, fully distributed: distinct active days
+    per user, then ``day_index - row_number`` is constant within a run
+    of consecutive days, so a groupBy on that constant yields streak
+    lengths.  Two shuffles, both keyed on user_id (the distinct and the
+    window reuse one hash partitioning under AQE); output is
+    |users|-sized.
+
+    At 100 TB: the distinct is the cardinality reducer (events ->
+    user-days), after which windows/aggregates run on at most
+    |users| * |days| rows.  No driver state, no collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = (
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w)
+    )
+    streaks = (
+        days.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+def gap_fill_hourly(
+    spark: SparkSession, sf_dir: str, min_value: float = 4.0
+) -> DataFrame:
+    """Hourly time-series resample with forward-fill imputation.
+
+    High-value events (value >= min_value) are sparse, so their hourly
+    counts have holes.  A dense hour spine is generated from the FULL
+    table's min/max hour (one-row aggregate, sequence + explode — no
+    driver round-trip), cross-joined with the distinct event types
+    (vocabulary-sized broadcast), left-joined with the observed counts,
+    and gaps are imputed with the last observed count via
+    ``last(ignorenulls)`` over an unbounded-preceding frame.
+
+    At 100 TB the spine is |hours| x |types| rows — tiny relative to
+    the fact table; the only fact-sized shuffle is the hourly groupBy.
+    Leading hours before a type's first observation stay un-fillable
+    and surface as n_filled = 0 with is_gap = true.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    he = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    observed = (
+        ev.where(F.col("value") >= min_value)
+        .groupBy(F.col("event_type"), he.alias("hour_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_observed"))
+    )
+    bounds = ev.agg(
+        F.min(he).alias("lo"), F.max(he).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hour_epoch")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(observed, ["event_type", "hour_epoch"], "left")
+    return filled.select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce(
+            F.last("n_observed", ignorenulls=True).over(w), F.lit(0)
+        ).alias("n_filled"),
+        F.col("n_observed").isNull().alias("is_gap"),
+    )

@@ -3066,3 +3066,127 @@ register(
     WHERE l_orderkey % 100 = 0
     """,
 )(layout.morton_codes)
+
+
+# ------------------------------------------------- round-2 continuation
+
+from data_pipeline_for_e_commerce_shop_spark.operators import (  # noqa: E402
+    linkage,
+    stats,
+)
+
+# Gaps-and-islands: per-user consecutive-day streaks.  The oracle
+# replays the identical day_index - row_number island key.
+register(
+    "user_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    idx AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', d)
+             - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    st AS (SELECT user_id, grp, COUNT(*) AS len FROM idx GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM st GROUP BY user_id
+    """,
+)(events.activity_streaks)
+
+
+# Time-series resample + forward-fill: dense hour spine x event types,
+# gaps imputed with last(ignorenulls).  DuckDB replays the spine with
+# generate_series and LAST_VALUE(... IGNORE NULLS).
+register(
+    "events_gap_fill",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) // 3600 AS lo,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) // 3600 AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi)) AS hour_epoch FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT * FROM spine CROSS JOIN types),
+    obs AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_epoch,
+             COUNT(*) AS n_observed
+      FROM events WHERE value >= 4.0 GROUP BY 1, 2
+    )
+    SELECT event_type, hour_epoch,
+           CAST(COALESCE(
+             LAST_VALUE(n_observed IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0) AS BIGINT) AS n_filled,
+           n_observed IS NULL AS is_gap
+    FROM grid LEFT JOIN obs USING (event_type, hour_epoch)
+    """,
+)(events.gap_fill_hourly)
+
+
+# Blocked fuzzy entity resolution: vocabulary-first levenshtein pairs
+# (identical classic edit distance in both engines).
+register(
+    "part_fuzzy_names",
+    """
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts,
+             split_part(p_name, ' ', 1) AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)(linkage.fuzzy_name_pairs)
+
+
+# Grouped OLS price trend: exact int64 sufficient statistics, one
+# double combination in a fixed expression order on both engines.
+register(
+    "category_price_trend",
+    """
+    WITH s AS (
+      SELECT p_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM (
+        SELECT p_type,
+               datediff('day', DATE '1992-01-01',
+                        CAST(l_shipdate AS DATE)) AS x,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+      )
+      GROUP BY p_type
+    )
+    SELECT p_type AS category, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s
+    """,
+)(stats.price_trend_ols)

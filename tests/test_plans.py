@@ -46,7 +46,11 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # broadcast crossJoin (scalar-subquery shape)
                   "ann_pq_topk",
                   # 1-row totals crossJoin (scalar-subquery shape)
-                  "events_key_skew"}
+                  "events_key_skew",
+                  # hour-spine x type-vocabulary grid: both sides are
+                  # aggregate-reduced (|hours|, |types| rows) — the
+                  # cross product is the OUTPUT size, not a pair scan
+                  "events_gap_fill"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
