@@ -1,0 +1,136 @@
+"""Bloom-filter semi-join pruning — the runtime-filter pattern.
+
+At 100 TB the cheapest join is the one that never shuffles: when the
+probe side is huge and the build side's KEY SET is small, a Bloom
+filter of the build keys can be broadcast and applied AT THE SCAN of
+the probe side, discarding non-matching rows before any exchange.
+Spark's own runtime row-group filters do this opaquely; this operator
+builds the filter explicitly as a (word_idx -> word) TABLE so the
+whole pipeline stays engine-portable and oracle-checkable.
+
+Design: m = 65536 bits stored as 2048 x 32-bit words in BIGINTs (bit
+31 max — no sign games in either engine), k = 4 probes by double
+hashing pos_i = (h1 + i*(2*h2+1)) mod m with h1/h2 drawn from md5 —
+bit-identical in Spark and DuckDB.  The filter build is one
+vocabulary-sized groupBy(bit_or); the probe is a broadcast equi-join
+on word_idx.  False positives are expected and COUNTED (the exact
+semi-join verifies), which makes the operator self-auditing.
+
+Reference parity: the reference prunes child rows against parent keys
+with a driver-side collected set (scripts/validation.py:100-107); this
+is the distributed, bounded-memory form of the same membership test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+M_BITS = 65536  # filter width (power of two)
+N_PROBES = 4  # k hash functions via double hashing
+WORD_BITS = 32  # bits per stored word (BIGINT-safe, sign-free)
+
+
+def _h(prefix: str, key: Column) -> Column:
+    """First 32 md5 bits of 'prefix-key' as a non-negative long."""
+    s = F.concat(F.lit(prefix + "-"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _probe_positions(key: Column) -> Column:
+    """Array of the k bit positions for a key (double hashing; the
+    odd step 2*h2+1 walks the power-of-two table without cycling)."""
+    h1 = _h("b1", key)
+    step = _h("b2", key) * 2 + 1
+    i = F.sequence(F.lit(0), F.lit(N_PROBES - 1))
+    return F.transform(i, lambda j: (h1 + j * step) % M_BITS)
+
+
+def build_filter(keys: DataFrame, key_col: str) -> DataFrame:
+    """Bloom filter of a key column as a (word_idx, word) table.
+
+    One explode (k rows per key) + one groupBy(bit_or) — output is at
+    most m/32 rows regardless of input size, so the result is always
+    broadcastable."""
+    pos = F.explode(_probe_positions(F.col(key_col))).alias("pos")
+    return (
+        keys.select(pos)
+        .select(
+            F.expr(f"pos div {WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune orders to high-balance customers via a Bloom filter, then
+    audit the filter: per order status, how many orders pass the bloom
+    probe, how many are true members, and how many were false
+    positives.
+
+    Probe plan: orders explode to k probe rows, broadcast-join the
+    (<= 2048 row) filter table on word_idx, then a groupBy(o_orderkey)
+    AND-reduces the k hit bits.  At scale the explode is map-side and
+    the only fact shuffle is the per-order reduce; the exact semi-join
+    that verifies membership here is precisely the work the bloom
+    pass avoids upstream (it runs on the PRUNED set only).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hv = cust.where(F.col("c_acctbal") > 7500).select(
+        F.col("c_custkey").alias("k")
+    )
+    words = build_filter(hv, "k")
+
+    probes = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.posexplode(_probe_positions(F.col("o_custkey"))).alias(
+            "i", "pos"
+        ),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.expr(f"pos div {WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    hits = probes.join(F.broadcast(words), "word_idx", "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        (
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("mask")) != 0)
+        )
+        .cast("int")
+        .alias("hit"),
+    )
+    per_order = hits.groupBy(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    ).agg((F.sum("hit") == N_PROBES).alias("bloom_pass"))
+
+    member = per_order.join(
+        F.broadcast(hv), per_order.o_custkey == hv.k, "left"
+    ).select(
+        "o_orderstatus",
+        "bloom_pass",
+        F.col("k").isNotNull().alias("is_member"),
+    )
+    return member.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("is_member").cast("long")).alias("n_member"),
+        F.sum(
+            (F.col("bloom_pass") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_positive"),
+    )

@@ -238,3 +238,84 @@ def category_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).alias("revenue"),
         (F.col("cents") / total).alias("share"),
     )
+
+
+def incremental_kpi_refresh(
+    spark: SparkSession, sf_dir: str, split: str = "1996-01-01"
+) -> DataFrame:
+    """Materialized-view maintenance for a decomposable KPI aggregate.
+
+    The base partition (orders before `split`) and the delta partition
+    (orders at/after it) are each reduced to PARTIAL aggregates
+    (count, integer-cent sum — both algebraic), then combined by a
+    second vocabulary-sized groupBy; avg is finalized from the merged
+    partials.  This is the refresh algebra that lets a 100 TB KPI
+    table absorb a day's delta without rescanning history: the base
+    partials are what the serving table already stores.
+
+    Oracle = the full recompute over all orders — the maintenance
+    identity sum(partials) == full aggregate is exactly what the
+    driver verifies.  Reference parity: the KPI upsert loop
+    (scripts/transformation.py:63-77) recomputes from scratch; this is
+    its incremental replacement.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit(split).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < cut))
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        (F.col("cents") / 100.0).alias("total_revenue"),
+        (F.col("cents") / (F.col("n") * 100.0)).alias("avg_order_value"),
+    )
+
+
+def price_histogram(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-width retail-price histogram per category, integer-exact.
+
+    Bucket edges come from the GLOBAL min/max (a one-row aggregate
+    that rides the plan as a broadcast crossJoin — no driver
+    round-trip), and bucketing is pure integer arithmetic on cents:
+    bucket = (cents - lo) * n div (hi - lo + 1), so both engines place
+    every value identically (no double-precision edge jitter).
+
+    Scales as scan -> map-side bucket id -> |categories x buckets|
+    aggregate; the same shape serves numeric-feature binning for
+    training-data pipelines.
+    """
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100).cast("long")
+    pre = part.select("p_type", cents.alias("cents"))
+    bounds = pre.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    bucketed = pre.crossJoin(F.broadcast(bounds)).select(
+        "p_type",
+        "cents",
+        "lo",
+        "hi",
+        F.expr(
+            f"(cents - lo) * {n_buckets} div (hi - lo + 1)"
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("p_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.min("cents") / 100.0).alias("bucket_min_price"),
+        (F.max("cents") / 100.0).alias("bucket_max_price"),
+    )

@@ -3190,3 +3190,107 @@ register(
     FROM s
     """,
 )(stats.price_trend_ols)
+
+
+# Bloom-filter semi-join pruning: md5 double-hashed k=4 probes into a
+# 2048-word filter table; the oracle replays the identical bit
+# arithmetic, including the false-positive audit.
+from data_pipeline_for_e_commerce_shop_spark.operators import bloom  # noqa: E402
+
+_BLOOM_H = (
+    "CAST(('0x' || substr(md5('{p}-' || CAST({k} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+register(
+    "bloom_prune_orders",
+    f"""
+    WITH hv AS (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7500
+    ),
+    bpos AS (
+      SELECT ({_BLOOM_H.format(p='b1', k='k')}
+              + i.i * (2 * {_BLOOM_H.format(p='b2', k='k')} + 1))
+             % 65536 AS pos
+      FROM hv CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+               AS word
+      FROM bpos GROUP BY 1
+    ),
+    opos AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey,
+             ({_BLOOM_H.format(p='b1', k='o_custkey')}
+              + i.i * (2 * {_BLOOM_H.format(p='b2', k='o_custkey')} + 1))
+             % 65536 AS pos
+      FROM orders CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    hits AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey,
+             CASE WHEN word IS NOT NULL
+                   AND (word & (CAST(1 AS BIGINT)
+                                << CAST(pos % 32 AS INTEGER))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM opos LEFT JOIN words ON opos.pos // 32 = words.word_idx
+    ),
+    per_order AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey,
+             SUM(hit) = 4 AS bloom_pass
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    member AS (
+      SELECT o_orderstatus, bloom_pass, k IS NOT NULL AS is_member
+      FROM per_order LEFT JOIN hv ON per_order.o_custkey = hv.k
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive
+    FROM member GROUP BY o_orderstatus
+    """,
+)(bloom.bloom_prune_orders)
+
+
+# Incremental MV maintenance: base + delta partial aggregates merged;
+# the oracle is the full recompute (the maintenance identity).
+register(
+    "kpi_incremental_refresh",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_revenue,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) / (COUNT(*) * 100.0) AS avg_order_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)(kpis.incremental_kpi_refresh)
+
+
+# Equi-width histogram on integer cents; global bounds ride the plan
+# as a 1-row broadcast crossJoin (scalar-subquery shape).
+register(
+    "part_price_histogram",
+    """
+    WITH pre AS (
+      SELECT p_type,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM pre)
+    SELECT p_type,
+           (cents - lo) * 10 // (hi - lo + 1) AS bucket,
+           COUNT(*) AS n_parts,
+           MIN(cents) / 100.0 AS bucket_min_price,
+           MAX(cents) / 100.0 AS bucket_max_price
+    FROM pre CROSS JOIN b
+    GROUP BY 1, 2
+    """,
+)(kpis.price_histogram)

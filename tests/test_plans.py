@@ -50,7 +50,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # hour-spine x type-vocabulary grid: both sides are
                   # aggregate-reduced (|hours|, |types| rows) — the
                   # cross product is the OUTPUT size, not a pair scan
-                  "events_gap_fill"}
+                  "events_gap_fill",
+                  # 1-row global-bounds crossJoin (scalar-subquery
+                  # shape)
+                  "part_price_histogram"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
