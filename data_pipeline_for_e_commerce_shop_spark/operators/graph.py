@@ -142,3 +142,49 @@ def part_pagerank(
             )
         )
     return pr
+
+
+def triangle_count(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Per-node triangle participation over the co-purchase graph.
+
+    Classic ordered-edge triangle enumeration: with every edge stored
+    once as (a < b), the wedge join e1.b = e2.a only builds paths
+    a < b < c, and the closing equi-join on (a, c) confirms each
+    triangle EXACTLY once — no post-hoc dedup, no direction blowup.
+
+    Scale shape: both joins are equi-joins on vertex keys, so the
+    whole pipeline hash-partitions; the wedge count is bounded by
+    sum(deg^2) of the SUPPORT-PRUNED graph (the min_support gate is
+    what keeps hub degrees sane — same rationale as pagerank's edge
+    gate at graph.py:45-50).  The edge list is materialised once
+    (localCheckpoint) because three plan mentions would otherwise
+    re-expand the basket aggregation three times (the pagerank plan
+    lesson, BASELINE.md round-2 notes).
+    """
+    e = (
+        copurchase_edges(spark, sf_dir, min_support)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("wa"),
+            F.col("e1.b").alias("wb"),
+            F.col("e2.b").alias("wc"),
+        )
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+    ).select("wa", "wb", "wc")
+    nodes = tri.select(
+        F.explode(F.array("wa", "wb", "wc")).alias("part_id")
+    )
+    return nodes.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -462,3 +462,24 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("trigram_dup_ratio"),
     )
+
+
+def stopword_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning stage: drop stopword tokens, fingerprint the
+    cleaned text.
+
+    Pure scan-speed projection — split, a higher-order filter over the
+    token array (no explode, no shuffle), re-join, md5 fingerprint.
+    The fingerprint makes the transform oracle-checkable byte-for-byte
+    and feeds the exact-dedup stage downstream (cleaning BEFORE
+    fingerprinting is what lets near-identical boilerplate collapse).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("clean_fp"),
+    )

@@ -3294,3 +3294,95 @@ register(
     GROUP BY 1, 2
     """,
 )(kpis.price_histogram)
+
+
+# Triangle participation per node over the support-pruned co-purchase
+# graph (ordered-edge enumeration — each triangle confirmed once).
+register(
+    "part_triangles",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+      SELECT a AS part_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT part_id, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY part_id
+    """,
+)(graph.triangle_count)
+
+
+# Count-min sketch heavy hitters with exact-count audit; the oracle
+# replays the md5 row hashes, the 4x1024 counter build, and the
+# min-over-rows estimate.
+from data_pipeline_for_e_commerce_shop_spark.operators import sketch  # noqa: E402
+
+register(
+    "cms_heavy_hitters",
+    """
+    WITH rows_ AS (
+      SELECT l_partkey, i.i AS r,
+             CAST(('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR)
+                   || '-' || CAST(l_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1024 AS p
+      FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    counters AS (
+      SELECT r, p, COUNT(*) AS cnt FROM rows_ GROUP BY r, p
+    ),
+    exact AS (
+      SELECT l_partkey, COUNT(*) AS exact_n FROM lineitem GROUP BY 1
+    ),
+    topk AS (
+      SELECT l_partkey, exact_n,
+             row_number() OVER (ORDER BY exact_n DESC, l_partkey) AS rk
+      FROM exact QUALIFY rk <= 20
+    ),
+    probes AS (
+      SELECT l_partkey, exact_n, rk, i.i AS r,
+             CAST(('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR)
+                   || '-' || CAST(l_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1024 AS p
+      FROM topk CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT l_partkey AS part_id, rk, exact_n,
+           MIN(cnt) AS cms_n,
+           MIN(cnt) - exact_n AS overestimate
+    FROM probes JOIN counters USING (r, p)
+    GROUP BY 1, 2, 3
+    """,
+)(sketch.cms_heavy_hitters)
+
+
+# Stopword cleaning with byte-exact fingerprint oracle.
+register(
+    "text_stopword_clean",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             list_filter(string_split(text, ' '),
+                         x -> x NOT IN ('the', 'a', 'and', 'of', 'to'))
+               AS kept
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS clean_fp
+    FROM t
+    """,
+)(text.stopword_clean)
