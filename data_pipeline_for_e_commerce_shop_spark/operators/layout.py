@@ -111,3 +111,48 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Persist a table hash-bucketed (and sorted) by a join key.
+
+    Bucketing is the storage-level answer to the repeated-join-shuffle
+    problem: two tables bucketed by the same key into the same bucket
+    count join with ZERO exchanges — each task reads matching bucket
+    files from both sides.  At 100 TB this turns every
+    orders⋈lineitem-style fact-fact join from a full network shuffle
+    into a local merge, amortising ONE write-time shuffle across every
+    subsequent join (the same trade Z-ordering makes for range
+    predicates at layout.py:71).
+
+    Uses the catalog (`saveAsTable`) because bucket metadata lives
+    there; the parquet files land at `path`.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left: str, right: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on their bucket keys.
+
+    With matching bucket specs Catalyst plans a SortMergeJoin whose
+    BOTH children are bare file scans — no Exchange on either side
+    (asserted in tests/test_layout.py).
+    """
+    lt = spark.table(left)
+    rt = spark.table(right)
+    return lt.join(rt, lt[left_key] == rt[right_key])

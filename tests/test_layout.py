@@ -83,3 +83,46 @@ def test_zordered_write_narrows_file_spans(spark, tmp_path):
         assert fracs[col] < 0.55, (col, fracs)
     # compact rectangles: the average covered AREA fraction is small
     assert fracs["l_orderkey"] * fracs["l_partkey"] < 0.2, fracs
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables co-bucketed on the join key must join with ZERO
+    shuffle exchanges — the storage-level join contract."""
+    import re
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+        physical_plan,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 4, str(tmp_path / "o"))
+    write_bucketed(li, "t_lineitem_b", "l_orderkey", 4, str(tmp_path / "l"))
+    # force the join strategy decision away from broadcast so the
+    # bucket metadata is what saves the shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(
+            spark, "t_orders_b", "t_lineitem_b", "o_orderkey", "l_orderkey"
+        )
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert n_exchange == 0, plan
+        # and it computes the right thing
+        expected = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
