@@ -33,17 +33,16 @@ N_PROBES = 4  # k hash functions via double hashing
 WORD_BITS = 32  # bits per stored word (BIGINT-safe, sign-free)
 
 
-def _h(prefix: str, key: Column) -> Column:
-    """First 32 md5 bits of 'prefix-key' as a non-negative long."""
-    s = F.concat(F.lit(prefix + "-"), key.cast("string"))
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-
-
 def _probe_positions(key: Column) -> Column:
     """Array of the k bit positions for a key (double hashing; the
-    odd step 2*h2+1 walks the power-of-two table without cycling)."""
-    h1 = _h("b1", key)
-    step = _h("b2", key) * 2 + 1
+    odd step 2*h2+1 walks the power-of-two table without cycling).
+
+    Both hash seeds come from ONE md5 call (first/second 32 bits) —
+    md5 is the probe's dominant cost and whole-stage codegen CSEs the
+    shared call (same trick as simhash's two-conv split)."""
+    hx = F.md5(F.concat(F.lit("bl-"), key.cast("string")))
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    step = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") * 2 + 1
     i = F.sequence(F.lit(0), F.lit(N_PROBES - 1))
     return F.transform(i, lambda j: (h1 + j * step) % M_BITS)
 
@@ -74,53 +73,65 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe, how many are true members, and how many were false
     positives.
 
-    Probe plan: orders explode to k probe rows, broadcast-join the
-    (<= 2048 row) filter table on word_idx, then a groupBy(o_orderkey)
-    AND-reduces the k hit bits.  At scale the explode is map-side and
-    the only fact shuffle is the per-order reduce; the exact semi-join
-    that verifies membership here is precisely the work the bloom
-    pass avoids upstream (it runs on the PRUNED set only).
+    Probe plan: k broadcast hash joins of the (<= 2048 row) filter
+    table — the filter rides every task as a broadcast map, the probe
+    side never explodes or shuffles, and membership is decided in the
+    scan stage.  The exact semi-join that verifies membership here is
+    precisely the work the bloom pass avoids upstream (it runs on the
+    PRUNED set only).
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     hv = cust.where(F.col("c_acctbal") > 7500).select(
         F.col("c_custkey").alias("k")
     )
-    words = build_filter(hv, "k")
-
-    probes = orders.select(
-        "o_orderkey",
+    # The word table is bounded at m/32 = 2048 rows no matter how many
+    # build keys, so it rides every probe task as a broadcast hash
+    # map: k tiny broadcast joins, no probe-side explode, no per-key
+    # re-aggregation, and the only fact-sized work is a projection.
+    # (Embedding the words as a 2048-element array literal was tried
+    # and rejected: lit(list) expands to a per-row CreateArray of 2048
+    # expressions — codegen blowup, slower than the joins.)
+    # materialised once — k broadcast mentions would re-run the build
+    words = build_filter(hv, "k").localCheckpoint(eager=False)
+    probe = orders.select(
         "o_orderstatus",
         "o_custkey",
-        F.posexplode(_probe_positions(F.col("o_custkey"))).alias(
-            "i", "pos"
-        ),
-    ).select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_custkey",
-        F.expr(f"pos div {WORD_BITS}").alias("word_idx"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))"
-        ).alias("mask"),
+        _probe_positions(F.col("o_custkey")).alias("ps"),
     )
-    hits = probes.join(F.broadcast(words), "word_idx", "left").select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_custkey",
-        (
-            F.col("word").isNotNull()
-            & (F.col("word").bitwiseAND(F.col("mask")) != 0)
+    checks = []
+    for i in range(N_PROBES):
+        wi = words.select(
+            F.col("word_idx").alias(f"wi{i}"),
+            F.col("word").alias(f"w{i}"),
         )
-        .cast("int")
-        .alias("hit"),
-    )
-    per_order = hits.groupBy(
-        "o_orderkey", "o_orderstatus", "o_custkey"
-    ).agg((F.sum("hit") == N_PROBES).alias("bloom_pass"))
+        probe = probe.withColumn(
+            f"p{i}", F.element_at("ps", i + 1)
+        ).join(
+            F.broadcast(wi),
+            F.expr(f"p{i} div {WORD_BITS}") == F.col(f"wi{i}"),
+            "left",
+        )
+        checks.append(
+            F.col(f"w{i}").isNotNull()
+            & (
+                F.col(f"w{i}").bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(p{i} % {WORD_BITS} AS INT))"
+                    )
+                )
+                != 0
+            )
+        )
+    bloom_pass = checks[0]
+    for c in checks[1:]:
+        bloom_pass = bloom_pass & c
 
-    member = per_order.join(
-        F.broadcast(hv), per_order.o_custkey == hv.k, "left"
+    member = probe.withColumn("bloom_pass", bloom_pass).join(
+        F.broadcast(hv),
+        F.col("o_custkey") == F.col("k"),
+        "left",
     ).select(
         "o_orderstatus",
         "bloom_pass",

@@ -826,3 +826,85 @@ def chunk_level_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def prefix_filter_pairs(
+    spark: SparkSession, sf_dir: str, tau_pct: int = 60
+) -> DataFrame:
+    """EXACT shingle-set similarity join via prefix filtering (the
+    PPJoin family) — the no-false-negative complement to MinHash-LSH.
+
+    Two sets with Jaccard >= tau MUST share at least one token among
+    the first ``s - ceil(tau*s) + 1`` of either, once both are sorted
+    by a GLOBAL order.  Sorting rarest-first (doc frequency asc, then
+    shingle) makes those prefix tokens the most selective ones, so the
+    candidate equi-join on prefix tokens touches only small buckets —
+    never the hot head of the vocabulary, never all pairs.  Candidates
+    are then verified with the exact integer Jaccard test
+    ``100*|I| >= tau_pct*|U|``.
+
+    Scale: the shingle table is materialised once (three plan
+    mentions); per-doc ordered lists are one groupBy; the verify join
+    carries token arrays only for the candidate pairs.  Guarantee over
+    LSH: recall is 1.0 by construction — this is the operator to run
+    when a dedup SLA forbids missed near-duplicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint(eager=False)
+
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    lists = (
+        sh.join(dfq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, shingle))),"
+                " x -> x.shingle)"
+            ).alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    plen = F.expr(f"s - ((({tau_pct} * s) + 99) div 100) + 1")
+    prefix = lists.select(
+        "doc_id", F.explode(F.slice("toks", 1, plen)).alias("ptok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "ptok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    va = lists.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("s").alias("s_a"),
+    )
+    vb = lists.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("s").alias("s_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            (F.col("s_a") + F.col("s_b") - inter).alias("n_union"),
+        )
+        .where(F.col("n_inter") * 100 >= tau_pct * F.col("n_union"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        F.expr("n_inter * 100 div n_union").alias("jac_pct"),
+    )

@@ -319,3 +319,79 @@ def price_histogram(
         (F.min("cents") / 100.0).alias("bucket_min_price"),
         (F.max("cents") / 100.0).alias("bucket_max_price"),
     )
+
+
+def cogroup_date_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-vs-lineitem daily revenue reconciliation via COGROUP —
+    the fourth Arrow shape (beside mapInPandas, applyInPandas, and the
+    GROUPED_AGG UDAF): two tables co-partitioned by key, each key's
+    row groups handed to pandas TOGETHER.
+
+    The arithmetic is integer cents summed in int64 numpy (exact), the
+    final /100.0 the only float op — so the pandas path hashes
+    identically to the SQL full-outer-join oracle.
+
+    Scale shape: one shuffle per side on the cogroup key (same as the
+    equivalent join-agg), Arrow-batched transfer; per-key state is two
+    small date-partitions, never the whole table.  Use the built-in
+    join-agg when the logic FITS SQL — cogroup is the escape hatch for
+    per-key reconciliation logic that doesn't (the custom-diff hook
+    here stands in for checksum/merkle comparisons).
+    """
+    import pandas as pd
+
+    # Pre-aggregate per day JVM-side (map-side combinable) so the
+    # Arrow transfer ships |dates| partial rows, not the fact tables;
+    # cogroup by MONTH so each Python invocation reconciles a month of
+    # days vectorised in pandas (two orders of magnitude fewer calls
+    # than per-day grouping — per-key Python dispatch is the cost).
+    def daily(df: DataFrame, date_col: str, price_col: str) -> DataFrame:
+        d = F.to_date(date_col)
+        return df.groupBy(
+            F.trunc(d, "month").alias("m"), d.alias("d")
+        ).agg(
+            F.sum(
+                F.floor(F.col(price_col) * 100).cast("long")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    orders = daily(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+    items = daily(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", "l_extendedprice"
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        lo = left[["d", "cents", "n"]].rename(
+            columns={"cents": "oc", "n": "n_orders"}
+        )
+        ri = right[["d", "cents", "n"]].rename(
+            columns={"cents": "ic", "n": "n_items"}
+        )
+        m = lo.merge(ri, on="d", how="outer")
+        for c in ("oc", "ic", "n_orders", "n_items"):
+            m[c] = m[c].fillna(0).astype("int64")
+        return pd.DataFrame(
+            {
+                "d": m["d"],
+                "orders_total": m["oc"] / 100.0,
+                "items_total": m["ic"] / 100.0,
+                "gap": (m["oc"] - m["ic"]) / 100.0,
+                "n_orders": m["n_orders"],
+                "n_items": m["n_items"],
+            }
+        )
+
+    return (
+        orders.groupBy("m")
+        .cogroup(items.groupBy("m"))
+        .applyInPandas(
+            reconcile,
+            "d date, orders_total double, items_total double, "
+            "gap double, n_orders long, n_items long",
+        )
+    )

@@ -3198,7 +3198,7 @@ register(
 from data_pipeline_for_e_commerce_shop_spark.operators import bloom  # noqa: E402
 
 _BLOOM_H = (
-    "CAST(('0x' || substr(md5('{p}-' || CAST({k} AS VARCHAR)), 1, 8)) "
+    "CAST(('0x' || substr(md5('bl-' || CAST({k} AS VARCHAR)), {off}, 8)) "
     "AS BIGINT)"
 )
 
@@ -3209,8 +3209,8 @@ register(
       SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7500
     ),
     bpos AS (
-      SELECT ({_BLOOM_H.format(p='b1', k='k')}
-              + i.i * (2 * {_BLOOM_H.format(p='b2', k='k')} + 1))
+      SELECT ({_BLOOM_H.format(k='k', off=1)}
+              + i.i * (2 * {_BLOOM_H.format(k='k', off=9)} + 1))
              % 65536 AS pos
       FROM hv CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
     ),
@@ -3222,8 +3222,8 @@ register(
     ),
     opos AS (
       SELECT o_orderkey, o_orderstatus, o_custkey,
-             ({_BLOOM_H.format(p='b1', k='o_custkey')}
-              + i.i * (2 * {_BLOOM_H.format(p='b2', k='o_custkey')} + 1))
+             ({_BLOOM_H.format(k='o_custkey', off=1)}
+              + i.i * (2 * {_BLOOM_H.format(k='o_custkey', off=9)} + 1))
              % 65536 AS pos
       FROM orders CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
     ),
@@ -3386,3 +3386,83 @@ register(
     FROM t
     """,
 )(text.stopword_clean)
+
+
+# Cogroup reconciliation (4th Arrow shape): oracle is the SQL
+# full-outer join of the two date aggregates.
+register(
+    "cogroup_reconciliation",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    i AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.d, i.d) AS d,
+           COALESCE(o.cents, 0) / 100.0 AS orders_total,
+           COALESCE(i.cents, 0) / 100.0 AS items_total,
+           (COALESCE(o.cents, 0) - COALESCE(i.cents, 0)) / 100.0 AS gap,
+           COALESCE(o.n, 0) AS n_orders,
+           COALESCE(i.n, 0) AS n_items
+    FROM o FULL OUTER JOIN i ON o.d = i.d
+    """,
+)(kpis.cogroup_date_reconciliation)
+
+
+# Exact prefix-filter similarity join (recall-1.0 dedup): the oracle
+# replays the rarest-first global ordering, the prefix emission, and
+# the integer Jaccard verify.
+register(
+    "dedup_prefix_filter",
+    """
+    WITH sh0 AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+          list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+        ELSE [] END)) AS shingle
+      FROM documents
+    ),
+    dfq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1),
+    sized AS (
+      SELECT doc_id,
+             list(shingle ORDER BY df, shingle) AS toks,
+             COUNT(*) AS s
+      FROM sh0 JOIN dfq USING (shingle)
+      GROUP BY doc_id
+    ),
+    pre AS (
+      SELECT doc_id,
+             unnest(toks[1 : CAST(s - (((60 * s) + 99) // 100) + 1
+                               AS BIGINT)]) AS ptok
+      FROM sized
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pre a JOIN pre b
+        ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT)
+               AS n_inter,
+             CAST(sa.s + sb.s - len(list_intersect(sa.toks, sb.toks))
+                  AS BIGINT) AS n_union
+      FROM cand
+      JOIN sized sa ON doc_a = sa.doc_id
+      JOIN sized sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           n_inter * 100 // n_union AS jac_pct
+    FROM v WHERE n_inter * 100 >= 60 * n_union
+    """,
+)(dedup.prefix_filter_pairs)
