@@ -829,7 +829,7 @@ def chunk_level_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_filter_pairs(
-    spark: SparkSession, sf_dir: str, tau_pct: int = 60
+    spark: SparkSession, sf_dir: str, tau_pct: int = 80
 ) -> DataFrame:
     """EXACT shingle-set similarity join via prefix filtering (the
     PPJoin family) — the no-false-negative complement to MinHash-LSH.
@@ -850,16 +850,32 @@ def prefix_filter_pairs(
     when a dedup SLA forbids missed near-duplicates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).localCheckpoint(eager=False)
+    # Work on 32-bit md5 shingle hashes, not strings: long arrays
+    # sort/intersect far cheaper and the candidate join keys on a
+    # fixed-width column.  Hash THEN re-dedup (a collision inside one
+    # doc must collapse identically in both engines — Spark
+    # array_intersect and DuckDB list_intersect disagree on duplicate
+    # handling, sets sidestep it).
+    sh = (
+        _shingles(docs)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
-    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     lists = (
-        sh.join(dfq, "shingle")
+        sh.join(dfq, "h")
         .groupBy("doc_id")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(df, shingle))),"
-                " x -> x.shingle)"
+                "transform(array_sort(collect_list(struct(df, h))),"
+                " x -> x.h)"
             ).alias("toks")
         )
         .select("doc_id", "toks", F.size("toks").alias("s"))
@@ -867,12 +883,20 @@ def prefix_filter_pairs(
     )
     plen = F.expr(f"s - ((({tau_pct} * s) + 99) div 100) + 1")
     prefix = lists.select(
-        "doc_id", F.explode(F.slice("toks", 1, plen)).alias("ptok")
+        "doc_id", "s", F.explode(F.slice("toks", 1, plen)).alias("ptok")
     )
+    # Length filter (the second PPJoin prune): J <= min(s)/max(s), so
+    # pairs with size ratio below tau can never verify — drop them
+    # BEFORE the array-carrying join; at sf0.1 this kills most of the
+    # ~300k prefix-collision pairs for free.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "ptok")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.s") * 100 >= tau_pct * F.col("a.s"))
+            & (F.col("a.s") * 100 >= tau_pct * F.col("b.s"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

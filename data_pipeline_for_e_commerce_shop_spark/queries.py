@@ -3432,17 +3432,22 @@ register(
         ELSE [] END)) AS shingle
       FROM documents
     ),
-    dfq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1),
+    hx AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh0
+    ),
+    dfq AS (SELECT h, COUNT(*) AS df FROM hx GROUP BY 1),
     sized AS (
       SELECT doc_id,
-             list(shingle ORDER BY df, shingle) AS toks,
+             list(h ORDER BY df, h) AS toks,
              COUNT(*) AS s
-      FROM sh0 JOIN dfq USING (shingle)
+      FROM hx JOIN dfq USING (h)
       GROUP BY doc_id
     ),
     pre AS (
-      SELECT doc_id,
-             unnest(toks[1 : CAST(s - (((60 * s) + 99) // 100) + 1
+      SELECT doc_id, s,
+             unnest(toks[1 : CAST(s - (((80 * s) + 99) // 100) + 1
                                AS BIGINT)]) AS ptok
       FROM sized
     ),
@@ -3450,6 +3455,7 @@ register(
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pre a JOIN pre b
         ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+       AND b.s * 100 >= 80 * a.s AND a.s * 100 >= 80 * b.s
     ),
     v AS (
       SELECT doc_a, doc_b,
@@ -3463,6 +3469,6 @@ register(
     )
     SELECT doc_a, doc_b, n_inter, n_union,
            n_inter * 100 // n_union AS jac_pct
-    FROM v WHERE n_inter * 100 >= 60 * n_union
+    FROM v WHERE n_inter * 100 >= 80 * n_union
     """,
 )(dedup.prefix_filter_pairs)
