@@ -3472,3 +3472,71 @@ register(
     FROM v WHERE n_inter * 100 >= 80 * n_union
     """,
 )(dedup.prefix_filter_pairs)
+
+
+# Deterministic sampled quantiles: the md5-hash Bernoulli draw makes
+# sampling-based approximation REPRODUCIBLE (and thus oracle-checked,
+# unlike sketch-internal approx_percentile): same sample, same
+# percentile_disc, any engine, any partitioning.
+@register(
+    "segment_price_quantiles_sampled",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_totalprice
+      FROM orders
+      WHERE CAST(('0x' || substr(md5('q-' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 100 < 10
+    )
+    SELECT c_mktsegment,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           COUNT(*) AS n_sampled
+    FROM s JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def segment_price_quantiles_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment quantiles on a 10% deterministic hash sample.
+
+    The scale path when exact per-group sort-based quantiles are too
+    hot and sketch internals (approx_percentile) are not replayable:
+    an md5-keyed Bernoulli draw is pushed to the scan (sample BEFORE
+    the join/shuffle — the whole win), and the downstream exact
+    percentile runs on 10% of the rows.  Error bounds are the standard
+    sampling ones; reproducibility is exact, which keeps the operator
+    inside the correctness gate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("q-"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sample = orders.where(draw < 10).select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = sample.join(
+        F.broadcast(customer),
+        sample.o_custkey == customer.c_custkey,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p75"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
