@@ -1,0 +1,46 @@
+"""Results must not depend on parallelism.
+
+The repo's determinism discipline (integer cents, md5-derived hashes,
+percentile_disc, fixed expression order) exists so that ANY partition
+count — 8 shuffle partitions here, thousands on a real cluster —
+produces bit-identical results.  This is the property that makes the
+sf0.01 oracle gate transfer to 100 TB: re-run a cross-section of
+value-sensitive queries under a different spark.sql.shuffle.partitions
+and require identical normalized rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+from tests.oracle_utils import normalize
+
+# Value-sensitive cross-section: money aggs, floating ratios, iterative
+# trajectories, Arrow paths, sketches, window chains.
+PROBE = [
+    "category_kpis",
+    "order_kpis",
+    "dedup_minhash_lsh",
+    "embedding_kmeans",
+    "part_pagerank",
+    "cogroup_reconciliation",
+    "cms_heavy_hitters",
+    "category_price_trend",
+    "events_rate_anomaly",
+    "segment_acctbal_median",
+]
+
+
+@pytest.mark.parametrize("name", PROBE)
+def test_partition_invariance(spark, sf_dir, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    df1 = QUERIES[name](spark, sf_dir)
+    _, rows1 = normalize(df1.columns, [tuple(r) for r in df1.collect()])
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        df2 = QUERIES[name](spark, sf_dir)
+        _, rows2 = normalize(df2.columns, [tuple(r) for r in df2.collect()])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rows1 == rows2, f"{name} depends on partition count"
