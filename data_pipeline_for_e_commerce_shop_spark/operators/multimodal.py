@@ -191,3 +191,38 @@ def sample_frames(media: DataFrame) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: synthesize media -> sampled per-frame rows."""
     return sample_frames(media_table(spark, sf_dir))
+
+
+def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char/byte stats via mapInArrow — the FIFTH Arrow
+    shape (raw RecordBatch in, RecordBatch out; no pandas conversion).
+
+    mapInArrow is the zero-copy end of the Python spectrum: batches
+    stay columnar Arrow end-to-end and all work is vectorized
+    pyarrow.compute kernels (C++), so the Python layer only routes
+    batches.  The right shape for byte-level media/codec work where
+    pandas object-dtype round-trips would dominate (the decode stage
+    at decode_media_real would sit exactly here).
+
+    Zero shuffle, scan-speed; oracle = plain length()/strlen().
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id long, n_chars long, n_bytes long"
+    )

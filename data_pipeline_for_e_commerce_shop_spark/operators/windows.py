@@ -168,3 +168,33 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).alias("revenue"),
         (F.sum("cents").over(w) / 100.0).alias("revenue_30d"),
     )
+
+
+def segment_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function compendium over the customer dimension: the
+    three lowest-balance customers per segment annotated with their
+    cumulative-distribution position, the segment's second-lowest
+    balance (nth_value over the full frame), and the segment range.
+
+    Ordering is (c_acctbal, c_custkey) — the key tiebreak makes every
+    rank/cume_dist deterministic.  One shuffle on segment; the full
+    partition frame for nth_value/max is |segment| rows, dim-sized.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal"), F.col("c_custkey")]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    annotated = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_acctbal", 2).over(wfull).alias("second_lowest"),
+        (F.max("c_acctbal").over(wfull) - F.min("c_acctbal").over(wfull)).alias(
+            "bal_range"
+        ),
+    )
+    return annotated.where(F.col("rk") <= 3)

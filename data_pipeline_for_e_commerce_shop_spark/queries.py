@@ -3540,3 +3540,87 @@ def segment_price_quantiles_sampled(
         ).alias("p75"),
         F.count(F.lit(1)).alias("n_sampled"),
     )
+
+
+# mapInArrow byte stats (5th Arrow shape): plain length/strlen oracle.
+from data_pipeline_for_e_commerce_shop_spark.operators import (  # noqa: E402
+    multimodal,
+)
+
+register(
+    "arrow_byte_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)(multimodal.arrow_byte_stats)
+
+
+# Window compendium: row_number / cume_dist / nth_value / full-frame
+# range, key-tiebroken ordering on both engines.
+register(
+    "segment_balance_profile",
+    """
+    WITH a AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER w AS rk,
+             cume_dist() OVER w AS cd,
+             nth_value(c_acctbal, 2) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS second_lowest,
+             MAX(c_acctbal) OVER (PARTITION BY c_mktsegment)
+             - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment)
+               AS bal_range
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT * FROM a WHERE rk <= 3
+    """,
+)(windows.segment_balance_profile)
+
+
+# Pivot -> unpivot round trip: wide status-per-month counts melted
+# back to long; the oracle is the dense month x status grid.
+@register(
+    "status_unpivot_roundtrip",
+    """
+    WITH months AS (
+      SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+      FROM orders
+    ),
+    statuses AS (SELECT unnest(['O', 'F', 'P']) AS status),
+    counts AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             o_orderstatus AS status, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(months.m AS DATE) AS m, statuses.status,
+           COALESCE(n, 0) AS n
+    FROM months CROSS JOIN statuses
+    LEFT JOIN counts ON months.m = counts.m
+                    AND statuses.status = counts.status
+    """,
+)
+def status_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide (statuses as columns), then unpivot back to long —
+    the melt/stack pair a reporting layer round-trips through.  Nulls
+    from missing combinations are densified to 0 BEFORE the unpivot so
+    the long form is the complete month x status grid.
+
+    Pivot with an EXPLICIT value list compiles to one aggregate (no
+    distinct-values pre-query); unpivot is a zero-shuffle Expand.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+        )
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+    return wide.unpivot("m", ["O", "F", "P"], "status", "n")
