@@ -483,3 +483,44 @@ def stopword_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, " ")).alias("clean_fp"),
     )
+
+
+def chunk_udtf_class():
+    """Python UDTF (Spark 4 table function): 16-token document chunks.
+
+    The remaining Python-extension surface beside the six Arrow/pandas
+    shapes: a LATERAL-joinable table function.  Row-at-a-time Python —
+    the API-coverage demo and escape hatch for generators that don't
+    vectorise; the set-oriented equivalent (explode over a transform,
+    text.overlap_chunks) is the hot-path form.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, n_tokens int, chunk_fp string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            import hashlib
+
+            toks = text.split(" ") if text else []
+            for i in range(0, len(toks), 16):
+                piece = toks[i : i + 16]
+                yield (
+                    i // 16,
+                    len(piece),
+                    hashlib.md5(" ".join(piece).encode()).hexdigest(),
+                )
+
+    return ChunkDoc
+
+
+def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents LATERAL-joined with the chunking UDTF: one output row
+    per 16-token chunk with its md5 fingerprint (byte-exact oracle)."""
+    spark.udtf.register("chunk_doc", chunk_udtf_class())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, c.chunk_no, c.n_tokens, c.chunk_fp"
+        " FROM udtf_docs, LATERAL chunk_doc(text) c"
+    )

@@ -3624,3 +3624,20 @@ def status_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["O", "F", "P"])
     )
     return wide.unpivot("m", ["O", "F", "P"], "status", "n")
+
+
+# Python UDTF chunker (LATERAL table function): byte-exact md5 chunk
+# fingerprints; oracle replays the 16-token slicing.
+register(
+    "udtf_doc_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(s / 16 AS INTEGER) AS chunk_no,
+           CAST(len(toks[s + 1 : s + 16]) AS INTEGER) AS n_tokens,
+           md5(array_to_string(toks[s + 1 : s + 16], ' ')) AS chunk_fp
+    FROM t CROSS JOIN UNNEST(range(0, len(toks), 16)) AS u(s)
+    WHERE len(toks) > 0
+    """,
+)(text.udtf_doc_chunks)

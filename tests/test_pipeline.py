@@ -195,3 +195,34 @@ def test_expectation_summary_counts_and_single_scan(spark, sf_dir):
     plan = buf.getvalue().split("== Initial Plan ==")[0]
     n_tables = len({t for t, _, _ in EXPECTATIONS})
     assert plan.count("Scan parquet") == n_tables
+
+
+def test_observed_metrics_single_pass(spark, sf_dir):
+    """df.observe metrics must equal a separate aggregate — and arrive
+    from the SAME action (no extra scan)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.quality.gates import (
+        load_with_observed_metrics,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    observed, obs = load_with_observed_metrics(spark, sf_dir, "orders")
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    truth = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").isNull().cast("long")).alias(
+                "n_null_price"
+            ),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("sum_cents"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == truth["n_rows"]
+    assert got["n_null_price"] == truth["n_null_price"]
+    assert got["sum_cents"] == truth["sum_cents"]
