@@ -99,3 +99,81 @@ def cms_heavy_hitters(
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
     )
+
+
+HLL_P = 10  # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_REM_BITS = 32 - HLL_P  # 22-bit remainder per hash
+HLL_RHO_MAX = HLL_REM_BITS + 1  # rho when the remainder is all zeros
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user counts per event type —
+    a sketch the ORACLE CAN CHECK, unlike approx_count_distinct whose
+    register internals are engine-private.
+
+    Construction stays integer-exact end to end: h = first 32 md5
+    bits; bucket = top p bits; rho = leading-zero count of the 22-bit
+    remainder + 1 (via length(bin(rem)) — identical in both engines);
+    registers = max(rho) per bucket; and the harmonic sum is kept
+    SCALED, sum(2^(23-M)) as int64 (every term integral because
+    M <= 23), so the only float op is the one final division of the
+    closed-form estimate.  Missing buckets contribute 2^23 each.
+
+    The exact distinct count rides along from the same deduped
+    (type, user) set, so the error is visible per row.  The raw
+    estimator is reported WITHOUT the small-range linear-counting
+    correction: that correction needs ln(), whose last-ulp behaviour
+    is libm-specific — the one op that would break cross-engine
+    bit-equality.  sum_scaled (from which zero-register counts are
+    recoverable) is exposed so a consumer can apply it.  Scale story:
+    registers are mergeable partials (groupBy max) — the same
+    1024-cell state per group at any data size, the entire point of
+    HLL at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = d.select("event_type", h.alias("h")).select(
+        "event_type",
+        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
+        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        HLL_RHO_MAX - F.length(F.bin("rem"))
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("m_reg")
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")
+        ).alias("present_scaled"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    # every literal explicitly DOUBLE: bare decimal literals parse as
+    # DECIMAL in BOTH Spark and DuckDB, with engine-specific rounding
+    alpha_num = (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
+        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
+        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+    )
+    return per_type.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.col("present_scaled")
+            + (HLL_M - F.col("n_buckets"))
+            * (1 << HLL_RHO_MAX)
+        ).alias("sum_scaled"),
+        F.expr(
+            f"{alpha_num} / CAST(present_scaled"
+            f" + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX} AS DOUBLE)"
+        ).alias("hll_estimate"),
+    )

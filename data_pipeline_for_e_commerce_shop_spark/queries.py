@@ -3641,3 +3641,48 @@ register(
     WHERE len(toks) > 0
     """,
 )(text.udtf_doc_chunks)
+
+
+# Deterministic HLL: the oracle replays buckets, rho via bin-length,
+# integer-scaled harmonic sum, and the single closed-form division.
+register(
+    "hll_distinct_users",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    hx AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM d
+    ),
+    b AS (
+      SELECT event_type, h // 4194304 AS bucket, h % 4194304 AS rem
+      FROM hx
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN rem = 0 THEN 23
+                      ELSE 23 - length(bin(rem)) END) AS m_reg
+      FROM b GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(23 - m_reg AS INTEGER))
+                  AS BIGINT) AS present_scaled,
+             COUNT(*) AS n_buckets
+      FROM regs GROUP BY 1
+    ),
+    ex AS (
+      SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY 1
+    )
+    SELECT event_type, n_exact,
+           present_scaled + (1024 - n_buckets) * 8388608 AS sum_scaled,
+           CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+             + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE))
+           * CAST(1024 AS DOUBLE) * CAST(1024 AS DOUBLE)
+           * CAST(8388608 AS DOUBLE)
+           / CAST(present_scaled + (1024 - n_buckets) * 8388608
+                  AS DOUBLE) AS hll_estimate
+    FROM pt JOIN ex USING (event_type)
+    """,
+)(sketch.hll_distinct_users)
