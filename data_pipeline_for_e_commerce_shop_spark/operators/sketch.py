@@ -144,17 +144,19 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
         HLL_RHO_MAX - F.length(F.bin("rem"))
     )
+    # the audit count rides the SAME lineage: hashed rows are the
+    # distinct (type, user) pairs, so per-bucket counts sum to the
+    # exact distinct — no second branch, no join, three exchanges
     regs = hashed.groupBy("event_type", "bucket").agg(
-        F.max(rho).alias("m_reg")
+        F.max(rho).alias("m_reg"),
+        F.count(F.lit(1)).alias("n_in_bucket"),
     )
     per_type = regs.groupBy("event_type").agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")
         ).alias("present_scaled"),
         F.count(F.lit(1)).alias("n_buckets"),
-    )
-    exact = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_exact")
+        F.sum("n_in_bucket").alias("n_exact"),
     )
     # every literal explicitly DOUBLE: bare decimal literals parse as
     # DECIMAL in BOTH Spark and DuckDB, with engine-specific rounding
@@ -164,7 +166,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
         f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
     )
-    return per_type.join(F.broadcast(exact), "event_type").select(
+    return per_type.select(
         "event_type",
         "n_exact",
         (

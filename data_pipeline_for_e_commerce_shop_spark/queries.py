@@ -3662,18 +3662,17 @@ register(
     regs AS (
       SELECT event_type, bucket,
              MAX(CASE WHEN rem = 0 THEN 23
-                      ELSE 23 - length(bin(rem)) END) AS m_reg
+                      ELSE 23 - length(bin(rem)) END) AS m_reg,
+             COUNT(*) AS n_in_bucket
       FROM b GROUP BY 1, 2
     ),
     pt AS (
       SELECT event_type,
              CAST(SUM(CAST(1 AS BIGINT) << CAST(23 - m_reg AS INTEGER))
                   AS BIGINT) AS present_scaled,
-             COUNT(*) AS n_buckets
+             COUNT(*) AS n_buckets,
+             CAST(SUM(n_in_bucket) AS BIGINT) AS n_exact
       FROM regs GROUP BY 1
-    ),
-    ex AS (
-      SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY 1
     )
     SELECT event_type, n_exact,
            present_scaled + (1024 - n_buckets) * 8388608 AS sum_scaled,
@@ -3683,6 +3682,6 @@ register(
            * CAST(8388608 AS DOUBLE)
            / CAST(present_scaled + (1024 - n_buckets) * 8388608
                   AS DOUBLE) AS hll_estimate
-    FROM pt JOIN ex USING (event_type)
+    FROM pt
     """,
 )(sketch.hll_distinct_users)

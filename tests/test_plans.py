@@ -190,3 +190,43 @@ def test_split_leakage_no_corpus_shuffle_on_text(spark):
         s for s in scan_read_schemas(df) if "text" not in s
     ]
     assert split_scans, "expected a text-free documents scan for the split map"
+
+
+# Shuffle budgets for the round-2 continuation operators: the exact
+# exchange count a reviewer would sign off for each plan shape.  A
+# regression that adds a shuffle fails here before it costs anything
+# at scale.  (AQE reuse/coalesce does not change the static count.)
+EXCHANGE_BUDGETS = {
+    # distinct on (user, day) + window on user: 2
+    "user_activity_streaks": 2,
+    # hourly agg + bounds agg + types distinct + ffill window: <= 5
+    "events_gap_fill": 5,
+    # name-vocabulary groupBy; block join is broadcast: <= 2
+    "part_fuzzy_names": 2,
+    # single scan-aggregate over the broadcast-joined fact: <= 2
+    "category_price_trend": 2,
+    # base partial + delta partial + merge groupBy: <= 3
+    "kpi_incremental_refresh": 3,
+    # pure projection: 0
+    "text_stopword_clean": 0,
+    "arrow_byte_stats": 0,
+    # pivot agg + zero-shuffle unpivot Expand: <= 2
+    "status_unpivot_roundtrip": 2,
+    # dim-sized window: 1
+    "segment_balance_profile": 1,
+    # (type,user) distinct + register agg + per-type agg + exact: <= 4
+    "hll_distinct_users": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, name):
+    from data_pipeline_for_e_commerce_shop_spark.plans.inspect import (
+        exchange_count,
+    )
+
+    df = Q.QUERIES[name](spark, SF)
+    n = exchange_count(df)
+    assert n <= EXCHANGE_BUDGETS[name], (
+        f"{name}: {n} exchanges (budget {EXCHANGE_BUDGETS[name]})"
+    )
