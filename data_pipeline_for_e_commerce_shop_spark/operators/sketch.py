@@ -179,3 +179,66 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX} AS DOUBLE)"
         ).alias("hll_estimate"),
     )
+
+
+def _hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, m_reg) registers of the distinct-user HLL
+    over an event slice — the mergeable partial state."""
+    d = ev.select("event_type", "user_id").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = d.select("event_type", h.alias("h")).select(
+        "event_type",
+        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
+        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        HLL_RHO_MAX - F.length(F.bin("rem"))
+    )
+    return hashed.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("m_reg")
+    )
+
+
+def hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability law that makes sketches distributed-safe,
+    verified bit-exactly: registers built on two disjoint event slices
+    (first half-month vs rest) and merged with groupBy-max equal the
+    registers built on the whole stream.  max is the merge operator,
+    and max is associative/commutative/idempotent — so ANY partitioning
+    of a 100 TB stream (executors, days, retries) folds to the same
+    state.  Output compares the merged and direct harmonic sums per
+    event type; `identical` must be true for every row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.dayofmonth("ts") <= 15
+    left = _hll_registers(ev.where(cut))
+    right = _hll_registers(ev.where(~cut))
+    merged = (
+        left.unionByName(right)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+
+    def summarise(regs: DataFrame, out: str) -> DataFrame:
+        return regs.groupBy("event_type").agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)"
+                )
+            ).alias(out)
+        )
+
+    direct = summarise(_hll_registers(ev), "sum_scaled_direct")
+    both = summarise(merged, "sum_scaled_merged").join(
+        F.broadcast(direct), "event_type"
+    )
+    return both.select(
+        "event_type",
+        "sum_scaled_merged",
+        "sum_scaled_direct",
+        (
+            F.col("sum_scaled_merged") == F.col("sum_scaled_direct")
+        ).alias("identical"),
+    )

@@ -3685,3 +3685,67 @@ register(
     FROM pt
     """,
 )(sketch.hll_distinct_users)
+
+
+# Sketch mergeability law, bit-exact: registers over two disjoint
+# slices merged by max == registers over the whole stream.
+register(
+    "hll_merge_identity",
+    """
+    WITH src AS (
+      SELECT event_type, user_id,
+             EXTRACT(day FROM ts) <= 15 AS first_half
+      FROM events
+    ),
+    regs_l AS (
+      SELECT event_type, h // 4194304 AS bucket,
+             MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(h % 4194304)) END) AS m_reg
+      FROM (SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) AS h
+            FROM src WHERE first_half)
+      GROUP BY 1, 2
+    ),
+    regs_r AS (
+      SELECT event_type, h // 4194304 AS bucket,
+             MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(h % 4194304)) END) AS m_reg
+      FROM (SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) AS h
+            FROM src WHERE NOT first_half)
+      GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT event_type, bucket, MAX(m_reg) AS m_reg
+      FROM (SELECT * FROM regs_l UNION ALL SELECT * FROM regs_r)
+      GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT event_type, h // 4194304 AS bucket,
+             MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(h % 4194304)) END) AS m_reg
+      FROM (SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) AS h
+            FROM src)
+      GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(23 - m_reg AS INTEGER))
+                  AS BIGINT) AS sum_scaled_merged
+      FROM merged GROUP BY 1
+    ),
+    sd AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(23 - m_reg AS INTEGER))
+                  AS BIGINT) AS sum_scaled_direct
+      FROM direct GROUP BY 1
+    )
+    SELECT event_type, sum_scaled_merged, sum_scaled_direct,
+           sum_scaled_merged = sum_scaled_direct AS identical
+    FROM sm JOIN sd USING (event_type)
+    """,
+)(sketch.hll_merge_identity)
