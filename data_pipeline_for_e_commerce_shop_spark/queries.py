@@ -3749,3 +3749,138 @@ register(
     FROM sm JOIN sd USING (event_type)
     """,
 )(sketch.hll_merge_identity)
+
+
+# Recursive CTE front door (Spark 4 WITH RECURSIVE): exponential
+# moving average — the canonical computation SQL cannot express
+# without recursion.  Integer-scaled (alpha = 0.3 as 3/10 with //) so
+# every step is exact in both engines; depth = |days|, each step a
+# vocabulary-sized join.
+@register(
+    "events_ema_recursive",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, d, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+               AS i
+      FROM daily
+    ),
+    ema(event_type, i, d, n, ema_scaled) AS (
+      SELECT event_type, i, d, n, CAST(n * 1000 AS BIGINT)
+      FROM idx WHERE i = 0
+      UNION ALL
+      SELECT x.event_type, x.i, x.d, x.n,
+             CAST((3 * x.n * 1000 + 7 * e.ema_scaled) // 10 AS BIGINT)
+      FROM ema e
+      JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
+    )
+    SELECT event_type, d AS day_epoch, CAST(n AS BIGINT) AS n_events,
+           ema_scaled, ema_scaled / 1000.0 AS ema
+    FROM ema
+    """,
+)
+def events_ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA of daily event counts per type via WITH RECURSIVE — Spark
+    4's recursive CTE executed distributed (each recursion level is a
+    plan iteration, not a driver loop).  ema_i = (3*n_i*1000 +
+    7*ema_{i-1}) div 10 keeps the whole trajectory in exact integers;
+    the one division to double happens at output.
+
+    Note Spark recursion is UNION ALL-only (no fixpoint dedup), so
+    this shape fits MONOTONE recursions — sequences, hierarchies,
+    DAGs; cyclic closure stays with the dataframe-loop operator
+    (dedup.connected_components).  Each level is a scheduled job, so
+    depth costs ~100ms/level regardless of data size — for per-key
+    sequence folds where the sequence fits a row, an
+    aggregate()-HOF over a collected array is the cheap twin; the
+    recursive form wins when levels must stay distributed."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # materialise the |types|x|days| table BEFORE the recursion: each
+    # recursion level re-executes its source subtree, so an unchecked
+    # fact aggregate would rescan events once per day of depth (the
+    # pagerank plan lesson applied to WITH RECURSIVE)
+    idx = daily.withColumn(
+        "i",
+        F.row_number().over(
+            _W.partitionBy("event_type").orderBy("d")
+        )
+        - 1,
+    ).localCheckpoint(eager=False)
+    idx.createOrReplaceTempView("ema_idx")
+    return spark.sql(
+        """
+        WITH RECURSIVE ema(event_type, i, d, n, ema_scaled) AS (
+          SELECT event_type, i, d, n, CAST(n * 1000 AS BIGINT)
+          FROM ema_idx WHERE i = 0
+          UNION ALL
+          SELECT x.event_type, x.i, x.d, x.n,
+                 CAST((3 * x.n * 1000 + 7 * e.ema_scaled) div 10
+                      AS BIGINT)
+          FROM ema e
+          JOIN ema_idx x ON x.event_type = e.event_type
+                        AND x.i = e.i + 1
+        )
+        SELECT event_type, d AS day_epoch, CAST(n AS BIGINT) AS n_events,
+               ema_scaled, ema_scaled / 1000.0 AS ema
+        FROM ema
+        """
+    )
+
+
+# Correlated EXISTS + scalar subquery front door; the average is an
+# exact integer-cents floor division on both engines.
+@register(
+    "sql_exists_subqueries",
+    """
+    SELECT c_custkey, c_name,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+      AND CAST(floor(c_acctbal * 100) AS BIGINT) >
+          (SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT))
+                       AS BIGINT) // COUNT(*)
+           FROM customer)
+    """,
+)
+def sql_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (compiles to a left-semi join) plus a scalar
+    subquery (1-row broadcast) — the declarative front door for the
+    membership gates the reference does with collect+isin.  The
+    global average is an integer floor-division of exact cents, so
+    the predicate is engine-exact."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "sq_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sq_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM sq_customer c
+        WHERE EXISTS (
+                SELECT 1 FROM sq_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+          AND CAST(floor(c_acctbal * 100) AS BIGINT) >
+              (SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT))
+                           AS BIGINT) div COUNT(*)
+               FROM sq_customer)
+        """
+    )
