@@ -3884,3 +3884,67 @@ def sql_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM sq_customer)
         """
     )
+
+
+# Column profiler: per-column row/null/distinct counts in ONE scan
+# (count_distinct x6 compiles to a single Expand + two-phase agg);
+# the long form is a zero-shuffle stack of the 1-row wide aggregate.
+@register(
+    "lineitem_column_profile",
+    """
+    SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_orderkey) AS n_null,
+           COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+           COUNT(DISTINCT l_partkey) FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(*), COUNT(*) - COUNT(l_suppkey),
+           COUNT(DISTINCT l_suppkey) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity) FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag) FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate) FROM lineitem
+    """,
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (the ANALYZE-statistics shape): row count, null
+    count, and EXACT distinct count for six lineitem columns, computed
+    in one scan — the multi-count-distinct compiles to a single
+    Expand + two-phase aggregate, and the wide 1-row result melts to
+    long with a stack() projection (no second scan, no shuffle).
+
+    The cardinality ratios drive engine decisions a 100 TB deployment
+    cares about: dictionary-encodability, bucketing-key choice,
+    broadcast-side detection.  (min/max are omitted: double-to-string
+    formatting is engine-specific, and the profiler contract is
+    engine-exact output.)"""
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+    ]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+            " as (column_name, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
