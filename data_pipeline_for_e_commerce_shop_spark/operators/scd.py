@@ -77,3 +77,48 @@ def priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_orders"),
         "version",
     )
+
+
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT join — the consuming half of SCD2: each shipped line item
+    looks up the priority regime IN FORCE for its customer on its ship
+    date (not the current one, not the order-date one).
+
+    Join shape: equi on the dimension key with the interval predicate
+    as residual (same scale contract as the event interval join —
+    hash-partitionable, never a cross product).  Intervals are
+    disjoint per key by construction (valid_to = next valid_from,
+    half-open), so the join is at most 1:1; items shipped before the
+    customer's first interval keep a NULL regime via the left join.
+    """
+    hist = priority_history(spark, sf_dir).select(
+        "custkey",
+        F.col("priority").alias("regime_priority"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("ship_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "ship_date"
+    )
+    joined = facts.join(
+        hist,
+        (facts.o_custkey == hist.custkey)
+        & (facts.ship_date >= hist.valid_from)
+        & (hist.valid_to.isNull() | (facts.ship_date < hist.valid_to)),
+        "left",
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_custkey").alias("custkey"),
+        "ship_date",
+        "regime_priority",
+        "version",
+    )

@@ -3948,3 +3948,55 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+# PIT join: facts look up the SCD2 interval in force on their date;
+# the oracle replays the interval build + the range-residual join.
+register(
+    "scd2_point_in_time_join",
+    """
+    WITH log AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate,
+             o_orderkey, o_orderpriority
+      FROM orders
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                    OR lag(o_orderpriority) OVER w != o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM log
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)
+    ),
+    islands AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY odate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, island, o_orderpriority,
+             min(odate) AS valid_from
+      FROM islands GROUP BY 1, 2, 3
+    ),
+    intervals AS (
+      SELECT custkey, o_orderpriority AS regime_priority, valid_from,
+             lead(valid_from) OVER (PARTITION BY custkey
+                                    ORDER BY island) AS valid_to,
+             CAST(island AS BIGINT) AS version
+      FROM hist
+    ),
+    facts AS (
+      SELECT l_orderkey, l_linenumber, o_custkey AS custkey,
+             CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_date,
+           i.regime_priority, i.version
+    FROM facts f
+    LEFT JOIN intervals i
+      ON f.custkey = i.custkey
+     AND f.ship_date >= i.valid_from
+     AND (i.valid_to IS NULL OR f.ship_date < i.valid_to)
+    """,
+)(scd.point_in_time_join)
