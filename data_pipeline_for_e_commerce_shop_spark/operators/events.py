@@ -391,3 +391,36 @@ def gap_fill_hourly(
         ).alias("n_filled"),
         F.col("n_observed").isNull().alias("is_gap"),
     )
+
+
+def out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time out-of-orderness per event type — the measurement
+    that SIZES A WATERMARK (streaming/windowed.py picks '2 hours';
+    this query is where such a number should come from).
+
+    Arrival order is the event_id sequence; for each event the
+    lateness is running-max(event time) - event time within its
+    user's arrival stream (a per-user frontier keeps the window
+    partitioned — a global frontier would serialise onto one task).
+    Per type: event count, late count, worst and total lateness in
+    whole seconds — all integers.  (The driver's generator emits
+    events already time-ordered, so the report is correctly all-zero
+    on testdata — the oracle still validates the frontier mechanics.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts = F.unix_timestamp("ts")
+    late_by = F.max(ts).over(w) - ts
+    scored = ev.select(
+        "event_type", late_by.alias("late_s")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+        F.max("late_s").alias("max_late_s"),
+        F.sum("late_s").alias("total_late_s"),
+    )

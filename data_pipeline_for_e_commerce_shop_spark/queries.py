@@ -4000,3 +4000,27 @@ register(
      AND (i.valid_to IS NULL OR f.ship_date < i.valid_to)
     """,
 )(scd.point_in_time_join)
+
+
+# Watermark-sizing diagnostic: per-user event-time frontier vs
+# arrival order (event_id), aggregated per type in whole seconds.
+register(
+    "events_out_of_order",
+    """
+    WITH scored AS (
+      SELECT event_type,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - CAST(floor(epoch(ts)) AS BIGINT) AS late_s
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+           CAST(SUM(late_s) AS BIGINT) AS total_late_s
+    FROM scored GROUP BY event_type
+    """,
+)(events.out_of_order_report)
