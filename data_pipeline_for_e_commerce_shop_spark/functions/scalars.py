@@ -55,6 +55,23 @@ def portable_hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash32(col: Column | str, prefix: str | None = None) -> Column:
+    """32-bit md5-derived hash reproducible across engines — the
+    single source for every parity-critical bucket/probe hash (bloom,
+    CMS, HLL, prefix-filter, sampled draws).
+
+    First 8 hex chars of md5(prefix || CAST(x AS STRING)) -> bigint
+    (positive, < 2^32).  DuckDB equivalent:
+    ``CAST(('0x' || substr(md5(prefix || CAST(x AS VARCHAR)), 1, 8))
+    AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    if prefix is not None:
+        s = F.concat(F.lit(prefix), s)
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
 def event_date(col: Column | str) -> Column:
     """Per-row event date — replaces the reference's single
     ``first().created_at[:10]`` batch date (scripts/validation.py:191),

@@ -856,14 +856,13 @@ def prefix_filter_pairs(
     # doc must collapse identically in both engines — Spark
     # array_intersect and DuckDB list_intersect disagree on duplicate
     # handling, sets sidestep it).
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
     sh = (
         _shingles(docs)
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
+        .select("doc_id", portable_hash32("shingle").alias("h"))
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -269,8 +269,15 @@ def incremental_kpi_refresh(
             F.sum(cents).alias("cents"),
         )
 
+    # null-COMPLETE split: a NULL o_orderdate satisfies neither
+    # comparison, so the delta side must claim it explicitly or the
+    # maintenance identity (base + delta == full) silently drops rows
     base = partial(orders.where(F.col("o_orderdate") < cut))
-    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    delta = partial(
+        orders.where(
+            F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= cut)
+        )
+    )
     merged = (
         base.unionByName(delta)
         .groupBy("o_orderstatus")

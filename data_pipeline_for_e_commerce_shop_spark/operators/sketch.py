@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+    portable_hash32,
+)
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
 
 CMS_DEPTH = 4  # independent hash rows
@@ -29,10 +32,7 @@ def _cms_pos(row: Column, key: Column) -> Column:
     s = F.concat(
         F.lit("cms"), row.cast("string"), F.lit("-"), key.cast("string")
     )
-    return (
-        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        % CMS_WIDTH
-    )
+    return portable_hash32(s) % CMS_WIDTH
 
 
 def cms_heavy_hitters(
@@ -132,25 +132,10 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL at 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select("event_type", "user_id").distinct()
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    hashed = d.select("event_type", h.alias("h")).select(
-        "event_type",
-        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
-        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
-    )
-    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        HLL_RHO_MAX - F.length(F.bin("rem"))
-    )
-    # the audit count rides the SAME lineage: hashed rows are the
-    # distinct (type, user) pairs, so per-bucket counts sum to the
+    # the audit count rides the SAME lineage: register rows come from
+    # the distinct (type, user) pairs, so per-bucket counts sum to the
     # exact distinct — no second branch, no join, three exchanges
-    regs = hashed.groupBy("event_type", "bucket").agg(
-        F.max(rho).alias("m_reg"),
-        F.count(F.lit(1)).alias("n_in_bucket"),
-    )
+    regs = _hll_registers(ev, with_counts=True)
     per_type = regs.groupBy("event_type").agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")
@@ -181,14 +166,17 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hll_registers(ev: DataFrame) -> DataFrame:
+def _hll_registers(ev: DataFrame, with_counts: bool = False) -> DataFrame:
     """(event_type, bucket, m_reg) registers of the distinct-user HLL
-    over an event slice — the mergeable partial state."""
+    over an event slice — the mergeable partial state; the SINGLE
+    definition of the hash/bucket/rho pipeline (estimator and
+    merge-identity both consume it, so the register law cannot
+    drift).  with_counts adds n_in_bucket (bucket counts sum to the
+    exact distinct because the input rows are the deduped pairs)."""
     d = ev.select("event_type", "user_id").distinct()
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    hashed = d.select("event_type", h.alias("h")).select(
+    hashed = d.select(
+        "event_type", portable_hash32("user_id").alias("h")
+    ).select(
         "event_type",
         F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
         F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
@@ -196,9 +184,10 @@ def _hll_registers(ev: DataFrame) -> DataFrame:
     rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
         HLL_RHO_MAX - F.length(F.bin("rem"))
     )
-    return hashed.groupBy("event_type", "bucket").agg(
-        F.max(rho).alias("m_reg")
-    )
+    aggs = [F.max(rho).alias("m_reg")]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("n_in_bucket"))
+    return hashed.groupBy("event_type", "bucket").agg(*aggs)
 
 
 def hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:

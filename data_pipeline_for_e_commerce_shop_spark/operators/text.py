@@ -501,7 +501,9 @@ def chunk_udtf_class():
         def eval(self, text: str):
             import hashlib
 
-            toks = text.split(" ") if text else []
+            # '' must chunk like the oracle's string_split('', ' ')
+            # = [''] — only None maps to no rows
+            toks = text.split(" ") if text is not None else []
             for i in range(0, len(toks), 16):
                 piece = toks[i : i + 16]
                 yield (

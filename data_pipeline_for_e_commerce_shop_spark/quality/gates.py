@@ -176,7 +176,7 @@ def expectation_summary(spark, sf_dir: str) -> DataFrame:
     return out
 
 
-def load_with_observed_metrics(spark, sf_dir: str, table: str = "orders"):
+def load_with_observed_metrics(spark, sf_dir: str):
     """Attach single-pass data-quality metrics to a load via
     ``df.observe`` — the counters ride the SAME job as whatever action
     consumes the DataFrame, so DQ dashboards cost zero extra scans
@@ -192,8 +192,8 @@ def load_with_observed_metrics(spark, sf_dir: str, table: str = "orders"):
 
     from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
 
-    df = load_table(spark, sf_dir, table)
-    obs = Observation(f"dq_{table}")
+    df = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq_orders")
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),

@@ -3510,18 +3510,11 @@ def segment_price_quantiles_sampled(
     inside the correctness gate.
     """
     orders = load_table(spark, sf_dir, "orders")
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("q-"), F.col("o_orderkey").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
     )
+
+    draw = portable_hash32(F.col("o_orderkey"), prefix="q-") % 100
     sample = orders.where(draw < 10).select("o_custkey", "o_totalprice")
     customer = load_table(spark, sf_dir, "customer")
     joined = sample.join(

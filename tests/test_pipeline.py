@@ -207,7 +207,7 @@ def test_observed_metrics_single_pass(spark, sf_dir):
     )
     from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
 
-    observed, obs = load_with_observed_metrics(spark, sf_dir, "orders")
+    observed, obs = load_with_observed_metrics(spark, sf_dir)
     observed.write.format("noop").mode("overwrite").save()
     got = obs.get
     truth = (
