@@ -231,3 +231,69 @@ def hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_scaled_merged") == F.col("sum_scaled_direct")
         ).alias("identical"),
     )
+
+
+def hll_overlap_estimate(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Sketch SET ALGEBRA: estimate the user overlap of two event
+    types by inclusion-exclusion over three deterministic HLLs —
+    |A∩B| ≈ E(A) + E(B) - E(A∪B).  Unions are free for HLL (register
+    max), intersections are not; this derived estimate is the standard
+    workaround, and its error grows as the overlap shrinks — which is
+    WHY the exact semi-join count rides along as the audit.
+
+    One register build serves all three sets (the slices are labeled
+    and unioned before hashing); everything is sketch-sized after the
+    distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == type_a).select(
+        F.lit("a").alias("event_type"), "user_id"
+    )
+    b = ev.where(F.col("event_type") == type_b).select(
+        F.lit("b").alias("event_type"), "user_id"
+    )
+    u = ev.where(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(F.lit("u").alias("event_type"), "user_id")
+    regs = _hll_registers(a.unionByName(b).unionByName(u))
+    sums = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")
+        ).alias("present_scaled"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    est = (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
+        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
+        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+        f" / CAST(present_scaled + ({HLL_M} - n_buckets)"
+        f" * {1 << HLL_RHO_MAX} AS DOUBLE)"
+    )
+    wide = (
+        sums.withColumn("e", F.expr(est))
+        .groupBy()
+        .pivot("event_type", ["a", "b", "u"])
+        .agg(F.max("e"))
+    )
+    a_users = ev.where(F.col("event_type") == type_a).select(
+        "user_id"
+    ).distinct()
+    b_users = ev.where(F.col("event_type") == type_b).select(
+        "user_id"
+    ).distinct()
+    exact = a_users.join(b_users, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    return wide.crossJoin(F.broadcast(exact)).select(
+        F.col("a").alias("est_a"),
+        F.col("b").alias("est_b"),
+        F.col("u").alias("est_union"),
+        (F.col("a") + F.col("b") - F.col("u")).alias("est_overlap"),
+        "exact_overlap",
+    )

@@ -4017,3 +4017,61 @@ register(
     FROM scored GROUP BY event_type
     """,
 )(events.out_of_order_report)
+
+
+# HLL inclusion-exclusion overlap: three labeled register builds +
+# the exact semi-join audit, replayed fully in SQL.
+def _hll_sum_sql(pred: str, name: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(23 - m_reg AS INTEGER))
+                  AS BIGINT)
+             + (1024 - COUNT(*)) * 8388608 AS sum_scaled
+      FROM (
+        SELECT h // 4194304 AS bucket,
+               MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                        ELSE 23 - length(bin(h % 4194304)) END) AS m_reg
+        FROM (
+          SELECT DISTINCT
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS h
+          FROM events WHERE {pred})
+        GROUP BY 1)
+    )"""
+
+
+_HLL_EST = (
+    "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE))"
+    " * CAST(1024 AS DOUBLE) * CAST(1024 AS DOUBLE)"
+    " * CAST(8388608 AS DOUBLE) / CAST({s} AS DOUBLE)"
+)
+
+register(
+    "hll_overlap",
+    "WITH "
+    + ",".join(
+        [
+            _hll_sum_sql("event_type = 'click'", "sa"),
+            _hll_sum_sql("event_type = 'purchase'", "sb"),
+            _hll_sum_sql("event_type IN ('click', 'purchase')", "su"),
+        ]
+    )
+    + f""",
+    ex AS (
+      SELECT COUNT(*) AS exact_overlap FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase')
+    )
+    SELECT {_HLL_EST.format(s='sa.sum_scaled')} AS est_a,
+           {_HLL_EST.format(s='sb.sum_scaled')} AS est_b,
+           {_HLL_EST.format(s='su.sum_scaled')} AS est_union,
+           {_HLL_EST.format(s='sa.sum_scaled')}
+           + {_HLL_EST.format(s='sb.sum_scaled')}
+           - {_HLL_EST.format(s='su.sum_scaled')} AS est_overlap,
+           exact_overlap
+    FROM sa, sb, su, ex
+    """,
+)(sketch.hll_overlap_estimate)

@@ -53,7 +53,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "events_gap_fill",
                   # 1-row global-bounds crossJoin (scalar-subquery
                   # shape)
-                  "part_price_histogram"}
+                  "part_price_histogram",
+                  # three 1-row sketch summaries + 1-row exact audit
+                  # cross-joined (scalar-subquery shape)
+                  "hll_overlap"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
