@@ -226,3 +226,46 @@ def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, "doc_id long, n_chars long, n_bytes long"
     )
+
+
+MAGIC_PNG = "89504E470D0A1A0A"
+MAGIC_JPEG = "FFD8FFE000104A46"
+MAGIC_RIFF = "524946460000000057415645"
+
+
+def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-sniff binary payloads by magic bytes — the zero-decode
+    triage step a multimodal ingest runs BEFORE routing to codecs
+    (declared extensions lie; headers don't).
+
+    Payloads are synthesized deterministically (doc_id % 4 selects a
+    PNG / JPEG / RIFF-WAVE signature or none, prepended to the utf-8
+    text bytes) because the testdata ships no real media; the
+    detection path — binary concat, hex, prefix CASE — is the real
+    production shape and is byte-replayed by the oracle.  Pure
+    projection + a 4-row aggregate; no Python, no shuffle beyond the
+    final rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    magic = F.expr(
+        f"CASE CAST(doc_id % 4 AS INT)"
+        f" WHEN 0 THEN unhex('{MAGIC_PNG}')"
+        f" WHEN 1 THEN unhex('{MAGIC_JPEG}')"
+        f" WHEN 2 THEN unhex('{MAGIC_RIFF}')"
+        f" ELSE unhex('') END"
+    )
+    payload = F.concat(magic, F.encode("text", "utf-8"))
+    hx = F.hex(payload)
+    sniffed = docs.select(
+        "doc_id",
+        F.when(F.substring(hx, 1, 8) == "89504E47", "png")
+        .when(F.substring(hx, 1, 6) == "FFD8FF", "jpeg")
+        .when(F.substring(hx, 1, 8) == "52494646", "riff")
+        .otherwise("unknown")
+        .alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+    return sniffed.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

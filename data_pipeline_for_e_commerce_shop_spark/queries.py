@@ -4075,3 +4075,33 @@ register(
     FROM sa, sb, su, ex
     """,
 )(sketch.hll_overlap_estimate)
+
+
+# Magic-bytes sniffing: identical binary synthesis + hex-prefix CASE
+# in DuckDB (blob concat with ||, hex, substr on the hex string).
+register(
+    "media_type_sniff",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN unhex('89504E470D0A1A0A')
+                WHEN 1 THEN unhex('FFD8FFE000104A46')
+                WHEN 2 THEN unhex('524946460000000057415645')
+                ELSE unhex('') END) || encode(text) AS payload
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT doc_id,
+             CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'png'
+                  WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+                  WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+                  ELSE 'unknown' END AS media_type,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes
+      FROM p
+    )
+    SELECT media_type, COUNT(*) AS n_files,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM sniffed GROUP BY media_type
+    """,
+)(multimodal.media_type_sniff)
