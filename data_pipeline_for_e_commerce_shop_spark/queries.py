@@ -4105,3 +4105,121 @@ register(
     FROM sniffed GROUP BY media_type
     """,
 )(multimodal.media_type_sniff)
+
+
+# Deterministic A/B experiment report: hash-assigned arms, conversion
+# from the event stream, pooled two-proportion z-score.  sqrt is
+# IEEE-754 correctly rounded in BOTH engines (unlike ln/pow), so even
+# the test statistic is oracle-exact.
+@register(
+    "ab_test_report",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS uplift,
+           CASE WHEN conv_a + conv_b = 0
+                  OR conv_a + conv_b = n_a + n_b THEN NULL
+           ELSE
+           (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           / sqrt(
+               (CAST(conv_a + conv_b AS DOUBLE)
+                / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)
+                  / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             ) END AS z_score
+    FROM w
+    """,
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: users hash-assigned to two arms (the
+    reproducible split every experimentation platform needs — re-runs
+    and backfills must agree), conversion = any purchase event, and
+    the pooled two-proportion z-score computed in a FIXED expression
+    order from exact integer counts.  sqrt is correctly rounded under
+    IEEE 754, so the statistic — not just the counts — passes the
+    bit-exact oracle gate.  One shuffle (user groupBy); everything
+    after is 2 rows."""
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (portable_hash32(F.col("user_id"), prefix="ab-") % 2).alias("arm"),
+        "converted",
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(
+        ~degenerate,
+        (p_b - p_a)
+        / F.sqrt(
+            pool
+            * (F.lit(1).cast("double") - pool)
+            * (
+                F.lit(1).cast("double") / F.col("n_a").cast("double")
+                + F.lit(1).cast("double") / F.col("n_b").cast("double")
+            )
+        ),
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (p_b - p_a).alias("uplift"),
+        z.alias("z_score"),
+    )
