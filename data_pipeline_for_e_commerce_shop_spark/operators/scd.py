@@ -122,3 +122,84 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "regime_priority",
         "version",
     )
+
+
+def timeline_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table ALIGN: two SCD2 histories of the same key (order
+    priority and order status, both derived from the orders change
+    log) refined into the sub-intervals on which BOTH attributes are
+    constant — the normalization step behind bi-temporal joins and
+    "as of any time" serving tables.
+
+    Algorithm: union the two histories' valid_from boundary sets per
+    key (distinct), sort them into half-open segments with lead(),
+    then PIT-join each segment start into both histories.  Every stage
+    is partitioned by the dimension key — boundary sets are per-key
+    tiny, and the PIT joins are the equi+residual shape of
+    point_in_time_join.  Segments before a history's first interval
+    carry NULL for that attribute (half-aligned timelines are data,
+    not errors).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("odate"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    h_prio = scd2_history(
+        log, "o_custkey", "o_orderpriority", ["odate", "o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("valid_from").alias("p_from"),
+        F.col("valid_to").alias("p_to"),
+    )
+    h_stat = scd2_history(
+        log, "o_custkey", "o_orderstatus", ["odate", "o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("valid_from").alias("s_from"),
+        F.col("valid_to").alias("s_to"),
+    )
+    bounds = (
+        h_prio.select("custkey", F.col("p_from").alias("b"))
+        .unionByName(h_stat.select("custkey", F.col("s_from").alias("b")))
+        .distinct()
+    )
+    w = Window.partitionBy("custkey").orderBy("b")
+    segs = bounds.select(
+        "custkey",
+        F.col("b").alias("seg_from"),
+        F.lead("b").over(w).alias("seg_to"),
+    )
+    # distinct key names per side keep the chained left joins
+    # unambiguous (the drop()-by-reference form goes stale after the
+    # first join rewrites the plan)
+    hp = h_prio.withColumnRenamed("custkey", "p_key")
+    hs = h_stat.withColumnRenamed("custkey", "s_key")
+    aligned = (
+        segs.join(
+            hp,
+            (F.col("custkey") == F.col("p_key"))
+            & (F.col("seg_from") >= F.col("p_from"))
+            & (F.col("p_to").isNull() | (F.col("seg_from") < F.col("p_to"))),
+            "left",
+        )
+        .join(
+            hs,
+            (F.col("custkey") == F.col("s_key"))
+            & (F.col("seg_from") >= F.col("s_from"))
+            & (F.col("s_to").isNull() | (F.col("seg_from") < F.col("s_to"))),
+            "left",
+        )
+    )
+    return aligned.select(
+        "custkey",
+        "seg_from",
+        "seg_to",
+        "priority",
+        "status",
+    )

@@ -4223,3 +4223,65 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_b - p_a).alias("uplift"),
         z.alias("z_score"),
     )
+
+
+# Timeline alignment oracle: the islands build runs twice (priority,
+# status), boundaries union per key, PIT join each segment start.
+def _scd2_cte(attr: str, label: str) -> str:
+    return f"""
+    flg_{label} AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_orderkey,
+             {attr},
+             CASE WHEN lag({attr}) OVER w IS NULL
+                    OR lag({attr}) OVER w != {attr}
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ),
+    isl_{label} AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY odate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flg_{label}
+    ),
+    hist_{label} AS (
+      SELECT o_custkey AS custkey, island, {attr} AS val,
+             min(odate) AS valid_from
+      FROM isl_{label} GROUP BY 1, 2, 3
+    ),
+    iv_{label} AS (
+      SELECT custkey, val, valid_from,
+             lead(valid_from) OVER (PARTITION BY custkey
+                                    ORDER BY island) AS valid_to
+      FROM hist_{label}
+    )"""
+
+
+register(
+    "scd2_timeline_alignment",
+    "WITH "
+    + ",".join(
+        [_scd2_cte("o_orderpriority", "p"), _scd2_cte("o_orderstatus", "s")]
+    )
+    + """,
+    bounds AS (
+      SELECT DISTINCT custkey, b FROM (
+        SELECT custkey, valid_from AS b FROM iv_p
+        UNION ALL SELECT custkey, valid_from FROM iv_s)
+    ),
+    segs AS (
+      SELECT custkey, b AS seg_from,
+             lead(b) OVER (PARTITION BY custkey ORDER BY b) AS seg_to
+      FROM bounds
+    )
+    SELECT segs.custkey, seg_from, seg_to,
+           p.val AS priority, s.val AS status
+    FROM segs
+    LEFT JOIN iv_p p
+      ON segs.custkey = p.custkey AND seg_from >= p.valid_from
+     AND (p.valid_to IS NULL OR seg_from < p.valid_to)
+    LEFT JOIN iv_s s
+      ON segs.custkey = s.custkey AND seg_from >= s.valid_from
+     AND (s.valid_to IS NULL OR seg_from < s.valid_to)
+    """,
+)(scd.timeline_alignment)
