@@ -81,3 +81,43 @@ def k_anonymity(
             (F.col("class_size") < k).alias("below_k"),
         )
     )
+
+
+def erase_user(
+    spark,
+    table_path: str,
+    key_col: str,
+    key_value,
+) -> dict:
+    """Right-to-erasure (GDPR art. 17) for a parquet table: rewrite
+    without the subject's rows and return an audit record.
+
+    Read-modify-write with an explicit pre/post count — the same
+    sink-agnostic shape as operators/merge.upsert_parquet_table; on a
+    Delta/Iceberg sink the body becomes a ``DELETE WHERE`` and the
+    audit record comes from the commit metrics.  The rewrite is
+    partition-preserving-in-spirit only (plain parquet has no row-level
+    delete); at 100 TB the erasure batch accumulates many subjects and
+    rewrites each affected file once, which is why the audit counts
+    matter: they prove the batch touched exactly what it claimed.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path)
+    hit = F.col(key_col) == F.lit(key_value)
+    n_before = df.count()
+    n_erase = df.where(hit).count()
+    kept = df.where(~hit)
+    # parquet cannot overwrite in place from its own scan: materialise
+    kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        table_path
+    )
+    n_after = spark.read.parquet(table_path).count()
+    return {
+        "table": table_path,
+        "key_col": key_col,
+        "n_before": n_before,
+        "n_erased": n_erase,
+        "n_after": n_after,
+        "consistent": n_after == n_before - n_erase,
+    }

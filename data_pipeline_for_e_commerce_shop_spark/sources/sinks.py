@@ -154,3 +154,31 @@ def compact_table(
     return len(
         glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+
+
+def expire_partitions(
+    spark, path: str, partition_col: str, keep_latest: int
+) -> dict:
+    """Retention expiry for a partitioned table: drop all but the
+    latest N partitions, return an audit of what was removed.
+
+    On plain parquet this is a directory-level delete (partition
+    pruning makes it metadata-only — no data files are read); the
+    Delta form is ``DELETE WHERE dt < cutoff`` + VACUUM.  Partition
+    deletion, not row filtering, is what keeps retention O(partitions)
+    at 100 TB.
+    """
+    import shutil
+
+    parts = sorted(
+        d for d in os.listdir(path)
+        if d.startswith(f"{partition_col}=")
+    )
+    drop = parts[:-keep_latest] if keep_latest > 0 else parts
+    for d in drop:
+        shutil.rmtree(os.path.join(path, d))
+    return {
+        "path": path,
+        "dropped": [d.split("=", 1)[1] for d in drop],
+        "kept": [d.split("=", 1)[1] for d in parts[-keep_latest:]],
+    }
