@@ -27,12 +27,12 @@ CMS_DEPTH = 4  # independent hash rows
 CMS_WIDTH = 1024  # counters per row
 
 
-def _cms_pos(row: Column, key: Column) -> Column:
+def _cms_pos(row: Column, key: Column, width: int = CMS_WIDTH) -> Column:
     """Counter index for (row, key): first 32 md5 bits mod width."""
     s = F.concat(
         F.lit("cms"), row.cast("string"), F.lit("-"), key.cast("string")
     )
-    return portable_hash32(s) % CMS_WIDTH
+    return portable_hash32(s) % width
 
 
 def cms_heavy_hitters(
@@ -296,4 +296,70 @@ def hll_overlap_estimate(
         F.col("u").alias("est_union"),
         (F.col("a") + F.col("b") - F.col("u")).alias("est_overlap"),
         "exact_overlap",
+    )
+
+
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches — the
+    optimizer-statistics use of CMS: |A ⋈ B on k| = Σ_k f_A(k)·f_B(k),
+    estimated per hash row by the inner product of the two counter
+    rows, then min over rows (collisions only ADD mass, so every row
+    overestimates and the min is tightest).
+
+    Sides: orders keyed by o_custkey vs events keyed by user_id (the
+    customer-activity join).  The grid is widened to 4 x 65536 for
+    this estimator: inner-product error is ADDITIVE (~ |A||B|/w), so
+    join-size sketches need w >> keyspace where point queries get by
+    with w ~ heavy-hitter count — sizing the sketch to the question
+    is the operator's real lesson.  Both sketches build from per-key partial
+    counts (one scan each, 4096-cell state); the exact join size —
+    the product-sum over the per-key count join — rides along as the
+    audit.  This is the estimate a cost-based planner would consult
+    BEFORE committing to a join strategy on 100 TB inputs.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+
+    def key_counts(df: DataFrame) -> DataFrame:
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+    def counters(keyed: DataFrame, out: str) -> DataFrame:
+        rows = keyed.select(
+            "k",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+            ).alias("r"),
+        )
+        return rows.groupBy(
+            "r", _cms_pos(F.col("r"), F.col("k"), 65536).alias("p")
+        ).agg(F.sum("n").alias(out))
+
+    ka = key_counts(orders).localCheckpoint(eager=False)
+    kb = key_counts(events).localCheckpoint(eager=False)
+    ca = counters(ka, "na")
+    cb = counters(kb, "nb")
+    per_row = (
+        ca.join(cb, ["r", "p"])
+        .groupBy("r")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").alias("est_join_size"))
+    exact = (
+        ka.alias("a")
+        .join(kb.alias("b"), "k")
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n")).alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias(
+            "overestimate"
+        ),
     )

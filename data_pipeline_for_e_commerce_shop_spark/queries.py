@@ -4285,3 +4285,48 @@ register(
      AND (s.valid_to IS NULL OR seg_from < s.valid_to)
     """,
 )(scd.timeline_alignment)
+
+
+# CMS join-size estimation: per-row inner products of two counter
+# grids, min over rows; exact product-sum audit.
+register(
+    "cms_join_size",
+    """
+    WITH ka AS (
+      SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1
+    ),
+    kb AS (
+      SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    ca AS (
+      SELECT i.i AS r,
+             CAST(('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR)
+                   || '-' || CAST(k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 65536 AS p,
+             CAST(SUM(n) AS BIGINT) AS na
+      FROM ka CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT i.i AS r,
+             CAST(('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR)
+                   || '-' || CAST(k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 65536 AS p,
+             CAST(SUM(n) AS BIGINT) AS nb
+      FROM kb CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT r, CAST(SUM(na * nb) AS BIGINT) AS ip
+      FROM ca JOIN cb USING (r, p) GROUP BY r
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM pr),
+    ex AS (
+      SELECT CAST(SUM(ka.n * kb.n) AS BIGINT) AS exact_join_size
+      FROM ka JOIN kb USING (k)
+    )
+    SELECT est_join_size, exact_join_size,
+           est_join_size - exact_join_size AS overestimate
+    FROM est, ex
+    """,
+)(sketch.cms_join_size)

@@ -56,7 +56,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "part_price_histogram",
                   # three 1-row sketch summaries + 1-row exact audit
                   # cross-joined (scalar-subquery shape)
-                  "hll_overlap"}
+                  "hll_overlap",
+                  # 1-row estimate x 1-row audit crossJoin
+                  "cms_join_size"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
