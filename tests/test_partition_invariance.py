@@ -29,6 +29,12 @@ PROBE = [
     "category_price_trend",
     "events_rate_anomaly",
     "segment_acctbal_median",
+    "hll_distinct_users",
+    "cms_join_size",
+    "ab_test_report",
+    "events_ema_recursive",
+    "dedup_prefix_filter",
+    "scd2_timeline_alignment",
 ]
 
 
