@@ -363,3 +363,99 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sketch rollup: distinct-user HLLs at (type, day)
+    leaf granularity, with the (type) and global levels derived by
+    register MAX-MERGE — never re-reading the raw data.  This is the
+    pre-aggregated sketch table pattern: store leaf registers once,
+    answer every coarser distinct-count query by folding them.
+
+    One pass builds the leaf registers (distinct triples -> bucket
+    max); each coarser level is a register-sized groupBy.  The leaf
+    level carries the exact distinct audit (bucket counts sum to it);
+    merged levels are estimate-only — exactly what a serving layer
+    would have, and still bit-reproducible for the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day_epoch"),
+        "user_id",
+    ).distinct()
+    hashed = d.select(
+        "event_type",
+        "day_epoch",
+        portable_hash32("user_id").alias("h"),
+    ).select(
+        "event_type",
+        "day_epoch",
+        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
+        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        HLL_RHO_MAX - F.length(F.bin("rem"))
+    )
+    leaf_regs = hashed.groupBy("event_type", "day_epoch", "bucket").agg(
+        F.max(rho).alias("m_reg"),
+        F.count(F.lit(1)).alias("n_in_bucket"),
+    ).localCheckpoint(eager=False)
+
+    scaled = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)"
+    )
+
+    def summarise(regs: DataFrame, keys: list[str], exact: bool) -> DataFrame:
+        aggs = [
+            F.sum(scaled).alias("present_scaled"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        ]
+        if exact:
+            aggs.append(F.sum("n_in_bucket").alias("n_exact"))
+        out = regs.groupBy(*keys).agg(*aggs)
+        if not exact:
+            out = out.withColumn("n_exact", F.lit(None).cast("long"))
+        return out
+
+    leaf = summarise(leaf_regs, ["event_type", "day_epoch"], True)
+    by_type = summarise(
+        leaf_regs.groupBy("event_type", "bucket").agg(
+            F.max("m_reg").alias("m_reg")
+        ),
+        ["event_type"],
+        False,
+    ).withColumn("day_epoch", F.lit(None).cast("long"))
+    top = summarise(
+        leaf_regs.groupBy("bucket").agg(F.max("m_reg").alias("m_reg")),
+        [],
+        False,
+    ).withColumn("day_epoch", F.lit(None).cast("long")).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+
+    alpha_num = (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
+        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
+        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+    )
+
+    def finish(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "event_type",
+            "day_epoch",
+            F.expr(
+                f"{alpha_num} / CAST(present_scaled"
+                f" + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX}"
+                f" AS DOUBLE)"
+            ).alias("hll_estimate"),
+            "n_exact",
+        )
+
+    return (
+        finish(leaf, "type_day")
+        .unionByName(finish(by_type, "type"))
+        .unionByName(finish(top, "global"))
+    )

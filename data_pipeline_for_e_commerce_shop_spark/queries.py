@@ -4330,3 +4330,81 @@ register(
     FROM est, ex
     """,
 )(sketch.cms_join_size)
+
+
+# Hierarchical sketch rollup oracle: leaf registers once, coarser
+# levels by MAX-merge in SQL.
+_HLL_EST_OF = (
+    "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE))"
+    " * CAST(1024 AS DOUBLE) * CAST(1024 AS DOUBLE)"
+    " * CAST(8388608 AS DOUBLE)"
+    " / CAST(present_scaled + (1024 - n_buckets) * 8388608 AS DOUBLE)"
+)
+
+register(
+    "hll_rollup",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_epoch,
+             user_id
+      FROM events
+    ),
+    hx AS (
+      SELECT event_type, day_epoch,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM d
+    ),
+    leaf_regs AS (
+      SELECT event_type, day_epoch, h // 4194304 AS bucket,
+             MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(h % 4194304)) END) AS m_reg,
+             COUNT(*) AS n_in_bucket
+      FROM hx GROUP BY 1, 2, 3
+    ),
+    leaf AS (
+      SELECT event_type, day_epoch,
+             CAST(SUM(CAST(1 AS BIGINT)
+                      << CAST(23 - m_reg AS INTEGER)) AS BIGINT)
+               AS present_scaled,
+             COUNT(*) AS n_buckets,
+             CAST(SUM(n_in_bucket) AS BIGINT) AS n_exact
+      FROM leaf_regs GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, bucket, MAX(m_reg) AS m_reg
+      FROM leaf_regs GROUP BY 1, 2
+    ),
+    by_type AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT)
+                      << CAST(23 - m_reg AS INTEGER)) AS BIGINT)
+               AS present_scaled,
+             COUNT(*) AS n_buckets
+      FROM tr GROUP BY 1
+    ),
+    gr AS (
+      SELECT bucket, MAX(m_reg) AS m_reg FROM leaf_regs GROUP BY 1
+    ),
+    top AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT)
+                      << CAST(23 - m_reg AS INTEGER)) AS BIGINT)
+               AS present_scaled,
+             COUNT(*) AS n_buckets
+      FROM gr
+    )
+    SELECT 'type_day' AS level, event_type, day_epoch,
+           {_HLL_EST_OF} AS hll_estimate, n_exact
+    FROM leaf
+    UNION ALL
+    SELECT 'type', event_type, CAST(NULL AS BIGINT),
+           {_HLL_EST_OF}, CAST(NULL AS BIGINT)
+    FROM by_type
+    UNION ALL
+    SELECT 'global', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           {_HLL_EST_OF}, CAST(NULL AS BIGINT)
+    FROM top
+    """,
+)(sketch.hll_rollup)
