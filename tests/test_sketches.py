@@ -103,3 +103,48 @@ def test_activity_streaks_invariants(spark, sf_dir):
         assert r["longest_streak"] <= r["n_active_days"]
         assert r["n_streaks"] >= 1
         assert r["n_active_days"] == truth[r["user_id"]]
+
+
+def test_hll_registers_match_python_model(spark):
+    """The register pipeline (md5 hash -> bucket -> rho -> max) must
+    equal a pure-Python replay for arbitrary user-id sets — a third
+    implementation vote beside the DataFrame and DuckDB forms."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.sketch import (
+        HLL_REM_BITS,
+        HLL_RHO_MAX,
+        _hll_registers,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10**9),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        )
+    )
+    def check(ids):
+        df = spark.createDataFrame(
+            [("t", i) for i in ids], "event_type string, user_id long"
+        )
+        got = {
+            (r["bucket"], r["m_reg"])
+            for r in _hll_registers(df).collect()
+        }
+        model: dict[int, int] = {}
+        for i in ids:
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            bucket, rem = divmod(h, 1 << HLL_REM_BITS)
+            rho = (
+                HLL_RHO_MAX if rem == 0 else HLL_RHO_MAX - rem.bit_length()
+            )
+            model[bucket] = max(model.get(bucket, 0), rho)
+        assert got == set(model.items())
+
+    check()
