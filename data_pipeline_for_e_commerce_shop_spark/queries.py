@@ -4178,10 +4178,12 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("converted")
-    ).select(
-        (portable_hash32(F.col("user_id"), prefix="ab-") % 2).alias("arm"),
-        "converted",
-    )
+    ).select(_ab_arm(), "converted")
+    return _two_proportion_report(u)
+def _two_proportion_report(u: DataFrame) -> DataFrame:
+    """Shared experiment-report tail: (arm, converted) rows -> one-row
+    pooled two-proportion z report (fixed expression order; sqrt is
+    IEEE-correctly-rounded, so the statistic is oracle-exact)."""
     arms = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("converted").cast("long").alias("conv"),
@@ -4222,6 +4224,16 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_b.alias("p_b"),
         (p_b - p_a).alias("uplift"),
         z.alias("z_score"),
+    )
+
+
+def _ab_arm(user_col: str = "user_id"):
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    return (portable_hash32(F.col(user_col), prefix="ab-") % 2).alias(
+        "arm"
     )
 
 
@@ -4408,3 +4420,91 @@ register(
     FROM top
     """,
 )(sketch.hll_rollup)
+
+
+# A/B uplift on FUNNEL COMPLETION (min-chain view < click < purchase)
+# — composition of the experiment tail with the funnel definition.
+_AB_TAIL_SQL = """
+    arms AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS uplift,
+           CASE WHEN conv_a + conv_b = 0
+                  OR conv_a + conv_b = n_a + n_b THEN NULL
+           ELSE
+           (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           / sqrt(
+               (CAST(conv_a + conv_b AS DOUBLE)
+                / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)
+                  / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             ) END AS z_score
+    FROM w
+"""
+
+@register(
+    "ab_funnel_uplift",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tv,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tc,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 AS arm,
+             CASE WHEN tv IS NOT NULL AND tc IS NOT NULL
+                   AND tp IS NOT NULL AND tv < tc AND tc < tp
+                  THEN 1 ELSE 0 END AS converted
+      FROM stages
+    ),
+    """
+    + _AB_TAIL_SQL,
+)
+def ab_funnel_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift of strict funnel completion (first view before first
+    click before first purchase, the min-chain formulation the funnel
+    operator is property-tested against) between the hash-assigned
+    experiment arms — the composition an experimentation platform
+    runs for every launch.  Same shared two-proportion tail as
+    ab_test_report (one code path, two conversion definitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.floor(F.unix_timestamp("ts")).cast("long")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", e)).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", e)).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", e)).alias("tp"),
+    )
+    conv = (
+        F.col("tv").isNotNull()
+        & F.col("tc").isNotNull()
+        & F.col("tp").isNotNull()
+        & (F.col("tv") < F.col("tc"))
+        & (F.col("tc") < F.col("tp"))
+    )
+    u = stages.select(
+        _ab_arm(), conv.cast("int").alias("converted")
+    )
+    return _two_proportion_report(u)
