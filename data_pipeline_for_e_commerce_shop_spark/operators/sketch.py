@@ -459,3 +459,83 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(finish(by_type, "type"))
         .unionByName(finish(top, "global"))
     )
+
+
+def hll_rolling_users(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Rolling 7-day distinct users from DAILY HLL registers — the
+    sliding-sketch pattern: per-day registers are built once; each
+    day's trailing window is answered by max-merging seven
+    register-sized rows, never by re-scanning seven days of raw
+    events.  At 100 TB the daily register table is the only state the
+    serving job reads.
+
+    The register fan-out (each day contributes to the next
+    window_days target days) is sketch-sized, not fact-sized; target
+    days are restricted to observed days.  The exact trailing
+    distinct count (user fan-out + countDistinct) rides along as the
+    audit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    du = ev.select(
+        day.alias("d"), "user_id"
+    ).distinct().localCheckpoint(eager=False)
+
+    hashed = du.select(
+        "d", portable_hash32("user_id").alias("h")
+    ).select(
+        "d",
+        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
+        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        HLL_RHO_MAX - F.length(F.bin("rem"))
+    )
+    daily_regs = hashed.groupBy("d", "bucket").agg(
+        F.max(rho).alias("m_reg")
+    )
+    days = du.select("d").distinct()
+
+    fan = daily_regs.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + (window_days - 1))
+        ).alias("td"),
+        "bucket",
+        "m_reg",
+    ).join(days.withColumnRenamed("d", "td"), "td")
+    merged = fan.groupBy("td", "bucket").agg(
+        F.max("m_reg").alias("m_reg")
+    )
+    sums = merged.groupBy("td").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")
+        ).alias("present_scaled"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    exact = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + (window_days - 1))
+            ).alias("td"),
+            "user_id",
+        )
+        .join(days.withColumnRenamed("d", "td"), "td")
+        .groupBy("td")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    alpha_num = (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
+        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
+        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+    )
+    return sums.join(exact, "td").select(
+        F.col("td").alias("day_epoch"),
+        F.expr(
+            f"{alpha_num} / CAST(present_scaled"
+            f" + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX} AS DOUBLE)"
+        ).alias("hll_estimate"),
+        "n_exact",
+    )

@@ -4508,3 +4508,63 @@ def ab_funnel_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ab_arm(), conv.cast("int").alias("converted")
     )
     return _two_proportion_report(u)
+
+
+# Sliding-sketch rolling distinct: daily registers fan to trailing
+# windows, max-merged per target day; exact trailing countDistinct
+# audit.
+register(
+    "hll_rolling_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    hx AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM du
+    ),
+    daily_regs AS (
+      SELECT d, h // 4194304 AS bucket,
+             MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(h % 4194304)) END) AS m_reg
+      FROM hx GROUP BY 1, 2
+    ),
+    fan AS (
+      SELECT u.td, bucket, m_reg
+      FROM daily_regs
+      CROSS JOIN UNNEST(range(d, d + 7)) AS u(td)
+      WHERE u.td IN (SELECT d FROM days)
+    ),
+    merged AS (
+      SELECT td, bucket, MAX(m_reg) AS m_reg FROM fan GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT td,
+             CAST(SUM(CAST(1 AS BIGINT)
+                      << CAST(23 - m_reg AS INTEGER)) AS BIGINT)
+               AS present_scaled,
+             COUNT(*) AS n_buckets
+      FROM merged GROUP BY td
+    ),
+    ex AS (
+      SELECT u.td, COUNT(DISTINCT user_id) AS n_exact
+      FROM du CROSS JOIN UNNEST(range(d, d + 7)) AS u(td)
+      WHERE u.td IN (SELECT d FROM days)
+      GROUP BY u.td
+    )
+    SELECT td AS day_epoch,
+           CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+             + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE))
+           * CAST(1024 AS DOUBLE) * CAST(1024 AS DOUBLE)
+           * CAST(8388608 AS DOUBLE)
+           / CAST(present_scaled + (1024 - n_buckets) * 8388608
+                  AS DOUBLE) AS hll_estimate,
+           n_exact
+    FROM sums JOIN ex USING (td)
+    """,
+)(sketch.hll_rolling_users)
