@@ -4568,3 +4568,78 @@ register(
     FROM sums JOIN ex USING (td)
     """,
 )(sketch.hll_rolling_users)
+
+
+# Benford first-digit audit: digit from the integer-cents STRING (no
+# double formatting), expected shares as literal constants (log10
+# values baked in — no libm in either engine), chi-square in fixed
+# expression order.
+_BENFORD = {
+    1: "0.30102999566398120", 2: "0.17609125905568124",
+    3: "0.12493873660829993", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD.items()
+)
+
+@register(
+    "benford_digit_audit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           CAST(total AS DOUBLE)
+           * (CASE digit {_BENFORD_CASE} END) AS expected,
+           (CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
+            * (CASE digit {_BENFORD_CASE} END))
+           * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
+              * (CASE digit {_BENFORD_CASE} END))
+           / (CAST(total AS DOUBLE)
+              * (CASE digit {_BENFORD_CASE} END)) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fraud /
+    data-fabrication screen.  The leading digit comes from the
+    INTEGER-CENTS string (double formatting is engine-specific; bigint
+    formatting is not), the nine Benford shares are literal constants
+    (log10 baked in at authoring time — no libm call in either
+    engine), and each digit's chi-square term is one fixed-order
+    double expression.  Scan -> 9-key agg -> 1-row total riding as a
+    broadcast crossJoin."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected_case = "CASE digit " + _BENFORD_CASE + " END"
+    joined = counts.crossJoin(F.broadcast(tot))
+    expected = F.expr(
+        f"CAST(total AS DOUBLE) * ({expected_case})"
+    )
+    diff = F.col("n").cast("double") - expected
+    return joined.select(
+        "digit",
+        "n",
+        expected.alias("expected"),
+        (diff * diff / expected).alias("chi2_term"),
+    )

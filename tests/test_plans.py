@@ -58,7 +58,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # cross-joined (scalar-subquery shape)
                   "hll_overlap",
                   # 1-row estimate x 1-row audit crossJoin
-                  "cms_join_size"}
+                  "cms_join_size",
+                  # 1-row total crossJoin (scalar-subquery shape)
+                  "benford_digit_audit"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
