@@ -4643,3 +4643,83 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         (diff * diff / expected).alias("chi2_term"),
     )
+
+
+# Wilson 95% score interval per event type — interval estimation with
+# only +-*/ and sqrt (IEEE-correctly-rounded), so the bounds
+# hash-match; z = 1.96 as an explicit DOUBLE literal.
+_WILSON_Z = "CAST(1.96 AS DOUBLE)"
+
+@register(
+    "event_rate_wilson_ci",
+    f"""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN value >= 4.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + {_WILSON_Z} * {_WILSON_Z} / (CAST(2 AS DOUBLE)
+                                           * CAST(n AS DOUBLE))
+            - {_WILSON_Z} * sqrt(
+                (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(1 AS DOUBLE)
+                   - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+                + {_WILSON_Z} * {_WILSON_Z}
+                  / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE))))
+           / (CAST(1 AS DOUBLE)
+              + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE))
+             AS ci_low,
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + {_WILSON_Z} * {_WILSON_Z} / (CAST(2 AS DOUBLE)
+                                           * CAST(n AS DOUBLE))
+            + {_WILSON_Z} * sqrt(
+                (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(1 AS DOUBLE)
+                   - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+                + {_WILSON_Z} * {_WILSON_Z}
+                  / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE))))
+           / (CAST(1 AS DOUBLE)
+              + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE))
+             AS ci_high
+    FROM c
+    """,
+)
+def event_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-value-event rate per type with a Wilson 95% score
+    interval — the CI that behaves at extreme rates and small n,
+    computed from exact integer counts with only arithmetic and sqrt
+    (both IEEE-exact), in the same expression order as the oracle.
+    One scan, |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("value") >= 4.5, 1).otherwise(0)
+        ).cast("long").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    z = F.lit(1.96).cast("double")
+    p = k / n
+    center = p + z * z / (F.lit(2).cast("double") * n)
+    half = z * F.sqrt(
+        p * (F.lit(1).cast("double") - p) / n
+        + z * z / (F.lit(4).cast("double") * n * n)
+    )
+    denom = F.lit(1).cast("double") + z * z / n
+    return c.select(
+        "event_type",
+        "n",
+        "k",
+        p.alias("rate"),
+        ((center - half) / denom).alias("ci_low"),
+        ((center + half) / denom).alias("ci_high"),
+    )
