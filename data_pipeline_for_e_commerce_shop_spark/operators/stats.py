@@ -15,7 +15,7 @@ result depend on partition count.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
@@ -63,4 +63,81 @@ def price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         slope.alias("slope_cents_per_day"),
         ((sy - slope * sx) / n).alias("intercept_cents"),
+    )
+
+
+def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of view→purchase conversion time, fully
+    set-oriented: per-user durations (first view to first purchase,
+    censored at end-of-observation), integer at-risk/event counts via
+    one window pass, then the survival product S(t) = Π(1 - d/n) as a
+    higher-order fold over the (≤ |days|) event-time array — a LEFT
+    fold seeded at 1.0, so both engines multiply in the identical
+    sequence and the curve is bit-exact (products of exact-ratio
+    doubles; no exp/ln).
+
+    The only collect-like step is the |event-times|-sized array
+    aggregate (bounded by the observation window, not the user
+    count) — the same size-gate argument as the k-means model table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", day)).alias("tv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.max(day).alias("last_seen"),
+    ).where(F.col("tv").isNotNull())
+    horizon = per_user.agg(F.max("last_seen").alias("h"))
+    timed = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")),
+            F.col("tp") - F.col("tv"),
+        ).alias("event_t"),
+        (F.col("h") - F.col("tv")).alias("censor_t"),
+    ).select(
+        F.coalesce("event_t", "censor_t").alias("t"),
+        F.col("event_t").isNotNull().cast("long").alias("is_event"),
+    )
+    risk = timed.groupBy("t").agg(
+        F.sum("is_event").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the cohort total rides the plan as a 1-row broadcast (no eager
+    # driver count — the tfidf lesson)
+    tot = risk.agg(F.sum("leaving").alias("total"))
+    at_risk = risk.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("total")
+            - (F.sum("leaving").over(w) - F.col("leaving"))
+        ).alias("n_at_risk"),
+    ).where(F.col("d") > 0)
+    factor = (
+        (F.col("n_at_risk") - F.col("d")).cast("double")
+        / F.col("n_at_risk").cast("double")
+    )
+    packed = at_risk.select(
+        F.struct("t", "d", "n_at_risk", factor.alias("f")).alias("row")
+    ).agg(F.sort_array(F.collect_list("row")).alias("arr"))
+    folded = packed.select(
+        F.expr(
+            "transform(sequence(1, size(arr)), j -> struct("
+            " element_at(arr, j).t AS t,"
+            " element_at(arr, j).d AS d,"
+            " element_at(arr, j).n_at_risk AS n_at_risk,"
+            " aggregate(slice(arr, 1, j), CAST(1.0 AS DOUBLE),"
+            " (acc, x) -> acc * x.f) AS s))"
+        ).alias("z")
+    )
+    return folded.select(F.explode("z").alias("e")).select(
+        F.col("e.t").alias("t_days"),
+        F.col("e.d").alias("n_events"),
+        F.col("e.n_at_risk").alias("n_at_risk"),
+        F.col("e.s").alias("survival"),
     )

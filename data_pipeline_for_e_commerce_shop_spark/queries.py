@@ -4723,3 +4723,66 @@ def event_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("ci_low"),
         ((center + half) / denom).alias("ci_high"),
     )
+
+
+# Kaplan-Meier oracle: identical window cumsum + an identically
+# ordered left fold (list_reduce is seedless but 1.0*f1 == f1, so the
+# multiplication sequence matches Spark's aggregate(init=1.0)).
+register(
+    "survival_km",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END) AS tv,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END) AS tp,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_seen
+      FROM events GROUP BY user_id
+    ),
+    cohort AS (SELECT * FROM per_user WHERE tv IS NOT NULL),
+    h AS (SELECT MAX(last_seen) AS horizon FROM cohort),
+    timed AS (
+      SELECT COALESCE(CASE WHEN tp IS NOT NULL AND tp >= tv
+                           THEN tp - tv END,
+                      horizon - tv) AS t,
+             CASE WHEN tp IS NOT NULL AND tp >= tv THEN 1 ELSE 0 END
+               AS is_event
+      FROM cohort CROSS JOIN h
+    ),
+    risk AS (
+      SELECT t, CAST(SUM(is_event) AS BIGINT) AS d,
+             COUNT(*) AS leaving
+      FROM timed GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(leaving) AS BIGINT) AS total FROM risk),
+    ar AS (
+      SELECT t, d,
+             total - (SUM(leaving) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - leaving) AS n_at_risk
+      FROM risk CROSS JOIN tot
+    ),
+    ev_rows AS (
+      SELECT t, d, n_at_risk,
+             CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+               AS f
+      FROM ar WHERE d > 0
+    ),
+    packed AS (
+      SELECT list(struct_pack(t := t, d := d, n_at_risk := n_at_risk, f := f) ORDER BY t) AS arr
+      FROM ev_rows
+    ),
+    folded AS (
+      SELECT unnest(list_transform(generate_series(1, len(arr)),
+        j -> struct_pack(
+          t := arr[j].t, d := arr[j].d, n_at_risk := arr[j].n_at_risk,
+          s := list_reduce(list_transform(arr[1:j], x -> x.f),
+                           (a, b) -> a * b)))) AS e
+      FROM packed
+    )
+    SELECT e.t AS t_days, e.d AS n_events, e.n_at_risk AS n_at_risk,
+           e.s AS survival
+    FROM folded
+    """,
+)(stats.km_survival)

@@ -60,7 +60,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row estimate x 1-row audit crossJoin
                   "cms_join_size",
                   # 1-row total crossJoin (scalar-subquery shape)
-                  "benford_digit_audit"}
+                  "benford_digit_audit",
+                  # two 1-row scalars (horizon, cohort total) ride as
+                  # broadcast crossJoins
+                  "survival_km"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
