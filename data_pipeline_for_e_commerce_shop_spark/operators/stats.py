@@ -66,6 +66,34 @@ def price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conversion_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (user_id, t, is_event): days from first view to first
+    purchase, right-censored at the cohort's last observed day.
+    Shared by the KM curve and the log-rank test."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", day)).alias("tv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.max(day).alias("last_seen"),
+    ).where(F.col("tv").isNotNull())
+    horizon = per_user.agg(F.max("last_seen").alias("h"))
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")),
+            F.col("tp") - F.col("tv"),
+        ).alias("event_t"),
+        (F.col("h") - F.col("tv")).alias("censor_t"),
+    ).select(
+        "user_id",
+        F.coalesce("event_t", "censor_t").alias("t"),
+        F.col("event_t").isNotNull().cast("long").alias("is_event"),
+    )
+
+
 def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival of view→purchase conversion time, fully
     set-oriented: per-user durations (first view to first purchase,
@@ -80,26 +108,7 @@ def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (bounded by the observation window, not the user
     count) — the same size-gate argument as the k-means model table.
     """
-    ev = load_table(spark, sf_dir, "events")
-    day = F.expr("unix_timestamp(ts) div 86400")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", day)).alias("tv"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", day)
-        ).alias("tp"),
-        F.max(day).alias("last_seen"),
-    ).where(F.col("tv").isNotNull())
-    horizon = per_user.agg(F.max("last_seen").alias("h"))
-    timed = per_user.crossJoin(F.broadcast(horizon)).select(
-        F.when(
-            F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")),
-            F.col("tp") - F.col("tv"),
-        ).alias("event_t"),
-        (F.col("h") - F.col("tv")).alias("censor_t"),
-    ).select(
-        F.coalesce("event_t", "censor_t").alias("t"),
-        F.col("event_t").isNotNull().cast("long").alias("is_event"),
-    )
+    timed = _conversion_times(spark, sf_dir).select("t", "is_event")
     risk = timed.groupBy("t").agg(
         F.sum("is_event").alias("d"),
         F.count(F.lit(1)).alias("leaving"),
@@ -140,4 +149,89 @@ def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.d").alias("n_events"),
         F.col("e.n_at_risk").alias("n_at_risk"),
         F.col("e.s").alias("survival"),
+    )
+
+
+def ab_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: does conversion-time survival differ between the
+    hash-assigned experiment arms?  At each event time the arm-1
+    observed events are compared with the hypergeometric expectation
+    E1 = d·n1/n and variance V = d·(n1/n)·(1-n1/n)·(n-d)/(n-1); the
+    statistic z = (O1-ΣE1)/sqrt(ΣV) uses only exact-ratio doubles and
+    sqrt.  The E/V sums run as an ORDERED FOLD over the collected
+    event-time array (double addition is not associative — a plain
+    SUM would be partition-order dependent; the fold is the
+    deterministic form, and the array is bounded by the observation
+    window).  O1 is an integer sum, order-free.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    timed = _conversion_times(spark, sf_dir).select(
+        (portable_hash32(F.col("user_id"), prefix="ab-") % 2).alias(
+            "arm"
+        ),
+        "t",
+        "is_event",
+    )
+    risk = timed.groupBy("t").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(F.col("is_event") * F.col("arm")).alias("d1"),
+        F.count(F.lit(1)).alias("leaving"),
+        F.sum("arm").alias("leaving1"),
+    )
+    tot = risk.agg(
+        F.sum("leaving").alias("total"),
+        F.sum("leaving1").alias("total1"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = risk.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.col("total")
+            - (F.sum("leaving").over(w) - F.col("leaving"))
+        ).alias("n"),
+        (
+            F.col("total1")
+            - (F.sum("leaving1").over(w) - F.col("leaving1"))
+        ).alias("n1"),
+    ).where((F.col("d") > 0) & (F.col("n") > 1))
+    dd = F.col("d").cast("double")
+    nn = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    e1 = dd * n1 / nn
+    v = (
+        dd
+        * (n1 / nn)
+        * (F.lit(1).cast("double") - n1 / nn)
+        * (nn - dd)
+        / (nn - F.lit(1).cast("double"))
+    )
+    packed = ar.select(
+        "d1", F.struct("t", e1.alias("e1"), v.alias("v")).alias("row")
+    ).agg(
+        F.sum("d1").alias("o1"),
+        F.sort_array(F.collect_list("row")).alias("arr"),
+    )
+    folded = packed.select(
+        "o1",
+        F.expr(
+            "aggregate(arr,"
+            " struct(CAST(0.0 AS DOUBLE) AS e, CAST(0.0 AS DOUBLE) AS v),"
+            " (acc, x) -> struct(acc.e + x.e1 AS e, acc.v + x.v AS v))"
+        ).alias("sums"),
+    )
+    return folded.select(
+        "o1",
+        F.col("sums.e").alias("e1_total"),
+        F.col("sums.v").alias("v_total"),
+        (
+            (F.col("o1").cast("double") - F.col("sums.e"))
+            / F.sqrt(F.col("sums.v"))
+        ).alias("z_logrank"),
     )

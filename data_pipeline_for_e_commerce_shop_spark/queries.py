@@ -4786,3 +4786,76 @@ register(
     FROM folded
     """,
 )(stats.km_survival)
+
+
+# Log-rank oracle: identical at-risk tables per arm and the same
+# t-ordered fold for the E/V sums (list_reduce over structs; the
+# seedless first element equals 0+first exactly).
+register(
+    "ab_logrank",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END) AS tv,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END) AS tp,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_seen
+      FROM events GROUP BY user_id
+    ),
+    cohort AS (SELECT * FROM per_user WHERE tv IS NOT NULL),
+    h AS (SELECT MAX(last_seen) AS horizon FROM cohort),
+    timed AS (
+      SELECT CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 AS arm,
+             COALESCE(CASE WHEN tp IS NOT NULL AND tp >= tv
+                           THEN tp - tv END,
+                      horizon - tv) AS t,
+             CASE WHEN tp IS NOT NULL AND tp >= tv THEN 1 ELSE 0 END
+               AS is_event
+      FROM cohort CROSS JOIN h
+    ),
+    risk AS (
+      SELECT t, CAST(SUM(is_event) AS BIGINT) AS d,
+             CAST(SUM(is_event * arm) AS BIGINT) AS d1,
+             COUNT(*) AS leaving,
+             CAST(SUM(arm) AS BIGINT) AS leaving1
+      FROM timed GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(leaving) AS BIGINT) AS total,
+                   CAST(SUM(leaving1) AS BIGINT) AS total1 FROM risk),
+    ar AS (
+      SELECT t, d, d1,
+             total - (SUM(leaving) OVER w - leaving) AS n,
+             total1 - (SUM(leaving1) OVER w - leaving1) AS n1
+      FROM risk CROSS JOIN tot
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    rows_ AS (
+      SELECT t, d1,
+             CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e1,
+             CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(1 AS DOUBLE)
+                - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+             / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)) AS v
+      FROM ar WHERE d > 0 AND n > 1
+    ),
+    packed AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             list(struct_pack(e1 := e1, v := v) ORDER BY t) AS arr
+      FROM rows_
+    ),
+    folded AS (
+      SELECT o1,
+             list_reduce(arr, (a, b) -> struct_pack(
+               e1 := a.e1 + b.e1, v := a.v + b.v)) AS sums
+      FROM packed
+    )
+    SELECT o1, sums.e1 AS e1_total, sums.v AS v_total,
+           (CAST(o1 AS DOUBLE) - sums.e1) / sqrt(sums.v) AS z_logrank
+    FROM folded
+    """,
+)(stats.ab_logrank)

@@ -63,7 +63,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "benford_digit_audit",
                   # two 1-row scalars (horizon, cohort total) ride as
                   # broadcast crossJoins
-                  "survival_km"}
+                  "survival_km",
+                  # same shape (horizon + arm totals 1-row scalars)
+                  "ab_logrank"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
