@@ -4859,3 +4859,105 @@ register(
     FROM folded
     """,
 )(stats.ab_logrank)
+
+
+# Category-distribution drift between the two half-months: the
+# monitoring check an ML pipeline runs on every feature; chi-square
+# terms summed by an ordered fold (deterministic double addition).
+@register(
+    "events_drift_chi2",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END
+               AS half
+      FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM lab GROUP BY event_type
+    ),
+    t AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+                 CAST(SUM(n1) AS BIGINT) AS t1 FROM c),
+    terms AS (
+      SELECT event_type, n0, n1,
+             -- expected under pooled distribution, exact-ratio doubles
+             (CAST(n1 AS DOUBLE)
+              - CAST(n0 + n1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                / CAST(t0 + t1 AS DOUBLE))
+             * (CAST(n1 AS DOUBLE)
+                - CAST(n0 + n1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                  / CAST(t0 + t1 AS DOUBLE))
+             / (CAST(n0 + n1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                / CAST(t0 + t1 AS DOUBLE)) AS term1,
+             (CAST(n0 AS DOUBLE)
+              - CAST(n0 + n1 AS DOUBLE) * CAST(t0 AS DOUBLE)
+                / CAST(t0 + t1 AS DOUBLE))
+             * (CAST(n0 AS DOUBLE)
+                - CAST(n0 + n1 AS DOUBLE) * CAST(t0 AS DOUBLE)
+                  / CAST(t0 + t1 AS DOUBLE))
+             / (CAST(n0 + n1 AS DOUBLE) * CAST(t0 AS DOUBLE)
+                / CAST(t0 + t1 AS DOUBLE)) AS term0
+      FROM c CROSS JOIN t
+    ),
+    packed AS (
+      SELECT list(struct_pack(x := term0 + term1)
+                  ORDER BY event_type) AS arr,
+             COUNT(*) AS n_categories
+      FROM terms
+    )
+    SELECT n_categories,
+           list_reduce(arr, (a, b) -> struct_pack(x := a.x + b.x)).x
+             AS chi2
+    FROM packed
+    """,
+)
+def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square drift check on the event-type
+    distribution between the first and second half of the month — the
+    feature-monitoring gate of an ML data pipeline.  Expected counts
+    under the pooled distribution are exact-ratio doubles; the
+    per-category terms are summed by a category-ORDERED fold (plain
+    SUM over doubles is partition-order dependent).  Output: one row,
+    category count + chi-square statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1)
+    c = ev.select("event_type", half.alias("half")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    t = c.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    joined = c.crossJoin(F.broadcast(t))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    tot = d("t0") + d("t1")
+    row_n = d("n0") + d("n1")
+    e1 = row_n * d("t1") / tot
+    e0 = row_n * d("t0") / tot
+    term = (d("n1") - e1) * (d("n1") - e1) / e1 + (
+        d("n0") - e0
+    ) * (d("n0") - e0) / e0
+    packed = joined.select(
+        F.struct(F.col("event_type"), term.alias("x")).alias("row")
+    ).agg(
+        F.sort_array(F.collect_list("row")).alias("arr"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    return packed.select(
+        "n_categories",
+        F.expr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x.x)"
+        ).alias("chi2"),
+    )

@@ -65,7 +65,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # broadcast crossJoins
                   "survival_km",
                   # same shape (horizon + arm totals 1-row scalars)
-                  "ab_logrank"}
+                  "ab_logrank",
+                  # pooled totals 1-row crossJoin
+                  "events_drift_chi2"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
