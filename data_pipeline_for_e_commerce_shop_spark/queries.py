@@ -4961,3 +4961,93 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> acc + x.x)"
         ).alias("chi2"),
     )
+
+
+# Binned two-sample KS statistic: cumulative exact-ratio fractions
+# over a 64-bucket integer-cents histogram; max(|F1-F0|) is
+# order-insensitive, so no fold gymnastics needed.
+@register(
+    "events_ks_drift",
+    """
+    WITH v AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+             CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END
+               AS half
+      FROM events
+    ),
+    b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM v),
+    binned AS (
+      SELECT (cents - lo) * 64 // (hi - lo + 1) AS bucket, half
+      FROM v CROSS JOIN b
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM binned GROUP BY bucket
+    ),
+    t AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+                 CAST(SUM(n1) AS BIGINT) AS t1 FROM c),
+    cum AS (
+      SELECT bucket,
+             SUM(n0) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS c0,
+             SUM(n1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS c1
+      FROM c
+    )
+    SELECT COUNT(*) AS n_buckets,
+           MAX(abs(CAST(c0 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                   - CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)))
+             AS ks_stat
+    FROM cum CROSS JOIN t
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check on the event-value
+    distribution between month halves — the continuous-feature
+    complement to the chi-square gate.  Values bin to a 64-bucket
+    integer-cents histogram (global bounds ride as a 1-row
+    broadcast), cumulative counts are integers, the CDF fractions are
+    exact-ratio doubles, and MAX — unlike SUM — is associative over
+    doubles, so the statistic needs no ordered fold."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+    )
+    b = v.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = v.crossJoin(F.broadcast(b)).select(
+        F.expr("(cents - lo) * 64 div (hi - lo + 1)").alias("bucket"),
+        "half",
+    )
+    c = binned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    from pyspark.sql import Window
+
+    t = c.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = c.select(
+        "bucket",
+        F.sum("n0").over(w).alias("c0"),
+        F.sum("n1").over(w).alias("c1"),
+    )
+    return cum.crossJoin(F.broadcast(t)).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max(
+            F.abs(
+                F.col("c0").cast("double") / F.col("t0").cast("double")
+                - F.col("c1").cast("double") / F.col("t1").cast("double")
+            )
+        ).alias("ks_stat"),
+    )

@@ -67,7 +67,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # same shape (horizon + arm totals 1-row scalars)
                   "ab_logrank",
                   # pooled totals 1-row crossJoin
-                  "events_drift_chi2"}
+                  "events_drift_chi2",
+                  # bounds + totals 1-row crossJoins
+                  "events_ks_drift"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
