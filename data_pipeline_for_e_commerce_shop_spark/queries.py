@@ -5051,3 +5051,72 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ks_stat"),
     )
+
+
+# Revenue Gini: whale-concentration metric from exact integer sums
+# (Σ i·x_i and Σ x_i stay in int64), one double combination at the
+# end in fixed order.  Ranking runs on the KEY-REDUCED per-customer
+# table (dim-sized window, same contract as segment_balance_profile).
+@register(
+    "revenue_gini",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM per_cust
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(i * cents) AS BIGINT) AS six
+      FROM ranked
+    )
+    SELECT n, sx AS total_cents,
+           (CAST(2 AS DOUBLE) * CAST(six AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+           - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+             / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — how concentrated sales
+    are in whales.  Per-customer cents (fact-sized shuffle, dim-sized
+    output), ascending rank with a key tiebreak, then
+    G = 2·Σi·x_i/(n·Σx) − (n+1)/n from exact int64 sums in one fixed
+    double expression — bit-exact without folds."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    two = F.lit(2).cast("double")
+    one = F.lit(1).cast("double")
+    n = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.col("sx").alias("total_cents"),
+        (
+            two * F.col("six").cast("double")
+            / (n * F.col("sx").cast("double"))
+            - (n + one) / n
+        ).alias("gini"),
+    )
