@@ -5120,3 +5120,196 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + one) / n
         ).alias("gini"),
     )
+
+
+# Association rules over co-purchase pairs: support / confidence /
+# lift as exact integer ratios (lift kept as a ppm-scaled integer
+# division on both engines), top-20 by confidence.
+@register(
+    "basket_rules",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, n_ab,
+             ia.n_item AS n_ante, ib.n_item AS n_cons
+      FROM pairs
+      JOIN item ia ON part_a = ia.l_partkey
+      JOIN item ib ON part_b = ib.l_partkey
+      UNION ALL
+      SELECT part_b, part_a, n_ab, ib.n_item, ia.n_item
+      FROM pairs
+      JOIN item ia ON part_a = ia.l_partkey
+      JOIN item ib ON part_b = ib.l_partkey
+    ),
+    scored AS (
+      SELECT antecedent, consequent, n_ab, n_ante, n_cons,
+             n_ab * 1000000 // n_ante AS conf_ppm,
+             n_ab * n_baskets * 1000000 // (n_ante * n_cons)
+               AS lift_ppm
+      FROM rules CROSS JOIN nb
+    )
+    SELECT * FROM scored
+    ORDER BY conf_ppm DESC, lift_ppm DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (the apriori output tier): both rule
+    directions from each support-pruned co-purchase pair, with
+    confidence and lift as EXACT ppm integers (n_ab·N·10^6 stays far
+    inside int64), top-20 by (confidence, lift, keys) — fully ordered,
+    so LIMIT is deterministic.  Item counts join is vocabulary-sized;
+    the basket total rides as a 1-row broadcast."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), y ->"
+                    " struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb_")
+    )
+    joined = pairs.join(F.broadcast(ia), "part_a").join(
+        F.broadcast(ib), "part_b"
+    )
+    fwd = joined.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_ab",
+        F.col("na").alias("n_ante"),
+        F.col("nb_").alias("n_cons"),
+    )
+    rev = joined.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "n_ab",
+        F.col("nb_").alias("n_ante"),
+        F.col("na").alias("n_cons"),
+    )
+    scored = fwd.unionByName(rev).crossJoin(F.broadcast(nb)).select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        "n_ante",
+        "n_cons",
+        F.expr("n_ab * 1000000 div n_ante").alias("conf_ppm"),
+        F.expr(
+            "n_ab * n_baskets * 1000000 div (n_ante * n_cons)"
+        ).alias("lift_ppm"),
+    )
+    return scored.orderBy(
+        F.desc("conf_ppm"), F.desc("lift_ppm"), "antecedent", "consequent"
+    ).limit(20)
+
+
+# Classifier evaluation inside the engine: language-ID confusion
+# matrix against the ground-truth lang column, with per-class
+# precision/recall as exact ppm integers.
+@register(
+    "lang_confusion_matrix",
+    """
+    WITH scores AS (
+      SELECT lang AS true_lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','fast','order','key'], t))) AS score_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['data','merge','window','batch'], t))) AS score_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['join','filter','row','table'], t))) AS score_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['spark','query','stream','vector'], t))) AS score_fr
+      FROM documents
+    ),
+    scored AS (
+      SELECT true_lang,
+             CASE
+               WHEN score_de >= score_en AND score_de >= score_es
+                    AND score_de >= score_fr THEN 'de'
+               WHEN score_en >= score_es AND score_en >= score_fr
+                    THEN 'en'
+               WHEN score_es >= score_fr THEN 'es'
+               ELSE 'fr'
+             END AS pred_lang
+      FROM scores
+    ),
+    cm AS (
+      SELECT true_lang, pred_lang, COUNT(*) AS n
+      FROM scored GROUP BY 1, 2
+    ),
+    truth AS (SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true
+              FROM cm GROUP BY 1),
+    preds AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred
+              FROM cm GROUP BY 1)
+    SELECT cm.true_lang, cm.pred_lang, n,
+           n * 1000000 // n_true AS recall_ppm,
+           n * 1000000 // n_pred AS precision_ppm
+    FROM cm JOIN truth USING (true_lang) JOIN preds USING (pred_lang)
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the language-ID operator against the ground-truth
+    `lang` column: full confusion matrix with per-cell recall (share
+    of the true class) and precision (share of the predicted class)
+    as exact ppm integers — classifier evaluation as a first-class
+    engine query.  The oracle reimplements the argmax as a GREATEST
+    over score*4+priority encodings (identical deterministic
+    tie-break: score desc, then en>de>fr>es priority ascending by
+    code).  One scan + vocabulary-sized joins."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        lang_score_cols,
+        pred_lang_over_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(F.col("lang").alias("true_lang"), *lang_score_cols())
+    pred, _ = pred_lang_over_scores()
+    cm = scored.select("true_lang", pred.alias("pred_lang")).groupBy(
+        "true_lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    truth = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    preds = cm.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    return (
+        cm.join(F.broadcast(truth), "true_lang")
+        .join(F.broadcast(preds), "pred_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("n * 1000000 div n_true").alias("recall_ppm"),
+            F.expr("n * 1000000 div n_pred").alias("precision_ppm"),
+        )
+    )

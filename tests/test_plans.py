@@ -69,7 +69,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # pooled totals 1-row crossJoin
                   "events_drift_chi2",
                   # bounds + totals 1-row crossJoins
-                  "events_ks_drift"}
+                  "events_ks_drift",
+                  # basket-total 1-row crossJoin
+                  "basket_rules"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
