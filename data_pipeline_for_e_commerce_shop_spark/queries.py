@@ -5313,3 +5313,74 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div n_pred").alias("precision_ppm"),
         )
     )
+
+
+# ABC (Pareto) classification: cumulative revenue share thresholds as
+# pure integer comparisons — no rounding at the class boundaries.
+@register(
+    "part_abc_classes",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_part),
+    ranked AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM per_part
+    ),
+    classed AS (
+      SELECT cents,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc, COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(SUM(cents) AS BIGINT) * 1000000
+             // (SELECT total FROM tot) AS share_ppm
+    FROM classed GROUP BY abc
+    """,
+)
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B to 95%, C the
+    tail.  Boundaries are integer comparisons (cum·100 ≤ total·80) —
+    no double rounding can flip a part's class.  The ranking window
+    runs on the KEY-REDUCED part table; output is 3 rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    tot = per_part.agg(F.sum("cents").alias("total"))
+    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_part.select(
+        "cents", F.sum("cents").over(w).alias("cum")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "total",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("class_cents"),
+        F.expr(
+            "CAST(SUM(cents) * 1000000 div MAX(total) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

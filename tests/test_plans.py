@@ -71,7 +71,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # bounds + totals 1-row crossJoins
                   "events_ks_drift",
                   # basket-total 1-row crossJoin
-                  "basket_rules"}
+                  "basket_rules",
+                  # revenue-total 1-row crossJoin
+                  "part_abc_classes"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
