@@ -5384,3 +5384,128 @@ def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(cents) * 1000000 div MAX(total) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# RFM segmentation: quintile codes over the key-reduced customer
+# table (ntile fills earlier buckets first in both engines given the
+# same key-tiebroken ORDER BY), integer-cents monetary.
+@register(
+    "customer_rfm",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                      DATE '1998-12-31') AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    coded AS (
+      SELECT o_custkey, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m
+      FROM base
+    )
+    SELECT r, f, m, COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) / 100.0
+             AS segment_revenue
+    FROM coded GROUP BY r, f, m
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quintiles per
+    customer (1 = best), the classic CRM cut.  All three ntiles order
+    with a key tiebreak, so bucket assignment is deterministic and
+    identical in both engines; the fact shuffles once to the
+    key-reduced base, and the windows run dim-sized.  Output: one row
+    per occupied (r, f, m) cell with count and exact revenue."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"),
+            F.max(F.to_date("o_orderdate")),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("monetary_cents"),
+    )
+    coded = base.select(
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), "o_custkey"))
+        .alias("m"),
+    )
+    return coded.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("monetary_cents") / 100.0).alias("segment_revenue"),
+    )
+
+
+# Seasonal-naive forecast evaluation: y_hat(d) = y(d-7); per-type MAE
+# and bias in exact integer ratios — forecast backtesting as a query.
+@register(
+    "forecast_seasonal_naive",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.d, a.y AS actual, b.y AS forecast
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d = b.d + 7
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(abs(actual - forecast)) AS BIGINT) AS abs_err_sum,
+           CAST(SUM(abs(actual - forecast)) AS BIGINT) * 1000000
+             // CAST(SUM(actual) AS BIGINT) AS wape_ppm,
+           CAST(SUM(actual - forecast) AS BIGINT) AS bias
+    FROM joined GROUP BY event_type
+    """,
+)
+def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive baseline (forecast = same
+    weekday last week) on daily event counts: per type, WAPE in exact
+    ppm (Σ|err|·10^6 div Σactual) and signed bias — the benchmark any
+    real forecasting model must beat, and the evaluation harness
+    shape either way.  Self-join on the key-reduced daily table; all
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        (F.col("d") + 7).alias("bd"),
+        F.col("y").alias("forecast"),
+    )
+    joined = a.join(
+        b, (F.col("a.event_type") == F.col("bt")) & (F.col("a.d") == F.col("bd"))
+    ).select("a.event_type", F.col("a.y").alias("actual"), "forecast")
+    err = F.col("actual") - F.col("forecast")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(err)).alias("abs_err_sum"),
+        F.expr(
+            "CAST(SUM(abs(actual - forecast)) * 1000000"
+            " div SUM(actual) AS BIGINT)"
+        ).alias("wape_ppm"),
+        F.sum(err).alias("bias"),
+    )
