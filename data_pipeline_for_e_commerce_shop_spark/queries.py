@@ -5509,3 +5509,62 @@ def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wape_ppm"),
         F.sum(err).alias("bias"),
     )
+
+
+# Bounce-rate report composed over the gap sessionizer: single-event
+# sessions per day, exact ppm shares.
+@register(
+    "session_bounce_rate",
+    """
+    WITH marked AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             event_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > 90
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY epoch_sec, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             MIN(epoch_sec) // 86400 AS day_epoch,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT day_epoch,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000 // COUNT(*) AS bounce_ppm
+    FROM sessions GROUP BY day_epoch
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — share of gap-sessions containing exactly
+    one event — composed directly over the sessionize operator (the
+    90 s debounce semantics, one user_id shuffle); a session is dated
+    by its first event.  Exact ppm shares; |days|-sized output."""
+    sess = events.sessionize(spark, sf_dir)  # session-level rollup
+    per_session = sess.select(
+        F.expr("session_start div 86400").alias("day_epoch"),
+        "n_events",
+    )
+    bounce = (F.col("n_events") == 1).cast("long")
+    return per_session.groupBy("day_epoch").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )
