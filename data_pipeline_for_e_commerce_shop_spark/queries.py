@@ -5568,3 +5568,68 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("bounce_ppm"),
     )
+
+
+# Category cross-sell matrix: distinct category pairs per order (the
+# 6x6 merchandising view of the basket graph), integer-ppm shares.
+@register(
+    "category_cross_sell",
+    """
+    WITH cats AS (
+      SELECT DISTINCT l_orderkey, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_type AS cat_a, b.p_type AS cat_b, COUNT(*) AS n_orders
+      FROM cats a JOIN cats b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM cats)
+    SELECT cat_a, cat_b, n_orders,
+           n_orders * 1000000 // n_baskets AS basket_share_ppm
+    FROM pairs CROSS JOIN tot
+    """,
+)
+def category_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-level cross-sell matrix: how often two product
+    categories appear in the same order.  The pair expansion runs on
+    the per-order SORTED CATEGORY SET (≤ |categories| = 6 entries —
+    the same in-basket expansion as basket_pairs, but bounded by the
+    category vocabulary, so the blow-up is at most 15 pairs/order at
+    any scale).  Shares in exact ppm of all baskets."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cats = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    baskets = cats.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_type")).alias("cs")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cs, (x, i) ->"
+                    " transform(slice(cs, i + 2, size(cs)), y ->"
+                    " struct(x AS cat_a, y AS cat_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.cat_a", "p.cat_b")
+        .groupBy("cat_a", "cat_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = cats.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "cat_a",
+        "cat_b",
+        "n_orders",
+        F.expr("n_orders * 1000000 div n_baskets").alias(
+            "basket_share_ppm"
+        ),
+    )

@@ -73,7 +73,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # basket-total 1-row crossJoin
                   "basket_rules",
                   # revenue-total 1-row crossJoin
-                  "part_abc_classes"}
+                  "part_abc_classes",
+                  # basket-total 1-row crossJoin
+                  "category_cross_sell"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
