@@ -5633,3 +5633,88 @@ def category_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
             "basket_share_ppm"
         ),
     )
+
+
+# Largest-remainder (Hamilton) apportionment: allocate an integer
+# budget across categories proportional to revenue with the parts
+# summing EXACTLY to the budget — floor shares + integer-remainder
+# ranked top-ups, no floating point anywhere.
+@register(
+    "budget_allocation",
+    """
+    WITH rev AS (
+      SELECT p_type,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS r FROM rev),
+    base AS (
+      SELECT p_type, cents,
+             1000000 * cents // r AS floor_alloc,
+             (1000000 * cents) % r AS remainder
+      FROM rev CROSS JOIN tot
+    ),
+    short AS (
+      SELECT CAST(1000000 - SUM(floor_alloc) AS BIGINT) AS shortfall
+      FROM base
+    ),
+    ranked AS (
+      SELECT p_type, cents, floor_alloc,
+             row_number() OVER (ORDER BY remainder DESC, p_type) AS rk
+      FROM base
+    )
+    SELECT p_type, cents AS revenue_cents,
+           floor_alloc
+           + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS allocation
+    FROM ranked CROSS JOIN short
+    """,
+)
+def budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment: split a 1,000,000-unit
+    budget across categories proportional to exact revenue cents so
+    that the integer parts sum EXACTLY to the budget — floor shares,
+    then +1 to the largest integer remainders (key tiebreak).  The
+    allocation problem every billing/attribution system has, solved
+    without a single floating-point operation.  Scale: one scan-agg
+    to the category vocabulary; everything after is |categories|
+    rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").alias("r"))
+    base = rev.crossJoin(F.broadcast(tot)).select(
+        "p_type",
+        "cents",
+        F.expr("1000000 * cents div r").alias("floor_alloc"),
+        F.expr("(1000000 * cents) % r").alias("remainder"),
+    )
+    short = base.agg(
+        (F.lit(1000000) - F.sum("floor_alloc")).alias("shortfall")
+    )
+    w = Window.orderBy(F.desc("remainder"), "p_type")
+    ranked = base.select(
+        "p_type",
+        "cents",
+        "floor_alloc",
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "p_type",
+        F.col("cents").alias("revenue_cents"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+        ).alias("allocation"),
+    )

@@ -75,7 +75,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # revenue-total 1-row crossJoin
                   "part_abc_classes",
                   # basket-total 1-row crossJoin
-                  "category_cross_sell"}
+                  "category_cross_sell",
+                  # revenue-total + shortfall 1-row crossJoins
+                  "budget_allocation"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
