@@ -5718,3 +5718,83 @@ def budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
         ).alias("allocation"),
     )
+
+
+# Robust outlier gate: median + MAD via percentile_disc (actual data
+# values — deterministic where mean/stddev moments would need care);
+# the 3-MAD fence as an integer-cents comparison.
+@register(
+    "events_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             quantile_disc(cents, 0.5) AS med_cents
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, cents, med_cents,
+             abs(cents - med_cents) AS adev
+      FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             quantile_disc(adev, 0.5) AS mad_cents
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           COUNT(*) AS n_events,
+           CAST(MAX(med_cents) AS BIGINT) AS med_cents,
+           CAST(MAX(mad_cents) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN abs(cents - med_cents) > 3 * mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median and MAD (median absolute
+    deviation) per event type via percentile_disc — both statistics
+    are ACTUAL data values, so unlike mean/stddev there is no
+    accumulation-order question at all — and the 3-MAD fence as a
+    pure integer-cents comparison.  Two grouped passes (median, then
+    MAD over deviations), both keyed on event_type; the robust
+    complement to the z-score outlier operator."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+        ).alias("med_cents")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)"
+        ).alias("mad_cents")
+    )
+    return dev.join(F.broadcast(mad), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("med_cents").alias("med_cents"),
+        F.max("mad_cents").alias("mad_cents"),
+        F.sum(
+            (
+                F.abs(F.col("cents") - F.col("med_cents"))
+                > 3 * F.col("mad_cents")
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
