@@ -105,6 +105,22 @@ HLL_P = 10  # 2^10 = 1024 registers
 HLL_M = 1 << HLL_P
 HLL_REM_BITS = 32 - HLL_P  # 22-bit remainder per hash
 HLL_RHO_MAX = HLL_REM_BITS + 1  # rho when the remainder is all zeros
+HLL_ROLLING_DAYS = 7  # trailing window of the rolling-users sketch
+# (interpolated into the registered oracle SQL — keep in sync by import)
+
+
+def _hll_estimate_sql(sum_scaled_expr: str) -> str:
+    """The raw-HLL closed-form estimate as a SQL expression over a
+    scaled harmonic sum — ONE definition for every sketch operator
+    (every literal explicitly DOUBLE; bare decimal literals parse as
+    DECIMAL in both engines with engine-specific rounding)."""
+    return (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
+        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
+        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+        f" / CAST({sum_scaled_expr} AS DOUBLE)"
+    )
 
 
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,13 +159,8 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum("n_in_bucket").alias("n_exact"),
     )
-    # every literal explicitly DOUBLE: bare decimal literals parse as
-    # DECIMAL in BOTH Spark and DuckDB, with engine-specific rounding
-    alpha_num = (
-        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
-        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
-        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+    sum_expr = (
+        f"present_scaled + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX}"
     )
     return per_type.select(
         "event_type",
@@ -159,25 +170,28 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (HLL_M - F.col("n_buckets"))
             * (1 << HLL_RHO_MAX)
         ).alias("sum_scaled"),
-        F.expr(
-            f"{alpha_num} / CAST(present_scaled"
-            f" + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX} AS DOUBLE)"
-        ).alias("hll_estimate"),
+        F.expr(_hll_estimate_sql(sum_expr)).alias("hll_estimate"),
     )
 
 
-def _hll_registers(ev: DataFrame, with_counts: bool = False) -> DataFrame:
-    """(event_type, bucket, m_reg) registers of the distinct-user HLL
+def _hll_registers(
+    ev: DataFrame,
+    with_counts: bool = False,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """(keys..., bucket, m_reg) registers of the distinct-user HLL
     over an event slice — the mergeable partial state; the SINGLE
-    definition of the hash/bucket/rho pipeline (estimator and
-    merge-identity both consume it, so the register law cannot
-    drift).  with_counts adds n_in_bucket (bucket counts sum to the
-    exact distinct because the input rows are the deduped pairs)."""
-    d = ev.select("event_type", "user_id").distinct()
+    definition of the hash/bucket/rho pipeline (estimator,
+    merge-identity, rollup, and rolling window all consume it, so the
+    register law cannot drift).  `keys` defaults to [event_type];
+    with_counts adds n_in_bucket (bucket counts sum to the exact
+    distinct because the input rows are the deduped pairs)."""
+    keys = keys or ["event_type"]
+    d = ev.select(*keys, "user_id").distinct()
     hashed = d.select(
-        "event_type", portable_hash32("user_id").alias("h")
+        *keys, portable_hash32("user_id").alias("h")
     ).select(
-        "event_type",
+        *keys,
         F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
         F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
     )
@@ -187,7 +201,7 @@ def _hll_registers(ev: DataFrame, with_counts: bool = False) -> DataFrame:
     aggs = [F.max(rho).alias("m_reg")]
     if with_counts:
         aggs.append(F.count(F.lit(1)).alias("n_in_bucket"))
-    return hashed.groupBy("event_type", "bucket").agg(*aggs)
+    return hashed.groupBy(*keys, "bucket").agg(*aggs)
 
 
 def hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,13 +281,8 @@ def hll_overlap_estimate(
         ).alias("present_scaled"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
-    est = (
-        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
-        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
-        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
-        f" / CAST(present_scaled + ({HLL_M} - n_buckets)"
-        f" * {1 << HLL_RHO_MAX} AS DOUBLE)"
+    est = _hll_estimate_sql(
+        f"present_scaled + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX}"
     )
     wide = (
         sums.withColumn("e", F.expr(est))
@@ -378,28 +387,13 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged levels are estimate-only — exactly what a serving layer
     would have, and still bit-reproducible for the oracle.
     """
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
+    ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr("unix_timestamp(ts) div 86400").alias("day_epoch"),
         "user_id",
-    ).distinct()
-    hashed = d.select(
-        "event_type",
-        "day_epoch",
-        portable_hash32("user_id").alias("h"),
-    ).select(
-        "event_type",
-        "day_epoch",
-        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
-        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
     )
-    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        HLL_RHO_MAX - F.length(F.bin("rem"))
-    )
-    leaf_regs = hashed.groupBy("event_type", "day_epoch", "bucket").agg(
-        F.max(rho).alias("m_reg"),
-        F.count(F.lit(1)).alias("n_in_bucket"),
+    leaf_regs = _hll_registers(
+        ev, with_counts=True, keys=["event_type", "day_epoch"]
     ).localCheckpoint(eager=False)
 
     scaled = F.expr(
@@ -434,22 +428,16 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.lit(None).cast("string")
     )
 
-    alpha_num = (
-        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
-        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
-        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
-    )
-
     def finish(df: DataFrame, level: str) -> DataFrame:
         return df.select(
             F.lit(level).alias("level"),
             "event_type",
             "day_epoch",
             F.expr(
-                f"{alpha_num} / CAST(present_scaled"
-                f" + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX}"
-                f" AS DOUBLE)"
+                _hll_estimate_sql(
+                    f"present_scaled + ({HLL_M} - n_buckets)"
+                    f" * {1 << HLL_RHO_MAX}"
+                )
             ).alias("hll_estimate"),
             "n_exact",
         )
@@ -462,7 +450,7 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hll_rolling_users(
-    spark: SparkSession, sf_dir: str, window_days: int = 7
+    spark: SparkSession, sf_dir: str, window_days: int = HLL_ROLLING_DAYS
 ) -> DataFrame:
     """Rolling 7-day distinct users from DAILY HLL registers — the
     sliding-sketch pattern: per-day registers are built once; each
@@ -483,19 +471,7 @@ def hll_rolling_users(
         day.alias("d"), "user_id"
     ).distinct().localCheckpoint(eager=False)
 
-    hashed = du.select(
-        "d", portable_hash32("user_id").alias("h")
-    ).select(
-        "d",
-        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
-        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
-    )
-    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        HLL_RHO_MAX - F.length(F.bin("rem"))
-    )
-    daily_regs = hashed.groupBy("d", "bucket").agg(
-        F.max(rho).alias("m_reg")
-    )
+    daily_regs = _hll_registers(du, keys=["d"])
     days = du.select("d").distinct()
 
     fan = daily_regs.select(
@@ -525,17 +501,13 @@ def hll_rolling_users(
         .groupBy("td")
         .agg(F.countDistinct("user_id").alias("n_exact"))
     )
-    alpha_num = (
-        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
-        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
-        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
-    )
     return sums.join(exact, "td").select(
         F.col("td").alias("day_epoch"),
         F.expr(
-            f"{alpha_num} / CAST(present_scaled"
-            f" + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX} AS DOUBLE)"
+            _hll_estimate_sql(
+                f"present_scaled + ({HLL_M} - n_buckets)"
+                f" * {1 << HLL_RHO_MAX}"
+            )
         ).alias("hll_estimate"),
         "n_exact",
     )

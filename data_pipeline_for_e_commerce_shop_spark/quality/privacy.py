@@ -101,18 +101,32 @@ def erase_user(
     rewrites each affected file once, which is why the audit counts
     matter: they prove the batch touched exactly what it claimed.
     """
+    import os
+    import shutil
+    import uuid
+
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(table_path)
-    hit = F.col(key_col) == F.lit(key_value)
-    n_before = df.count()
-    n_erase = df.where(hit).count()
-    kept = df.where(~hit)
-    # parquet cannot overwrite in place from its own scan: materialise
-    kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        table_path
-    )
-    n_after = spark.read.parquet(table_path).count()
+    # null-safe: (NULL == v) is NULL and ~NULL is NULL, so a plain
+    # ~(col == v) would silently DROP every NULL-keyed row; eqNullSafe
+    # makes the subject predicate total
+    hit = F.col(key_col).eqNullSafe(F.lit(key_value))
+    # one aggregate pass for both audit counts (not two table scans)
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hit.cast("long")).alias("n_hit"),
+    ).collect()[0]
+    n_before, n_erase = int(counts["n"]), int(counts["n_hit"] or 0)
+    # write-to-temp-then-swap: a plain overwrite deletes the only
+    # durable copy before the new one exists (a mid-write failure
+    # would lose the table); the swap keeps the original until the
+    # rewrite is complete
+    tmp = f"{table_path.rstrip('/')}__erase_{uuid.uuid4().hex[:8]}"
+    df.where(~hit).write.parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    shutil.rmtree(table_path)
+    os.rename(tmp, table_path)
     return {
         "table": table_path,
         "key_col": key_col,

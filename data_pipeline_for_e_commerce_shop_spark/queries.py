@@ -4107,21 +4107,7 @@ register(
 )(multimodal.media_type_sniff)
 
 
-# Deterministic A/B experiment report: hash-assigned arms, conversion
-# from the event stream, pooled two-proportion z-score.  sqrt is
-# IEEE-754 correctly rounded in BOTH engines (unlike ln/pow), so even
-# the test statistic is oracle-exact.
-@register(
-    "ab_test_report",
-    """
-    WITH u AS (
-      SELECT user_id,
-             CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)),
-                                  1, 8)) AS BIGINT) % 2 AS arm,
-             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
-                      THEN 1 ELSE 0 END) AS converted
-      FROM events GROUP BY user_id
-    ),
+_AB_TAIL_SQL = """
     arms AS (
       SELECT arm, COUNT(*) AS n,
              CAST(SUM(converted) AS BIGINT) AS conv
@@ -4154,21 +4140,37 @@ register(
                   + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))
              ) END AS z_score
     FROM w
-    """,
+"""
+
+
+# Deterministic A/B experiment report: hash-assigned arms, conversion
+# from the event stream, pooled two-proportion z-score.  sqrt is
+# IEEE-754 correctly rounded in BOTH engines (unlike ln/pow), so even
+# the test statistic is oracle-exact.
+@register(
+    "ab_test_report",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+""" + _AB_TAIL_SQL,
 )
 def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment analysis: users hash-assigned to two arms (the
     reproducible split every experimentation platform needs — re-runs
-    and backfills must agree), conversion = any purchase event, and
+    and backfills must agree), conversion = a high-value purchase
+    (value >= 150 — the threshold that keeps both outcomes present in
+    the synthetic stream), and
     the pooled two-proportion z-score computed in a FIXED expression
     order from exact integer counts.  sqrt is correctly rounded under
     IEEE 754, so the statistic — not just the counts — passes the
     bit-exact oracle gate.  One shuffle (user groupBy); everything
     after is 2 rows."""
-    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
-        portable_hash32,
-    )
-
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(
@@ -4424,40 +4426,6 @@ register(
 
 # A/B uplift on FUNNEL COMPLETION (min-chain view < click < purchase)
 # — composition of the experiment tail with the funnel definition.
-_AB_TAIL_SQL = """
-    arms AS (
-      SELECT arm, COUNT(*) AS n,
-             CAST(SUM(converted) AS BIGINT) AS conv
-      FROM u GROUP BY arm
-    ),
-    w AS (
-      SELECT
-        MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
-        MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
-        MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
-        MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
-      FROM arms
-    )
-    SELECT n_a, conv_a, n_b, conv_b,
-           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
-           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-           - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS uplift,
-           CASE WHEN conv_a + conv_b = 0
-                  OR conv_a + conv_b = n_a + n_b THEN NULL
-           ELSE
-           (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-            - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-           / sqrt(
-               (CAST(conv_a + conv_b AS DOUBLE)
-                / CAST(n_a + n_b AS DOUBLE))
-               * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)
-                  / CAST(n_a + n_b AS DOUBLE))
-               * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-                  + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))
-             ) END AS z_score
-    FROM w
-"""
 
 @register(
     "ab_funnel_uplift",
@@ -4513,9 +4481,13 @@ def ab_funnel_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sliding-sketch rolling distinct: daily registers fan to trailing
 # windows, max-merged per target day; exact trailing countDistinct
 # audit.
+from data_pipeline_for_e_commerce_shop_spark.operators.sketch import (  # noqa: E402
+    HLL_ROLLING_DAYS as _ROLL_D,
+)
+
 register(
     "hll_rolling_users",
-    """
+    f"""
     WITH du AS (
       SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
              user_id
@@ -4537,7 +4509,7 @@ register(
     fan AS (
       SELECT u.td, bucket, m_reg
       FROM daily_regs
-      CROSS JOIN UNNEST(range(d, d + 7)) AS u(td)
+      CROSS JOIN UNNEST(range(d, d + {_ROLL_D})) AS u(td)
       WHERE u.td IN (SELECT d FROM days)
     ),
     merged AS (
@@ -4553,7 +4525,7 @@ register(
     ),
     ex AS (
       SELECT u.td, COUNT(DISTINCT user_id) AS n_exact
-      FROM du CROSS JOIN UNNEST(range(d, d + 7)) AS u(td)
+      FROM du CROSS JOIN UNNEST(range(d, d + {_ROLL_D})) AS u(td)
       WHERE u.td IN (SELECT d FROM days)
       GROUP BY u.td
     )

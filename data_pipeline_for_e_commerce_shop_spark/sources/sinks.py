@@ -170,15 +170,27 @@ def expire_partitions(
     """
     import shutil
 
+    def _order_key(dirname: str):
+        # "latest" must follow the partition VALUE, not the directory
+        # string: numeric values sort lexicographically wrong
+        # (day=9 > day=10 as strings)
+        v = dirname.split("=", 1)[1]
+        try:
+            return (0, int(v), "")
+        except ValueError:
+            return (1, 0, v)
+
     parts = sorted(
-        d for d in os.listdir(path)
-        if d.startswith(f"{partition_col}=")
+        (d for d in os.listdir(path)
+         if d.startswith(f"{partition_col}=")),
+        key=_order_key,
     )
-    drop = parts[:-keep_latest] if keep_latest > 0 else parts
+    kept = parts[-keep_latest:] if keep_latest > 0 else []
+    drop = parts[: len(parts) - len(kept)]
     for d in drop:
         shutil.rmtree(os.path.join(path, d))
     return {
         "path": path,
         "dropped": [d.split("=", 1)[1] for d in drop],
-        "kept": [d.split("=", 1)[1] for d in parts[-keep_latest:]],
+        "kept": [d.split("=", 1)[1] for d in kept],
     }

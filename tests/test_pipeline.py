@@ -273,3 +273,45 @@ def test_expire_partitions_drops_oldest(spark, sf_dir, tmp_path):
     assert str(
         min(r[0] for r in remaining.select("dt").distinct().collect())
     ) == min(audit["kept"])
+
+
+def test_erase_user_preserves_null_keys(spark, tmp_path):
+    """NULL-keyed rows are not the subject and must survive erasure
+    (a non-null-safe predicate silently dropped them)."""
+    from data_pipeline_for_e_commerce_shop_spark.quality.privacy import (
+        erase_user,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d")],
+        "k long, v string",
+    ).write.parquet(p)
+    audit = erase_user(spark, p, "k", 1)
+    assert audit["n_erased"] == 1 and audit["consistent"]
+    left = spark.read.parquet(p)
+    assert left.count() == 3
+    assert left.where(left.k.isNull()).count() == 2
+
+
+def test_expire_partitions_numeric_order_and_zero_keep(spark, tmp_path):
+    """'Latest' follows the partition VALUE (9 < 10 numerically), and
+    keep_latest=0 reports an empty kept list."""
+    import os
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.sinks import (
+        expire_partitions,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(9, 1), (10, 2), (11, 3)], "day long, x long"
+    )
+    df.write.partitionBy("day").parquet(p)
+    audit = expire_partitions(spark, p, "day", keep_latest=2)
+    assert audit["dropped"] == ["9"]
+    assert sorted(audit["kept"]) == ["10", "11"]
+    audit0 = expire_partitions(spark, p, "day", keep_latest=0)
+    assert audit0["kept"] == []
+    assert sorted(audit0["dropped"]) == ["10", "11"]
+    assert not [d for d in os.listdir(p) if d.startswith("day=")]
