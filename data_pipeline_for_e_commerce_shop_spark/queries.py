@@ -5770,3 +5770,91 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("n_outliers"),
     )
+
+
+# Holt linear smoothing via recursive CTE — COUPLED state (level +
+# trend) carried through the recursion, all integer-scaled floor
+# divisions; the one-step-ahead forecast rides each row.
+@register(
+    "events_holt_recursive",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, d, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+               AS i
+      FROM daily
+    ),
+    holt(event_type, i, d, n, lvl, trd) AS (
+      SELECT event_type, i, d, n,
+             CAST(n * 1000 AS BIGINT), CAST(0 AS BIGINT)
+      FROM idx WHERE i = 0
+      UNION ALL
+      SELECT x.event_type, x.i, x.d, x.n,
+             CAST((3 * x.n * 1000 + 7 * (h.lvl + h.trd)) // 10
+                  AS BIGINT),
+             CAST((2 * ((3 * x.n * 1000 + 7 * (h.lvl + h.trd)) // 10
+                        - h.lvl)
+                   + 8 * h.trd) // 10 AS BIGINT)
+      FROM holt h
+      JOIN idx x ON x.event_type = h.event_type AND x.i = h.i + 1
+    )
+    SELECT event_type, d AS day_epoch, CAST(n AS BIGINT) AS n_events,
+           lvl AS level_scaled, trd AS trend_scaled,
+           (lvl + trd) / 1000.0 AS forecast_next
+    FROM holt
+    """,
+)
+def events_holt_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level + trend) smoothing of daily event counts —
+    the COUPLED-state recursion the EMA query generalizes to: each
+    level carries a two-component state vector, with alpha = 0.3 and
+    beta = 0.2 as integer-scaled floor divisions (x1000), so the whole
+    trajectory is engine-exact (integer // truncates identically in
+    both engines, including the negative trends a declining series
+    produces).  Same materialise-before-recursion discipline as the
+    EMA (the base table is checkpointed; each recursion level joins a
+    |types|x|days| table, never the fact)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    idx = daily.withColumn(
+        "i",
+        F.row_number().over(
+            _W.partitionBy("event_type").orderBy("d")
+        )
+        - 1,
+    ).localCheckpoint(eager=False)
+    idx.createOrReplaceTempView("holt_idx")
+    return spark.sql(
+        """
+        WITH RECURSIVE holt(event_type, i, d, n, lvl, trd) AS (
+          SELECT event_type, i, d, n,
+                 CAST(n * 1000 AS BIGINT), CAST(0 AS BIGINT)
+          FROM holt_idx WHERE i = 0
+          UNION ALL
+          SELECT x.event_type, x.i, x.d, x.n,
+                 CAST((3 * x.n * 1000 + 7 * (h.lvl + h.trd)) div 10
+                      AS BIGINT),
+                 CAST((2 * ((3 * x.n * 1000 + 7 * (h.lvl + h.trd))
+                            div 10 - h.lvl)
+                       + 8 * h.trd) div 10 AS BIGINT)
+          FROM holt h
+          JOIN holt_idx x ON x.event_type = h.event_type
+                         AND x.i = h.i + 1
+        )
+        SELECT event_type, d AS day_epoch, CAST(n AS BIGINT) AS n_events,
+               lvl AS level_scaled, trd AS trend_scaled,
+               (lvl + trd) / 1000.0 AS forecast_next
+        FROM holt
+        """
+    )
