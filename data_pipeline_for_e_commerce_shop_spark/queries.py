@@ -5858,3 +5858,92 @@ def events_holt_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM holt
         """
     )
+
+
+# Recommender negative sampling: per-user deterministic hash draws
+# from the catalog, anti-joined against actual purchases — the
+# training-pair generator for implicit-feedback models.
+@register(
+    "recsys_negative_samples",
+    """
+    WITH purchased AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS part_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+    np AS (SELECT COUNT(*) AS n_parts FROM part),
+    cand AS (
+      SELECT user_id, i.i AS draw_i,
+             CAST(('0x' || substr(md5('neg-' || CAST(user_id AS VARCHAR)
+                   || '-' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+             % n_parts AS part_id
+      FROM users
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS i) i
+      CROSS JOIN np
+    )
+    SELECT c.user_id, c.part_id, c.draw_i
+    FROM cand c
+    LEFT JOIN purchased p
+      ON c.user_id = p.user_id AND c.part_id = p.part_id
+    WHERE p.user_id IS NULL
+    """,
+)
+def recsys_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for implicit-feedback recommender training:
+    k = 5 deterministic hash draws per user from the (contiguous-id)
+    part catalog, anti-joined against true purchases so every emitted
+    (user, part) pair is a verified negative.  Reproducible draws are
+    what make distributed training-data generation re-runnable; the
+    anti-join is the same RI shape as the orphan gate.  Catalog size
+    rides as a 1-row broadcast; output is k·|users| minus accidental
+    positives."""
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    purchased = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("p_user"),
+            F.col("l_partkey").alias("p_part"),
+        )
+        .distinct()
+    )
+    users = orders.select(
+        F.col("o_custkey").alias("user_id")
+    ).distinct()
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    cand = (
+        users.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("draw_i"),
+        )
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "user_id",
+            "draw_i",
+            (
+                portable_hash32(
+                    F.concat(
+                        F.lit("neg-"),
+                        F.col("user_id").cast("string"),
+                        F.lit("-"),
+                        F.col("draw_i").cast("string"),
+                    )
+                )
+                % F.col("n_parts")
+            ).alias("part_id"),
+        )
+    )
+    return cand.join(
+        purchased,
+        (cand.user_id == purchased.p_user)
+        & (cand.part_id == purchased.p_part),
+        "left_anti",
+    ).select("user_id", "part_id", "draw_i")

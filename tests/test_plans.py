@@ -77,7 +77,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # basket-total 1-row crossJoin
                   "category_cross_sell",
                   # revenue-total + shortfall 1-row crossJoins
-                  "budget_allocation"}
+                  "budget_allocation",
+                  # catalog-size 1-row crossJoin
+                  "recsys_negative_samples"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
