@@ -5947,3 +5947,118 @@ def recsys_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (cand.part_id == purchased.p_part),
         "left_anti",
     ).select("user_id", "part_id", "draw_i")
+
+
+# Audience overlap matrix: exact pairwise intersections of the
+# event-type user audiences via one self-join on the deduped pairs.
+@register(
+    "audience_overlap",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM d a JOIN d b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           n_both * 1000000 // (sa.n + sb.n - n_both) AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON type_a = sa.event_type
+    JOIN sizes sb ON type_b = sb.event_type
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types — the exact
+    small-vocabulary counterpart of the HLL overlap estimate (when
+    |types| is tiny, the exact intersection join is cheaper than
+    sketches; the operators document each other's applicability).
+    One user-keyed self-join of the deduped (type, user) pairs;
+    Jaccard in exact ppm; |types|²-sized output."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
+    sizes = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "n_both * 1000000 div (n_a + n_b - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+# Fulfillment lag: ship date minus order date per line item — day
+# buckets plus discrete percentiles, all integers / actual values.
+@register(
+    "fulfillment_lag",
+    """
+    WITH lag_days AS (
+      SELECT datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT days, COUNT(*) AS n_lines,
+           (SELECT quantile_disc(days, 0.5) FROM lag_days) AS p50_days,
+           (SELECT quantile_disc(days, 0.9) FROM lag_days) AS p90_days
+    FROM lag_days GROUP BY days
+    """,
+)
+def fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment lag distribution — the operations
+    SLA view: integer day buckets with the p50/p90 discrete
+    percentiles annotated on every row (1-row scalar riding as a
+    broadcast).  Fact-fact join keyed on orderkey; day arithmetic and
+    counts all integer, percentiles actual data values."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    lag_days = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(F.datediff("sd", "od").alias("days"))
+    hist = lag_days.groupBy("days").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    pct = lag_days.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY days)"
+        ).alias("p50_days"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY days)"
+        ).alias("p90_days"),
+    )
+    return hist.crossJoin(F.broadcast(pct)).select(
+        "days", "n_lines", "p50_days", "p90_days"
+    )

@@ -79,7 +79,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # revenue-total + shortfall 1-row crossJoins
                   "budget_allocation",
                   # catalog-size 1-row crossJoin
-                  "recsys_negative_samples"}
+                  "recsys_negative_samples",
+                  # 1-row percentile scalars crossJoin
+                  "fulfillment_lag"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
