@@ -105,5 +105,11 @@ def purchases_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_timestamp("ts").alias("purchase_epoch"),
         (F.floor(F.col("value") * 100) / 100.0).alias("value"),
-        F.col("asof_click_event_id").alias("click_event_id"),
+        # -1 sentinel for "no prior click": a NULL-bearing BIGINT column
+        # coerces to float64 on any pandas materialization path, which
+        # type-diverges from the other engine's ints (CORRECTNESS type
+        # lesson); the oracle applies the same COALESCE.
+        F.coalesce("asof_click_event_id", F.lit(-1).cast("long")).alias(
+            "click_event_id"
+        ),
     )

@@ -828,8 +828,13 @@ def chunk_level_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Default Jaccard threshold (percent); interpolated into the registered
+# oracle SQL (queries.py) so operator and oracle cannot drift.
+PREFIX_FILTER_TAU_PCT = 80
+
+
 def prefix_filter_pairs(
-    spark: SparkSession, sf_dir: str, tau_pct: int = 80
+    spark: SparkSession, sf_dir: str, tau_pct: int = PREFIX_FILTER_TAU_PCT
 ) -> DataFrame:
     """EXACT shingle-set similarity join via prefix filtering (the
     PPJoin family) — the no-false-negative complement to MinHash-LSH.

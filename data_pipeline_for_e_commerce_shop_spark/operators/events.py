@@ -344,8 +344,13 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Default high-value threshold; interpolated into the registered
+# oracle SQL (queries.py) so operator and oracle cannot drift.
+GAP_FILL_MIN_VALUE = 4.0
+
+
 def gap_fill_hourly(
-    spark: SparkSession, sf_dir: str, min_value: float = 4.0
+    spark: SparkSession, sf_dir: str, min_value: float = GAP_FILL_MIN_VALUE
 ) -> DataFrame:
     """Hourly time-series resample with forward-fill imputation.
 

@@ -31,10 +31,13 @@ PR_SCALE = 1_000_000  # initial score in micro-units
 PR_D_NUM = 85  # damping 0.85 as an integer ratio
 PR_D_DEN = 100
 PR_ITER = 2
+# Default co-purchase support; interpolated into the registered oracle
+# SQL (queries.py) so operator and oracle cannot drift.
+MIN_SUPPORT = 2
 
 
 def copurchase_edges(
-    spark: SparkSession, sf_dir: str, min_support: int = 2
+    spark: SparkSession, sf_dir: str, min_support: int = MIN_SUPPORT
 ) -> DataFrame:
     """Directed edge list (src, dst, w) — both directions of the
     undirected co-purchase pair, w = number of orders containing both
@@ -145,7 +148,7 @@ def part_pagerank(
 
 
 def triangle_count(
-    spark: SparkSession, sf_dir: str, min_support: int = 2
+    spark: SparkSession, sf_dir: str, min_support: int = MIN_SUPPORT
 ) -> DataFrame:
     """Per-node triangle participation over the co-purchase graph.
 

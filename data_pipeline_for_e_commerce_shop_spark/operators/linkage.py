@@ -21,8 +21,13 @@ from pyspark.sql import functions as F
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
 
 
+# Default edit-distance cap; interpolated into the registered oracle
+# SQL (queries.py) so operator and oracle cannot drift.
+FUZZY_MAX_DIST = 4
+
+
 def fuzzy_name_pairs(
-    spark: SparkSession, sf_dir: str, max_dist: int = 4
+    spark: SparkSession, sf_dir: str, max_dist: int = FUZZY_MAX_DIST
 ) -> DataFrame:
     """Near-identical product-name pairs by blocked edit distance.
 

@@ -120,7 +120,11 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         "ship_date",
         "regime_priority",
-        "version",
+        # -1 sentinel for "no interval in force": version is BIGINT and
+        # a NULL-bearing int column coerces to float64 under pandas,
+        # type-diverging from the other engine (the NULL regime itself
+        # stays NULL — strings don't coerce).  Oracle mirrors this.
+        F.coalesce("version", F.lit(-1).cast("long")).alias("version"),
     )
 
 

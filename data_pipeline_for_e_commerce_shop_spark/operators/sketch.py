@@ -35,8 +35,13 @@ def _cms_pos(row: Column, key: Column, width: int = CMS_WIDTH) -> Column:
     return portable_hash32(s) % width
 
 
+# Default top-k; interpolated into the registered oracle SQL
+# (queries.py) so operator and oracle cannot drift.
+CMS_TOPK = 20
+
+
 def cms_heavy_hitters(
-    spark: SparkSession, sf_dir: str, k: int = 20
+    spark: SparkSession, sf_dir: str, k: int = CMS_TOPK
 ) -> DataFrame:
     """Estimate the top-k part frequencies in lineitem via a 4x1024
     count-min sketch, audited against the exact counts.
@@ -429,17 +434,23 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def finish(df: DataFrame, level: str) -> DataFrame:
+        # -1 sentinels at rolled-up levels: NULL-bearing BIGINT columns
+        # coerce to float64 under pandas and type-diverge from the
+        # other engine's ints (the level column already disambiguates);
+        # the oracle emits the same -1 literals.
         return df.select(
             F.lit(level).alias("level"),
             "event_type",
-            "day_epoch",
+            F.coalesce("day_epoch", F.lit(-1).cast("long")).alias(
+                "day_epoch"
+            ),
             F.expr(
                 _hll_estimate_sql(
                     f"present_scaled + ({HLL_M} - n_buckets)"
                     f" * {1 << HLL_RHO_MAX}"
                 )
             ).alias("hll_estimate"),
-            "n_exact",
+            F.coalesce("n_exact", F.lit(-1).cast("long")).alias("n_exact"),
         )
 
     return (

@@ -120,13 +120,19 @@ def erase_user(
     n_before, n_erase = int(counts["n"]), int(counts["n_hit"] or 0)
     # write-to-temp-then-swap: a plain overwrite deletes the only
     # durable copy before the new one exists (a mid-write failure
-    # would lose the table); the swap keeps the original until the
-    # rewrite is complete
-    tmp = f"{table_path.rstrip('/')}__erase_{uuid.uuid4().hex[:8]}"
+    # would lose the table).  Swap order matters: rename the ORIGINAL
+    # aside first, then promote the rewrite, then delete the backup —
+    # a crash at any point leaves a full copy at the primary path or
+    # at a recoverable '__erase_bak_*' sibling (never rmtree-then-
+    # rename, whose window has no data at the primary path at all).
+    suffix = uuid.uuid4().hex[:8]
+    tmp = f"{table_path.rstrip('/')}__erase_{suffix}"
+    bak = f"{table_path.rstrip('/')}__erase_bak_{suffix}"
     df.where(~hit).write.parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
-    shutil.rmtree(table_path)
+    os.rename(table_path, bak)
     os.rename(tmp, table_path)
+    shutil.rmtree(bak)
     return {
         "table": table_path,
         "key_col": key_col,

@@ -1151,9 +1151,14 @@ register(
     """,
 )(events.hourly_window)
 
-register(
-    "events_sessionize",
-    """
+# Shared by the batch sessionizer, its streaming session_window dual,
+# and the applyInPandasWithState dual (three engines' algorithms, one
+# oracle).  The running SUM(new_session) OVER is CAST to BIGINT: DuckDB
+# projects windowed integer SUMs as HUGEINT, which pandas materializes
+# as float64 — the driver would hash 2.0 vs Spark's 2 (CORRECTNESS_r02
+# root cause; same class guarded in cumulative_active_users and
+# survival_km below).
+_SESSIONIZE_ORACLE = """
     WITH marked AS (
       SELECT user_id, event_id, value,
              CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
@@ -1164,9 +1169,10 @@ register(
       FROM events
     ),
     numbered AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-                                       ORDER BY epoch_sec, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_sec, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_no
       FROM marked
     )
     SELECT user_id, session_no,
@@ -1175,8 +1181,9 @@ register(
            COUNT(*) AS n_events,
            SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM numbered GROUP BY 1, 2
-    """,
-)(events.sessionize)
+    """
+
+register("events_sessionize", _SESSIONIZE_ORACLE)(events.sessionize)
 
 from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa: E402
     stream_hourly_kpis,
@@ -1207,32 +1214,7 @@ from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa
 # strongest stream/batch duality statement in the suite: two different
 # engines' algorithms (stateful window merge vs window functions) and
 # a third engine's SQL all land on the same value hash.
-register(
-    "events_stream_sessionize",
-    """
-    WITH marked AS (
-      SELECT user_id, event_id, value,
-             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
-             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-                         OVER (PARTITION BY user_id ORDER BY epoch_sec, event_id) > 90
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    numbered AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-                                       ORDER BY epoch_sec, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM marked
-    )
-    SELECT user_id, session_no,
-           MIN(epoch_sec) AS session_start,
-           MAX(epoch_sec) AS session_end,
-           COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
-    FROM numbered GROUP BY 1, 2
-    """,
-)(stream_sessionize)
+register("events_stream_sessionize", _SESSIONIZE_ORACLE)(stream_sessionize)
 
 from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa: E402
     stream_interval_join,
@@ -1393,7 +1375,9 @@ register(
            a.user_id,
            CAST(floor(epoch(a.ts)) AS BIGINT) AS purchase_epoch,
            FLOOR(a.value * 100) / 100.0 AS value,
-           b.event_id AS click_event_id
+           -- -1 sentinel keeps the column null-free BIGINT on both
+           -- sides (NULL-bearing int -> float64 under pandas).
+           COALESCE(b.event_id, -1) AS click_event_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') a
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
       ON a.user_id = b.user_id AND a.ts >= b.ts
@@ -1705,8 +1689,11 @@ register(
     ),
     d AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY 1)
     SELECT day, n_new_users,
-           SUM(n_new_users) OVER (ORDER BY day
-                                  ROWS UNBOUNDED PRECEDING) AS cum_users
+           -- BIGINT cast: windowed integer SUM projects HUGEINT in
+           -- DuckDB -> float64 via pandas (see _SESSIONIZE_ORACLE).
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
     FROM d
     """,
 )(retention.cumulative_active_users)
@@ -3104,7 +3091,7 @@ register(
 # generate_series and LAST_VALUE(... IGNORE NULLS).
 register(
     "events_gap_fill",
-    """
+    f"""
     WITH b AS (
       SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) // 3600 AS lo,
              CAST(floor(epoch(MAX(ts))) AS BIGINT) // 3600 AS hi
@@ -3119,7 +3106,7 @@ register(
       SELECT event_type,
              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_epoch,
              COUNT(*) AS n_observed
-      FROM events WHERE value >= 4.0 GROUP BY 1, 2
+      FROM events WHERE value >= {events.GAP_FILL_MIN_VALUE} GROUP BY 1, 2
     )
     SELECT event_type, hour_epoch,
            CAST(COALESCE(
@@ -3137,7 +3124,7 @@ register(
 # (identical classic edit distance in both engines).
 register(
     "part_fuzzy_names",
-    """
+    f"""
     WITH names AS (
       SELECT p_name, COUNT(*) AS n_parts,
              split_part(p_name, ' ', 1) AS blk
@@ -3148,7 +3135,7 @@ register(
            a.n_parts AS n_a, b.n_parts AS n_b
     FROM names a JOIN names b
       ON a.blk = b.blk AND a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    WHERE levenshtein(a.p_name, b.p_name) <= {linkage.FUZZY_MAX_DIST}
     """,
 )(linkage.fuzzy_name_pairs)
 
@@ -3300,14 +3287,14 @@ register(
 # graph (ordered-edge enumeration — each triangle confirmed once).
 register(
     "part_triangles",
-    """
+    f"""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
       SELECT a.l_partkey AS a, b.l_partkey AS b
       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                          AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
-      HAVING COUNT(*) >= 2
+      HAVING COUNT(*) >= {graph.MIN_SUPPORT}
     ),
     tri AS (
       SELECT e1.a, e1.b, e2.b AS c
@@ -3333,7 +3320,7 @@ from data_pipeline_for_e_commerce_shop_spark.operators import sketch  # noqa: E4
 
 register(
     "cms_heavy_hitters",
-    """
+    f"""
     WITH rows_ AS (
       SELECT l_partkey, i.i AS r,
              CAST(('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR)
@@ -3350,7 +3337,7 @@ register(
     topk AS (
       SELECT l_partkey, exact_n,
              row_number() OVER (ORDER BY exact_n DESC, l_partkey) AS rk
-      FROM exact QUALIFY rk <= 20
+      FROM exact QUALIFY rk <= {sketch.CMS_TOPK}
     ),
     probes AS (
       SELECT l_partkey, exact_n, rk, i.i AS r,
@@ -3423,7 +3410,7 @@ register(
 # the integer Jaccard verify.
 register(
     "dedup_prefix_filter",
-    """
+    f"""
     WITH sh0 AS (
       SELECT doc_id, unnest(list_distinct(
         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -3447,7 +3434,7 @@ register(
     ),
     pre AS (
       SELECT doc_id, s,
-             unnest(toks[1 : CAST(s - (((80 * s) + 99) // 100) + 1
+             unnest(toks[1 : CAST(s - ((({dedup.PREFIX_FILTER_TAU_PCT} * s) + 99) // 100) + 1
                                AS BIGINT)]) AS ptok
       FROM sized
     ),
@@ -3455,7 +3442,8 @@ register(
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pre a JOIN pre b
         ON a.ptok = b.ptok AND a.doc_id < b.doc_id
-       AND b.s * 100 >= 80 * a.s AND a.s * 100 >= 80 * b.s
+       AND b.s * 100 >= {dedup.PREFIX_FILTER_TAU_PCT} * a.s
+       AND a.s * 100 >= {dedup.PREFIX_FILTER_TAU_PCT} * b.s
     ),
     v AS (
       SELECT doc_a, doc_b,
@@ -3469,7 +3457,7 @@ register(
     )
     SELECT doc_a, doc_b, n_inter, n_union,
            n_inter * 100 // n_union AS jac_pct
-    FROM v WHERE n_inter * 100 >= 80 * n_union
+    FROM v WHERE n_inter * 100 >= {dedup.PREFIX_FILTER_TAU_PCT} * n_union
     """,
 )(dedup.prefix_filter_pairs)
 
@@ -3985,7 +3973,9 @@ register(
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     )
     SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_date,
-           i.regime_priority, i.version
+           i.regime_priority,
+           -- -1 sentinel: NULL-bearing BIGINT -> float64 under pandas.
+           COALESCE(i.version, -1) AS version
     FROM facts f
     LEFT JOIN intervals i
       ON f.custkey = i.custkey
@@ -4413,12 +4403,14 @@ register(
            {_HLL_EST_OF} AS hll_estimate, n_exact
     FROM leaf
     UNION ALL
-    SELECT 'type', event_type, CAST(NULL AS BIGINT),
-           {_HLL_EST_OF}, CAST(NULL AS BIGINT)
+    -- -1 sentinels (not NULL) at rolled-up levels: NULL-bearing BIGINT
+    -- columns coerce to float64 under pandas and type-diverge.
+    SELECT 'type', event_type, CAST(-1 AS BIGINT),
+           {_HLL_EST_OF}, CAST(-1 AS BIGINT)
     FROM by_type
     UNION ALL
-    SELECT 'global', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-           {_HLL_EST_OF}, CAST(NULL AS BIGINT)
+    SELECT 'global', CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
+           {_HLL_EST_OF}, CAST(-1 AS BIGINT)
     FROM top
     """,
 )(sketch.hll_rollup)
@@ -4729,10 +4721,13 @@ register(
     ),
     tot AS (SELECT CAST(SUM(leaving) AS BIGINT) AS total FROM risk),
     ar AS (
+      -- BIGINT cast: the windowed SUM makes the whole expression
+      -- HUGEINT in DuckDB -> float64 via pandas (_SESSIONIZE_ORACLE).
       SELECT t, d,
-             total - (SUM(leaving) OVER (ORDER BY t
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND CURRENT ROW) - leaving) AS n_at_risk
+             CAST(total - (SUM(leaving) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - leaving)
+                  AS BIGINT) AS n_at_risk
       FROM risk CROSS JOIN tot
     ),
     ev_rows AS (
@@ -5138,10 +5133,18 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules (the apriori output tier): both rule
     directions from each support-pruned co-purchase pair, with
-    confidence and lift as EXACT ppm integers (n_ab·N·10^6 stays far
-    inside int64), top-20 by (confidence, lift, keys) — fully ordered,
-    so LIMIT is deterministic.  Item counts join is vocabulary-sized;
-    the basket total rides as a 1-row broadcast."""
+    confidence and lift as EXACT ppm integers, top-20 by (confidence,
+    lift, keys) — fully ordered, so LIMIT is deterministic.  Item
+    counts join is vocabulary-sized; the basket total rides as a 1-row
+    broadcast.
+
+    Magnitude bound: lift_ppm's intermediate is n_ab·n_baskets·10^6,
+    exact while n_ab·n_baskets < 9.2e12 (int64 div 10^6) — holds up to
+    ~1e6 pair support on a ~1e7-basket corpus; beyond that BOTH engines
+    fail loudly rather than drift (Spark runs ANSI mode, DuckDB raises
+    on BIGINT overflow), so the exactness claim degrades to an error,
+    never a wrong number.  For larger corpora switch the lift factors
+    to DECIMAL(38,0) on both sides."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -5257,10 +5260,11 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     `lang` column: full confusion matrix with per-cell recall (share
     of the true class) and precision (share of the predicted class)
     as exact ppm integers — classifier evaluation as a first-class
-    engine query.  The oracle reimplements the argmax as a GREATEST
-    over score*4+priority encodings (identical deterministic
-    tie-break: score desc, then en>de>fr>es priority ascending by
-    code).  One scan + vocabulary-sized joins."""
+    engine query.  The oracle reimplements the argmax as a CASE chain
+    checking de, then en, then es, then fr with >= comparisons — the
+    effective tie-break is ALPHABETICAL ASCENDING (de > en > es > fr
+    wins ties), exactly matching pred_lang_over_scores.  One scan +
+    vocabulary-sized joins."""
     from data_pipeline_for_e_commerce_shop_spark.operators.text import (
         lang_score_cols,
         pred_lang_over_scores,
@@ -5623,9 +5627,15 @@ def category_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS r FROM rev),
     base AS (
+      -- Staged multiplier: floor(10^6 c / r) = 1000 q1 + (1000 r1)//r
+      -- with q1 = (1000 c)//r, r1 = (1000 c)%r — identical values, but
+      -- the largest intermediate is 1000·r instead of 10^6·c, so the
+      -- int64 bound moves from r <= 9.2e12 cents (~$92B, hit near
+      -- TPC-H SF1) to r <= 9.2e15 (~$92T).  Same form on both sides.
       SELECT p_type, cents,
-             1000000 * cents // r AS floor_alloc,
-             (1000000 * cents) % r AS remainder
+             1000 * ((1000 * cents) // r)
+               + (1000 * ((1000 * cents) % r)) // r AS floor_alloc,
+             (1000 * ((1000 * cents) % r)) % r AS remainder
       FROM rev CROSS JOIN tot
     ),
     short AS (
@@ -5666,11 +5676,16 @@ def budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev.agg(F.sum("cents").alias("r"))
+    # Staged multiplier — see the oracle comment: identical values,
+    # int64-safe to ~$92T total revenue instead of ~$92B.
     base = rev.crossJoin(F.broadcast(tot)).select(
         "p_type",
         "cents",
-        F.expr("1000000 * cents div r").alias("floor_alloc"),
-        F.expr("(1000000 * cents) % r").alias("remainder"),
+        F.expr(
+            "1000 * ((1000 * cents) div r)"
+            " + (1000 * ((1000 * cents) % r)) div r"
+        ).alias("floor_alloc"),
+        F.expr("(1000 * ((1000 * cents) % r)) % r").alias("remainder"),
     )
     short = base.agg(
         (F.lit(1000000) - F.sum("floor_alloc")).alias("shortfall")
@@ -5741,9 +5756,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # percentile_disc picks an ACTUAL cents value but Spark types it
+    # DOUBLE; cast back to long (exact — it's a data value) so the
+    # output matches the oracle's BIGINT, not 2449.0-vs-2449.
     med = v.groupBy("event_type").agg(
         F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+            " AS LONG)"
         ).alias("med_cents")
     )
     dev = v.join(F.broadcast(med), "event_type").select(
@@ -5754,7 +5773,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(
         F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)"
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)"
+            " AS LONG)"
         ).alias("mad_cents")
     )
     return dev.join(F.broadcast(mad), "event_type").groupBy(
@@ -6051,12 +6071,17 @@ def fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = lag_days.groupBy("days").agg(
         F.count(F.lit(1)).alias("n_lines")
     )
+    # CAST: Spark types percentile_disc DOUBLE even over ints; the
+    # picked value IS an integer day count, so the cast is exact and
+    # keeps the column int-typed like the oracle's quantile_disc.
     pct = lag_days.agg(
         F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY days)"
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY days)"
+            " AS LONG)"
         ).alias("p50_days"),
         F.expr(
-            "percentile_disc(0.9) WITHIN GROUP (ORDER BY days)"
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY days)"
+            " AS LONG)"
         ).alias("p90_days"),
     )
     return hist.crossJoin(F.broadcast(pct)).select(

@@ -219,6 +219,25 @@ def test_stream_batch_duality(spark, sf_dir):
     )
 
 
+def test_stream_drain_leaves_no_session_state(spark, sf_dir):
+    """Regression (ADVICE r2): a streaming drain must not mutate the
+    session it borrowed — shuffle.partitions restored, the memory-sink
+    temp view dropped, no active streaming query left behind."""
+    from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (
+        stream_hourly_kpis,
+        stream_sessionize,
+    )
+
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_views = {v.name for v in spark.catalog.listTables()}
+    stream_hourly_kpis(spark, sf_dir)
+    stream_sessionize(spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+    after_views = {v.name for v in spark.catalog.listTables()}
+    assert after_views - before_views == set(), "leaked temp views"
+    assert not [q for q in spark.streams.active], "leaked active stream"
+
+
 def test_streaming_dedup_drops_replayed_files(spark, tmp_path):
     """The same micro-batch replayed as a second file must not emit its
     keys twice (at-least-once upstream -> exactly-once downstream)."""
