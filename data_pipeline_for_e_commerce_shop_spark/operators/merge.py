@@ -126,15 +126,50 @@ def upsert_parquet_table(
 ) -> DataFrame:
     """S7/S11: merge into a parquet-backed serving table, creating it if
     absent (reference table autovivification,
-    scripts/transformation.py:57-77).  Production: Delta MERGE INTO.
+    scripts/transformation.py:57-77).  Production: Delta MERGE INTO
+    (reference scripts/helperfunction.py:110-208); delta-spark is not in
+    this container, so the merge is emulated on parquet.
+
+    ATOMICITY BOUNDARY (what the emulation does and does not give):
+
+    - Crash safety: the merged result is written to a temp sibling,
+      then promoted with a rename-aside swap (original -> backup,
+      temp -> primary, delete backup).  A crash at any step leaves a
+      complete copy at the primary path or at a recoverable
+      ``__upsert_bak_*`` sibling — never an empty primary.
+    - Single concurrent writer ONLY: there is no commit log, so two
+      simultaneous upserts race read-modify-write and the slower one
+      silently drops the faster one's rows (lost update), exactly the
+      anomaly Delta's optimistic concurrency rejects with a conflict.
+      Callers must serialize writers per table (the streaming runner's
+      single-flight FIFO claim, streaming/runner.py, is that lock).
+    - Readers during the swap window can catch the path between the
+      two renames and see a missing directory; Delta readers never do.
+
+    These limits are asserted by tests/test_merge.py
+    (test_upsert_crash_window_keeps_a_copy,
+    test_upsert_concurrent_writer_boundary).
     """
     import os
+    import shutil
+    import uuid
 
     if os.path.isdir(table_path) and any(
         f.endswith(".parquet") for f in os.listdir(table_path)
     ):
         target = spark.read.parquet(table_path)
         merged = coalescing_merge(target, source, keys, value_cols, provenance_col)
+        # Read-modify-write via temp-then-swap: writing the merge
+        # straight over its own input path would delete the files the
+        # (lazy, partially-cached) plan may still need, and a crash
+        # mid-overwrite would lose the only durable copy.
+        suffix = uuid.uuid4().hex[:8]
+        tmp = f"{table_path.rstrip('/')}__upsert_{suffix}"
+        bak = f"{table_path.rstrip('/')}__upsert_bak_{suffix}"
+        merged.write.parquet(tmp)
+        os.rename(table_path, bak)
+        os.rename(tmp, table_path)
+        shutil.rmtree(bak)
     else:
         merged = source
         if provenance_col:
@@ -142,9 +177,5 @@ def upsert_parquet_table(
                 provenance_col,
                 F.array_sort(F.array_distinct(F.col(provenance_col))),
             )
-    # Read-modify-write: materialize before overwriting the input path.
-    merged_local = merged.cache()
-    merged_local.count()
-    merged_local.write.mode("overwrite").parquet(table_path)
-    merged_local.unpersist()
+        merged.write.mode("overwrite").parquet(table_path)
     return spark.read.parquet(table_path)

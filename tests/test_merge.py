@@ -109,3 +109,71 @@ def test_merge_matches_model(spark, tgt, src):
             prov,
         )
     assert merged == expected
+
+
+def test_upsert_crash_window_keeps_a_copy(spark, tmp_path, monkeypatch):
+    """The parquet-merge emulation's crash contract: if the process
+    dies anywhere in the swap, a COMPLETE copy of the table exists at
+    the primary path or at the __upsert_bak_* sibling — never zero
+    copies (the pre-fix overwrite-in-place had exactly that window).
+    Simulated by failing the backup cleanup (the last swap step)."""
+    import shutil as _shutil
+
+    from data_pipeline_for_e_commerce_shop_spark.operators import merge as m
+
+    path = str(tmp_path / "kpi")
+    base = _df(spark, [("k1", 1, 1.0, ["a"])])
+    m.upsert_parquet_table(spark, path, base, ["k"], ["a", "b"])
+
+    real_rmtree = _shutil.rmtree
+
+    def boom(p, *a, **kw):
+        if "__upsert_bak_" in str(p):
+            raise OSError("simulated crash before backup cleanup")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", boom)
+    src = _df(spark, [("k1", 2, None, ["b"])])
+    with pytest.raises(OSError, match="simulated crash"):
+        m.upsert_parquet_table(spark, path, src, ["k"], ["a", "b"])
+    # Primary path holds the COMPLETE merged result (swap finished
+    # before the simulated crash), and the backup sibling still holds
+    # the full pre-merge copy for manual recovery.
+    after = _as_map(spark.read.parquet(path))
+    assert after["k1"][0] == 2 and after["k1"][1] == 1.0
+    baks = [d for d in tmp_path.iterdir() if "__upsert_bak_" in d.name]
+    assert len(baks) == 1
+    assert _as_map(spark.read.parquet(str(baks[0])))["k1"][0] == 1
+
+
+def test_upsert_concurrent_writer_boundary(spark, tmp_path):
+    """Documents the emulation's declared limit (no commit log): two
+    interleaved read-modify-write upserts exhibit LOST UPDATE — the
+    second writer, having read before the first wrote, silently drops
+    the first writer's rows.  Delta's optimistic concurrency would
+    instead fail the second commit; until delta-spark is available,
+    callers must serialize writers per table (the streaming runner's
+    single-flight FIFO is that lock)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.merge import (
+        coalescing_merge,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "kpi")
+    upsert_parquet_table(
+        spark, path, _df(spark, [("k0", 1, 1.0, ["base"])]), ["k"], ["a", "b"]
+    )
+    # Writer A and writer B both read the CURRENT table (interleaved
+    # read phase), then write sequentially — B's write wins.
+    snapshot = spark.read.parquet(path).localCheckpoint(eager=True)
+    a_merged = coalescing_merge(
+        snapshot, _df(spark, [("kA", 2, None, ["wa"])]), ["k"], ["a", "b"]
+    ).localCheckpoint(eager=True)
+    b_merged = coalescing_merge(
+        snapshot, _df(spark, [("kB", 3, None, ["wb"])]), ["k"], ["a", "b"]
+    ).localCheckpoint(eager=True)
+    a_merged.write.mode("overwrite").parquet(path)
+    b_merged.write.mode("overwrite").parquet(path)
+    final = _as_map(spark.read.parquet(path))
+    assert "kB" in final and "k0" in final
+    assert "kA" not in final  # the documented lost update
