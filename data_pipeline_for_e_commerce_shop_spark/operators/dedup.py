@@ -712,6 +712,111 @@ def embedding_near_duplicates(
 
 
 
+# Cosine threshold for a semantic duplicate; interpolated into the
+# registered oracle SQL (queries.py) so operator and oracle cannot
+# drift.  Production corpora use ~0.95 (the SemDeDup paper's regime);
+# the default is calibrated to the synthetic benchmark embeddings
+# (random-ish vectors, max pairwise cosine ~0.51) so the drop branch
+# actually executes under test — with a threshold no pair can reach,
+# the prune path would never be exercised.
+SEMDEDUP_TAU = 0.4
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embedding corpus, then mark as duplicates the within-cluster pairs
+    whose cosine similarity reaches ``tau``, keeping the member CLOSEST
+    TO ITS CENTROID (sq_dist asc, vec_id asc tie-break) — the cluster
+    medoid-ish representative survives, paraphrases of it are dropped.
+    Returns the FULL corpus labeled: (vec_id, cluster_id, sq_dist,
+    keep) — the keep=false rows are the semantic-dup prune list.
+
+    Composition: the clustering is the integer-exact Lloyd operator
+    (similarity.kmeans_lloyd — identical trajectory to the unrolled
+    DuckDB oracle), and the verify stage reuses the quantized-cosine
+    parity rules of embedding_near_duplicates (exact int64 dots,
+    IEEE-identical norm/divide, JVM-side round-9).
+
+    Scale shape: pair generation is BLOCKED BY CLUSTER — a groupBy on
+    cluster_id with one vectorized numpy matmul per Arrow group, so
+    the pair work is O(n²/k) spread over hash partitions and never an
+    all-pairs join.  At 100 TB, k scales with the corpus (the paper
+    uses k ≈ sqrt(n); here k inherits the kmeans operator's default)
+    and an oversized cluster can be sub-blocked with the hyperplane
+    LSH of embedding_near_duplicates — the same verify runs per
+    (cluster, bucket) instead of per cluster.  A doc is dropped iff a
+    HIGHER-PRIORITY doc in its cluster is within tau — the greedy
+    priority sweep, evaluated set-wise (no sequential scan).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    assign = kmeans_lloyd(spark, sf_dir)
+    micro = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("micro"),
+    )
+    pts = assign.join(micro, "vec_id")
+
+    def cluster_losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        m = np.stack(pdf["micro"].to_numpy()).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        dist = pdf["sq_dist"].to_numpy()
+        dots = m @ m.T  # exact int64 (components <= 1e6, dim 64)
+        n = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+        cos = dots.astype(np.float64) / (n[:, None] * n[None, :])
+        # JVM/DuckDB-parity rounding happens on the Spark side after
+        # return; here only candidate GENERATION (upper triangle) —
+        # emit both ends + cosine, decide the loser set-wise below.
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu],
+                "vec_b": ids[ju],
+                "dist_a": dist[iu],
+                "dist_b": dist[ju],
+                "cosine": cos[iu, ju],
+            }
+        )
+
+    pairs = (
+        pts.groupBy("cluster_id")
+        .applyInPandas(
+            cluster_losers,
+            "vec_a LONG, vec_b LONG, dist_a LONG, dist_b LONG,"
+            " cosine DOUBLE",
+        )
+        .where(F.round("cosine", 9) >= tau)
+    )
+    # Priority (sq_dist asc, vec_id asc): the closer-to-centroid end
+    # wins; the other end is dropped.
+    loser = F.when(
+        (F.col("dist_a") < F.col("dist_b"))
+        | ((F.col("dist_a") == F.col("dist_b")) & (F.col("vec_a") < F.col("vec_b"))),
+        F.col("vec_b"),
+    ).otherwise(F.col("vec_a"))
+    losers = pairs.select(loser.alias("vec_id")).distinct()
+    return assign.join(
+        losers.withColumn("_lose", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        "sq_dist",
+        F.col("_lose").isNull().alias("keep"),
+    )
+
+
 def benchmark_contamination(
     spark: SparkSession, sf_dir: str, flag_at: float = 0.5
 ) -> DataFrame:

@@ -526,3 +526,191 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.chunk_no, c.n_tokens, c.chunk_fp"
         " FROM udtf_docs, LATERAL chunk_doc(text) c"
     )
+
+
+# Winnowing geometry (MOSS, Schleimer et al. 2003): word 3-gram hashes,
+# minimum selected per sliding window of 4 consecutive hashes.
+# Interpolated into the registered oracle SQL so they cannot drift.
+WINNOW_K = 3
+WINNOW_W = 4
+# Fingerprints shared by more docs than this are boilerplate, not
+# similarity signal — dropped before the pair join (also the skew guard).
+WINNOW_MAX_DF = 100
+
+
+def winnow_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: hash every word k-gram, then
+    keep the MINIMUM hash of each sliding window of w consecutive
+    k-gram hashes.  Guarantees: any shared substring of at least
+    k + w - 1 words produces at least one shared fingerprint, and the
+    selected set is position-independent — the local-similarity
+    detector exact-hash dedup misses and shingle-Jaccard only
+    approximates.
+
+    Pure JVM array expressions (one split, two transforms, one
+    array_min fold per window) — scan-speed at 100 TB, no explode
+    until the final distinct-fingerprint emit, whose fan-out is
+    ~|tokens|/w per doc.  Hashes are portable_hash32-compatible md5
+    prefixes, bit-identical in DuckDB.
+
+    Returns exploded (doc_id, fingerprint) distinct rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = F.expr(
+        f"case when size(toks) >= {k} then"
+        f" transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> CAST(conv(substring(md5(concat_ws(' ',"
+        f" slice(toks, i, {k}))), 1, 8), 16, 10) AS BIGINT))"
+        f" else array() end"
+    )
+    hashed = toks.select("doc_id", grams.alias("hs"))
+    fps = F.expr(
+        f"case when size(hs) >= {w} then"
+        f" transform(sequence(1, size(hs) - {w - 1}),"
+        f" i -> array_min(slice(hs, i, {w})))"
+        f" when size(hs) > 0 then array(array_min(hs))"
+        f" else array() end"
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(F.array_distinct(fps)).alias("fingerprint"),
+    )
+
+
+def winnow_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int = WINNOW_MAX_DF
+) -> DataFrame:
+    """Local-similarity pairs from shared winnowing fingerprints: docs
+    sharing >= 2 selected fingerprints, scored by exact fingerprint
+    Jaccard in ppm — catches COPIED PASSAGES between otherwise
+    different documents (the MOSS use case; LSH needs global
+    similarity, this needs one k+w-1-word overlap region).
+
+    Scale shape: candidate generation is a fingerprint-keyed equi
+    self-join (hash-partitioned); boilerplate fingerprints (document
+    frequency > max_df) are dropped first — both the precision filter
+    and the skew guard, same device as the TF-IDF rare-token cut.  The
+    per-doc fingerprint totals reuse one aggregation.
+    """
+    fp = winnow_fingerprints(spark, sf_dir)
+    keep = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    fp = fp.join(keep, "fingerprint")
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000 div (fp_a + fp_b - n_shared)"
+            ).alias("jac_ppm"),
+        )
+    )
+
+
+# BM25 constants (k1 = 1.2, b = 0.75 — the Robertson defaults) and the
+# deterministic demo query; interpolated into the registered oracle.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["data", "stream", "merge"]
+BM25_TOPK = 25
+
+
+def bm25_score_sql() -> str:
+    """The BM25 score as ONE SQL expression string over columns
+    (tf_i, df_i, dl, n_docs, sum_dl) — evaluated VERBATIM by both
+    Spark (F.expr) and DuckDB (oracle interpolation), so the floating
+    expression tree cannot drift between engines.  All constants pass
+    through CAST(... AS DOUBLE) up front: a bare `1.2` literal parses
+    as DECIMAL in both engines and would switch intermediates to
+    decimal arithmetic asymmetrically."""
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    terms = [
+        f"(ln(CAST(1 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - df_{i}"
+        f" + CAST(0.5 AS DOUBLE)) / (df_{i} + CAST(0.5 AS DOUBLE)))"
+        f" * (tf_{i} * ({k1} + CAST(1 AS DOUBLE)))"
+        f" / (tf_{i} + {k1} * (CAST(1 AS DOUBLE) - {b}"
+        f" + {b} * dl * CAST(n_docs AS DOUBLE) / sum_dl)))"
+        for i in range(len(BM25_QUERY))
+    ]
+    return " + ".join(terms)
+
+
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, topk: int = BM25_TOPK
+) -> DataFrame:
+    """BM25 ranking of the document corpus against a fixed query —
+    the lexical-retrieval scorer every RAG/recall pipeline runs next
+    to the ANN tier (its embedding counterpart is ann_brute_topk).
+
+    Parity discipline: tf, df, doclen and N are exact integers; the
+    floating part (idf = ln(1 + (N - df + .5)/(df + .5)), the length
+    normalization, and the FIXED-ORDER sum over query terms) is an
+    identical expression tree on both engines, rounded to 9 digits
+    before ranking — ln and IEEE arithmetic agree far below 1e-9.
+    Ties break by doc_id, so top-k is fully deterministic.
+
+    Scale shape: corpus statistics (N, avgdl via sum(dl), per-term df)
+    reduce to ONE 1-row aggregate riding as a broadcast crossJoin; the
+    per-doc score is then a pure map-side projection — one scan, one
+    tiny broadcast, one TakeOrderedAndProject for the top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    tf_cols = [
+        F.size(F.filter("toks", lambda x: x == F.lit(t))).alias(f"tf_{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    per_doc = toks.select(
+        "doc_id", F.size("toks").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    # Fixed-order explicit sum (never an aggregate over exploded terms:
+    # float addition order must match the oracle); the expression
+    # string itself is SHARED with the oracle — see bm25_score_sql.
+    score = F.expr(bm25_score_sql())
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(BM25_QUERY)],
+        F.round(score, 9).alias("bm25"),
+    )
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.where(F.col("bm25") > 0)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .drop("rk")
+    )

@@ -2355,12 +2355,19 @@ register(
 )(similarity.random_projection_reduce)
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+def _kmeans_oracle(
+    k: int = 8, n_iter: int = 3, dim: int = 64, as_cte: bool = False
+) -> str:
     """Unrolled Lloyd trajectory: each iteration is an argmin-assignment
     CTE + a floor(mean) centroid CTE (LEFT JOIN + COALESCE keeps empty
     clusters on their previous centroid, mirroring the Spark driver
     loop).  All distances are integers carried exactly in doubles
-    (< 2^53), so every iteration is bit-identical to the operator."""
+    (< 2^53), so every iteration is bit-identical to the operator.
+
+    ``as_cte=True`` ends the chain with an ``asg_final`` CTE (vec_id,
+    cluster_id, sq_dist) plus the quantized ``q`` (vec_id, v) still in
+    scope, so downstream oracles (semantic dedup) can compose on the
+    identical trajectory instead of pasting it."""
     sq = (
         "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}) AS BIGINT)"
@@ -2405,8 +2412,21 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
     )"""
         )
     d = sq.format(a="q.v", b="c.v")
-    parts.append(
-        f"""
+    if as_cte:
+        parts.append(
+            f""",
+    asg_final AS (
+      SELECT vec_id, cluster_id, sq_dist FROM (
+        SELECT q.vec_id, c.cluster_id, {d} AS sq_dist,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {d} ASC, c.cluster_id ASC) AS rk
+        FROM q CROSS JOIN cent{n_iter} c
+      ) WHERE rk = 1
+    )"""
+        )
+    else:
+        parts.append(
+            f"""
     SELECT vec_id, cluster_id, sq_dist FROM (
       SELECT q.vec_id, c.cluster_id, {d} AS sq_dist,
              row_number() OVER (PARTITION BY q.vec_id
@@ -2414,11 +2434,44 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
       FROM q CROSS JOIN cent{n_iter} c
     ) WHERE rk = 1
     """
-    )
+        )
     return "".join(parts)
 
 
 register("embedding_kmeans", _kmeans_oracle())(similarity.kmeans_lloyd)
+
+
+# SemDeDup: the kmeans trajectory CTE (identical to embedding_kmeans)
+# + within-cluster quantized-cosine pairs + the greedy priority sweep
+# (keep the member closest to its centroid).  Cosine parity follows
+# dedup_embedding_cosine: exact int64 dots, IEEE norms, round-9.
+register(
+    "dedup_semantic",
+    _kmeans_oracle(as_cte=True)
+    + f""",
+    spts AS (
+      SELECT a.vec_id, a.cluster_id, a.sq_dist, q.v
+      FROM asg_final a JOIN q USING (vec_id)
+    ),
+    sprs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             a.sq_dist AS da, b.sq_dist AS db,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
+      FROM spts a JOIN spts b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ),
+    slosers AS (
+      SELECT DISTINCT CASE WHEN (da < db) OR (da = db AND va < vb)
+                           THEN vb ELSE va END AS vec_id
+      FROM sprs WHERE cosine >= {dedup.SEMDEDUP_TAU}
+    )
+    SELECT p.vec_id, p.cluster_id, p.sq_dist,
+           l.vec_id IS NULL AS keep
+    FROM spts p LEFT JOIN slosers l USING (vec_id)
+    """,
+)(dedup.semantic_dedup)
 
 
 def _pagerank_oracle(n_iter: int = 2) -> str:
@@ -6087,3 +6140,136 @@ def fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.crossJoin(F.broadcast(pct)).select(
         "days", "n_lines", "p50_days", "p90_days"
     )
+
+
+# ------------------------------------------- winnowing + BM25 (round 3)
+
+# MOSS winnowing fingerprints: the oracle replays the k-gram md5 hash
+# ladder and the per-window list_min with DuckDB's inclusive slices
+# (toks[i:i+k-1] == Spark slice(toks, i, k)).
+register(
+    "text_winnowing",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {text.WINNOW_K} THEN
+               list_transform(
+                 generate_series(1, len(toks) - {text.WINNOW_K - 1}),
+                 i -> CAST(('0x' || substr(md5(array_to_string(
+                        toks[i:i+{text.WINNOW_K - 1}], ' ')), 1, 8))
+                      AS BIGINT))
+             ELSE [] END AS hs
+      FROM t
+    ),
+    wd AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {text.WINNOW_W} THEN
+               list_transform(
+                 generate_series(1, len(hs) - {text.WINNOW_W - 1}),
+                 i -> list_min(hs[i:i+{text.WINNOW_W - 1}]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM wd
+    """,
+)(text.winnow_fingerprints)
+
+
+# Shared-fingerprint pairs with boilerplate (df) pruning and exact
+# fingerprint Jaccard in ppm.
+register(
+    "dedup_winnow_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {text.WINNOW_K} THEN
+               list_transform(
+                 generate_series(1, len(toks) - {text.WINNOW_K - 1}),
+                 i -> CAST(('0x' || substr(md5(array_to_string(
+                        toks[i:i+{text.WINNOW_K - 1}], ' ')), 1, 8))
+                      AS BIGINT))
+             ELSE [] END AS hs
+      FROM t
+    ),
+    wd AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {text.WINNOW_W} THEN
+               list_transform(
+                 generate_series(1, len(hs) - {text.WINNOW_W - 1}),
+                 i -> list_min(hs[i:i+{text.WINNOW_W - 1}]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint
+           FROM wd),
+    keepfp AS (
+      SELECT fingerprint FROM fp GROUP BY 1
+      HAVING COUNT(*) <= {text.WINNOW_MAX_DF}
+    ),
+    fpk AS (SELECT fp.* FROM fp JOIN keepfp USING (fingerprint)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpk GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM fpk a JOIN fpk b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           n_shared * 1000000
+             // (sa.n_fp + sb.n_fp - n_shared) AS jac_ppm
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    """,
+)(text.winnow_pairs)
+
+
+# BM25 top-k: the score expression string is SHARED verbatim with the
+# Spark operator (text.bm25_score_sql) — zero expression-tree drift.
+_BM25_TFS = ",\n             ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+    for i, t in enumerate(text.BM25_QUERY)
+)
+_BM25_DFS = ",\n             ".join(
+    f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(text.BM25_QUERY))
+)
+_BM25_TF_OUT = ", ".join(
+    f"tf_{i} AS tf_{t}" for i, t in enumerate(text.BM25_QUERY)
+)
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             {_BM25_TFS}
+      FROM t
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {_BM25_DFS}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id, dl, {_BM25_TF_OUT},
+             round({text.bm25_score_sql()}, 9) AS bm25
+      FROM per_doc CROSS JOIN stats
+    )
+    SELECT * EXCLUDE (rk) FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored WHERE bm25 > 0
+    ) WHERE rk <= {text.BM25_TOPK}
+    """,
+)
+def text_bm25_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: drop the oracle's rk helper column on the
+    Spark side too (bm25_topk already drops it)."""
+    return text.bm25_topk(spark, sf_dir)

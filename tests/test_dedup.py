@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from pyspark.sql import functions as F  # noqa: N812
+
 from data_pipeline_for_e_commerce_shop_spark.operators import dedup
 
 
@@ -147,3 +149,51 @@ def test_connected_components_hypothesis_random_graphs(spark):
         assert set(got) == set(adj)
 
     check()
+
+
+def test_winnowing_shared_passage_guarantee(spark, tmp_path):
+    """Winnowing's detection guarantee: two documents sharing a
+    contiguous passage of at least k + w - 1 words MUST share at least
+    one fingerprint, regardless of where the passage sits."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    rows = [
+        (1, "alpha beta " + passage + " gamma delta", "en"),
+        (2, "one two three four five " + passage, "en"),
+        (3, "totally unrelated words only here now", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    fps = winnow_fingerprints(spark, d)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fingerprint").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared passage produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_semantic_dedup_keeps_centroid_closest(spark, sf_dir):
+    """SemDeDup keep-rule property: within every cluster, the member
+    closest to the centroid (sq_dist asc, vec_id asc) is ALWAYS kept,
+    and dropped rows outnumber zero only if some pair crossed tau."""
+    labeled = dedup.semantic_dedup(spark, sf_dir)
+    rows = labeled.collect()
+    best: dict[int, tuple] = {}
+    for r in rows:
+        key = (r["sq_dist"], r["vec_id"])
+        if r["cluster_id"] not in best or key < best[r["cluster_id"]][0]:
+            best[r["cluster_id"]] = (key, r["keep"])
+    assert all(kept for _, kept in best.values()), (
+        "a cluster's closest-to-centroid member was dropped"
+    )
+    # Full corpus labeled exactly once.
+    assert len(rows) == labeled.select("vec_id").distinct().count()

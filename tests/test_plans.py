@@ -81,7 +81,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # catalog-size 1-row crossJoin
                   "recsys_negative_samples",
                   # 1-row percentile scalars crossJoin
-                  "fulfillment_lag"}
+                  "fulfillment_lag",
+                  # corpus-stats (N, avgdl, dfs) 1-row crossJoin
+                  "text_bm25_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
