@@ -714,3 +714,66 @@ def bm25_topk(
         .where(F.col("rk") <= topk)
         .drop("rk")
     )
+
+
+# Keep threshold for the unigram cross-entropy gate (nats/token);
+# interpolated into the registered oracle SQL.  Calibrated on the
+# synthetic corpus (ce range ~[3.38, 3.70] nats/token at sf0.01, so
+# 3.5 keeps the typical mass and drops the divergent tail — with a
+# threshold outside the observed range the gate branch would never
+# execute under test).  Production pipelines fit it to a held-out
+# clean sample, CCNet-style.
+UNIGRAM_CE_MAX = 3.5
+
+
+def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: per-document cross-entropy
+    under the corpus's own unigram language model — the CCNet/Gopher
+    screen where documents whose token distribution diverges from the
+    corpus (gibberish, boilerplate, wrong-language) score high and are
+    dropped.  ce = -(1/n)·Σ ln p(tok_i), p = corpus_count/total.
+
+    Float-parity discipline: ln p is computed PER TOKEN (deterministic
+    scalar), and the per-document Σ is a SEQUENTIAL fold over the
+    tokens in position order on both engines — Spark's aggregate() HOF
+    with 0.0 init vs DuckDB's seedless list_reduce; 0.0 + x == x
+    exactly, so the two folds produce bit-identical sums (the
+    survival-curve fold device).  Never a SUM() aggregate, whose
+    accumulation order is partition-dependent.
+
+    Scale shape: one tokenize-explode feeds both the vocabulary counts
+    and the scoring join (term-keyed, vocabulary-sized build side —
+    AQE broadcasts it while it fits); the corpus total rides as a
+    1-row broadcast.  The fold happens on per-doc arrays after a
+    doc-keyed shuffle — state bounded by document length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            F.expr("ln(CAST(n AS DOUBLE) / total)").alias("lnp"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(pos, lnp))),"
+            " s -> s.lnp), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("s"),
+    )
+    ce = F.round((-F.col("s")) / F.col("n_tokens"), 9)
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        ce.alias("ce_nats"),
+        (ce <= UNIGRAM_CE_MAX).alias("keep"),
+    )

@@ -6273,3 +6273,40 @@ def text_bm25_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry wrapper: drop the oracle's rk helper column on the
     Spark side too (bm25_topk already drops it)."""
     return text.bm25_topk(spark, sf_dir)
+
+
+# Unigram cross-entropy quality gate: per-token ln p scored on the
+# joined row, per-doc sum as a SEQUENTIAL position-ordered fold on
+# both engines (0.0-init aggregate == seedless list_reduce because
+# 0.0 + x is exact — the survival-fold device).
+register(
+    "text_unigram_ce",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    tok AS (
+      SELECT doc_id, u.pos AS pos, u.term AS term
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks)),
+                     i -> struct_pack(pos := i, term := toks[i]))) AS u
+            FROM t)
+    ),
+    freq AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+    scored AS (
+      SELECT doc_id, pos, ln(CAST(n AS DOUBLE) / total) AS lnp
+      FROM tok JOIN freq USING (term) CROSS JOIN tot
+    ),
+    folded AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             list(lnp ORDER BY pos) AS ls
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round((-list_reduce(ls, (a, b) -> a + b)) / n_tokens, 9)
+             AS ce_nats,
+           round((-list_reduce(ls, (a, b) -> a + b)) / n_tokens, 9)
+             <= {text.UNIGRAM_CE_MAX} AS keep
+    FROM folded
+    """,
+)(text.unigram_cross_entropy)

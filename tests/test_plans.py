@@ -83,7 +83,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row percentile scalars crossJoin
                   "fulfillment_lag",
                   # corpus-stats (N, avgdl, dfs) 1-row crossJoin
-                  "text_bm25_topk"}
+                  "text_bm25_topk",
+                  # corpus-total 1-row crossJoin
+                  "text_unigram_ce"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
