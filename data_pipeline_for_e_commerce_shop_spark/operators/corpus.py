@@ -351,3 +351,72 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b")
     )
+
+
+# Fixed-size sample target; interpolated into the registered oracle.
+FIXED_SAMPLE_N = 200
+
+
+def fixed_size_sample(
+    spark: SparkSession, sf_dir: str, n: int = FIXED_SAMPLE_N
+) -> DataFrame:
+    """Deterministic EXACTLY-n uniform sample: rank documents by a
+    content-independent md5 draw over doc_id and keep the n smallest —
+    the reproducible replacement for reservoir sampling (same n rows on
+    any engine, any partitioning, any day; df.sample() guarantees
+    neither size nor membership).  The eval-set / human-audit draw
+    every corpus pipeline needs.
+
+    Scale shape: the hash is map-side; the global top-n is
+    TakeOrderedAndProject (per-partition heaps, no full sort, no
+    single-partition window) — the same plan as ordered_head.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            portable_hash32("doc_id", prefix="fsample").alias("draw"),
+        )
+        .orderBy("draw", "doc_id")
+        .limit(n)
+    )
+
+
+def dedup_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline accounting: per language, how many documents and
+    whitespace tokens the corpus holds BEFORE and AFTER exact dedup,
+    with the removal rate in exact ppm — the before/after ledger every
+    curation run reports (and the input to source-mix rebalancing after
+    dedup shifts the distribution).
+
+    Composition: exact dedup's keep rule (min doc_id per md5(text)
+    family) evaluated INLINE as a window over fp — one shuffle on fp,
+    one language rollup; no join back to the corpus.
+    """
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    keep = (
+        F.min("doc_id").over(_W.partitionBy("fp")) == F.col("doc_id")
+    ).cast("long")
+    flagged = docs.select("lang", "n_tokens", keep.alias("kept"))
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("kept").alias("docs_after"),
+        F.sum("n_tokens").alias("tokens_before"),
+        F.sum(F.col("n_tokens") * F.col("kept")).alias("tokens_after"),
+        F.expr(
+            "(SUM(n_tokens) - SUM(n_tokens * kept)) * 1000000"
+            " div SUM(n_tokens)"
+        ).alias("removed_token_ppm"),
+    )

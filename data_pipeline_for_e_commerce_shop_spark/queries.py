@@ -6310,3 +6310,47 @@ register(
     FROM folded
     """,
 )(text.unigram_cross_entropy)
+
+
+from data_pipeline_for_e_commerce_shop_spark.operators import corpus as _corpus  # noqa: E402
+
+# Deterministic exactly-n sample: md5 draw over doc_id, n smallest.
+register(
+    "corpus_fixed_sample",
+    f"""
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('fsample' || CAST(doc_id AS VARCHAR)),
+                 1, 8)) AS BIGINT) AS draw
+    FROM documents
+    ORDER BY draw, doc_id
+    LIMIT {_corpus.FIXED_SAMPLE_N}
+    """,
+)(_corpus.fixed_size_sample)
+
+
+# Before/after exact-dedup ledger per language, exact ppm removal.
+register(
+    "corpus_dedup_token_audit",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    flagged AS (
+      SELECT lang, n_tokens,
+             CASE WHEN MIN(doc_id) OVER (PARTITION BY fp) = doc_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM d
+    )
+    SELECT lang,
+           COUNT(*) AS docs_before,
+           CAST(SUM(kept) AS BIGINT) AS docs_after,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(n_tokens * kept) AS BIGINT) AS tokens_after,
+           (CAST(SUM(n_tokens) AS BIGINT)
+              - CAST(SUM(n_tokens * kept) AS BIGINT)) * 1000000
+             // CAST(SUM(n_tokens) AS BIGINT) AS removed_token_ppm
+    FROM flagged GROUP BY lang
+    """,
+)(_corpus.dedup_token_audit)

@@ -212,3 +212,44 @@ def test_split_leakage_consistency(spark):
         assert splits[r.doc_a] == r.split_a != r.split_b == splits[r.doc_b]
     n_cross = sum(1 for a, b in pairs if splits[a] != splits[b])
     assert len(leaks) == n_cross
+
+
+def test_dedup_token_audit_ledger(spark, tmp_path):
+    """The before/after ledger on a corpus with KNOWN duplicates: one
+    language with a 3-copy family, one clean — exact docs/token math."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.corpus import (
+        dedup_token_audit,
+    )
+
+    rows = [
+        (1, "a b c", "en"),        # 3 tokens, kept (min of family)
+        (2, "a b c", "en"),        # dup, dropped
+        (3, "a b c", "en"),        # dup, dropped
+        (4, "x y", "en"),          # unique, kept
+        (5, "u v w z", "de"),      # unique, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["lang"]: r for r in dedup_token_audit(spark, str(tmp_path)).collect()
+    }
+    en, de = out["en"], out["de"]
+    assert (en["docs_before"], en["docs_after"]) == (4, 2)
+    assert (en["tokens_before"], en["tokens_after"]) == (11, 5)
+    assert en["removed_token_ppm"] == 6 * 1_000_000 // 11
+    assert (de["docs_before"], de["docs_after"]) == (1, 1)
+    assert de["removed_token_ppm"] == 0
+
+
+def test_fixed_size_sample_exact_and_stable(spark, sf_dir):
+    """Exactly n rows, and the SAME n rows on a re-run (determinism
+    df.sample cannot give)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.corpus import (
+        fixed_size_sample,
+    )
+
+    a = sorted(r["doc_id"] for r in fixed_size_sample(spark, sf_dir, 37).collect())
+    b = sorted(r["doc_id"] for r in fixed_size_sample(spark, sf_dir, 37).collect())
+    assert len(a) == 37 and a == b
