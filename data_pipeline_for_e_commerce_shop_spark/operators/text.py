@@ -560,7 +560,14 @@ def winnow_fingerprints(
 
     Returns exploded (doc_id, fingerprint) distinct rows.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The single-file testdata scan arrives as 1 partition, which would
+    # serialize the per-doc hash/window work onto one core; spread it
+    # (same device as kmeans).  At scale the scan is already wide and
+    # this branch never fires.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     grams = F.expr(
         f"case when size(toks) >= {k} then"
@@ -598,14 +605,18 @@ def winnow_pairs(
     and the skew guard, same device as the TF-IDF rare-token cut.  The
     per-doc fingerprint totals reuse one aggregation.
     """
-    fp = winnow_fingerprints(spark, sf_dir)
+    # Materialize the fingerprint table ONCE: the df filter, the size
+    # table, and both join sides would otherwise each re-execute the
+    # tokenize/hash/window lineage (the pagerank plan-reuse lesson —
+    # at scale this is the persisted fingerprint index).
+    fp = winnow_fingerprints(spark, sf_dir).localCheckpoint(eager=False)
     keep = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_df)
         .select("fingerprint")
     )
-    fp = fp.join(keep, "fingerprint")
+    fp = fp.join(keep, "fingerprint").localCheckpoint(eager=False)
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
