@@ -1041,3 +1041,101 @@ def prefix_filter_pairs(
         "n_union",
         F.expr("n_inter * 100 div n_union").alias("jac_pct"),
     )
+
+
+SPAN_TOKENS = 8        # rolling window width for exact-span dedup
+SPAN_MIN_OCCURRENCES = 2  # window is "duplicated" at >= this many copies
+
+
+def duplicated_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SPAN_TOKENS,
+    min_occurrences: int = SPAN_MIN_OCCURRENCES,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection (the suffix-array-dedup shape of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every OVERLAPPING k-token window is hashed (stride 1, so
+    any repeated passage of >= k tokens is caught at every offset), a
+    window is duplicated when its hash occurs >= min_occurrences times
+    anywhere in the corpus (cross-doc or within-doc), and per document
+    the duplicated windows are merged into MAXIMAL spans by
+    gaps-and-islands over the start index — two windows merge when
+    their covered token ranges touch (start gap <= k).
+
+    Distinct from chunk_level_duplicates (non-overlapping fixed chunks,
+    boilerplate rate) and winnowing (sampled fingerprints, similarity):
+    this is the exact, every-offset detector whose output is the list
+    of removable byte ranges.
+
+    Returns one row per document containing at least one duplicated
+    span: (doc_id, n_spans, dup_tokens, n_tokens, dup_ppm).
+
+    Scale (100 TB): the window explode is scan-side projection work
+    (~n_tokens rows per doc carrying a 32-byte hash + int, never text);
+    the duplicate filter is one groupBy on the hash; the merge is a
+    per-doc window function.  No self-join at all — cheaper than every
+    pairwise rung on this ladder.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Spread a single-file scan so the per-doc hash work parallelizes
+    # on local[*]; at scale the scan is already wide and this is a
+    # no-op (same device as winnowing / kmeans).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # 1-based start index i covers tokens [i, i+k-1] — matches DuckDB's
+    # inclusive 1-based list slice t[i:i+k-1].
+    wins = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k - 1}),"
+                f" i -> struct(i AS i,"
+                f" md5(array_join(slice(t, i, {k}), ' ')) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_tokens", "w.i", "w.h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_occurrences)
+        .select("h")
+    )
+    d = wins.join(dup_h, "h").select("doc_id", "n_tokens", "i")
+    # Gaps-and-islands: sorted by start, all intervals have length k,
+    # so the previous covered range ends at lag(i)+k-1 and the ranges
+    # touch iff i - lag(i) <= k.
+    by_doc = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.col("i") - F.lag("i").over(by_doc) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    grp = d.withColumn(
+        "g",
+        F.sum(brk).over(
+            by_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = grp.groupBy("doc_id", "n_tokens", "g").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + F.lit(k - 1)).alias("span_end"),
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.col("span_end") - F.col("span_start") + F.lit(1)
+            ).alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.expr("dup_tokens * 1000000 div n_tokens").alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6354,3 +6354,57 @@ register(
     FROM flagged GROUP BY lang
     """,
 )(_corpus.dedup_token_audit)
+
+
+# Exact duplicated-span dedup (Lee et al. suffix-array shape): every
+# overlapping k-token window hashed, duplicated windows merged into
+# maximal spans per doc.  Window width and occurrence threshold are
+# interpolated from the operator's module constants so the oracle
+# cannot drift from the implementation.
+register(
+    "dedup_exact_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, len(t) AS n_tokens, i,
+             md5(array_to_string(t[i:i+{dedup.SPAN_TOKENS - 1}], ' ')) AS h
+      FROM toks,
+           UNNEST(generate_series(1, len(t) - {dedup.SPAN_TOKENS - 1}))
+             AS g(i)
+    ),
+    dup AS (
+      SELECT h FROM wins
+      GROUP BY h HAVING COUNT(*) >= {dedup.SPAN_MIN_OCCURRENCES}
+    ),
+    d AS (SELECT doc_id, n_tokens, i FROM wins JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, n_tokens, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       <= {dedup.SPAN_TOKENS}
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    grp AS (
+      SELECT doc_id, n_tokens, i,
+             CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens,
+             MIN(i) AS span_start,
+             MAX(i) + {dedup.SPAN_TOKENS - 1} AS span_end
+      FROM grp GROUP BY doc_id, n_tokens, g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           n_tokens,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) * 1000000
+             // n_tokens AS dup_ppm
+    FROM spans GROUP BY doc_id, n_tokens
+    ORDER BY doc_id
+    """,
+)(dedup.duplicated_spans)

@@ -197,3 +197,30 @@ def test_semantic_dedup_keeps_centroid_closest(spark, sf_dir):
     )
     # Full corpus labeled exactly once.
     assert len(rows) == labeled.select("vec_id").distinct().count()
+
+
+def test_duplicated_spans_synthetic(spark, tmp_path):
+    """Exact-span dedup on a constructed corpus: a 10-token passage
+    shared by docs 1 and 2 must surface as ONE maximal span covering
+    exactly those 10 tokens in each doc; doc 3 (unique text) must not
+    appear.  Maximality: overlapping duplicated windows merge."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        SPAN_TOKENS,
+        duplicated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_TOKENS + 2))  # 10 toks
+    rows = [
+        (1, "u1a u1b " + shared + " u1c u1d u1e", "en"),
+        (2, shared + " v1 v2 v3 v4 v5 v6 v7", "en"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in duplicated_spans(spark, d).collect()}
+    assert set(out) == {1, 2}
+    n = SPAN_TOKENS + 2
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == n
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == n
+    assert out[1]["dup_ppm"] == n * 1_000_000 // out[1]["n_tokens"]
