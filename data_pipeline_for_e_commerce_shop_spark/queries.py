@@ -6408,3 +6408,195 @@ register(
     ORDER BY doc_id
     """,
 )(dedup.duplicated_spans)
+
+
+# ------------------------------------------ TPC-H classic join shapes
+
+# Q3 shipping priority: unshipped-revenue top-10.  The date cutoff
+# splits orders (placed before) from lineitems (shipped after); the
+# segment-filtered customer rides as a broadcast key list.
+SHIPPING_PRIORITY_SEGMENT = "BUILDING"
+SHIPPING_PRIORITY_CUTOFF = "1998-06-01 00:00:00"
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT))/100.0 AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{SHIPPING_PRIORITY_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{SHIPPING_PRIORITY_CUTOFF}'
+      AND l_shipdate > TIMESTAMP '{SHIPPING_PRIORITY_CUTOFF}'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of orders not yet shipped at the
+    cutoff, top-10 by discounted revenue.  Plan: both date filters
+    push to the scans, the segment-filtered customer broadcasts
+    (key-only projection), lineitem⋈orders is the one fact shuffle,
+    and the fully-tiebroken ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — no global sort materializes.  The
+    reference has no multi-condition analytical join at all; this is
+    the canonical one."""
+    cutoff = F.lit(SHIPPING_PRIORITY_CUTOFF).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == SHIPPING_PRIORITY_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "order_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+# Q14 promo revenue share: conditional-aggregate ratio over one month,
+# exact ppm integers (numerator and denominator are cents BIGINTs).
+PROMO_MONTH_START = "1997-01-01 00:00:00"
+PROMO_MONTH_END = "1997-02-01 00:00:00"
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT) ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) AS BIGINT) AS promo_ppm
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH_START}'
+      AND l_shipdate <  TIMESTAMP '{PROMO_MONTH_END}'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's discounted revenue from
+    promo-typed parts, as an exact ppm integer.  The month filter
+    pushes to the lineitem scan, part broadcasts (2-column
+    projection), and the whole answer is one map-side-combined global
+    aggregate — 1 output row regardless of scale."""
+    start = F.lit(PROMO_MONTH_START).cast("timestamp")
+    end = F.lit(PROMO_MONTH_END).cast("timestamp")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.expr("promo_cents * 1000000 div total_cents").alias(
+                "promo_ppm"
+            ),
+        )
+    )
+
+
+# Q15 top supplier: quarter revenue per supplier, winners at the max.
+TOP_SUPPLIER_QTR_START = "1997-01-01 00:00:00"
+TOP_SUPPLIER_QTR_END = "1997-04-01 00:00:00"
+
+@register(
+    "top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_QTR_START}'
+        AND l_shipdate <  TIMESTAMP '{TOP_SUPPLIER_QTR_END}'
+      GROUP BY 1
+    ),
+    mx AS (SELECT MAX(rev_cents) AS max_cents FROM rev)
+    SELECT s.s_suppkey, s_name, rev_cents, rev_cents/100.0 AS revenue
+    FROM rev r
+    JOIN supplier s ON r.s_suppkey = s.s_suppkey
+    CROSS JOIN mx
+    WHERE rev_cents = max_cents
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarter revenue.
+    The per-supplier aggregate is one shuffle; the corpus maximum
+    rides back as a 1-row broadcast crossJoin (the scalar-subquery
+    device every stats query here uses) — no single-partition global
+    window, so the plan holds at any supplier count.  Ties return all
+    winners, ordered by key."""
+    start = F.lit(TOP_SUPPLIER_QTR_START).cast("timestamp")
+    end = F.lit(TOP_SUPPLIER_QTR_END).cast("timestamp")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("rev_cents")
+    )
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.join(F.broadcast(supp), "s_suppkey")
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("rev_cents") == F.col("max_cents"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "rev_cents",
+            (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
