@@ -6600,3 +6600,26 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+from data_pipeline_for_e_commerce_shop_spark.streaming.dedup import (  # noqa: E402
+    stream_dedup_kpis,
+)
+
+# Streaming delivery-dedup: the stream carries every 20th event TWICE
+# (a staged re-delivery), dropDuplicatesWithinWatermark must emit each
+# exactly once, so the drained per-type aggregate equals the original
+# duplicate-free table's — which is precisely what this oracle
+# computes.  Inflated counts = dedup dropped nothing; deflated =
+# dropped too much.
+register(
+    "events_stream_dedup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)(stream_dedup_kpis)

@@ -324,3 +324,27 @@ def test_stream_enriched_matches_batch_join(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_dedup_really_removes_redeliveries(spark):
+    """The staged stream dir must genuinely contain duplicates (a
+    batch count over it exceeds the table's), and the streaming dedup
+    must land exactly on the duplicate-free aggregate — proving state
+    actually dropped the re-delivered rows, not that none existed."""
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from data_pipeline_for_e_commerce_shop_spark.streaming.dedup import (
+        DUP_EVERY,
+        _dup_stream_dir,
+        stream_dedup_kpis,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = f"{sf}/events.parquet"
+    events = load_table(spark, sf, "events")
+    n_table = events.count()
+    n_dupes = events.where(F.col("event_id") % DUP_EVERY == 0).count()
+    assert n_dupes > 0, "subset empty — dedup test would be vacuous"
+    staged = spark.read.parquet(_dup_stream_dir(spark, src))
+    assert staged.count() == n_table + n_dupes
+    got = stream_dedup_kpis(spark, sf)
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n_table
