@@ -788,3 +788,56 @@ def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ce.alias("ce_nats"),
         (ce <= UNIGRAM_CE_MAX).alias("keep"),
     )
+
+
+PHRASE_QUERY = ("slow", "hash", "batch")  # contiguous-token phrase
+
+
+def phrase_search(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: tuple[str, ...] = PHRASE_QUERY,
+) -> DataFrame:
+    """Positional inverted-index phrase search: docs containing the
+    query words CONTIGUOUSLY, with the exact occurrence count.
+
+    Shape: tokenize -> posexplode -> keep only the query terms (at
+    scale this read is the prebuilt positional postings table, term ->
+    [(doc, pos)], and the filter is an index lookup, not a scan) ->
+    ONE groupBy(doc_id) collecting per-term position arrays -> a
+    phrase hit is a position p with term_i at p+i for all i, i.e. the
+    intersection of the shifted position arrays.  No self-join, no
+    per-row regex; the oracle takes the naive road (every window
+    tested per doc) — same answer, opposite algorithm.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    postings = toks.where(F.col("term").isin(*phrase))
+    per_term = [
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("term") == w, F.col("pos"))
+            )
+        ).alias(f"p{i}")
+        for i, w in enumerate(phrase)
+    ]
+    grouped = postings.groupBy("doc_id").agg(*per_term)
+    def _shift_by(d: int):
+        # NOTE: F.transform treats a 2-arg lambda as (element, index),
+        # so the shift must be captured in a closure, never a default
+        # second parameter.
+        return lambda x: x - d
+
+    hits = F.col("p0")
+    for i in range(1, len(phrase)):
+        hits = F.array_intersect(
+            hits, F.transform(F.col(f"p{i}"), _shift_by(i))
+        )
+    return (
+        grouped.select("doc_id", F.size(hits).alias("n_matches"))
+        .where(F.col("n_matches") >= 1)
+        .orderBy("doc_id")
+    )

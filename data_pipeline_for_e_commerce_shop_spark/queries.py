@@ -6623,3 +6623,26 @@ register(
     GROUP BY 1
     """,
 )(stream_dedup_kpis)
+
+
+# Positional inverted-index phrase search vs the oracle's naive
+# every-window scan — same answer, opposite algorithm.  The phrase
+# constant is interpolated from the operator module.
+register(
+    "text_phrase_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    scanned AS (
+      SELECT doc_id,
+             len(list_filter(generate_series(1, len(t) - {len(text.PHRASE_QUERY) - 1}),
+                 i -> {" AND ".join(f"t[i+{j}] = '{w}'" for j, w in enumerate(text.PHRASE_QUERY))}))
+               AS n_matches
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_matches AS INTEGER) AS n_matches
+    FROM scanned WHERE n_matches >= 1
+    ORDER BY doc_id
+    """,
+)(text.phrase_search)

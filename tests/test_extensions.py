@@ -639,3 +639,29 @@ def test_rate_anomaly_python_replay(spark):
         else:
             assert g[2] is not None and abs(g[2] - e[2]) < 1e-9, key
         assert g[3] == e[3], key
+
+
+def test_phrase_search_contiguity_and_repeats(spark, tmp_path):
+    """Phrase hits must be CONTIGUOUS (a doc containing all words
+    scattered must not match) and back-to-back repeats must each
+    count."""
+    from pyspark.sql import functions as F
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "x slow hash batch y", "en"),                       # 1 hit
+        (2, "slow hash batch slow hash batch", "en"),           # 2 hits
+        (3, "slow x hash y batch", "en"),                       # scattered: 0
+        (4, "hash batch slow", "en"),                           # wrong order: 0
+        (5, "slow hash slow hash batch", "en"),                 # 1 (at idx 2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(spark, d).collect()
+    }
+    assert got == {1: 1, 2: 2, 5: 1}
