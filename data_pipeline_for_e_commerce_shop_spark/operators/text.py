@@ -841,3 +841,97 @@ def phrase_search(
         .where(F.col("n_matches") >= 1)
         .orderBy("doc_id")
     )
+
+
+BPE_ROUNDS = 4  # learned merge rules
+
+
+def bpe_merge_fold_sql(a_col: str, b_col: str) -> str:
+    """The greedy left-to-right BPE merge of pair (a, b) over symbol
+    array `s`, as ONE aggregate() fold (shared shape with the DuckDB
+    oracle's list_reduce): append each symbol, except when the
+    accumulator ends with `a` and the symbol is `b` — then replace the
+    tail with the merged token.  The fold IS greedy BPE: a just-merged
+    token can never equal `a` (it is strictly longer than `a`), so no
+    double-merge can occur."""
+    return (
+        "aggregate(s, cast(array() as array<string>), (acc, x) ->"
+        " case when size(acc) > 0"
+        f" and element_at(acc, -1) = {a_col} and x = {b_col}"
+        " then concat(slice(acc, 1, size(acc) - 1),"
+        f" array(concat({a_col}, {b_col})))"
+        " else concat(acc, array(x)) end)"
+    )
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Learn the first `rounds` BPE merge rules from the corpus — the
+    tokenizer-training primitive, distributed.
+
+    Shape (the way real corpus-scale BPE trainers run): the corpus
+    collapses ONCE to the word-TYPE table (word, count) — vocabulary-
+    sized, not corpus-sized; each round counts adjacent symbol pairs
+    weighted by word count (explode over the vocab), takes the argmax
+    pair with a fully-tiebroken ORDER BY ... LIMIT 1 (a 1-row
+    broadcast, never a driver collect), and applies the merge to every
+    word type with a greedy aggregate() fold.  Per-round lineage is
+    cut with a lazy localCheckpoint so `rounds` plans don't nest.
+
+    Returns (merge_round, left_sym, right_sym, pair_count) — the
+    ordered merge table a tokenizer would ship.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "word",
+            "n",
+            F.expr("filter(split(word, ''), x -> x != '')").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merge_steps = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            words.select(
+                "n",
+                F.explode(
+                    # sequence(1, 0) REVERSES in Spark (it is not
+                    # empty like DuckDB's generate_series) — guard the
+                    # single-symbol words explicitly.
+                    F.expr(
+                        "case when size(s) >= 2 then"
+                        " transform(sequence(1, size(s) - 1),"
+                        " i -> struct(element_at(s, i) AS a,"
+                        " element_at(s, i + 1) AS b))"
+                        " else cast(array() as"
+                        " array<struct<a: string, b: string>>) end"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        merge_steps.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select("word", "n", F.expr(bpe_merge_fold_sql("a", "b")).alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    out = merge_steps[0]
+    for m in merge_steps[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_round")

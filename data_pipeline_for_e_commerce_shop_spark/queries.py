@@ -6646,3 +6646,59 @@ register(
     ORDER BY doc_id
     """,
 )(text.phrase_search)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE-training oracle: per round, pair counts over the
+    word-type vocabulary, fully-tiebroken argmax, and the SAME greedy
+    list_reduce fold the Spark side runs (text.bpe_merge_fold_sql) —
+    DuckDB's reduce seeds with the first element, Spark's with an
+    empty array; the two are provably identical here because the
+    first step of the empty-seed fold just appends the first symbol."""
+    ctes = [
+        """w0 AS (
+      SELECT word, COUNT(*) AS n,
+             list_filter(string_split(word, ''), x -> x != '') AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word != '' GROUP BY word
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+      SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM w{p}, UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""b{r} AS (SELECT a, b, cnt FROM p{r}
+      ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+      SELECT word, n,
+             list_reduce(list_transform(s, x -> [x]),
+               (acc, x) -> CASE WHEN len(acc) > 0
+                     AND acc[-1] = bb.a AND x[1] = bb.b
+                 THEN acc[1:len(acc)-1] || [bb.a || bb.b]
+                 ELSE acc || x END) AS s
+      FROM w{p} CROSS JOIN b{r} bb
+    )"""
+        )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_round, a AS left_sym, b AS right_sym,"
+        f" cnt AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    {sel}\n    ORDER BY merge_round"
+    )
+
+
+# Distributed BPE tokenizer training: vocabulary-sized pair counting,
+# 1-row argmax broadcast, greedy fold merge — `rounds` learned rules.
+register("text_bpe_merges", _bpe_oracle(text.BPE_ROUNDS))(text.bpe_merges)

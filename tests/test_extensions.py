@@ -665,3 +665,28 @@ def test_phrase_search_contiguity_and_repeats(spark, tmp_path):
         for r in phrase_search(spark, d).collect()
     }
     assert got == {1: 1, 2: 2, 5: 1}
+
+
+def test_bpe_merges_known_corpus(spark, tmp_path):
+    """BPE on a constructed corpus with a known trajectory: round 1
+    must merge the most frequent pair, the merged symbol must then
+    participate as a unit (greedy, no re-merge of the just-built
+    token), and ties must break lexicographically."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        bpe_merges,
+    )
+
+    # 'abab' x3 and 'ab' x2: pair (a,b) count = 3*2+2 = 8, (b,a) = 3.
+    # After merging (a,b)->'ab': words are [ab,ab] x3, [ab] x2 ->
+    # round 2 pair is (ab, ab) with count 3.
+    rows = [
+        (1, "abab abab abab ab ab", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(spark, d, rounds=2).collect()
+    ]
+    assert got == [(1, "a", "b", 8), (2, "ab", "ab", 3)]
