@@ -420,3 +420,46 @@ def dedup_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(n_tokens)"
         ).alias("removed_token_ppm"),
     )
+
+
+TEMP_ALPHA_PCT = 50  # temperature exponent alpha = 0.5 (sqrt scaling)
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source rebalance (sample source s with probability
+    proportional to p_s^alpha, alpha = 0.5): upweights the tail
+    sources, damps the head, the standard fix for head-source
+    domination in corpus mixing.
+
+    With alpha = 1/2 the scaled share is sqrt(n_s) / SUM(sqrt(n_t))
+    (the 1/N factors cancel), so the only float op is sqrt + one
+    division, rounded to 9 decimals on both engines (the Wilson-CI
+    determinism device).  `epochs` = share * N / n_s is how many times
+    each source's documents repeat per corpus-sized epoch under the
+    scaled mix.
+
+    Plan: one |sources|-row aggregate and a 1-row total crossJoin —
+    no corpus rescan at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt("n_docs")).alias("z"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_total").alias("natural_ppm"),
+            F.round(F.sqrt("n_docs") / F.col("z"), 9).alias("temp_share"),
+            F.round(
+                F.sqrt("n_docs") / F.col("z") * F.col("n_total")
+                / F.col("n_docs"),
+                9,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )

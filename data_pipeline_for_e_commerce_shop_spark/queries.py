@@ -6702,3 +6702,26 @@ def _bpe_oracle(rounds: int) -> str:
 # Distributed BPE tokenizer training: vocabulary-sized pair counting,
 # 1-row argmax broadcast, greedy fold merge — `rounds` learned rules.
 register("text_bpe_merges", _bpe_oracle(text.BPE_ROUNDS))(text.bpe_merges)
+
+
+# Temperature-scaled source mixing (p^alpha rebalance, alpha=0.5):
+# sqrt-only float path rounded to 9 decimals on both engines.
+register(
+    "corpus_temperature_mix",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             SUM(sqrt(n_docs)) AS z
+      FROM c
+    )
+    SELECT source, n_docs,
+           n_docs * 1000000 // n_total AS natural_ppm,
+           round(sqrt(n_docs) / z, 9) AS temp_share,
+           round(sqrt(n_docs) / z * n_total / n_docs, 9) AS epochs
+    FROM c CROSS JOIN t
+    ORDER BY source
+    """,
+)(_corpus.temperature_mix)

@@ -47,6 +47,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "ann_pq_topk",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "events_key_skew",
+                  # 1-row (N, sqrt-sum) totals crossJoin over the
+                  # |sources|-row aggregate (scalar-subquery shape)
+                  "corpus_temperature_mix",
                   # hour-spine x type-vocabulary grid: both sides are
                   # aggregate-reduced (|hours|, |types| rows) — the
                   # cross product is the OUTPUT size, not a pair scan
