@@ -443,7 +443,14 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus rescan at all.
     """
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # The |sources|-row aggregate feeds BOTH the totals and the final
+    # projection — materialize it once or the corpus scan duplicates
+    # into each subtree (the plan-reuse lesson).
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     tot = counts.agg(
         F.sum("n_docs").alias("n_total"),
         F.sum(F.sqrt("n_docs")).alias("z"),

@@ -1098,6 +1098,11 @@ def duplicated_spans(
             )
         ).alias("w"),
     ).select("doc_id", "n_tokens", "w.i", "w.h")
+    # The window table feeds BOTH the duplicate filter and the
+    # join-back — materialize it once (this is the persisted
+    # window-hash index a production run would keep) instead of
+    # re-running tokenize+hash per subtree.
+    wins = wins.localCheckpoint(eager=False)
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))

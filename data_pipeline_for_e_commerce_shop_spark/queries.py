@@ -6577,12 +6577,19 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
         .select("l_suppkey", "l_extendedprice", "l_discount")
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
-        F.sum(
-            F.floor(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-            ).cast("long")
-        ).alias("rev_cents")
+    # The per-supplier aggregate feeds BOTH the max reduction and the
+    # winner join — materialize it once or the lineitem scan
+    # duplicates into each subtree (the plan-reuse lesson).
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_cents")
+        )
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("rev_cents").alias("max_cents"))
     supp = load_table(spark, sf_dir, "supplier").select(

@@ -35,6 +35,13 @@ PROBE = [
     "events_ema_recursive",
     "dedup_prefix_filter",
     "scd2_timeline_alignment",
+    # round-3 additions: iterative argmax trajectory, overlapping-span
+    # merge windows, position-array intersection, sqrt-share rounding
+    "text_bpe_merges",
+    "dedup_exact_spans",
+    "text_phrase_search",
+    "corpus_temperature_mix",
+    "shipping_priority",
 ]
 
 

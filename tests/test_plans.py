@@ -251,6 +251,21 @@ EXCHANGE_BUDGETS = {
     "segment_balance_profile": 1,
     # (type,user) distinct + register agg + per-type agg + exact: <= 4
     "hll_distinct_users": 4,
+    # window-hash groupBy + dup-filter join + island window + span
+    # agg + final per-doc agg over the checkpointed window table: <= 5
+    "dedup_exact_spans": 5,
+    # fact join shuffle + final agg (customer is broadcast): <= 3
+    "shipping_priority": 3,
+    # broadcast part join + 1-row global agg: <= 1
+    "promo_revenue_share": 1,
+    # 1-row max agg + output sort over the checkpointed per-supplier
+    # aggregate: <= 2
+    "top_supplier": 2,
+    # postings groupBy + output sort: <= 2
+    "text_phrase_search": 2,
+    # 1-row totals agg + output sort over the checkpointed
+    # |sources|-row aggregate: <= 2
+    "corpus_temperature_mix": 2,
 }
 
 
