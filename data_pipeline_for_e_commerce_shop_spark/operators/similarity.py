@@ -910,3 +910,100 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_sq_dist", "rank")
     )
+
+
+IVF_ADD_MOD = 10  # vec_id % MOD == 0 is the "arriving" batch
+IVF_ADD_CENTROIDS = 8
+
+
+def ivf_incremental_add(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = IVF_ADD_CENTROIDS,
+) -> DataFrame:
+    """IVF index MAINTENANCE: assign an arriving embedding batch to a
+    FROZEN centroid table (no retrain) and report per-list growth and
+    balance — the operational question every incremental ANN
+    deployment asks (when do the lists skew enough to retrain?).
+
+    The existing index is built from the old corpus (vec_id %
+    IVF_ADD_MOD != 0) with the same deterministic centroid sample as
+    ivf_topk; the arriving batch (vec_id % IVF_ADD_MOD == 0) is
+    assigned by ONE broadcast crossJoin against the model-sized
+    centroid table.  Output per cluster: list size before/added/after,
+    post-add share, and balance_ppm = size_after * n_centroids / total
+    (1e6 = perfectly balanced) — the retrain trigger.
+
+    Scale: both assignment passes are broadcast-model map work; the
+    rollups are k-row aggregates; the totals ride back as a 1-row
+    broadcast.  Nothing rescans the corpus twice (shared assignment
+    lineage is checkpointed).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm("emb"))
+    )
+    old = emb.where(F.col("vec_id") % IVF_ADD_MOD != 0)
+    new = emb.where(F.col("vec_id") % IVF_ADD_MOD == 0)
+    centroids = (
+        old.select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("emb").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+            F.pmod(
+                F.col("vec_id") * F.lit(2654435761), F.lit(4294967296)
+            ).alias("_h"),
+        )
+        .orderBy("_h", "cluster_id")
+        .limit(n_centroids)
+        .drop("_h")
+        .localCheckpoint(eager=False)  # shared by both assignment passes
+    )
+    before = (
+        _assign_nearest(
+            old.select(F.col("vec_id").alias("corpus_id"), "emb", "nrm"),
+            centroids,
+            "corpus_id",
+            n_probe=1,
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    added = (
+        _assign_nearest(
+            new.select(F.col("vec_id").alias("corpus_id"), "emb", "nrm"),
+            centroids,
+            "corpus_id",
+            n_probe=1,
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_added"))
+    )
+    lists = (
+        centroids.select("cluster_id")
+        .join(F.broadcast(before), "cluster_id", "left")
+        .join(F.broadcast(added), "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        )
+        .withColumn("n_after", F.col("n_before") + F.col("n_added"))
+        .localCheckpoint(eager=False)  # feeds totals AND output
+    )
+    tot = lists.agg(F.sum("n_after").alias("total_after"))
+    return (
+        lists.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "n_before",
+            "n_added",
+            "n_after",
+            F.expr("n_after * 1000000 div total_after").alias("share_ppm"),
+            F.expr(
+                f"n_after * {n_centroids} * 1000000 div total_after"
+            ).alias("balance_ppm"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -6732,3 +6732,66 @@ register(
     ORDER BY source
     """,
 )(_corpus.temperature_mix)
+
+
+# IVF index maintenance: arriving batch assigned to FROZEN centroids,
+# per-list growth + balance report (the retrain trigger).  Batch
+# selector and centroid count interpolate from the operator module.
+register(
+    "ann_ivf_incremental",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    old AS (SELECT * FROM n WHERE vec_id % {similarity.IVF_ADD_MOD} != 0),
+    newb AS (SELECT * FROM n WHERE vec_id % {similarity.IVF_ADD_MOD} = 0),
+    cent AS (
+      SELECT vec_id AS cluster_id, v AS cv, nrm AS cn
+      FROM old
+      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      LIMIT {similarity.IVF_ADD_CENTROIDS}
+    ),
+    before AS (
+      SELECT cluster_id, COUNT(*) AS n_before FROM (
+        SELECT old.vec_id, cent.cluster_id,
+               row_number() OVER (PARTITION BY old.vec_id
+                 ORDER BY list_dot_product(old.v, cent.cv)
+                            / (old.nrm * cent.cn) DESC,
+                          cent.cluster_id ASC) AS pr
+        FROM old CROSS JOIN cent
+      ) WHERE pr = 1 GROUP BY cluster_id
+    ),
+    added AS (
+      SELECT cluster_id, COUNT(*) AS n_added FROM (
+        SELECT newb.vec_id, cent.cluster_id,
+               row_number() OVER (PARTITION BY newb.vec_id
+                 ORDER BY list_dot_product(newb.v, cent.cv)
+                            / (newb.nrm * cent.cn) DESC,
+                          cent.cluster_id ASC) AS pr
+        FROM newb CROSS JOIN cent
+      ) WHERE pr = 1 GROUP BY cluster_id
+    ),
+    lists AS (
+      SELECT cent.cluster_id,
+             COALESCE(n_before, 0) AS n_before,
+             COALESCE(n_added, 0) AS n_added,
+             COALESCE(n_before, 0) + COALESCE(n_added, 0) AS n_after
+      FROM cent
+      LEFT JOIN before ON cent.cluster_id = before.cluster_id
+      LEFT JOIN added ON cent.cluster_id = added.cluster_id
+    ),
+    tot AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM lists)
+    SELECT cluster_id,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_added AS BIGINT) AS n_added,
+           CAST(n_after AS BIGINT) AS n_after,
+           CAST(n_after AS BIGINT) * 1000000 // total_after AS share_ppm,
+           CAST(n_after AS BIGINT) * {similarity.IVF_ADD_CENTROIDS}
+             * 1000000 // total_after AS balance_ppm
+    FROM lists CROSS JOIN tot
+    ORDER BY cluster_id
+    """,
+)(similarity.ivf_incremental_add)

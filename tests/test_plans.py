@@ -50,6 +50,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row (N, sqrt-sum) totals crossJoin over the
                   # |sources|-row aggregate (scalar-subquery shape)
                   "corpus_temperature_mix",
+                  # frozen k-row centroid model broadcast against both
+                  # assignment passes + 1-row totals (IVF model shape)
+                  "ann_ivf_incremental",
                   # hour-spine x type-vocabulary grid: both sides are
                   # aggregate-reduced (|hours|, |types| rows) — the
                   # cross product is the OUTPUT size, not a pair scan

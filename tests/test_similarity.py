@@ -167,3 +167,33 @@ def test_pq_topk_ranks_and_recall(spark):
     )
     # 25 slots; random chance on a 500-doc corpus would be ~0.25 hits
     assert hits >= 5, f"PQ recall collapsed: {hits}/25"
+
+
+def test_ivf_incremental_add_conserves_and_balances(spark):
+    """The maintenance report must conserve counts: sum(n_before) =
+    old-corpus size, sum(n_added) = batch size, every cluster row
+    present (even empty ones), and balance_ppm averages 1e6 across
+    lists up to integer floor."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        IVF_ADD_CENTROIDS,
+        IVF_ADD_MOD,
+        ivf_incremental_add,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = ivf_incremental_add(spark, sf).collect()
+    emb = load_table(spark, sf, "embeddings")
+    n_old = emb.where(F.col("vec_id") % IVF_ADD_MOD != 0).count()
+    n_new = emb.where(F.col("vec_id") % IVF_ADD_MOD == 0).count()
+    assert len(rows) == IVF_ADD_CENTROIDS
+    assert sum(r["n_before"] for r in rows) == n_old
+    assert sum(r["n_added"] for r in rows) == n_new
+    assert all(r["n_after"] == r["n_before"] + r["n_added"] for r in rows)
+    total = sum(r["n_after"] for r in rows)
+    assert all(
+        r["balance_ppm"] == r["n_after"] * IVF_ADD_CENTROIDS * 1_000_000 // total
+        for r in rows
+    )
