@@ -935,3 +935,117 @@ def bpe_merges(
     for m in merge_steps[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_round")
+
+
+NB_TEST_MOD = 5  # doc_id % MOD == 0 is the held-out evaluation split
+
+
+def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND
+    evaluated inside the engine: add-1-smoothed per-language token
+    log-probabilities fit on the train split (doc_id % NB_TEST_MOD
+    != 0), held-out confusion matrix on the rest — ML training as
+    aggregation, the way corpus-scale classifiers (quality gates,
+    lang-ID) are actually fit.
+
+    Model = three aggregates over one tokenize pass: (lang, term)
+    counts, per-lang token totals, train vocabulary size; priors from
+    doc counts.  The model table is the FULL vocab x lang grid (the
+    +1 smoothing makes unseen-in-lang terms ln(1/(tot+V)) — identical
+    to the OOV default, so scoring needs no special cases beyond one
+    coalesce).  Scoring: test tokens cross the |langs|-row stats
+    table, left-join the model, and each (doc, lang) score is a
+    SEQUENTIAL position-ordered fold of per-token ln p (the
+    unigram-CE float-parity device) plus the prior; argmax by (score
+    desc, lang asc).
+
+    Scale: model is vocab x |langs| (broadcastable until ~10M types;
+    past that the same plan shuffles term-keyed), scoring is one
+    token-stream join, folds are per-doc state.  Returns the
+    confusion matrix (true_lang, pred_lang, n_docs).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    train = docs.where(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = docs.where(F.col("doc_id") % NB_TEST_MOD == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    trt = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).localCheckpoint(eager=False)  # feeds counts, totals, and vocab
+    cnt = trt.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    ltot = trt.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = trt.select("term").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_docs"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.expr("ln(CAST(nd AS DOUBLE) / n_docs)").alias("pr"),
+        )
+    )
+    model = (
+        vocab.crossJoin(F.broadcast(ltot))
+        .crossJoin(F.broadcast(v))
+        .join(cnt, ["lang", "term"], "left")
+        .select(
+            "term",
+            "lang",
+            F.expr(
+                "ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (tot + v))"
+            ).alias("lp"),
+        )
+    )
+    tet = test.select(
+        "doc_id",
+        "true_lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    scored = (
+        tet.crossJoin(F.broadcast(ltot))
+        .crossJoin(F.broadcast(v))
+        .join(model, ["lang", "term"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            "pos",
+            F.coalesce(
+                "lp", F.expr("ln(1.0 / (tot + v))")
+            ).alias("lp"),
+        )
+    )
+    folded = (
+        scored.groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(pos, lp))), s -> s.lp),"
+                " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("s")
+        )
+        .join(F.broadcast(prior), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.round(F.col("pr") + F.col("s"), 9).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        folded.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -6795,3 +6795,70 @@ register(
     ORDER BY cluster_id
     """,
 )(similarity.ivf_incremental_add)
+
+
+# Multinomial Naive Bayes language classifier trained on the
+# doc_id % mod != 0 split, held-out confusion matrix.  Smoothing,
+# split selector, and the sequential score fold mirror the operator;
+# the fold is the unigram-CE float-parity device.
+register(
+    "text_nb_classifier",
+    f"""
+    WITH tr AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id % {text.NB_TEST_MOD} != 0
+    ),
+    te AS (
+      SELECT doc_id, lang AS true_lang, text FROM documents
+      WHERE doc_id % {text.NB_TEST_MOD} = 0
+    ),
+    trt AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM tr
+    ),
+    cnt AS (SELECT lang, term, COUNT(*) AS c FROM trt GROUP BY 1, 2),
+    ltot AS (SELECT lang, COUNT(*) AS tot FROM trt GROUP BY 1),
+    vocab AS (SELECT DISTINCT term FROM trt),
+    v AS (SELECT COUNT(*) AS v FROM vocab),
+    ntr AS (SELECT COUNT(*) AS n_docs FROM tr),
+    prior AS (
+      SELECT lang, ln(CAST(COUNT(*) AS DOUBLE) / n_docs) AS pr
+      FROM tr CROSS JOIN ntr GROUP BY lang, n_docs
+    ),
+    model AS (
+      SELECT vocab.term, ltot.lang,
+             ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0)
+                / (ltot.tot + v.v)) AS lp
+      FROM vocab CROSS JOIN ltot CROSS JOIN v
+      LEFT JOIN cnt c ON c.term = vocab.term AND c.lang = ltot.lang
+    ),
+    tet AS (
+      SELECT doc_id, true_lang, i AS pos, t[i] AS term
+      FROM (SELECT doc_id, true_lang, string_split(text, ' ') AS t
+            FROM te),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    scored AS (
+      SELECT tt.doc_id, tt.true_lang, l.lang, tt.pos,
+             COALESCE(m.lp, ln(1.0 / (l.tot + v.v))) AS lp
+      FROM tet tt CROSS JOIN ltot l CROSS JOIN v
+      LEFT JOIN model m ON m.term = tt.term AND m.lang = l.lang
+    ),
+    folded AS (
+      SELECT doc_id, true_lang, lang,
+             round(pr + list_reduce(list(lp ORDER BY pos),
+                                    (a, b) -> a + b), 9) AS score
+      FROM scored JOIN prior USING (lang)
+      GROUP BY doc_id, true_lang, lang, pr
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, lang ASC) AS rk
+        FROM folded
+      ) WHERE rk = 1
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)(text.nb_language_classifier)

@@ -690,3 +690,39 @@ def test_bpe_merges_known_corpus(spark, tmp_path):
         for r in bpe_merges(spark, d, rounds=2).collect()
     ]
     assert got == [(1, "a", "b", 8), (2, "ab", "ab", 3)]
+
+
+def test_nb_classifier_learns_separable_corpus(spark, tmp_path):
+    """On a corpus with disjoint per-language vocabularies the
+    held-out confusion matrix must be diagonal, and an OOV-only test
+    doc must fall back to the prior argmax (majority language, lang
+    asc on ties)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        NB_TEST_MOD,
+        nb_language_classifier,
+    )
+
+    rows = []
+    did = 0
+    # Train+test docs: ids 0,5,10.. land in the test split.
+    for _ in range(10):
+        for lang, words in [("xx", "foo bar baz"), ("yy", "qux quux corge")]:
+            rows.append((did, words, lang))
+            did += 1
+    # One OOV-only doc in the test split (id divisible by NB_TEST_MOD):
+    while did % NB_TEST_MOD != 0:
+        did += 1
+    rows.append((did, "zzz www vvv", "yy"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in nb_language_classifier(spark, d).collect()
+    }
+    # Separable vocab -> every in-vocab test doc classified correctly.
+    assert got[("xx", "xx")] >= 1 and got[("yy", "yy")] >= 1
+    assert ("xx", "yy") not in got
+    # The OOV doc scored by priors alone: both langs have equal doc
+    # counts, so the tie breaks to 'xx' (lang asc) -> one yy->xx cell.
+    assert got.get(("yy", "xx"), 0) == 1

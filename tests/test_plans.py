@@ -53,6 +53,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # frozen k-row centroid model broadcast against both
                   # assignment passes + 1-row totals (IVF model shape)
                   "ann_ivf_incremental",
+                  # |langs|-row stats + 1-row vocab-size ride the token
+                  # stream as broadcast crossJoins (model-scoring shape)
+                  "text_nb_classifier",
                   # hour-spine x type-vocabulary grid: both sides are
                   # aggregate-reduced (|hours|, |types| rows) — the
                   # cross product is the OUTPUT size, not a pair scan
