@@ -72,25 +72,43 @@ def union_by_name(dfs: list[DataFrame], allow_missing: bool = False) -> DataFram
 def read_polymorphic(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
-    """S3: dispatch parquet-vs-CSV by explicit probe, not exceptions.
+    """S3: dispatch format by explicit probe, not exceptions.
 
     The reference falls back Delta->CSV via try/except
-    (scripts/validation.py:51-64).  We probe the physical layout: a
-    parquet/Delta-style table dir contains ``*.parquet`` (or
-    ``_delta_log``); otherwise treat as CSV.
+    (scripts/validation.py:51-64) — exception dispatch masks real read
+    errors.  We probe the physical layout: a parquet/Delta-style table
+    dir contains ``*.parquet`` (or ``_delta_log``); ``*.orc`` files
+    dispatch to the ORC reader; ``*.json``/``*.jsonl`` to the
+    JSON-lines reader (explicit schema — inference would scan twice
+    and type-drift); anything else is CSV.
     """
-    if _is_parquet_table(path):
+    ext = _table_extension(path)
+    if ext == "parquet":
         return spark.read.parquet(path)
+    if ext == "orc":
+        return spark.read.orc(path)
+    if ext in ("json", "jsonl"):
+        return spark.read.schema(schema).json(path)
     return read_csv_entity(spark, path, schema)
 
 
-def _is_parquet_table(path: str) -> bool:
+def _table_extension(path: str) -> str:
+    """Dominant data-file extension of a file or table directory
+    ('parquet' also covers Delta-style dirs via _delta_log)."""
     if not os.path.isdir(path):
-        return path.endswith(".parquet")
+        return path.rsplit(".", 1)[-1].lower()
     for entry in os.listdir(path):
-        if entry == "_delta_log" or entry.endswith(".parquet"):
-            return True
-    return False
+        if entry == "_delta_log":
+            return "parquet"
+        if "." in entry and not entry.startswith("_"):
+            ext = entry.rsplit(".", 1)[-1].lower()
+            if ext in ("parquet", "orc", "json", "jsonl"):
+                return ext
+    return "csv"
+
+
+def _is_parquet_table(path: str) -> bool:
+    return _table_extension(path) == "parquet"
 
 
 def schema_probe(spark: SparkSession, path: str) -> list[str]:
