@@ -17,7 +17,7 @@ filter by more than the partition column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import load_table
@@ -156,3 +156,75 @@ def bucketed_join(
     lt = spark.table(left)
     rt = spark.table(right)
     return lt.join(rt, lt[left_key] == rt[right_key])
+
+
+COMPACT_TARGET_BYTES = 50_000  # per-group byte target (demo-scaled)
+
+
+def compaction_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+) -> DataFrame:
+    """Deterministic small-partition compaction planner — the
+    maintenance pass every parquet/Delta lake runs (OPTIMIZE /
+    bin-packing): group undersized partitions into write groups of
+    ~target_bytes so scans stop paying per-file overhead.
+
+    Partition stats here are the per-(source, lang) byte totals of the
+    documents table (at scale: the table's file manifest or partition
+    statistics — same shape, (key, bytes) rows).  Grouping is LINEAR
+    partitioning, not first-fit: partitions sort by key, and a
+    partition belongs to group floor(cum_before / target) where
+    cum_before is the running byte total BEFORE it — one window pass,
+    deterministic under any parallelism, groups only ever overshoot by
+    the one partition that crosses the boundary (the same guarantee
+    greedy first-fit gives on sorted input).
+
+    Output per group: partition span (first/last key), counts, bytes,
+    and fill vs target in ppm — the writer's work list.
+
+    The running sum is a GLOBAL-ordered window, which executes on one
+    partition — correct here because it runs over the partition-STATS
+    table (manifest-sized metadata, thousands of rows at 100 TB),
+    never over data rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    parts = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").alias("bytes")
+    )
+    w = (
+        Window.orderBy("source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = parts.select(
+        "source",
+        "lang",
+        "bytes",
+        (
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / F.lit(target_bytes)
+        )
+        .cast("long")
+        .alias("group_id"),
+    )
+    return (
+        grouped.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.min(F.concat_ws("/", "source", "lang")).alias("first_part"),
+            F.max(F.concat_ws("/", "source", "lang")).alias("last_part"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .select(
+            "group_id",
+            "n_partitions",
+            "first_part",
+            "last_part",
+            "total_bytes",
+            F.expr(
+                f"total_bytes * 1000000 div {target_bytes}"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("group_id")
+    )

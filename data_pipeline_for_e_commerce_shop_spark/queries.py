@@ -6862,3 +6862,37 @@ register(
     ORDER BY 1, 2
     """,
 )(text.nb_language_classifier)
+
+
+from data_pipeline_for_e_commerce_shop_spark.operators import layout as _layout  # noqa: E402
+
+# Small-partition compaction planner: linear-partitioned write groups
+# of ~target bytes over the (source, lang) partition stats.  Target
+# interpolated from the operator module.
+register(
+    "layout_compaction_plan",
+    f"""
+    WITH parts AS (
+      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    grouped AS (
+      SELECT source, lang, bytes,
+             CAST(COALESCE(CAST(SUM(bytes) OVER (
+                     ORDER BY source, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0)
+                  // {_layout.COMPACT_TARGET_BYTES} AS BIGINT) AS group_id
+      FROM parts
+    )
+    SELECT group_id,
+           COUNT(*) AS n_partitions,
+           MIN(source || '/' || lang) AS first_part,
+           MAX(source || '/' || lang) AS last_part,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(bytes) AS BIGINT) * 1000000
+             // {_layout.COMPACT_TARGET_BYTES} AS fill_ppm
+    FROM grouped GROUP BY group_id
+    ORDER BY group_id
+    """,
+)(_layout.compaction_plan)

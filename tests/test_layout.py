@@ -126,3 +126,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compaction_plan_conserves_and_packs(spark):
+    """Every partition lands in exactly one group, byte totals are
+    conserved, groups are contiguous key ranges, and no group except
+    possibly the last is more than one partition past the target."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.layout import (
+        COMPACT_TARGET_BYTES,
+        compaction_plan,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    plan = compaction_plan(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    parts = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").alias("b")
+    )
+    assert sum(r["n_partitions"] for r in plan) == parts.count()
+    assert sum(r["total_bytes"] for r in plan) == (
+        parts.agg(F.sum("b")).collect()[0][0]
+    )
+    # Contiguity: group key spans must not interleave.
+    ordered = sorted(plan, key=lambda r: r["group_id"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["last_part"] <= b["first_part"]
+    # Packing bound: a group can exceed the target only by its one
+    # boundary partition (undershoot is possible when the previous
+    # group's boundary partition ate into this bucket's range).
+    max_part = parts.agg(F.max("b")).collect()[0][0]
+    for r in ordered:
+        assert r["total_bytes"] <= COMPACT_TARGET_BYTES + max_part
