@@ -470,3 +470,56 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus "dataset card" panel: docs, tokens, exact-duplicate
+    counts and dup ppm per (source, lang), per source, per lang, and
+    globally — ONE GROUPING SETS aggregate over one scan (a CUBE minus
+    nothing here, but expressed sparsely so adding dimensions stays
+    an explicit choice).
+
+    The duplicate flag is the standard keeper rule (min doc_id per
+    md5(text) survives) computed inline as a window — the same rule
+    the dedup ledger uses, so the card's dup numbers reconcile with
+    the pipeline's.  `level` = grouping_id disambiguates rollup rows
+    from genuine NULL dimension values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5("text").alias("fp"),
+    )
+    from pyspark.sql import Window as _W
+
+    flagged = base.withColumn(
+        "is_dup",
+        (
+            F.min("doc_id").over(_W.partitionBy("fp")) != F.col("doc_id")
+        ).cast("long"),
+    )
+    return (
+        flagged.groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []],
+            "source",
+            "lang",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("is_dup").alias("n_dup_docs"),
+            F.grouping_id("source", "lang").alias("level"),
+        )
+        .select(
+            "source",
+            "lang",
+            "level",
+            "n_docs",
+            "n_tokens",
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000000 div n_docs").alias("dup_ppm"),
+        )
+    )

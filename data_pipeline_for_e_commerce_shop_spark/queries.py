@@ -6896,3 +6896,90 @@ register(
     ORDER BY group_id
     """,
 )(_layout.compaction_plan)
+
+
+# Corpus dataset-card panel: one GROUPING SETS pass with the inline
+# exact-dup keeper rule (reconciles with the dedup ledger).
+register(
+    "corpus_datacard",
+    """
+    WITH base AS (
+      SELECT source, lang, doc_id,
+             len(string_split(text, ' ')) AS n_toks,
+             md5(text) AS fp
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, lang, n_toks,
+             CASE WHEN MIN(doc_id) OVER (PARTITION BY fp) != doc_id
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM base
+    )
+    SELECT source, lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS level,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(is_dup) AS BIGINT) * 1000000 // COUNT(*) AS dup_ppm
+    FROM flagged
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)(_corpus.datacard)
+
+
+# TPC-H Q18 shape: large-volume orders (aggregate filter, then the
+# qualifying keys semi-join back to the detail for customer context).
+LARGE_ORDER_MIN_QTY = 150
+
+@register(
+    "large_volume_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {LARGE_ORDER_MIN_QTY}
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds the
+    threshold, joined back for customer context, top-20.  The HAVING
+    aggregate runs first (one fact shuffle, map-combined), the
+    qualifying key set is tiny and drives broadcast joins against
+    orders/customer, and the fully-tiebroken ORDER BY + LIMIT is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
