@@ -6983,3 +6983,53 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+from data_pipeline_for_e_commerce_shop_spark.sources import generator as _gen  # noqa: E402
+
+# Custom Python DataSource scan: per-category KPIs over the
+# deterministic generator — both engines derive every column from
+# md5(row_id), so a storageless source still gets the full value-hash
+# gate.  Constants interpolate from the source module.
+@register(
+    "synthetic_source_kpis",
+    f"""
+    WITH g AS (
+      SELECT i AS row_id,
+             'cat' || (CAST(('0x' || substr(md5('gen-' || i), 1, 8))
+                       AS BIGINT) % {_gen.GEN_CATEGORIES}) AS category,
+             CAST(('0x' || substr(md5('gen-' || i), 9, 8)) AS BIGINT)
+               % {_gen.GEN_CENTS_MOD} AS value_cents
+      FROM generate_series(0, {_gen.GEN_ROWS - 1}) AS t(i)
+    )
+    SELECT category,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(row_id) AS BIGINT) AS first_row,
+           CAST(MAX(row_id) AS BIGINT) AS last_row
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def synthetic_source_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom Python DataSource (partitioned deterministic
+    generator) and aggregate per category.  Each of the source's input
+    partitions generates its own id range executor-side — a zero-IO
+    scan that parallelizes like parquet.  sf_dir is unused: the source
+    IS the data."""
+    _gen.register_generator(spark)
+    g = (
+        spark.read.format("syntheticgen")
+        .option("n", _gen.GEN_ROWS)
+        .option("partitions", _gen.GEN_PARTITIONS)
+        .load()
+    )
+    return (
+        g.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_cents").alias("total_cents"),
+            F.min("row_id").alias("first_row"),
+            F.max("row_id").alias("last_row"),
+        )
+        .orderBy("category")
+    )

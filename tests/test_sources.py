@@ -205,3 +205,29 @@ def test_polymorphic_reader_orc_and_json(spark, tmp_path):
     assert sorted(r["o_orderkey"] for r in got_json.collect()) == sorted(
         r["o_orderkey"] for r in base.collect()
     )
+
+
+def test_synthetic_generator_source_contract(spark):
+    """The custom Python DataSource must honor the partitions option
+    (one input partition per requested slice), generate exactly n
+    deterministic rows, and produce identical results on re-read."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.generator import (
+        register_generator,
+    )
+
+    register_generator(spark)
+    df = (
+        spark.read.format("syntheticgen")
+        .option("n", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 1000
+    assert [r[0] for r in rows] == list(range(1000))
+    again = sorted(map(tuple, (
+        spark.read.format("syntheticgen")
+        .option("n", 1000).option("partitions", 7).load().collect()
+    )))
+    assert again == rows  # partitioning never changes values
