@@ -7033,3 +7033,39 @@ def synthetic_source_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# transformWithState (typed-state API) running totals held to the
+# batch GROUP BY oracle — the 4th execution strategy for the same
+# semantics (batch agg / session_window / applyInPandasWithState /
+# transformWithStateInPandas), one value hash.  The API's Python
+# state server requires protobuf at RUNTIME (the import itself is
+# pure Python and always succeeds, so probe the dependency, not the
+# class); this container has no protobuf, so the query registers only
+# where it can actually run — same environment-gate discipline as
+# delta-spark (operators/merge.py) and media codecs (multimodal.py).
+import importlib.util as _ilu  # noqa: E402
+
+
+def _has_protobuf() -> bool:
+    try:  # find_spec raises if the parent package is absent entirely
+        return _ilu.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+if _has_protobuf():  # pragma: no cover
+    from data_pipeline_for_e_commerce_shop_spark.streaming.stateful import (  # noqa: E402
+        stateful_user_totals,
+    )
+
+    register(
+        "events_stateful_totals",
+        """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1
+        """,
+    )(stateful_user_totals)

@@ -213,3 +213,101 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+# ---------------------------------------------------------------------
+# transformWithState (Spark 4's successor stateful API): typed state
+# handles (value/list/map state, timers) instead of one opaque state
+# tuple.  Running per-user totals with a ValueState — the 4th stateful
+# execution strategy in the suite held to a batch-aggregate oracle
+# (after session_window, applyInPandasWithState, and the batch dual).
+
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+
+_TOTALS_STATE_SCHEMA = "n LONG, cents LONG"
+_TOTALS_OUT_SCHEMA = "user_id LONG, n_events LONG, total_cents LONG"
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """ValueState(n, cents) updated per micro-batch; emits the running
+    totals for the key after folding each batch (update semantics —
+    the last emission per key is the final answer).  Integer-only
+    arithmetic inside Python, same determinism contract as
+    _sessionize_group."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _TOTALS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, cents = (
+            tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event totals via ``transformWithStateInPandas`` —
+    typed ValueState, update-mode emissions, availableNow drain,
+    max-emission finalize (totals grow monotonically).
+
+    Scale: one fixed-width state row per user in the state store,
+    partitioned by the groupBy(user_id) shuffle; at 100 TB the same
+    program runs micro-batched with RocksDB state and TTL.  Held to
+    the plain batch GROUP BY oracle — the stream/batch duality gate
+    for the modern stateful API.
+    """
+    src = f"{sf_dir}/events.parquet"
+    from ..schemas import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = _canon_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(src)), schema
+    )
+    prepared = stream.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    totals = prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserTotalsProcessor(),
+        outputStructType=_TOTALS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = "stateful_totals_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain_to_memory(spark, totals, sink, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    drained = spark.table(sink)
+    out = (
+        drained.groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "total_cents")).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            (F.col("s.total_cents") / 100.0).alias("total_value"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

@@ -348,3 +348,40 @@ def test_stream_dedup_really_removes_redeliveries(spark):
     assert staged.count() == n_table + n_dupes
     got = stream_dedup_kpis(spark, sf)
     assert got.agg(F.sum("n_events")).collect()[0][0] == n_table
+
+
+def test_transform_with_state_totals_match_batch(spark):
+    """transformWithStateInPandas running totals must equal the batch
+    GROUP BY — skipped where the API's protobuf state server is
+    unavailable (this container); the code path is the deliverable."""
+    import importlib.util
+
+    import pytest
+
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_pb = False
+    if not has_pb:
+        pytest.skip("transformWithState needs protobuf at runtime")
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from data_pipeline_for_e_commerce_shop_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stateful_user_totals(spark, sf).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100)) / 100.0).alias("v"),
+        )
+        .collect()
+    }
+    assert got == exp
