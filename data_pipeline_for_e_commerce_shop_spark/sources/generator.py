@@ -16,7 +16,16 @@ repo); this is that fixture surface as an executable contract.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 GEN_ROWS = 10_000  # default row count
 GEN_PARTITIONS = 8  # default parallelism
@@ -34,12 +43,45 @@ class SyntheticGenReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n = int(options.get("n", GEN_ROWS))
         self.parts = int(options.get("partitions", GEN_PARTITIONS))
+        self.lo = 0  # [lo, hi) after filter pushdown
+        self.hi = self.n
+
+    def pushFilters(self, filters):  # noqa: D102 — API contract
+        """Absorb row_id range predicates by narrowing the generation
+        range — pushdown that PREVENTS work instead of discarding
+        rows (the generator analogue of parquet row-group pruning).
+        Non-range / non-row_id filters are returned for Spark to
+        evaluate post-scan."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("row_id",):
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+            yield f  # unsupported -> Spark re-checks it post-scan
 
     def partitions(self):  # noqa: D102 — API contract
-        step = -(-self.n // self.parts)  # ceil division
+        span = max(0, self.hi - self.lo)
+        if span == 0:
+            return [_RangePartition(0, 0)]
+        parts = min(self.parts, span)
+        step = -(-span // parts)  # ceil division
         return [
-            _RangePartition(lo, min(lo + step, self.n))
-            for lo in range(0, self.n, step)
+            _RangePartition(lo, min(lo + step, self.hi))
+            for lo in range(self.lo, self.hi, step)
         ]
 
     def read(self, partition: _RangePartition):  # noqa: D102
@@ -69,5 +111,11 @@ class SyntheticGenSource(DataSource):
 
 
 def register_generator(spark) -> None:
-    """Idempotently register the source on the session."""
+    """Idempotently register the source on the session.
+
+    Python-source filter pushdown is opt-in
+    (spark.sql.python.filterPushdown.enabled, default false); a reader
+    that implements pushFilters() FAILS under the default, so the
+    registration that ships the reader also flips the switch."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticGenSource)

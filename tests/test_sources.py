@@ -231,3 +231,36 @@ def test_synthetic_generator_source_contract(spark):
         .option("n", 1000).option("partitions", 7).load().collect()
     )))
     assert again == rows  # partitioning never changes values
+
+
+def test_synthetic_generator_filter_pushdown(spark):
+    """row_id range predicates must narrow the GENERATION range (the
+    reader never produces the pruned ids), and unsupported filters
+    must be left for Spark — results stay correct either way."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, EqualTo
+    from data_pipeline_for_e_commerce_shop_spark.sources.generator import (
+        SyntheticGenReader,
+        register_generator,
+    )
+
+    r = SyntheticGenReader({"n": "1000", "partitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("row_id",), 100), LessThan(("row_id",), 200),
+             EqualTo(("category",), "cat1")]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]
+    parts = r.partitions()
+    assert parts[0].lo == 100 and parts[-1].hi == 200
+    assert sum(p.hi - p.lo for p in parts) == 100
+
+    # End-to-end through Spark: filtered scan returns the right rows.
+    register_generator(spark)
+    df = (
+        spark.read.format("syntheticgen")
+        .option("n", 1000).option("partitions", 4).load()
+        .where("row_id >= 100 and row_id < 200 and value_cents >= 0")
+    )
+    got = sorted(r["row_id"] for r in df.collect())
+    assert got == list(range(100, 200))
