@@ -56,6 +56,13 @@ HEADLINE = [
     "priority_parse",
     "revenue_moving_avg",
     "segment_price_quantiles",
+    # round-3 flagships
+    "dedup_exact_spans",
+    "text_bpe_merges",
+    "text_nb_classifier",
+    "shipping_priority",
+    "events_stream_dedup",
+    "synthetic_source_kpis",
 ]
 
 

@@ -7069,3 +7069,68 @@ if _has_protobuf():  # pragma: no cover
         GROUP BY 1
         """,
     )(stateful_user_totals)
+
+
+# TPC-H Q10 shape: customers ranked by revenue lost to returns in a
+# quarter — the returns-triage report.
+RETURNS_QTR_START = "1997-01-01 00:00:00"
+RETURNS_QTR_END = "1997-04-01 00:00:00"
+
+@register(
+    "returned_item_customers",
+    f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT))/100.0 AS lost_revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{RETURNS_QTR_START}'
+      AND o_orderdate <  TIMESTAMP '{RETURNS_QTR_END}'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items
+    in one quarter.  Both filters push to their scans (date on orders,
+    returnflag on lineitem), customer and nation broadcast, the one
+    fact shuffle is lineitem⋈orders, and the fully-tiebroken top-20
+    is TakeOrderedAndProject."""
+    start = F.lit(RETURNS_QTR_START).cast("timestamp")
+    end = F.lit(RETURNS_QTR_END).cast("timestamp")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -264,3 +264,32 @@ def test_synthetic_generator_filter_pushdown(spark):
     )
     got = sorted(r["row_id"] for r in df.collect())
     assert got == list(range(100, 200))
+
+
+def test_manifest_sink_two_phase_commit(spark, tmp_path):
+    """The Python DataSourceWriter must publish exactly the committed
+    part files in its manifest (counts reconcile), and a manifest
+    reader must ignore orphan files planted to simulate a failed task
+    attempt."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.generator import (
+        read_manifest_table,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    d = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id AS row_id", "CAST(id % 7 AS STRING) AS bucket"
+    ).repartition(4)
+    df.write.format("manifestsink").option("path", d).mode("append").save()
+
+    # Simulate a zombie/failed attempt leaving an uncommitted file.
+    with open(f"{d}/part-orphan.jsonl", "w") as f:
+        f.write('{"row_id": 999999, "bucket": "x"}\n')
+
+    got, manifest = read_manifest_table(spark, d)
+    assert manifest["n_rows"] == 100
+    assert sum(manifest["rows_per_file"].values()) == 100
+    assert len(manifest["files"]) == 4
+    rows = sorted(r["row_id"] for r in got.collect())
+    assert rows == list(range(100))  # orphan invisible
