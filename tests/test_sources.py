@@ -293,3 +293,32 @@ def test_manifest_sink_two_phase_commit(spark, tmp_path):
     assert len(manifest["files"]) == 4
     rows = sorted(r["row_id"] for r in got.collect())
     assert rows == list(range(100))  # orphan invisible
+
+
+def test_manifest_sink_failed_job_publishes_nothing(spark, tmp_path):
+    """A failing write job must leave NO manifest — consumers see the
+    table as absent, not half-written."""
+    import pytest
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.generator import (
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    d = str(tmp_path / "sink")
+    from pyspark.sql import functions as F
+
+    @F.udf("long")
+    def boom(x):
+        if x == 50:
+            raise RuntimeError("task failure")
+        return x
+
+    bad = spark.range(100).select(boom("id").alias("row_id")).repartition(4)
+    with pytest.raises(Exception):
+        bad.write.format("manifestsink").option("path", d).mode(
+            "append"
+        ).save()
+    import os
+
+    assert not os.path.exists(f"{d}/manifest.json")
