@@ -7134,3 +7134,28 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# Custom Python STREAMING source: 5 availableNow drains through one
+# checkpoint (offset-resume exactly-once), aggregated and held to the
+# generate_series oracle over exactly drains*batch deterministic rows.
+register(
+    "stream_source_kpis",
+    f"""
+    WITH g AS (
+      SELECT i AS row_id,
+             'cat' || (CAST(('0x' || substr(md5('gen-' || i), 1, 8))
+                       AS BIGINT) % {_gen.GEN_CATEGORIES}) AS category,
+             CAST(('0x' || substr(md5('gen-' || i), 9, 8)) AS BIGINT)
+               % {_gen.GEN_CENTS_MOD} AS value_cents
+      FROM generate_series(0, {_gen.STREAM_DRAINS * _gen.STREAM_BATCH - 1})
+        AS t(i)
+    )
+    SELECT category,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(row_id) AS BIGINT) AS first_row,
+           CAST(MAX(row_id) AS BIGINT) AS last_row
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)(_gen.stream_generator_kpis)

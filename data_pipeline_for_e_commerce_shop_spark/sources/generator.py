@@ -205,3 +205,119 @@ def read_manifest_table(spark, path: str):
         manifest = _json.load(f)
     files = [_os.path.join(path, x) for x in manifest["files"]]
     return spark.read.json(files), manifest
+
+
+# ---------------------------------------------------------------------
+# Custom Python STREAMING DataSource: a deterministic offset-tracked
+# event stream.  Each micro-batch generates the next STREAM_BATCH ids
+# from the same md5 row formula as the batch generator; the offset
+# ({"i": next_id}) lives in the streaming checkpoint, so a restarted
+# query resumes exactly where it stopped — exactly-once for a CUSTOM
+# source, demonstrated without any broker infrastructure.  (The
+# simple-reader API needs no protobuf state server, unlike
+# transformWithState — verified in this container.)
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+STREAM_BATCH = 200  # rows per micro-batch
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.batch = int(options.get("batch", STREAM_BATCH))
+
+    def initialOffset(self):  # noqa: D102 — API contract
+        return {"i": 0}
+
+    def read(self, start):  # noqa: D102
+        import hashlib
+
+        i = start["i"]
+        rows = []
+        for j in range(i, i + self.batch):
+            h = hashlib.md5(f"gen-{j}".encode()).hexdigest()
+            rows.append(
+                (
+                    j,
+                    f"cat{int(h[:8], 16) % GEN_CATEGORIES}",
+                    int(h[8:16], 16) % GEN_CENTS_MOD,
+                )
+            )
+        return iter(rows), {"i": i + self.batch}
+
+    def readBetweenOffsets(self, start, end):  # noqa: D102 — replay
+        import hashlib
+
+        for j in range(start["i"], end["i"]):
+            h = hashlib.md5(f"gen-{j}".encode()).hexdigest()
+            yield (
+                j,
+                f"cat{int(h[:8], 16) % GEN_CATEGORIES}",
+                int(h[8:16], 16) % GEN_CENTS_MOD,
+            )
+
+
+class TickStreamSource(DataSource):
+    """``spark.readStream.format("tickstream").load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tickstream"
+
+    def schema(self) -> str:
+        return "row_id bigint, category string, value_cents bigint"
+
+    def simpleStreamReader(self, schema) -> TickStreamReader:
+        return TickStreamReader(self.options)
+
+
+def register_tick_stream(spark) -> None:
+    """Idempotently register the streaming source on the session."""
+    spark.dataSource.register(TickStreamSource)
+
+
+STREAM_DRAINS = 3  # availableNow runs per query call -> 600 rows
+
+
+def stream_generator_kpis(spark, sf_dir: str):
+    """Drain the custom streaming source STREAM_DRAINS times through
+    ONE checkpoint (each drain resumes from the persisted offset —
+    the restart-resume exactly-once contract), then aggregate the
+    union per category.  Deterministic rows make even this
+    stream-of-restarts value-hash checkable against generate_series.
+    sf_dir is unused: the source is the data."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register_tick_stream(spark)
+    work = tempfile.mkdtemp(prefix="tickstream_")
+    out = f"{work}/out"
+    try:
+        for _ in range(STREAM_DRAINS):
+            q = (
+                spark.readStream.format("tickstream")
+                .option("batch", STREAM_BATCH)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        got = (
+            spark.read.parquet(out)
+            .groupBy("category")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("value_cents").alias("total_cents"),
+                F.min("row_id").alias("first_row"),
+                F.max("row_id").alias("last_row"),
+            )
+            .orderBy("category")
+        )
+        return got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

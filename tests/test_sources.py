@@ -322,3 +322,30 @@ def test_manifest_sink_failed_job_publishes_nothing(spark, tmp_path):
     import os
 
     assert not os.path.exists(f"{d}/manifest.json")
+
+
+def test_tick_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Each availableNow drain through the SAME checkpoint must resume
+    at the persisted offset: two drains yield batches [0, 2*batch)
+    with no duplicates — the custom-source exactly-once contract."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.generator import (
+        STREAM_BATCH,
+        register_tick_stream,
+    )
+
+    register_tick_stream(spark)
+    out = str(tmp_path / "out")
+    for _ in range(2):
+        q = (
+            spark.readStream.format("tickstream")
+            .option("batch", STREAM_BATCH)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ids = sorted(r["row_id"] for r in spark.read.parquet(out).collect())
+    assert ids == list(range(2 * STREAM_BATCH))
