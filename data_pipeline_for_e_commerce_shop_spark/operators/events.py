@@ -429,3 +429,70 @@ def out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_s").alias("max_late_s"),
         F.sum("late_s").alias("total_late_s"),
     )
+
+
+def session_attribution(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = DEBOUNCE_GAP_SECONDS
+) -> DataFrame:
+    """Marketing attribution over gap sessions: every purchase's value
+    is credited to (a) the session's FIRST event type (first-touch)
+    and (b) the event type immediately PRECEDING the purchase
+    (last-touch; 'direct' when the purchase opens its session) — the
+    two classic models, reported side by side per channel.
+
+    One shuffle on user_id; the session numbering windows are the
+    sessionizer's (same ordering contract: integer seconds + event_id
+    tiebreak), first/last touch are two more frames over that same
+    shuffle, and the model x channel rollup unpivots with stack() —
+    no second pass over events, no join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        sec.alias("epoch_sec"),
+        F.when(
+            (sec - F.lag(sec, 1).over(w)) > gap_seconds, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("epoch_sec", "event_id")
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wsess = Window.partitionBy("user_id", "session_no").orderBy(
+        "epoch_sec", "event_id"
+    )
+    touched = numbered.select(
+        "event_type",
+        "cents",
+        F.first("event_type").over(
+            wsess.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("first_touch"),
+        F.coalesce(
+            F.lag("event_type", 1).over(wsess), F.lit("direct")
+        ).alias("last_touch"),
+    ).where(F.col("event_type") == "purchase")
+    return (
+        touched.select(
+            F.expr(
+                "stack(2, 'first_touch', first_touch,"
+                " 'last_touch', last_touch) AS (model, channel)"
+            ),
+            "cents",
+        )
+        .groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum("cents") / 100.0).alias("attributed_value"),
+        )
+        .orderBy("model", "channel")
+    )

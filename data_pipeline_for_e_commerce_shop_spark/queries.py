@@ -7159,3 +7159,54 @@ register(
     FROM g GROUP BY 1 ORDER BY 1
     """,
 )(_gen.stream_generator_kpis)
+
+
+# First-touch / last-touch purchase attribution over gap sessions —
+# both models from one windowed pass, unpivoted with stack().
+register(
+    "events_attribution",
+    f"""
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                         (PARTITION BY user_id
+                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+                       > {events.DEBOUNCE_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_sec, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    ),
+    touched AS (
+      SELECT event_type, cents,
+             FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id, session_no
+               ORDER BY epoch_sec, event_id
+               ROWS UNBOUNDED PRECEDING) AS first_touch,
+             COALESCE(LAG(event_type) OVER (
+               PARTITION BY user_id, session_no
+               ORDER BY epoch_sec, event_id), 'direct') AS last_touch
+      FROM numbered
+    ),
+    purchases AS (SELECT * FROM touched WHERE event_type = 'purchase'),
+    stacked AS (
+      SELECT 'first_touch' AS model, first_touch AS channel, cents
+      FROM purchases
+      UNION ALL
+      SELECT 'last_touch', last_touch, cents FROM purchases
+    )
+    SELECT model, channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS attributed_value
+    FROM stacked GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)(events.session_attribution)

@@ -42,6 +42,10 @@ PROBE = [
     "text_phrase_search",
     "corpus_temperature_mix",
     "shipping_priority",
+    # ordered-float-fold scoring + argmax tie-break must not depend
+    # on how the token stream is partitioned
+    "text_nb_classifier",
+    "corpus_datacard",
 ]
 
 
