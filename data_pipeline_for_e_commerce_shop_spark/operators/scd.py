@@ -207,3 +207,115 @@ def timeline_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         "status",
     )
+
+
+SCD2_DELTA_CUTOFF = "1999-01-01"  # delta batch = orders on/after this
+
+
+def incremental_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: str = SCD2_DELTA_CUTOFF,
+) -> DataFrame:
+    """Fold a NEW change batch into an existing SCD2 history without
+    rebuilding untouched keys — the production delta path (the full
+    rebuild is the oracle: the two must be bit-identical).
+
+    Only a key's OPEN interval can change, so the recompute touches
+    exactly: (a) the open intervals of keys present in the delta,
+    re-expressed as weighted SEED rows (weight = n_orders, carrying
+    valid_from/last_seen/version), and (b) the delta rows themselves
+    (weight 1).  Gaps-and-islands over seed+delta per affected key —
+    a seed whose attribute matches the first delta rows EXTENDS in
+    place (weights sum), otherwise it closes and new islands open;
+    island numbers rebase onto the seed's version so version
+    continuity survives.  Closed intervals and untouched keys pass
+    through without recompute.
+
+    Scale: the delta shuffle is delta-sized + one open-interval row
+    per affected key; the history table is scanned once for the
+    anti-join/passthrough split.  This is the SCD2 twin of
+    kpi_incremental_refresh (base+delta merge == full recompute).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    cut = F.lit(cutoff).cast("date")
+    old = orders.where(F.col("odate") < cut)
+    delta = orders.where(F.col("odate") >= cut).localCheckpoint(eager=False)
+    old_hist = scd2_history(
+        old, key="o_custkey", attr="o_orderpriority",
+        order_by=["odate", "o_orderkey"],
+    ).localCheckpoint(eager=False)  # feeds passthrough AND seed split
+    aff = delta.select("o_custkey").distinct()
+    untouched = old_hist.join(F.broadcast(aff), "o_custkey", "left_anti")
+    affected_hist = old_hist.join(F.broadcast(aff), "o_custkey")
+    closed = affected_hist.where(F.col("valid_to").isNotNull())
+    open_ = affected_hist.where(F.col("valid_to").isNull())
+    seed = open_.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("valid_from").alias("ord_date"),
+        F.lit(-1).cast("long").alias("ord_key"),
+        F.col("n_rows").alias("weight"),
+        "valid_from",
+        F.col("last_seen").alias("lseen"),
+        F.col("version").alias("base_version"),
+    )
+    dx = delta.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("odate").alias("ord_date"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.lit(1).cast("long").alias("weight"),
+        F.col("odate").alias("valid_from"),
+        F.col("odate").alias("lseen"),
+        F.lit(None).cast("long").alias("base_version"),
+    )
+    log = seed.unionByName(dx)
+    w = Window.partitionBy("o_custkey").orderBy("ord_date", "ord_key")
+    prev = F.lag("o_orderpriority").over(w)
+    flagged = log.withColumn(
+        "_chg",
+        F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1)
+        .otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        # per-key rebase: the seed's version (or 1 for brand-new keys)
+        "_base",
+        F.coalesce(
+            F.max("base_version").over(Window.partitionBy("o_custkey")),
+            F.lit(1),
+        ),
+    )
+    recomputed = (
+        flagged.groupBy("o_custkey", "_island", "_base", "o_orderpriority")
+        .agg(
+            F.min("valid_from").alias("valid_from"),
+            F.max("lseen").alias("last_seen"),
+            F.sum("weight").alias("n_rows"),
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("_island")
+    recomputed = (
+        recomputed.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn(
+            "version", (F.col("_island") + F.col("_base") - 1).cast("long")
+        )
+        .drop("_island", "_base")
+    )
+    merged = untouched.unionByName(closed).unionByName(recomputed)
+    return merged.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "last_seen",
+        F.col("n_rows").alias("n_orders"),
+        "version",
+    )

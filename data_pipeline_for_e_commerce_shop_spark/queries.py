@@ -2147,9 +2147,9 @@ register(
 
 from data_pipeline_for_e_commerce_shop_spark.operators import scd  # noqa: E402
 
-register(
-    "scd2_priority_history",
-    """
+# One oracle string for the SCD2-history family: the full rebuild IS
+# the specification the incremental apply must reproduce bit-for-bit.
+_SCD2_HISTORY_ORACLE = """
     WITH log AS (
       SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate,
              o_orderkey, o_orderpriority
@@ -2182,8 +2182,17 @@ register(
            CAST(n_orders AS BIGINT) AS n_orders,
            CAST(island AS BIGINT) AS version
     FROM hist
-    """,
-)(scd.priority_history)
+    """
+
+register("scd2_priority_history", _SCD2_HISTORY_ORACLE)(scd.priority_history)
+
+# Incremental SCD2 apply (delta batch folded into existing history by
+# a seeded islands recompute over affected keys only) — held to the
+# IDENTICAL full-rebuild oracle: base+delta merge == full recompute,
+# the same law kpi_incremental_refresh asserts for aggregates.
+register("scd2_incremental_apply", _SCD2_HISTORY_ORACLE)(
+    scd.incremental_apply
+)
 
 from data_pipeline_for_e_commerce_shop_spark.quality import gates  # noqa: E402
 

@@ -57,3 +57,30 @@ def test_asof_single_shuffle_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # one hash partition + AQE reads
+
+
+def test_scd2_incremental_split_is_nonvacuous(spark):
+    """The incremental-apply equivalence only means something if the
+    cutoff genuinely splits the log: both sides non-empty, some keys
+    affected, some untouched."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.scd import (
+        SCD2_DELTA_CUTOFF,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    cut = F.lit(SCD2_DELTA_CUTOFF).cast("date")
+    n_old = orders.where(F.col("odate") < cut).count()
+    n_delta = orders.where(F.col("odate") >= cut).count()
+    assert n_old > 0 and n_delta > 0
+    aff = (
+        orders.where(F.col("odate") >= cut).select("o_custkey").distinct()
+    )
+    n_aff = aff.count()
+    n_keys = orders.select("o_custkey").distinct().count()
+    assert 0 < n_aff < n_keys  # some keys untouched, some affected
