@@ -496,3 +496,49 @@ def session_attribution(
         )
         .orderBy("model", "channel")
     )
+
+
+LATE_ARRIVAL_MOD = 50  # event_id % MOD == 0 models the late batch
+
+
+def backfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical backfill: late-arriving events touch only SOME hourly
+    partitions — detect the affected hours from the late batch alone,
+    recompute exactly those hours from (base + late), and pass every
+    other hour through untouched.  Held to the full-recompute oracle:
+    the merged table must be bit-identical to aggregating everything
+    (the backfill law; same base+delta == rebuild discipline as
+    kpi_incremental_refresh and scd2_incremental_apply).
+
+    Scale: the base aggregate is the already-materialized serving
+    table (scanned once for the passthrough anti-join); the recompute
+    scans only the affected hours' events (partition pruning on a
+    date/hour-partitioned layout makes that the physical reality);
+    the affected-hours list is tiny and broadcasts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts").cast("long") / 3600).cast(
+        "long"
+    ) * 3600
+    prepared = events.select(
+        hour.alias("hour_epoch"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % LATE_ARRIVAL_MOD == 0).alias("is_late"),
+    )
+    base_events = prepared.where(~F.col("is_late"))
+    late = prepared.where(F.col("is_late")).localCheckpoint(eager=False)
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour_epoch", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+
+    base = _agg(base_events).localCheckpoint(eager=False)  # "materialized"
+    affected = late.select("hour_epoch").distinct()
+    passthrough = base.join(F.broadcast(affected), "hour_epoch", "left_anti")
+    recomputed = _agg(
+        prepared.join(F.broadcast(affected), "hour_epoch")
+    )
+    return passthrough.unionByName(recomputed)

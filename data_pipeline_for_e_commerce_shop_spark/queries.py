@@ -7219,3 +7219,20 @@ register(
     ORDER BY 1, 2
     """,
 )(events.session_attribution)
+
+
+# Surgical backfill: late arrivals -> affected-hour detection ->
+# partial recompute; oracle = aggregate everything (the backfill law).
+register(
+    "events_backfill_hourly",
+    """
+    SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+             AS hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)(events.backfill_hourly)

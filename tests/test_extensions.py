@@ -726,3 +726,27 @@ def test_nb_classifier_learns_separable_corpus(spark, tmp_path):
     # The OOV doc scored by priors alone: both langs have equal doc
     # counts, so the tie breaks to 'xx' (lang asc) -> one yy->xx cell.
     assert got.get(("yy", "xx"), 0) == 1
+
+
+def test_backfill_split_is_nonvacuous(spark):
+    """The backfill equivalence only matters if late arrivals touch a
+    strict subset of hours: some hours recomputed, some passed
+    through."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.events import (
+        LATE_ARRIVAL_MOD,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        (F.unix_timestamp("ts").cast("long") / 3600).cast("long").alias("hr"),
+        "event_id",
+    )
+    all_hours = ev.select("hr").distinct().count()
+    late_hours = (
+        ev.where(F.col("event_id") % LATE_ARRIVAL_MOD == 0)
+        .select("hr")
+        .distinct()
+        .count()
+    )
+    assert 0 < late_hours < all_hours
