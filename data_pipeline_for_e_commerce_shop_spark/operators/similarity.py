@@ -17,7 +17,7 @@ evaluation order DuckDB uses, so results hash-match the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
@@ -1006,4 +1006,99 @@ def ivf_incremental_add(
             ).alias("balance_ppm"),
         )
         .orderBy("cluster_id")
+    )
+
+
+MRL_DIMS = (64, 32, 16, 8)  # prefix lengths; 64 = full (recall 1.0 row)
+MRL_K = 5
+
+
+def matryoshka_recall(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = MRL_K
+) -> DataFrame:
+    """Matryoshka (MRL) dimension-ablation gauge: top-k retrieval with
+    PREFIX-truncated embeddings at several widths, graded as recall
+    against the full-dimension exact top-k — the measurement that
+    decides how many dimensions a serving index actually needs.
+
+    One broadcast crossJoin of the query rows against one corpus scan,
+    one explode over the width list (slice(emb, 1, d) per width), one
+    rank window per (query, width) — the full-width ranking IS the
+    ground truth, so the recall join is a self-join on the top-k
+    table, never a second scan.  Scores round to 9 decimals (the
+    repo-wide float-parity device).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+    )
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    dims = F.array(*[F.lit(d) for d in MRL_DIMS])
+    pairs = (
+        emb.select(F.col("vec_id").alias("corpus_id"), "emb")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.explode(dims).alias("dim"),
+            F.expr("slice(emb, 1, dim)").alias("cv"),
+            F.expr("slice(q_emb, 1, dim)").alias("qv"),
+        )
+        .select(
+            "query_id",
+            "corpus_id",
+            "dim",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, cv, (a, b) -> a * b),"
+                    " CAST(0 AS DOUBLE), (s, x) -> s + x)"
+                    " / (sqrt(aggregate(transform(qv, a -> a * a),"
+                    "   CAST(0 AS DOUBLE), (s, x) -> s + x))"
+                    " * sqrt(aggregate(transform(cv, a -> a * a),"
+                    "   CAST(0 AS DOUBLE), (s, x) -> s + x)))"
+                ),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "dim", "corpus_id")
+        .localCheckpoint(eager=False)  # self-joined below
+    )
+    # Rename the ground-truth side before the self-join — topk and
+    # full share lineage, and unqualified column refs would be
+    # ambiguous otherwise.
+    full = topk.where(F.col("dim") == MRL_DIMS[0]).select(
+        F.col("query_id").alias("f_qid"),
+        F.col("corpus_id").alias("true_id"),
+    )
+    hits = (
+        topk.join(
+            F.broadcast(full),
+            (F.col("query_id") == F.col("f_qid"))
+            & (F.col("corpus_id") == F.col("true_id")),
+        )
+        .groupBy("query_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    grid = topk.select("query_id", "dim").distinct()
+    return (
+        grid.join(F.broadcast(hits), ["query_id", "dim"], "left")
+        .select(
+            "query_id",
+            "dim",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id", "dim")
     )

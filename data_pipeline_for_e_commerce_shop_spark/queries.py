@@ -7236,3 +7236,52 @@ register(
     GROUP BY 1, 2
     """,
 )(events.backfill_hourly)
+
+
+# Matryoshka dimension-ablation recall: prefix-truncated retrieval at
+# several widths vs the full-width exact top-k.  Width list and k
+# interpolate from the operator module.
+register(
+    "ann_matryoshka_recall",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS corpus_id, d.dim,
+             round(list_dot_product(qv[1:d.dim], v[1:d.dim]) /
+                   (sqrt(list_dot_product(qv[1:d.dim], qv[1:d.dim]))
+                    * sqrt(list_dot_product(v[1:d.dim], v[1:d.dim]))), 9)
+               AS cosine
+      FROM e CROSS JOIN q
+      CROSS JOIN (SELECT unnest({list(similarity.MRL_DIMS)}) AS dim) d
+      WHERE q.query_id != e.vec_id
+    ),
+    topk AS (
+      SELECT query_id, dim, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id, dim
+                    ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM pairs
+      ) WHERE rank <= {similarity.MRL_K}
+    ),
+    fulltk AS (
+      SELECT query_id, corpus_id AS true_id FROM topk
+      WHERE dim = {similarity.MRL_DIMS[0]}
+    ),
+    hits AS (
+      SELECT t.query_id, t.dim, COUNT(*) AS n_hits
+      FROM topk t JOIN fulltk f
+        ON t.query_id = f.query_id AND t.corpus_id = f.true_id
+      GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT query_id, dim FROM topk)
+    SELECT g.query_id, g.dim,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) / CAST({similarity.MRL_K} AS DOUBLE)
+             AS recall
+    FROM grid g
+    LEFT JOIN hits h ON g.query_id = h.query_id AND g.dim = h.dim
+    ORDER BY 1, 2
+    """,
+)(similarity.matryoshka_recall)
