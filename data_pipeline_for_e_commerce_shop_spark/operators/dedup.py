@@ -1087,14 +1087,21 @@ def duplicated_spans(
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     # 1-based start index i covers tokens [i, i+k-1] — matches DuckDB's
     # inclusive 1-based list slice t[i:i+k-1].
+    # sequence(1, n) REVERSES in Spark when n < 1 (it is not empty
+    # like DuckDB's generate_series), and slice(t, 0, k) then throws —
+    # documents shorter than k tokens must be guarded explicitly
+    # (same hazard as text.bpe_merges).
     wins = toks.select(
         "doc_id",
         F.size("t").alias("n_tokens"),
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(t) - {k - 1}),"
+                f"case when size(t) >= {k} then"
+                f" transform(sequence(1, size(t) - {k - 1}),"
                 f" i -> struct(i AS i,"
                 f" md5(array_join(slice(t, i, {k}), ' ')) AS h))"
+                f" else cast(array() as"
+                f" array<struct<i: int, h: string>>) end"
             )
         ).alias("w"),
     ).select("doc_id", "n_tokens", "w.i", "w.h")

@@ -190,30 +190,33 @@ def compaction_plan(
     never over data rows.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # The window orders by the SAME "source/lang" string the boundary
+    # columns report, so min/max of that string are guaranteed to be
+    # the group's true boundary members (tuple ordering and string
+    # ordering can disagree when keys contain characters below '/').
     parts = docs.groupBy("source", "lang").agg(
         F.sum("n_chars").alias("bytes")
-    )
-    w = (
-        Window.orderBy("source", "lang")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ).select(
+        F.concat_ws("/", "source", "lang").alias("part_key"), "bytes"
     )
     grouped = parts.select(
-        "source",
-        "lang",
+        "part_key",
         "bytes",
-        (
-            F.coalesce(F.sum("bytes").over(w), F.lit(0))
-            / F.lit(target_bytes)
-        )
-        .cast("long")
-        .alias("group_id"),
+        # exact integer division (the repo's div discipline) — a
+        # double quotient can round across the boundary at large
+        # cumulative byte counts
+        F.expr(
+            f"coalesce(sum(bytes) over (order by part_key"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {target_bytes}"
+        ).alias("group_id"),
     )
     return (
         grouped.groupBy("group_id")
         .agg(
             F.count(F.lit(1)).alias("n_partitions"),
-            F.min(F.concat_ws("/", "source", "lang")).alias("first_part"),
-            F.max(F.concat_ws("/", "source", "lang")).alias("last_part"),
+            F.min("part_key").alias("first_part"),
+            F.max("part_key").alias("last_part"),
             F.sum("bytes").alias("total_bytes"),
         )
         .select(

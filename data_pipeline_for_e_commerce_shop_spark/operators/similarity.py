@@ -169,6 +169,20 @@ def lsh_bucket(emb_col: str, dim: int = 64) -> Column:
     return bucket
 
 
+def knuth_order(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Order rows by the Knuth multiplicative hash of their id (tie
+    -> id asc) — THE deterministic "training sample" rule, defined
+    once: ivf_topk's centroids, ivf_incremental_add's frozen index,
+    k-means seeding, and the PQ training sample must all draw the
+    SAME sample or their cross-references (and the SQL oracles that
+    replay this expression) silently break.  Callers .limit(n) and
+    .drop("_h")."""
+    return df.withColumn(
+        "_h",
+        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)),
+    ).orderBy("_h", id_col)
+
+
 def _assign_nearest(
     vectors: DataFrame, centroids: DataFrame, id_col: str, n_probe: int
 ) -> DataFrame:
@@ -226,19 +240,15 @@ def ivf_topk(
         .select("vec_id", as_double("embedding").alias("emb"))
         .withColumn("nrm", norm("emb"))
     )
-    # Deterministic "training" sample: Knuth multiplicative hash order.
+    # Deterministic "training" sample: the shared knuth_order rule.
     centroids = (
-        emb.select(
+        knuth_order(emb)
+        .limit(n_centroids)
+        .select(
             F.col("vec_id").alias("cluster_id"),
             F.col("emb").alias("cent_emb"),
             F.col("nrm").alias("cent_nrm"),
-            F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(4294967296)).alias(
-                "_h"
-            ),
         )
-        .orderBy("_h", "cluster_id")
-        .limit(n_centroids)
-        .drop("_h")
     )
     corpus = _assign_nearest(
         emb.select(F.col("vec_id").alias("corpus_id"), "emb", "nrm"),
@@ -650,15 +660,7 @@ def kmeans_lloyd(
         emb = emb.repartition(par, "vec_id")
     emb = emb.localCheckpoint(eager=True)
 
-    seeds = (
-        emb.withColumn(
-            "_h",
-            F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(4294967296)),
-        )
-        .orderBy("_h", "vec_id")
-        .limit(k)
-        .collect()
-    )
+    seeds = knuth_order(emb).limit(k).drop("_h").collect()
     centroids: dict[int, list[int]] = {r["vec_id"]: list(r["v"]) for r in seeds}
 
     def _assigned(cent: dict[int, list[int]]) -> DataFrame:
@@ -801,11 +803,7 @@ def pq_topk(
 
     # Bounded training sample + query vectors: two model-sized collects.
     samp_pdf = (
-        emb.withColumn(
-            "_h",
-            F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(4294967296)),
-        )
-        .orderBy("_h", "vec_id")
+        knuth_order(emb)
         .limit(PQ_TRAIN)
         .select("vec_id", "v")
         .toPandas()
@@ -947,17 +945,13 @@ def ivf_incremental_add(
     old = emb.where(F.col("vec_id") % IVF_ADD_MOD != 0)
     new = emb.where(F.col("vec_id") % IVF_ADD_MOD == 0)
     centroids = (
-        old.select(
+        knuth_order(old)
+        .limit(n_centroids)
+        .select(
             F.col("vec_id").alias("cluster_id"),
             F.col("emb").alias("cent_emb"),
             F.col("nrm").alias("cent_nrm"),
-            F.pmod(
-                F.col("vec_id") * F.lit(2654435761), F.lit(4294967296)
-            ).alias("_h"),
         )
-        .orderBy("_h", "cluster_id")
-        .limit(n_centroids)
-        .drop("_h")
         .localCheckpoint(eager=False)  # shared by both assignment passes
     )
     before = (

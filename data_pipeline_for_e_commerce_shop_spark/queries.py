@@ -6882,13 +6882,14 @@ register(
     "layout_compaction_plan",
     f"""
     WITH parts AS (
-      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
-      FROM documents GROUP BY 1, 2
+      SELECT source || '/' || lang AS part_key,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, lang
     ),
     grouped AS (
-      SELECT source, lang, bytes,
+      SELECT part_key, bytes,
              CAST(COALESCE(CAST(SUM(bytes) OVER (
-                     ORDER BY source, lang
+                     ORDER BY part_key
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ) AS BIGINT), 0)
                   // {_layout.COMPACT_TARGET_BYTES} AS BIGINT) AS group_id
@@ -6896,8 +6897,8 @@ register(
     )
     SELECT group_id,
            COUNT(*) AS n_partitions,
-           MIN(source || '/' || lang) AS first_part,
-           MAX(source || '/' || lang) AS last_part,
+           MIN(part_key) AS first_part,
+           MAX(part_key) AS last_part,
            CAST(SUM(bytes) AS BIGINT) AS total_bytes,
            CAST(SUM(bytes) AS BIGINT) * 1000000
              // {_layout.COMPACT_TARGET_BYTES} AS fill_ppm

@@ -33,6 +33,20 @@ GEN_CATEGORIES = 8
 GEN_CENTS_MOD = 100_000
 
 
+def _gen_row(i: int) -> tuple:
+    """THE row formula — one definition shared by the batch reader,
+    the stream reader, and its replay path, so the three can never
+    drift from each other or from the interpolated DuckDB oracles."""
+    import hashlib
+
+    h = hashlib.md5(f"gen-{i}".encode()).hexdigest()
+    return (
+        i,
+        f"cat{int(h[:8], 16) % GEN_CATEGORIES}",
+        int(h[8:16], 16) % GEN_CENTS_MOD,
+    )
+
+
 class _RangePartition(InputPartition):
     def __init__(self, lo: int, hi: int):
         self.lo = lo
@@ -85,15 +99,8 @@ class SyntheticGenReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):  # noqa: D102
-        import hashlib
-
         for i in range(partition.lo, partition.hi):
-            h = hashlib.md5(f"gen-{i}".encode()).hexdigest()
-            yield (
-                i,
-                f"cat{int(h[:8], 16) % GEN_CATEGORIES}",
-                int(h[8:16], 16) % GEN_CENTS_MOD,
-            )
+            yield _gen_row(i)
 
 
 class SyntheticGenSource(DataSource):
@@ -169,6 +176,19 @@ class ManifestSinkWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             _json.dump(manifest, f, indent=1, sort_keys=True)
         _os.replace(tmp, _os.path.join(self.path, "manifest.json"))
+        if self.overwrite:
+            # Overwrite semantics: once the new manifest is live,
+            # garbage-collect part files it does not reference
+            # (the previous commit's data).  Manifest readers never
+            # saw a mixed state — the swap above is the atom.
+            keep = set(manifest["files"])
+            for entry in _os.listdir(self.path):
+                if (
+                    entry.startswith("part-")
+                    and entry.endswith(".jsonl")
+                    and entry not in keep
+                ):
+                    _os.remove(_os.path.join(self.path, entry))
 
     def abort(self, messages):  # driver-side on job failure
         for m in messages:
@@ -230,31 +250,13 @@ class TickStreamReader(SimpleDataSourceStreamReader):
         return {"i": 0}
 
     def read(self, start):  # noqa: D102
-        import hashlib
-
         i = start["i"]
-        rows = []
-        for j in range(i, i + self.batch):
-            h = hashlib.md5(f"gen-{j}".encode()).hexdigest()
-            rows.append(
-                (
-                    j,
-                    f"cat{int(h[:8], 16) % GEN_CATEGORIES}",
-                    int(h[8:16], 16) % GEN_CENTS_MOD,
-                )
-            )
+        rows = [_gen_row(j) for j in range(i, i + self.batch)]
         return iter(rows), {"i": i + self.batch}
 
     def readBetweenOffsets(self, start, end):  # noqa: D102 — replay
-        import hashlib
-
         for j in range(start["i"], end["i"]):
-            h = hashlib.md5(f"gen-{j}".encode()).hexdigest()
-            yield (
-                j,
-                f"cat{int(h[:8], 16) % GEN_CATEGORIES}",
-                int(h[8:16], 16) % GEN_CENTS_MOD,
-            )
+            yield _gen_row(j)
 
 
 class TickStreamSource(DataSource):

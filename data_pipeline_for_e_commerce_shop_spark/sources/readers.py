@@ -93,17 +93,27 @@ def read_polymorphic(
 
 
 def _table_extension(path: str) -> str:
-    """Dominant data-file extension of a file or table directory
-    ('parquet' also covers Delta-style dirs via _delta_log)."""
+    """Data-file extension of a file or table directory ('parquet'
+    also covers Delta-style dirs via _delta_log).
+
+    Scans ALL entries and dispatches by fixed priority (parquet >
+    orc > json) — never by os.listdir order, which is arbitrary: a
+    parquet table with a stray .json sidecar must always read as
+    parquet, on every run."""
     if not os.path.isdir(path):
         return path.rsplit(".", 1)[-1].lower()
+    seen: set[str] = set()
     for entry in os.listdir(path):
         if entry == "_delta_log":
             return "parquet"
         if "." in entry and not entry.startswith("_"):
             ext = entry.rsplit(".", 1)[-1].lower()
-            if ext in ("parquet", "orc", "json", "jsonl"):
-                return ext
+            if ext == "jsonl":
+                ext = "json"
+            seen.add(ext)
+    for ext in ("parquet", "orc", "json"):
+        if ext in seen:
+            return ext
     return "csv"
 
 

@@ -224,3 +224,27 @@ def test_duplicated_spans_synthetic(spark, tmp_path):
     assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == n
     assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == n
     assert out[1]["dup_ppm"] == n * 1_000_000 // out[1]["n_tokens"]
+
+
+def test_duplicated_spans_short_docs_do_not_crash(spark, tmp_path):
+    """Documents shorter than the window width must produce no
+    windows (Spark's sequence(1, n<1) REVERSES instead of returning
+    empty — regression for the slice(t, 0, k) crash)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        SPAN_TOKENS,
+        duplicated_spans,
+    )
+
+    long_shared = " ".join(f"s{i}" for i in range(SPAN_TOKENS))
+    rows = [
+        (1, "a b c", "en"),                       # < k tokens
+        (2, "x", "en"),                           # single token
+        (3, long_shared, "en"),                   # exactly k, dup of 4
+        (4, long_shared, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in duplicated_spans(spark, d).collect()}
+    assert set(out) == {3, 4}
+    assert out[3]["dup_tokens"] == SPAN_TOKENS

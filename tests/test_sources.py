@@ -349,3 +349,30 @@ def test_tick_stream_resumes_from_checkpoint(spark, tmp_path):
         q.awaitTermination()
     ids = sorted(r["row_id"] for r in spark.read.parquet(out).collect())
     assert ids == list(range(2 * STREAM_BATCH))
+
+
+def test_manifest_sink_overwrite_garbage_collects(spark, tmp_path):
+    """mode('overwrite') must leave only the new commit's part files
+    on disk; append keeps accumulating but the manifest always names
+    the latest commit."""
+    import os
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.generator import (
+        read_manifest_table,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    d = str(tmp_path / "sink")
+    df1 = spark.range(50).selectExpr("id AS row_id").repartition(2)
+    df1.write.format("manifestsink").option("path", d).mode("append").save()
+    df2 = spark.range(100, 130).selectExpr("id AS row_id").repartition(2)
+    df2.write.format("manifestsink").option("path", d).mode(
+        "overwrite"
+    ).save()
+    parts = [p for p in os.listdir(d) if p.startswith("part-")]
+    got, manifest = read_manifest_table(spark, d)
+    assert sorted(parts) == manifest["files"]  # old parts GC'd
+    assert sorted(r["row_id"] for r in got.collect()) == list(
+        range(100, 130)
+    )
