@@ -523,3 +523,78 @@ def datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_dup_docs * 1000000 div n_docs").alias("dup_ppm"),
         )
     )
+
+
+TOKEN_BUDGET = 20_000  # selection budget (tokens)
+
+
+def budget_selection(
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Select the best documents that fit a token budget — the data-
+    selection step of corpus curation (train on the top-quality slice
+    the compute budget affords), in the SCALABLE two-phase form:
+
+    phase 1 aggregates tokens per integer quality score (the
+    |distinct-scores|-row table is model-sized, so its descending
+    cumulative sum may run in one partition); phase 2 keeps whole
+    score buckets that fit entirely, and fills the ONE boundary
+    bucket by doc_id order with a per-bucket running sum — no global
+    sort of the corpus, no single-partition pass over data rows.
+
+    Quality = distinct-token ratio in integer ppm (type-token ratio,
+    the junk-document signal), deterministic in any engine.  Returns
+    kept docs with their bucket decision ('full' or 'boundary').
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' '))"
+        ).alias("score_ppm"),
+    ).localCheckpoint(eager=False)  # feeds bucket stats AND the pick
+    per_score = scored.groupBy("score_ppm").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    ws = Window.orderBy(F.desc("score_ppm")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    buckets = per_score.select(
+        "score_ppm",
+        "bucket_tokens",
+        F.coalesce(F.sum("bucket_tokens").over(ws), F.lit(0)).alias(
+            "cum_before"
+        ),
+    ).where(F.col("cum_before") < budget)
+    full = buckets.where(
+        F.col("cum_before") + F.col("bucket_tokens") <= budget
+    ).select("score_ppm", F.lit("full").alias("decision"))
+    boundary = buckets.where(
+        F.col("cum_before") + F.col("bucket_tokens") > budget
+    ).select(
+        "score_ppm",
+        (F.lit(budget) - F.col("cum_before")).alias("remaining"),
+    )
+    kept_full = scored.join(F.broadcast(full), "score_ppm")
+    wb = Window.partitionBy("score_ppm").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), "score_ppm")
+        .withColumn("run", F.sum("n_tokens").over(wb))
+        .where(F.col("run") <= F.col("remaining"))
+        .select(
+            "score_ppm",
+            "doc_id",
+            "n_tokens",
+            F.lit("boundary").alias("decision"),
+        )
+    )
+    return (
+        kept_full.select("score_ppm", "doc_id", "n_tokens", "decision")
+        .unionByName(kept_boundary)
+        .orderBy(F.desc("score_ppm"), "doc_id")
+    )

@@ -7286,3 +7286,54 @@ register(
     ORDER BY 1, 2
     """,
 )(similarity.matryoshka_recall)
+
+
+# Token-budget data selection: whole score buckets that fit, boundary
+# bucket filled by doc_id order.  Budget interpolates from the module.
+register(
+    "corpus_budget_selection",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) * 1000000
+               // len(string_split(text, ' ')) AS score_ppm
+      FROM documents
+    ),
+    per_score AS (
+      SELECT score_ppm, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM scored GROUP BY 1
+    ),
+    buckets AS (
+      SELECT score_ppm, bucket_tokens,
+             CAST(COALESCE(CAST(SUM(bucket_tokens) OVER (
+                     ORDER BY score_ppm DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS BIGINT) AS cum_before
+      FROM per_score
+    ),
+    fitting AS (SELECT * FROM buckets WHERE cum_before < {_corpus.TOKEN_BUDGET}),
+    kept_full AS (
+      SELECT s.score_ppm, s.doc_id, s.n_tokens, 'full' AS decision
+      FROM scored s
+      JOIN fitting f ON s.score_ppm = f.score_ppm
+      WHERE f.cum_before + f.bucket_tokens <= {_corpus.TOKEN_BUDGET}
+    ),
+    kept_boundary AS (
+      SELECT score_ppm, doc_id, n_tokens, 'boundary' AS decision FROM (
+        SELECT s.score_ppm, s.doc_id, s.n_tokens,
+               CAST(SUM(s.n_tokens) OVER (
+                 PARTITION BY s.score_ppm ORDER BY s.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+               {_corpus.TOKEN_BUDGET} - f.cum_before AS remaining
+        FROM scored s
+        JOIN fitting f ON s.score_ppm = f.score_ppm
+        WHERE f.cum_before + f.bucket_tokens > {_corpus.TOKEN_BUDGET}
+      ) WHERE run <= remaining
+    )
+    SELECT * FROM kept_full
+    UNION ALL
+    SELECT * FROM kept_boundary
+    ORDER BY score_ppm DESC, doc_id
+    """,
+)(_corpus.budget_selection)

@@ -253,3 +253,27 @@ def test_fixed_size_sample_exact_and_stable(spark, sf_dir):
     a = sorted(r["doc_id"] for r in fixed_size_sample(spark, sf_dir, 37).collect())
     b = sorted(r["doc_id"] for r in fixed_size_sample(spark, sf_dir, 37).collect())
     assert len(a) == 37 and a == b
+
+
+def test_budget_selection_respects_budget_and_greedy_order(spark):
+    """Kept tokens must not exceed the budget; no skipped doc with a
+    HIGHER score than a kept doc may exist (greedy property); and the
+    boundary bucket must be the lowest kept score."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.corpus import (
+        TOKEN_BUDGET,
+        budget_selection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = budget_selection(spark, sf).collect()
+    total = sum(r["n_tokens"] for r in kept)
+    assert 0 < total <= TOKEN_BUDGET
+    scores = sorted({r["score_ppm"] for r in kept})
+    boundary_scores = {
+        r["score_ppm"] for r in kept if r["decision"] == "boundary"
+    }
+    assert len(boundary_scores) <= 1
+    if boundary_scores:
+        assert boundary_scores == {scores[0]}  # boundary = lowest kept
