@@ -1049,3 +1049,79 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+BIGRAM_CE_MAX = 3.2  # keep threshold (nats)
+BIGRAM_LAMBDA_PCT = 70  # interpolation weight on the bigram term
+
+
+def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality gate — the KenLM-shaped upgrade
+    of the unigram screen: per-token p = 0.7·p(cur|prev) + 0.3·p(cur),
+    first tokens score on the unigram alone, ce = -(1/n)·Σ ln p.
+    Repetitive/templated text scores LOW here even when its unigram
+    distribution looks normal (the bigram term captures local
+    structure) — the complementary failure mode to unigram CE.
+
+    Model = two vocabulary-sized count tables from one tokenize pass
+    (unigram counts; bigram counts keyed (prev, cur) with context
+    totals derived from them — NOT from unigram counts, which would
+    miscount doc-final tokens).  Scoring joins are term-/bigram-keyed;
+    the per-doc Σ is the SEQUENTIAL position-ordered fold (float
+    parity device); the interpolation arithmetic is the same literal
+    expression on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "cur"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("cur").over(wd)).localCheckpoint(
+        eager=False  # feeds both count tables AND the scoring join
+    )
+    uni = seq.groupBy("cur").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("total"))
+    bi = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)  # feeds context totals AND join
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    lam = BIGRAM_LAMBDA_PCT / 100.0
+    scored = (
+        seq.join(uni, "cur")
+        .crossJoin(F.broadcast(tot))
+        .join(bi, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("prev").isNull(),
+                F.expr("ln(CAST(cu AS DOUBLE) / total)"),
+            )
+            .otherwise(
+                F.expr(
+                    f"ln({lam} * (CAST(cb AS DOUBLE) / cp)"
+                    f" + {1.0 - lam} * (CAST(cu AS DOUBLE) / total))"
+                )
+            )
+            .alias("lnp"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(pos, lnp))),"
+            " s -> s.lnp), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("s"),
+    )
+    ce = F.round((-F.col("s")) / F.col("n_tokens"), 9)
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        ce.alias("ce_nats"),
+        (ce <= BIGRAM_CE_MAX).alias("keep"),
+    )

@@ -7337,3 +7337,51 @@ register(
     ORDER BY score_ppm DESC, doc_id
     """,
 )(_corpus.budget_selection)
+
+
+# Interpolated bigram-LM cross-entropy gate; lambda and the keep
+# threshold interpolate from the operator module.
+register(
+    "text_bigram_ce",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, t[i] AS cur,
+             CASE WHEN i > 1 THEN t[i-1] END AS prev
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    uni AS (SELECT cur, COUNT(*) AS cu FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni),
+    bi AS (
+      SELECT prev, cur, COUNT(*) AS cb FROM tok
+      WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cp FROM bi GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id, t.pos,
+             CASE WHEN t.prev IS NULL
+                  THEN ln(CAST(u.cu AS DOUBLE) / tot.total)
+                  ELSE ln({text.BIGRAM_LAMBDA_PCT / 100.0}
+                          * (CAST(b.cb AS DOUBLE) / c.cp)
+                          + {1.0 - text.BIGRAM_LAMBDA_PCT / 100.0}
+                          * (CAST(u.cu AS DOUBLE) / tot.total))
+             END AS lnp
+      FROM tok t
+      JOIN uni u ON t.cur = u.cur
+      CROSS JOIN tot
+      LEFT JOIN bi b ON t.prev = b.prev AND t.cur = b.cur
+      LEFT JOIN ctx c ON t.prev = c.prev
+    ),
+    folded AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             list(lnp ORDER BY pos) AS ls
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round((-list_reduce(ls, (a, b) -> a + b)) / n_tokens, 9)
+             AS ce_nats,
+           round((-list_reduce(ls, (a, b) -> a + b)) / n_tokens, 9)
+             <= {text.BIGRAM_CE_MAX} AS keep
+    FROM folded
+    """,
+)(text.bigram_cross_entropy)

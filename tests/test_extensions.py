@@ -750,3 +750,22 @@ def test_backfill_split_is_nonvacuous(spark):
         .count()
     )
     assert 0 < late_hours < all_hours
+
+
+def test_bigram_ce_flags_shuffled_text(spark, tmp_path):
+    """The bigram term must punish destroyed local structure: a
+    corpus of repeated natural bigrams scores LOWER cross-entropy
+    than the same tokens in scrambled order (unigram CE would tie
+    them)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        bigram_cross_entropy,
+    )
+
+    natural = "the cat sat on the mat " * 5
+    scrambled = "mat the on sat the cat " * 2 + "cat mat sat the on the " * 3
+    rows = [(1, natural.strip(), "en"), (2, scrambled.strip(), "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r["ce_nats"] for r in bigram_cross_entropy(spark, d).collect()}
+    assert got[1] < got[2], got

@@ -97,7 +97,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # corpus-stats (N, avgdl, dfs) 1-row crossJoin
                   "text_bm25_topk",
                   # corpus-total 1-row crossJoin
-                  "text_unigram_ce"}
+                  "text_unigram_ce",
+                  # corpus-total 1-row crossJoin (same shape)
+                  "text_bigram_ce"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
