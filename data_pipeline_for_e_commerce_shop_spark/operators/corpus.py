@@ -598,3 +598,63 @@ def budget_selection(
         .unionByName(kept_boundary)
         .orderBy(F.desc("score_ppm"), "doc_id")
     )
+
+
+def gate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DECISION TABLE: one row per document with the final
+    keep/drop verdict and a fixed-order reason string combining every
+    gate in the pipeline — quality heuristics (short / low_ttr /
+    stopword_heavy), exact-dup keeper rule ('duplicate' for every
+    non-minimal copy), and both LM screens ('high_ce',
+    'high_bigram_ce').  An unexplained boolean is an un-debuggable
+    corpus; this is the shipped artifact a curation run writes next
+    to its output.
+
+    Composition semantics (not a fused kernel): each gate is the SAME
+    operator registered elsewhere, joined on doc_id — at scale these
+    are the already-materialized per-gate tables, and this query is
+    the cheap final join.  GROUP BY reasons on the output gives the
+    drop histogram for free.
+    """
+    from .text import (
+        bigram_cross_entropy,
+        quality_gate,
+        unigram_cross_entropy,
+    )
+
+    quality = quality_gate(spark, sf_dir).select(
+        "doc_id", F.col("reasons").alias("q_reasons")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    dup = docs.select(
+        "doc_id",
+        (
+            F.min("doc_id").over(Window.partitionBy("fp"))
+            != F.col("doc_id")
+        ).alias("is_dup"),
+    )
+    uce = unigram_cross_entropy(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("uce_keep")
+    )
+    bce = bigram_cross_entropy(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("bce_keep")
+    )
+    joined = (
+        quality.join(dup, "doc_id")
+        .join(uce, "doc_id")
+        .join(bce, "doc_id")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("q_reasons") != "", F.col("q_reasons")),
+        F.when(F.col("is_dup"), F.lit("duplicate")),
+        F.when(~F.col("uce_keep"), F.lit("high_ce")),
+        F.when(~F.col("bce_keep"), F.lit("high_bigram_ce")),
+    )
+    return joined.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    ).orderBy("doc_id")

@@ -7385,3 +7385,39 @@ register(
     FROM folded
     """,
 )(text.bigram_cross_entropy)
+
+
+# The corpus decision table: every gate joined into one per-doc
+# verdict.  The oracle COMPOSES the registered per-gate oracles as
+# CTEs (the ann_recall device) so the gates cannot drift from their
+# composition.
+register(
+    "corpus_gate_verdicts",
+    f"""
+    WITH qg AS ({ORACLES["text_quality_gate"]}),
+    uce AS ({ORACLES["text_unigram_ce"]}),
+    bce AS ({ORACLES["text_bigram_ce"]}),
+    dup AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) != doc_id AS is_dup
+      FROM documents
+    )
+    SELECT qg.doc_id,
+           (reasons = '') AS keep,
+           reasons
+    FROM (
+      SELECT qg.doc_id,
+             concat_ws(',',
+               CASE WHEN qg.reasons != '' THEN qg.reasons END,
+               CASE WHEN dup.is_dup THEN 'duplicate' END,
+               CASE WHEN NOT uce.keep THEN 'high_ce' END,
+               CASE WHEN NOT bce.keep THEN 'high_bigram_ce' END
+             ) AS reasons
+      FROM qg
+      JOIN dup ON qg.doc_id = dup.doc_id
+      JOIN uce ON qg.doc_id = uce.doc_id
+      JOIN bce ON qg.doc_id = bce.doc_id
+    ) qg
+    ORDER BY doc_id
+    """,
+)(_corpus.gate_verdicts)

@@ -99,7 +99,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # corpus-total 1-row crossJoin
                   "text_unigram_ce",
                   # corpus-total 1-row crossJoin (same shape)
-                  "text_bigram_ce"}
+                  "text_bigram_ce",
+                  # composes the CE gates, inheriting their 1-row
+                  # corpus-total crossJoins
+                  "corpus_gate_verdicts"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
