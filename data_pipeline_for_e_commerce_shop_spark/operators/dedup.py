@@ -1151,3 +1151,47 @@ def duplicated_spans(
         )
         .orderBy("doc_id")
     )
+
+
+LSH_TUNE_SIG = N_MINHASH  # signature length being split into bands
+
+
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table: for every (bands, rows) split of the
+    signature and a grid of true Jaccard similarities s, the
+    candidate probability P = 1 - (1 - s^rows)^bands, plus each
+    config's s50 (the similarity where P crosses 1/2 — the knob that
+    positions the S-curve).  This is the table you consult before
+    choosing BAND_ROWS; computed in-engine so the tuning artifact
+    ships with the corpus run.  Pure expression math on a tiny
+    generated grid (|configs| x |s grid| rows); sf_dir is unused.
+    """
+    configs = [
+        (b, LSH_TUNE_SIG // b)
+        for b in (1, 2, 4, 8)
+        if b * (LSH_TUNE_SIG // b) == LSH_TUNE_SIG
+    ]
+    rows = [
+        (b, r, s / 10.0) for (b, r) in configs for s in range(1, 10)
+    ]
+    grid = spark.createDataFrame(
+        rows, "bands int, rows_per_band int, s double"
+    )
+    p = F.round(
+        1 - F.pow(1 - F.pow(F.col("s"), F.col("rows_per_band")), F.col("bands")),
+        9,
+    )
+    s50 = F.round(
+        F.pow(
+            1 - F.pow(F.lit(0.5), 1.0 / F.col("bands")),
+            1.0 / F.col("rows_per_band"),
+        ),
+        9,
+    )
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        "s",
+        p.alias("p_candidate"),
+        s50.alias("s50"),
+    ).orderBy("bands", "s")

@@ -7421,3 +7421,29 @@ register(
     ORDER BY doc_id
     """,
 )(_corpus.gate_verdicts)
+
+
+# LSH (bands x rows) tuning table over a similarity grid; signature
+# length interpolates from the dedup module.
+register(
+    "dedup_lsh_tuning_curve",
+    f"""
+    WITH cfg AS (
+      SELECT b AS bands, {dedup.LSH_TUNE_SIG} // b AS rows_per_band
+      FROM (SELECT unnest([1, 2, 4, 8]) AS b)
+      WHERE b * ({dedup.LSH_TUNE_SIG} // b) = {dedup.LSH_TUNE_SIG}
+    ),
+    grid AS (
+      SELECT bands, rows_per_band, s / 10.0 AS s
+      FROM cfg, UNNEST(generate_series(1, 9)) AS g(s)
+    )
+    SELECT CAST(bands AS INTEGER) AS bands,
+           CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           s,
+           round(1 - pow(1 - pow(s, rows_per_band), bands), 9)
+             AS p_candidate,
+           round(pow(1 - pow(0.5, 1.0 / bands), 1.0 / rows_per_band), 9)
+             AS s50
+    FROM grid ORDER BY bands, s
+    """,
+)(dedup.lsh_tuning_curve)
