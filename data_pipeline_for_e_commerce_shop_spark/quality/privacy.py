@@ -141,3 +141,69 @@ def erase_user(
         "n_after": n_after,
         "consistent": n_after == n_before - n_erase,
     }
+
+
+PSEUDO_SECRET = "pseudo-v1"  # key label; rotate to re-key the corpus
+
+
+def pseudonymize_audit(spark, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with a referential-integrity audit: both
+    customer and orders replace the customer key with
+    md5(secret || key) — the SAME mapping on both tables, applied
+    independently (no shared lookup table to leak), so every join
+    still works on the pseudonyms.  The audit PROVES it: per
+    mktsegment, order counts joined via pseudonyms must equal counts
+    joined via the raw keys, and the pseudonym space must be
+    collision-free (distinct pseudonyms == distinct keys).
+
+    This is the share-safe-extract shape (analytics on pseudonymized
+    copies, re-identification only with the key) — the step beyond
+    erase_user's hard deletion.  Keyed-hash mapping is a pure
+    row-local projection: zero extra shuffles over the plain join.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    pseud = lambda c: F.md5(  # noqa: E731
+        F.concat(F.lit(PSEUDO_SECRET), F.col(c).cast("string"))
+    )
+    pc = cust.select(
+        pseud("c_custkey").alias("p_key"), "c_mktsegment"
+    )
+    po = orders.select(pseud("o_custkey").alias("p_key"))
+    via_pseudo = (
+        po.join(F.broadcast(pc), "p_key")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders_pseudo"))
+    )
+    via_raw = (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders_raw"))
+    )
+    keyspace = cust.agg(
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.countDistinct(pseud("c_custkey")).alias("n_pseudonyms"),
+    )
+    return (
+        via_raw.join(via_pseudo, "c_mktsegment")
+        .crossJoin(F.broadcast(keyspace))
+        .select(
+            "c_mktsegment",
+            "n_orders_raw",
+            "n_orders_pseudo",
+            (F.col("n_orders_raw") == F.col("n_orders_pseudo")).alias(
+                "ri_preserved"
+            ),
+            (F.col("n_keys") == F.col("n_pseudonyms")).alias(
+                "collision_free"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

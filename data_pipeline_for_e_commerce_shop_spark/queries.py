@@ -7447,3 +7447,46 @@ register(
     FROM grid ORDER BY bands, s
     """,
 )(dedup.lsh_tuning_curve)
+
+
+from data_pipeline_for_e_commerce_shop_spark.quality import privacy as _privacy  # noqa: E402
+
+# Keyed pseudonymization + referential-integrity audit: joins via
+# md5(secret||key) must reproduce joins via raw keys exactly, and the
+# pseudonym space must be collision-free.  Secret interpolates from
+# the module so operator and oracle share one key label.
+register(
+    "customer_pseudonymize_audit",
+    f"""
+    WITH pc AS (
+      SELECT md5('{_privacy.PSEUDO_SECRET}' || CAST(c_custkey AS VARCHAR))
+               AS p_key, c_mktsegment
+      FROM customer
+    ),
+    po AS (
+      SELECT md5('{_privacy.PSEUDO_SECRET}' || CAST(o_custkey AS VARCHAR))
+               AS p_key
+      FROM orders
+    ),
+    via_pseudo AS (
+      SELECT c_mktsegment, COUNT(*) AS n_orders_pseudo
+      FROM po JOIN pc USING (p_key) GROUP BY 1
+    ),
+    via_raw AS (
+      SELECT c_mktsegment, COUNT(*) AS n_orders_raw
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+    ),
+    ks AS (
+      SELECT COUNT(DISTINCT c_custkey) AS n_keys,
+             COUNT(DISTINCT md5('{_privacy.PSEUDO_SECRET}'
+                    || CAST(c_custkey AS VARCHAR))) AS n_pseudonyms
+      FROM customer
+    )
+    SELECT c_mktsegment, n_orders_raw, n_orders_pseudo,
+           n_orders_raw = n_orders_pseudo AS ri_preserved,
+           n_keys = n_pseudonyms AS collision_free
+    FROM via_raw JOIN via_pseudo USING (c_mktsegment)
+    CROSS JOIN ks
+    ORDER BY c_mktsegment
+    """,
+)(_privacy.pseudonymize_audit)

@@ -102,7 +102,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "text_bigram_ce",
                   # composes the CE gates, inheriting their 1-row
                   # corpus-total crossJoins
-                  "corpus_gate_verdicts"}
+                  "corpus_gate_verdicts",
+                  # 1-row keyspace audit crossJoin (scalar-subquery
+                  # shape)
+                  "customer_pseudonymize_audit"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
