@@ -113,3 +113,60 @@ def purchases_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_event_id"
         ),
     )
+
+
+ASOF_TOLERANCE_SECONDS = 600  # match only clicks within 10 minutes
+
+
+def purchases_last_click_tolerance(
+    spark: SparkSession,
+    sf_dir: str,
+    tolerance: int = ASOF_TOLERANCE_SECONDS,
+) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, kdb
+    wj's window): a purchase matches its most recent prior click only
+    if the click happened within `tolerance` seconds — stale context
+    is worse than no context for attribution and feature generation.
+
+    Same single-shuffle union+carry-forward plan as asof_join; the
+    matched click's epoch rides along as a second payload column and
+    the tolerance check is a post-projection (never a join condition,
+    which would break the carry-forward trick).  Out-of-window
+    matches degrade to the same -1 sentinel as no-match.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.unix_timestamp("ts").cast("long").alias("click_epoch"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        right_payload=["click_epoch", "click_event_id"],
+    )
+    p_epoch = F.unix_timestamp("ts").cast("long")
+    in_window = (
+        F.col("asof_click_epoch").isNotNull()
+        & (p_epoch - F.col("asof_click_epoch") <= tolerance)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        p_epoch.alias("purchase_epoch"),
+        (F.floor(F.col("value") * 100) / 100.0).alias("value"),
+        F.when(in_window, F.col("asof_click_event_id"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("click_event_id"),
+        F.when(in_window, p_epoch - F.col("asof_click_epoch"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("lag_seconds"),
+    )

@@ -7490,3 +7490,33 @@ register(
     ORDER BY c_mktsegment
     """,
 )(_privacy.pseudonymize_audit)
+
+
+from data_pipeline_for_e_commerce_shop_spark.operators import asof as _asof  # noqa: E402
+
+# As-of with tolerance: stale matches degrade to the no-match
+# sentinel.  Tolerance interpolates from the operator module.
+register(
+    "asof_purchase_click_tolerance",
+    f"""
+    SELECT a.event_id,
+           a.user_id,
+           CAST(floor(epoch(a.ts)) AS BIGINT) AS purchase_epoch,
+           FLOOR(a.value * 100) / 100.0 AS value,
+           CASE WHEN b.event_id IS NOT NULL
+                 AND CAST(floor(epoch(a.ts)) AS BIGINT)
+                     - CAST(floor(epoch(b.ts)) AS BIGINT)
+                     <= {_asof.ASOF_TOLERANCE_SECONDS}
+                THEN b.event_id ELSE -1 END AS click_event_id,
+           CASE WHEN b.event_id IS NOT NULL
+                 AND CAST(floor(epoch(a.ts)) AS BIGINT)
+                     - CAST(floor(epoch(b.ts)) AS BIGINT)
+                     <= {_asof.ASOF_TOLERANCE_SECONDS}
+                THEN CAST(floor(epoch(a.ts)) AS BIGINT)
+                     - CAST(floor(epoch(b.ts)) AS BIGINT)
+                ELSE -1 END AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)(_asof.purchases_last_click_tolerance)
