@@ -248,3 +248,131 @@ def test_duplicated_spans_short_docs_do_not_crash(spark, tmp_path):
     out = {r["doc_id"]: r for r in duplicated_spans(spark, d).collect()}
     assert set(out) == {3, 4}
     assert out[3]["dup_tokens"] == SPAN_TOKENS
+
+
+def test_bpe_merges_hypothesis_vs_pure_python(spark, tmp_path):
+    """Hypothesis: on arbitrary tiny corpora the distributed BPE
+    trajectory equals an independent pure-Python reference (greedy
+    merge, count-desc then lexicographic tie-break)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        bpe_merges,
+    )
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    corpus = st.lists(word, min_size=1, max_size=12)
+
+    def python_bpe(words: list[str], rounds: int):
+        # word-type table with counts, greedy fold per round
+        types = Counter(words)
+        seqs = {w: list(w) for w in types}
+        out = []
+        for _ in range(rounds):
+            pairs: Counter = Counter()
+            for w, n in types.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += n
+            if not pairs:
+                break
+            (a, b), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((a, b, cnt))
+            for w in seqs:
+                s, acc = seqs[w], []
+                for x in s:
+                    if acc and acc[-1] == a and x == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(x)
+                seqs[w] = acc
+        return out
+
+    idx = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus)
+    def check(words):
+        exp = python_bpe(words, rounds=2)
+        if not exp:
+            return  # degenerate: only single-char words
+        idx[0] += 1
+        d = str(tmp_path / f"c{idx[0]}")
+        spark.createDataFrame(
+            [(1, " ".join(words), "en")],
+            "doc_id long, text string, lang string",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [
+            (r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_merges(spark, d, rounds=len(exp)).collect()
+        ]
+        assert got == exp, (words, got, exp)
+
+    check()
+
+
+def test_duplicated_spans_hypothesis_vs_pure_python(spark, tmp_path):
+    """Hypothesis: on arbitrary tiny corpora the span report equals an
+    independent pure-Python sweep (hash windows, count, merge
+    intervals)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        SPAN_TOKENS,
+        duplicated_spans,
+    )
+
+    tok = st.sampled_from(["x", "y", "z"])
+    doc = st.lists(tok, min_size=1, max_size=20)
+    corpus = st.lists(doc, min_size=1, max_size=4)
+
+    def python_spans(docs: list[list[str]], k: int):
+        wins: Counter = Counter()
+        per_doc = []
+        for toks in docs:
+            ws = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            per_doc.append(ws)
+            wins.update(ws)
+        out = {}
+        for did, (toks, ws) in enumerate(zip(docs, per_doc), start=1):
+            starts = [i + 1 for i, w in enumerate(ws) if wins[w] >= 2]
+            if not starts:
+                continue
+            spans, cur = [], [starts[0], starts[0] + k - 1]
+            for s in starts[1:]:
+                if s - (cur[1] - k + 1) <= k:
+                    cur[1] = s + k - 1
+                else:
+                    spans.append(tuple(cur))
+                    cur = [s, s + k - 1]
+            spans.append(tuple(cur))
+            dup = sum(b - a + 1 for a, b in spans)
+            out[did] = (len(spans), dup, len(toks))
+        return out
+
+    idx = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus)
+    def check(docs):
+        idx[0] += 1
+        d = str(tmp_path / f"s{idx[0]}")
+        rows = [
+            (i + 1, " ".join(toks), "en") for i, toks in enumerate(docs)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["n_tokens"])
+            for r in duplicated_spans(spark, d).collect()
+        }
+        assert got == python_spans(docs, SPAN_TOKENS), (docs, got)
+
+    check()
