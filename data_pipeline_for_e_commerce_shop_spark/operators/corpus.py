@@ -658,3 +658,39 @@ def gate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     ).orderBy("doc_id")
+
+
+def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates
+    across splits: the split is a hash of the near-dup CLUSTER id,
+    not the document id, so every member of a cluster lands together
+    by construction (corpus_split_leakage measures the problem; this
+    is the fix).  Singleton documents are their own cluster.
+
+    Scale: cluster labels come from the LSH connected-components
+    operator (hash-bucketed candidate generation, log-round
+    propagation); the split itself is a row-local projection over the
+    labeled corpus.  Same TRAIN/VAL percent thresholds as
+    shuffle_split, drawn with an independent 'clsplit-' prefix.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    clusters = duplicate_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    pct = _hash_mod("clsplit-", F.col("cluster_id"), 100)
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(pct < TRAIN_PCT, F.lit("train"))
+        .when(pct < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -466,8 +466,9 @@ register(
 # Connected components over the candidate-pair graph; the oracle is
 # the same graph's transitive closure via a recursive CTE, so the
 # iterative Spark propagation is value-checked end-to-end.
-register(
-    "dedup_clusters",
+# Transitive-closure CTE chain shared by the clusters query and the
+# dedup-aware split (one definition -> the two cannot drift).
+_CLOSURE_CTES = (
     _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
     + """
     , edges AS (
@@ -479,6 +480,13 @@ register(
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
     )
+    """
+)
+
+register(
+    "dedup_clusters",
+    _CLOSURE_CTES
+    + """
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
     FROM reach GROUP BY src
     """,
@@ -7520,3 +7528,31 @@ register(
       ON a.user_id = b.user_id AND a.ts >= b.ts
     """,
 )(_asof.purchases_last_click_tolerance)
+
+
+# Dedup-aware split: split assignment hashes the near-dup CLUSTER id
+# so clusters can never straddle splits; singletons cluster as
+# themselves.  Oracle composes the shared closure CTEs.
+register(
+    "corpus_dedup_aware_split",
+    _CLOSURE_CTES
+    + f"""
+    , clus AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5('clsplit-'
+                      || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 < {_corpus.TRAIN_PCT} THEN 'train'
+                WHEN CAST(('0x' || substr(md5('clsplit-'
+                      || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 < {_corpus.VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled ORDER BY doc_id
+    """,
+)(_corpus.dedup_aware_split)

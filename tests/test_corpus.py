@@ -277,3 +277,28 @@ def test_budget_selection_respects_budget_and_greedy_order(spark):
     assert len(boundary_scores) <= 1
     if boundary_scores:
         assert boundary_scores == {scores[0]}  # boundary = lowest kept
+
+
+def test_dedup_aware_split_never_leaks(spark):
+    """THE guarantee: no LSH candidate pair may straddle splits, and
+    every cluster maps to exactly one split."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.corpus import (
+        dedup_aware_split,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in dedup_aware_split(spark, sf).collect()
+    }
+    pairs = lsh_candidate_pairs(spark, sf).collect()
+    assert pairs, "no candidate pairs — leakage test would be vacuous"
+    for p in pairs:
+        assert split[p["doc_a"]][1] == split[p["doc_b"]][1], p
+    by_cluster: dict = {}
+    for _, (cid, sp) in split.items():
+        by_cluster.setdefault(cid, set()).add(sp)
+    assert all(len(v) == 1 for v in by_cluster.values())
