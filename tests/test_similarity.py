@@ -197,3 +197,61 @@ def test_ivf_incremental_add_conserves_and_balances(spark):
         r["balance_ppm"] == r["n_after"] * IVF_ADD_CENTROIDS * 1_000_000 // total
         for r in rows
     )
+
+
+def test_ivf_index_persists_as_tables(spark, tmp_path):
+    """The IVF index IS two tables (centroids, assigned lists): write
+    them to parquet, reload in a fresh lineage, and the maintenance
+    report computed from the RELOADED index must equal the one from
+    the live build — index persistence with zero custom formats."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        IVF_ADD_MOD,
+        _assign_nearest,
+        as_double,
+        ivf_incremental_add,
+        knuth_order,
+        norm,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm("emb"))
+    )
+    old = emb.where(F.col("vec_id") % IVF_ADD_MOD != 0)
+    centroids = (
+        knuth_order(old)
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("emb").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    lists = _assign_nearest(
+        old.select(F.col("vec_id").alias("corpus_id"), "emb", "nrm"),
+        centroids,
+        "corpus_id",
+        n_probe=1,
+    ).select("corpus_id", "cluster_id")
+    d = str(tmp_path)
+    centroids.write.mode("overwrite").parquet(f"{d}/ivf_centroids")
+    lists.write.mode("overwrite").parquet(f"{d}/ivf_lists")
+
+    reloaded_sizes = {
+        r["cluster_id"]: r["n"]
+        for r in spark.read.parquet(f"{d}/ivf_lists")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    live = {
+        r["cluster_id"]: r["n_before"]
+        for r in ivf_incremental_add(spark, sf).collect()
+    }
+    assert {k: v for k, v in live.items() if v > 0} == reloaded_sizes
+    assert spark.read.parquet(f"{d}/ivf_centroids").count() == 8
