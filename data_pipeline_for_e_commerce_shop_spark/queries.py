@@ -7556,3 +7556,72 @@ register(
     FROM labeled ORDER BY doc_id
     """,
 )(_corpus.dedup_aware_split)
+
+
+# Equi-DEPTH price histogram — the statistic optimizers actually keep
+# (equal row counts per bucket, data-driven boundaries), next to the
+# equi-width one (part_price_histogram).  Boundaries are
+# percentile_disc values (actual data points, cast to exact integer
+# cents on both engines); bucket membership counts boundaries below.
+EQUIDEPTH_BUCKETS = 8
+
+@register(
+    "lineitem_price_equidepth",
+    f"""
+    WITH pre AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    b AS (
+      SELECT {", ".join(
+          f"CAST(percentile_disc({i / 8}) WITHIN GROUP (ORDER BY cents)"
+          f" AS BIGINT) AS b{i}" for i in range(1, 8)
+      )}
+      FROM pre
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(cents) / 100.0 AS min_price,
+           MAX(cents) / 100.0 AS max_price
+    FROM (
+      SELECT cents,
+             {" + ".join(f"CASE WHEN cents > b{i} THEN 1 ELSE 0 END"
+                          for i in range(1, 8))} AS bucket
+      FROM pre CROSS JOIN b
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def lineitem_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of discounted-free line prices: 8 buckets
+    with data-driven percentile_disc boundaries (exact integer cents,
+    so both engines pick identical boundary values) and per-bucket
+    counts + ranges.  One aggregate for the 1-row boundary set
+    (broadcast back), one scan-side bucket assignment, one groupBy —
+    the ANALYZE-histogram shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    ).localCheckpoint(eager=False)  # feeds boundaries AND assignment
+    bounds = li.agg(
+        *[
+            F.expr(
+                f"cast(percentile_disc({i / 8}) within group"
+                f" (order by cents) as bigint)"
+            ).alias(f"b{i}")
+            for i in range(1, 8)
+        ]
+    )
+    bucket = sum(
+        F.when(F.col("cents") > F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(1, 8)
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select("cents", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("cents") / 100.0).alias("min_price"),
+            (F.max("cents") / 100.0).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

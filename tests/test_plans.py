@@ -105,7 +105,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "corpus_gate_verdicts",
                   # 1-row keyspace audit crossJoin (scalar-subquery
                   # shape)
-                  "customer_pseudonymize_audit"}
+                  "customer_pseudonymize_audit",
+                  # 1-row percentile-boundary set crossJoin
+                  # (scalar-subquery shape)
+                  "lineitem_price_equidepth"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
