@@ -7625,3 +7625,929 @@ def lineitem_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------- skyline / TWAP
+
+# 2-D Pareto frontier (skyline): the parts no other part beats on BOTH
+# price (lower is better) and size (higher is better).  The naive plan
+# is an all-pairs NOT EXISTS (the oracle below — fine for DuckDB at
+# sf0.01, a non-starter at 100 TB).  The Spark plan is the two-level
+# bucket-prune shape: bucket prices into SKYLINE_BUCKETS ranges from a
+# 1-row broadcast bounds aggregate, fold the bucket-level max sizes
+# into a broadcastable prefix-max table (anything in a strictly lower
+# bucket has strictly lower price), and resolve the remaining
+# within-bucket dominance with a bucket-partitioned window — every
+# stage is either vocabulary-sized or partitioned by bucket, no
+# global-order window, no pair join.
+SKYLINE_BUCKETS = 64
+
+
+@register(
+    "part_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+             p_size
+      FROM part
+    )
+    SELECT a.p_partkey, a.p_name,
+           a.cents / 100.0 AS price, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+        AND (b.cents < a.cents OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: minimize price, maximize size.  Dominance
+    is resolved in three strictly-cheaper tiers — (1) bucket-level: a
+    64-row prefix-max-size table over price buckets (broadcast) kills
+    rows beaten from any strictly lower bucket; (2) within-bucket
+    strictly-cheaper rows via a RANGE window ending 1 cent before the
+    current price; (3) same-price rows via a (bucket, cents) max.  All
+    integer cents — no double comparisons at the frontier boundary."""
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+            "p_size",
+        )
+        .localCheckpoint(eager=False)  # feeds bounds, bucket aggs, probe
+    )
+    bounds = p.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    n_b = F.lit(SKYLINE_BUCKETS)
+    bucket_of = ((F.col("cents") - F.col("lo")) * n_b / (
+        F.col("hi") - F.col("lo") + 1
+    )).cast("long")
+    bucketed = p.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey", "p_name", "cents", "p_size",
+        bucket_of.alias("bucket"),
+    )
+    # bucket-level max sizes -> prefix max over STRICTLY lower buckets
+    # (SKYLINE_BUCKETS rows: the window below is driver-trivial and the
+    # result broadcasts)
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.max("p_size").alias("bucket_max")
+    )
+    w_prefix = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_bucket.select(
+        "bucket", F.max("bucket_max").over(w_prefix).alias("lower_max")
+    )
+    w_cheaper = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("bucket", "cents")
+    flagged = (
+        bucketed.join(F.broadcast(prefix), "bucket")
+        .withColumn("cheaper_max", F.max("p_size").over(w_cheaper))
+        .withColumn("same_max", F.max("p_size").over(w_same))
+    )
+    dominated = (
+        (F.col("lower_max") >= F.col("p_size"))
+        | (F.col("cheaper_max") >= F.col("p_size"))
+        | (F.col("same_max") > F.col("p_size"))
+    )
+    return (
+        flagged.where(~F.coalesce(dominated, F.lit(False)))
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("cents") / 100.0).alias("price"),
+            "p_size",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# Time-weighted average (TWAP): each observation's value holds until
+# the next observation of the same type within the day; the last one
+# holds to end-of-day.  The finance aggregation where a plain AVG is
+# simply wrong (irregular sampling).  No carry-in across midnight —
+# each day is scored from its own first observation (documented
+# contract; carry-in would serialize days through a per-type global
+# window).
+@register(
+    "events_twap",
+    """
+    WITH obs AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             COALESCE(
+               LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY event_type, CAST(ts AS DATE)
+                 ORDER BY ts, event_id),
+               CAST(floor(epoch(CAST(ts AS DATE) + INTERVAL 1 DAY))
+                    AS BIGINT)
+             ) AS nxt
+      FROM events
+    )
+    SELECT event_type, day,
+           COUNT(*) AS n_obs,
+           CAST(SUM(nxt - sec) AS BIGINT) AS span_seconds,
+           CAST(SUM(cents * (nxt - sec)) AS BIGINT)
+             / CAST(SUM(nxt - sec) AS BIGINT) / 100.0 AS twap
+    FROM obs
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) time-weighted average of `value`: weight =
+    seconds the observation was in force (LEAD within the day, the last
+    row runs to midnight).  Integer cents x integer seconds keeps the
+    weighted sum exact int64 (max cents 49k x 86400 s ~ 4e9 per row);
+    one partitioned window + one groupBy on the same keys — AQE
+    coalesces them onto a single shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_id").alias("event_id"),
+        F.col("ts").alias("ts"),
+        F.unix_timestamp("ts").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    midnight = F.unix_timestamp(
+        F.date_add(F.col("day"), 1).cast("timestamp")
+    )
+    obs = ev.withColumn(
+        "nxt", F.coalesce(F.lead("sec").over(w), midnight)
+    )
+    return (
+        obs.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("nxt") - F.col("sec")).alias("span_seconds"),
+            (
+                F.sum(F.col("cents") * (F.col("nxt") - F.col("sec")))
+                / F.sum(F.col("nxt") - F.col("sec"))
+                / 100.0
+            ).alias("twap"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------- KMV / theta-sketch overlap
+
+# K-minimum-values ("theta") sketches: keep the K smallest 60-bit
+# hashes per audience; distinct ~ (K-1)/theta and — the operation HLL
+# fundamentally cannot do well — INTERSECTION estimates via the joint
+# sample below min(theta_a, theta_b).  Deterministic md5 hashing makes
+# the whole sketch replayable in SQL, so unlike a library sketch it is
+# oracle-checkable bit-for-bit; the exact intersection rides along as
+# the audit (estimates are never silently trusted).  Sketch state is
+# K rows/audience — trivially broadcastable at any corpus size — and
+# building it is one groupBy-free window over the deduped audience.
+KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # hash space; a power of two, exact in double
+
+
+@register(
+    "kmv_theta_overlap",
+    f"""
+    WITH dist AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('kmv-' || CAST(user_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS h
+      FROM dist
+    ),
+    sk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+      QUALIFY rk <= {KMV_K}
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_sk,
+             CASE WHEN COUNT(*) < {KMV_K}
+                  THEN CAST({1 << 60} AS BIGINT)
+                  ELSE MAX(h) END AS theta
+      FROM sk GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, n_sk, theta,
+             CASE WHEN n_sk < {KMV_K} THEN CAST(n_sk AS DOUBLE)
+                  ELSE ({KMV_K} - 1) / (theta / {_KMV_SPACE}) END AS est_distinct
+      FROM stats
+    ),
+    joint AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_joint
+      FROM sk a
+      JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+      JOIN stats sa ON sa.event_type = a.event_type
+      JOIN stats sb ON sb.event_type = b.event_type
+      WHERE a.h < LEAST(sa.theta, sb.theta)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS exact_overlap
+      FROM dist a JOIN dist b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           ea.est_distinct AS est_a,
+           eb.est_distinct AS est_b,
+           COALESCE(j.n_joint, 0) AS n_joint,
+           COALESCE(j.n_joint, 0)
+             / (LEAST(ea.theta, eb.theta) / {_KMV_SPACE}) AS est_overlap,
+           e.exact_overlap
+    FROM exact e
+    LEFT JOIN joint j ON j.type_a = e.type_a AND j.type_b = e.type_b
+    JOIN est ea ON ea.event_type = e.type_a
+    JOIN est eb ON eb.event_type = e.type_b
+    ORDER BY e.type_a, e.type_b
+    """,
+)
+def kmv_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates from KMV/theta sketches,
+    graded against the exact intersection.  One distinct pass builds
+    all five audience sketches (256 rows each); pair estimates come
+    from sketch-x-sketch equi-joins on the hash — at 100 TB the raw
+    table is touched twice (sketch build + exact audit), never
+    pairwise.  Division order (n/(theta/2^60)) is identical on both
+    engines, so even the double estimates hash-match."""
+    from pyspark.sql import Window
+
+    dist = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sketch AND exact audit
+    )
+    hashed = dist.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv-"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .localCheckpoint(eager=False)  # feeds stats AND the pair join
+    )
+    stats = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(1 << 60))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+    est = stats.select(
+        "event_type",
+        "theta",
+        F.when(
+            F.col("n_sk") < KMV_K, F.col("n_sk").cast("double")
+        )
+        .otherwise(
+            F.lit(KMV_K - 1) / (F.col("theta") / F.lit(_KMV_SPACE))
+        )
+        .alias("est_distinct"),
+    )
+    sa = est.select(
+        F.col("event_type").alias("type_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    sb = est.select(
+        F.col("event_type").alias("type_b"),
+        F.col("theta").alias("theta_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    joint = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .join(
+            F.broadcast(sa),
+            F.col("a.event_type") == F.col("type_a"),
+        )
+        .join(
+            F.broadcast(sb),
+            F.col("b.event_type") == F.col("type_b"),
+        )
+        .where(F.col("a.h") < F.least("theta_a", "theta_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+    )
+    exact = (
+        dist.alias("x")
+        .join(
+            dist.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        exact.join(joint, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            F.coalesce("n_joint", F.lit(0)).alias("n_joint"),
+            (
+                F.coalesce("n_joint", F.lit(0))
+                / (F.least("theta_a", "theta_b") / F.lit(_KMV_SPACE))
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------- revenue recognition proration
+
+# Revenue recognition: each line's revenue is spread over the calendar
+# months its order->ship interval touches, weighted by overlap days,
+# with Hamilton largest-remainder top-ups so each line's allocations
+# sum to its cents EXACTLY (the invariant auditors check; floor-only
+# proration leaks cents, doubles leak more).  Synthetic dates can put
+# shipment before order, so the interval is [least, greatest].  The
+# explode is bounded by the interval span in months (<= ~81 here) and
+# every window is keyed by the line id — no global state anywhere.
+@register(
+    "revenue_recognition",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             LEAST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d0,
+             GREATEST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d1
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    exploded AS (
+      SELECT l_orderkey, l_linenumber, cents, d0, d1,
+             CAST(unnest(generate_series(
+               DATE_TRUNC('month', d0), DATE_TRUNC('month', d1),
+               INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM li
+    ),
+    weighted AS (
+      SELECT l_orderkey, l_linenumber, cents, month,
+             date_diff('day', GREATEST(month, d0),
+                       LEAST(last_day(month), d1)) + 1 AS days,
+             date_diff('day', d0, d1) + 1 AS total_days
+      FROM exploded
+    ),
+    based AS (
+      SELECT l_orderkey, l_linenumber, cents, month,
+             cents * days // total_days AS base,
+             (cents * days) % total_days AS rem
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT *,
+             cents - SUM(base) OVER (
+               PARTITION BY l_orderkey, l_linenumber) AS leftover,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_linenumber
+               ORDER BY rem DESC, month) AS rk
+      FROM based
+    )
+    SELECT month,
+           SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) / 100.0
+             AS recognized_revenue,
+           COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines
+    FROM ranked
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly recognized revenue: per-line day-weighted proration over
+    the order->ship interval with largest-remainder cent allocation
+    (per-line sums are exact by construction, so the monthly rollup is
+    too).  Plan: one fact x broadcast-orders join, a bounded month
+    explode, two line-keyed windows, one monthly groupBy."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_shipdate").cast("date").alias("sd"),
+        )
+        .join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "cents",
+            F.least("od", "sd").alias("d0"),
+            F.greatest("od", "sd").alias("d1"),
+        )
+    )
+    exploded = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        "d0",
+        "d1",
+        F.explode(
+            F.sequence(
+                F.trunc("d0", "MM"),
+                F.trunc("d1", "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month"),
+    )
+    weighted = exploded.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        "month",
+        (
+            F.datediff(F.least(F.last_day("month"), F.col("d1")),
+                       F.greatest(F.col("month"), F.col("d0"))) + 1
+        ).alias("days"),
+        (F.datediff("d1", "d0") + 1).alias("total_days"),
+    )
+    based = weighted.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        "month",
+        F.expr("cents * days div total_days").alias("base"),
+        ((F.col("cents") * F.col("days")) % F.col("total_days")).alias("rem"),
+    )
+    w_line = Window.partitionBy("l_orderkey", "l_linenumber")
+    w_rank = w_line.orderBy(F.col("rem").desc(), "month")
+    ranked = based.select(
+        "l_orderkey",
+        "l_linenumber",
+        "month",
+        "base",
+        (F.col("cents") - F.sum("base").over(w_line)).alias("leftover"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    return (
+        ranked.groupBy("month")
+        .agg(
+            (
+                F.sum(
+                    F.col("base")
+                    + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+                )
+                / 100.0
+            ).alias("recognized_revenue"),
+            F.countDistinct("l_orderkey", "l_linenumber").alias("n_lines"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------- correlation matrix / OOV
+
+# Pearson correlation matrix over lineitem's numeric columns from ONE
+# scan: every pairwise r needs only (n, Sx, Sy, Sxx, Syy, Sxy), all
+# exact int64 sums over integer-scaled values (whole dollars, pct
+# points — cents would push Sxx past 2^53 at sf1+).  The 15 partial
+# sums map-side combine, so the scan's shuffle is ONE row; the final
+# r values are fixed-order double arithmetic from identical integer
+# inputs on both engines.  Magnitude bound: |Sxx| <= n * 1e10, exact
+# in double through sf~1; beyond that switch the dollar scale down.
+@register(
+    "lineitem_corr_matrix",
+    """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice) AS BIGINT) AS p,
+             CAST(floor(l_discount * 100) AS BIGINT) AS d,
+             CAST(floor(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(q*q) AS BIGINT) AS sqq, CAST(SUM(p*p) AS BIGINT) AS spp,
+             CAST(SUM(d*d) AS BIGINT) AS sdd, CAST(SUM(t*t) AS BIGINT) AS stt,
+             CAST(SUM(q*p) AS BIGINT) AS sqp, CAST(SUM(q*d) AS BIGINT) AS sqd,
+             CAST(SUM(q*t) AS BIGINT) AS sqt, CAST(SUM(p*d) AS BIGINT) AS spd,
+             CAST(SUM(p*t) AS BIGINT) AS spt, CAST(SUM(d*t) AS BIGINT) AS sdt
+      FROM v
+    )
+    SELECT col_a, col_b, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS corr
+    FROM (
+      SELECT n, 'quantity' AS col_a, 'price' AS col_b,
+             sq AS sx, sp AS sy, sqq AS sxx, spp AS syy, sqp AS sxy FROM s
+      UNION ALL SELECT n, 'quantity', 'discount', sq, sd, sqq, sdd, sqd FROM s
+      UNION ALL SELECT n, 'quantity', 'tax', sq, st, sqq, stt, sqt FROM s
+      UNION ALL SELECT n, 'price', 'discount', sp, sd, spp, sdd, spd FROM s
+      UNION ALL SELECT n, 'price', 'tax', sp, st, spp, stt, spt FROM s
+      UNION ALL SELECT n, 'discount', 'tax', sd, st, sdd, stt, sdt FROM s
+    )
+    ORDER BY col_a, col_b
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-shape correlation matrix (quantity, whole-dollar price,
+    discount pct, tax pct): 15 exact integer sufficient statistics in
+    one scan, then six fixed-order double evaluations on the 1-row
+    result — the optimizer/feature-audit statistic pack."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor("l_extendedprice").cast("long").alias("p"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    cols = {"quantity": "q", "price": "p", "discount": "d", "tax": "t"}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in cols.values():
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"s_{a}{a}"))
+    names = list(cols)
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    for ca, cb in pairs:
+        a, b = cols[ca], cols[cb]
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
+    s = li.agg(*aggs)
+    stacked = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ca).alias("col_a"),
+                        F.lit(cb).alias("col_b"),
+                        F.col("n").alias("n"),
+                        F.col(f"s_{cols[ca]}").alias("sx"),
+                        F.col(f"s_{cols[cb]}").alias("sy"),
+                        F.col(f"s_{cols[ca]}{cols[ca]}").alias("sxx"),
+                        F.col(f"s_{cols[cb]}{cols[cb]}").alias("syy"),
+                        F.col(f"s_{cols[ca]}{cols[cb]}").alias("sxy"),
+                    )
+                    for ca, cb in pairs
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(
+            (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        )
+    )
+    return stacked.select(
+        "col_a", "col_b", "n", corr.alias("corr")
+    ).orderBy("col_a", "col_b")
+
+
+# Out-of-vocabulary rate: the token-level generalization gauge — build
+# the vocabulary from the even-doc_id half, score the odd half's
+# tokens against it.  Token-level (volume-weighted) and type-level
+# (unique) rates both ride; the miss check is a broadcastable-or-
+# shuffled anti-join on the token, never a collected set.
+@register(
+    "text_oov_rate",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    test_toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+           COUNT(CASE WHEN v.tok IS NULL THEN 1 END) * 1000000
+             // COUNT(*) AS oov_ppm,
+           COUNT(DISTINCT t.tok) AS n_types,
+           COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+             AS n_oov_types
+    FROM test_toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate of the odd-doc half against the even-doc
+    vocabulary: explode once per side, distinct the vocab, LEFT join on
+    the token and count misses (token- and type-level).  The join keys
+    are tokens — high-cardinality, uniformly hashable, no skew pole."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn("in_vocab", F.lit(1))
+    )
+    test = docs.where(F.col("doc_id") % 2 == 1).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    joined = test.join(vocab, "tok", "left")
+    miss = F.col("in_vocab").isNull()
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(miss, 1)).alias("n_oov"),
+            F.expr(
+                "count(CASE WHEN in_vocab IS NULL THEN 1 END)"
+                " * 1000000 div count(1)"
+            ).alias("oov_ppm"),
+            F.countDistinct("tok").alias("n_types"),
+            F.countDistinct(F.when(miss, F.col("tok"))).alias("n_oov_types"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------- linear gap interpolation / lift
+
+# Two-sided LINEAR interpolation over the hourly value series — the
+# imputation complement of gap_fill_hourly's forward-fill (counts).
+# Gap math is pure integers: interp = prev + floor((next-prev)*(h-ph)
+# / (nh-ph)); the inner product stays far under 2^53 so the floored
+# double division is exactly floor division on both engines (and,
+# unlike `div` vs `//`, has ONE rounding rule for negative deltas).
+@register(
+    "events_gap_interpolate",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_epoch,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    observed AS (
+      SELECT event_type, hour_epoch, CAST(SUM(cents) AS BIGINT) AS obs
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM ev
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(s.h AS BIGINT) AS hour_epoch
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h
+                  FROM bounds) s
+    ),
+    ctx AS (
+      SELECT g.event_type, g.hour_epoch, o.obs,
+             LAST_VALUE(o.obs IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN o.obs IS NOT NULL
+                        THEN g.hour_epoch END IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             FIRST_VALUE(o.obs IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_epoch
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN o.obs IS NOT NULL
+                         THEN g.hour_epoch END IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_epoch
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid g LEFT JOIN observed o
+        ON o.event_type = g.event_type AND o.hour_epoch = g.hour_epoch
+    )
+    SELECT event_type, hour_epoch,
+           CASE WHEN obs IS NOT NULL THEN obs
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + CAST(FLOOR((nv - pv) * (hour_epoch - ph)
+                                  / (nh - ph)) AS BIGINT)
+                ELSE NULL END AS cents_filled,
+           CASE WHEN obs IS NOT NULL THEN 'obs'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS fill_kind
+    FROM ctx
+    ORDER BY event_type, hour_epoch
+    """,
+)
+def events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly value series per event type with linear
+    interpolation across gaps: hour spine from a 1-row bounds
+    aggregate, vocabulary cross join, one fact-sized groupBy, then two
+    type-partitioned window passes (carry last/first observation and
+    its hour).  Hours outside a type's observed range stay NULL and
+    are flagged 'edge' — imputation never invents data beyond the
+    series support."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_epoch"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    observed = ev.groupBy("event_type", "hour_epoch").agg(
+        F.sum("cents").alias("obs")
+    )
+    bounds = ev.agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hour_epoch")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    joined = grid.join(observed, ["event_type", "hour_epoch"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("obs").isNotNull(), F.col("hour_epoch"))
+    ctx = joined.select(
+        "event_type",
+        "hour_epoch",
+        "obs",
+        F.last("obs", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("obs", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    interp = F.col("pv") + F.floor(
+        (F.col("nv") - F.col("pv"))
+        * (F.col("hour_epoch") - F.col("ph"))
+        / (F.col("nh") - F.col("ph"))
+    ).cast("long")
+    both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    return ctx.select(
+        "event_type",
+        "hour_epoch",
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(both, interp)
+        .alias("cents_filled"),
+        F.when(F.col("obs").isNotNull(), F.lit("obs"))
+        .when(both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("fill_kind"),
+    ).orderBy("event_type", "hour_epoch")
+
+
+# Decile lift table: the standard evaluation of a propensity score —
+# here a deterministic behavioural score (pre-period activity), so
+# the whole gauge is exact-integer and engine-portable.  Users are
+# ranked into deciles; each decile's conversion is compared to the
+# global rate as integer ppm lift.
+@register(
+    "purchase_propensity_lift",
+    """
+    WITH b AS (
+      SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+              + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+      FROM events
+    ),
+    score AS (
+      SELECT user_id, COUNT(*) AS n_pre
+      FROM events CROSS JOIN b
+      WHERE CAST(floor(epoch(ts)) AS BIGINT) < mid
+        AND event_type <> 'purchase'
+      GROUP BY user_id
+    ),
+    outcome AS (
+      SELECT DISTINCT user_id
+      FROM events CROSS JOIN b
+      WHERE CAST(floor(epoch(ts)) AS BIGINT) >= mid
+        AND event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT s.user_id, s.n_pre,
+             CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS converted,
+             NTILE(10) OVER (ORDER BY s.n_pre DESC, s.user_id) AS decile
+      FROM score s LEFT JOIN outcome o ON s.user_id = o.user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_all,
+             CAST(SUM(converted) AS BIGINT) AS c_all FROM ranked
+    )
+    SELECT decile,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm,
+           CAST(SUM(converted) AS BIGINT) * n_all * 1000000
+             // (COUNT(*) * c_all) AS lift_ppm
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, n_all, c_all
+    ORDER BY decile
+    """,
+)
+def purchase_propensity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for a deterministic pre-period activity
+    score against post-period purchase conversion.  The ntile runs on
+    the USER-reduced table (dim-sized — same discipline as
+    customer_rfm), facts are touched twice (score + outcome), and all
+    rates/lifts are exact integer ppm."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    ).localCheckpoint(eager=False)  # feeds bounds, score, outcome
+    b = ev.agg(
+        ((F.min("sec") + F.max("sec")) / 2).cast("long").alias("mid")
+    )
+    with_mid = ev.crossJoin(F.broadcast(b))
+    score = (
+        with_mid.where(
+            (F.col("sec") < F.col("mid")) & (F.col("event_type") != "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pre"))
+    )
+    outcome = (
+        with_mid.where(
+            (F.col("sec") >= F.col("mid")) & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted_flag", F.lit(1))
+    )
+    ranked = (
+        score.join(outcome, "user_id", "left")
+        .select(
+            "user_id",
+            "n_pre",
+            F.coalesce("converted_flag", F.lit(0)).alias("converted"),
+        )
+        .withColumn(
+            "decile",
+            F.ntile(10).over(
+                Window.orderBy(F.col("n_pre").desc(), "user_id")
+            ),
+        )
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("converted").alias("c_all")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_converted",
+            F.expr("n_converted * 1000000 div n_users").alias("conv_ppm"),
+            F.expr(
+                "n_converted * n_all * 1000000 div (n_users * c_all)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )

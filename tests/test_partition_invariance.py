@@ -46,6 +46,18 @@ PROBE = [
     # on how the token stream is partitioned
     "text_nb_classifier",
     "corpus_datacard",
+    # bucket-pruned dominance: frontier membership must survive any
+    # bucket/shuffle placement
+    "part_skyline",
+    # Hamilton cent top-ups ride a per-line window — allocation must
+    # not depend on which partition a line's months land in
+    "revenue_recognition",
+    # theta/KMV estimates divide by a MAX-derived threshold — sketch
+    # contents must be placement-independent
+    "kmv_theta_overlap",
+    # two-sided window carry: interpolation anchors must not depend
+    # on grid partition boundaries
+    "events_gap_interpolate",
 ]
 
 

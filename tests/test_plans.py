@@ -108,7 +108,17 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "customer_pseudonymize_audit",
                   # 1-row percentile-boundary set crossJoin
                   # (scalar-subquery shape)
-                  "lineitem_price_equidepth"}
+                  "lineitem_price_equidepth",
+                  # 1-row price-bounds crossJoin feeding the bucket
+                  # assignment (scalar-subquery shape); dominance
+                  # itself is window+broadcast-equi, never pairwise
+                  "part_skyline",
+                  # hour-spine bounds (1 row) + type-vocabulary grid —
+                  # same aggregate-reduced grid shape as events_gap_fill
+                  "events_gap_interpolate",
+                  # 1-row time-midpoint + 1-row conversion totals ride
+                  # as broadcast crossJoins (scalar-subquery shape)
+                  "purchase_propensity_lift"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
