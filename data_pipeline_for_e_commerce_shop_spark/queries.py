@@ -8551,3 +8551,582 @@ def purchase_propensity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ----------------------------- Q13 / FD audit / bootstrap / index
+
+# TPC-H Q13 shape: distribution of customers by order count, including
+# the zero-order customers a naive inner join silently drops.  The
+# LEFT join + COUNT(o_orderkey) (not COUNT(*)) is the whole point.
+@register(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (custdist): per-customer order counts via LEFT join
+    (zero-order customers stay, COUNT(o_orderkey) ignores the NULL
+    from the preserved side), then the count-of-counts histogram.
+    Two groupBys, the first on the dim-sized customer key."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# Functional-dependency audit (Deequ/constraint-suite shape): for each
+# CLAIMED dependency X -> Y, count the X groups where Y is not
+# single-valued and surface the worst offenders.  Determinant keys
+# hash-partition, so the audit is one groupBy per FD regardless of
+# table size; the three FDs below share one scan each.
+@register(
+    "fd_audit",
+    """
+    WITH checks AS (
+      SELECT 'p_name->p_brand' AS fd, p_name AS det,
+             COUNT(DISTINCT p_brand) AS n_vals, COUNT(*) AS n_rows
+      FROM part GROUP BY p_name
+      UNION ALL
+      SELECT 'p_brand->p_type', p_brand,
+             COUNT(DISTINCT p_type), COUNT(*)
+      FROM part GROUP BY p_brand
+      UNION ALL
+      SELECT 'o_custkey->c_nationkey', CAST(o_custkey AS VARCHAR),
+             COUNT(DISTINCT c_nationkey), COUNT(*)
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey
+    )
+    SELECT fd,
+           COUNT(*) AS n_groups,
+           COUNT(CASE WHEN n_vals > 1 THEN 1 END) AS n_violating,
+           CAST(SUM(CASE WHEN n_vals > 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_in_violation
+    FROM checks
+    GROUP BY fd
+    ORDER BY fd
+    """,
+)
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency screen over three claimed dependencies
+    (two intra-table, one through a join): per-determinant distinct
+    counts, rolled into violating-group and affected-row totals per
+    dependency.  The profile every schema-inference/DQ suite runs
+    before trusting a column as a key."""
+    part = load_table(spark, sf_dir, "part")
+    oc = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            )
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    def check(df, fd, det, dep):
+        return (
+            df.groupBy(F.col(det).cast("string").alias("det"))
+            .agg(
+                F.countDistinct(dep).alias("n_vals"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(F.lit(fd).alias("fd"), "det", "n_vals", "n_rows")
+        )
+    checks = (
+        check(part, "p_name->p_brand", "p_name", "p_brand")
+        .unionByName(check(part, "p_brand->p_type", "p_brand", "p_type"))
+        .unionByName(
+            check(oc, "o_custkey->c_nationkey", "o_custkey", "c_nationkey")
+        )
+    )
+    viol = F.col("n_vals") > 1
+    return (
+        checks.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.count(F.when(viol, 1)).alias("n_violating"),
+            F.sum(F.when(viol, F.col("n_rows")).otherwise(0)).alias(
+                "rows_in_violation"
+            ),
+        )
+        .orderBy("fd")
+    )
+
+
+# Deterministic Poisson bootstrap: B resampled replicates of the mean
+# order value, each row's replicate-b weight drawn Poisson(1) from an
+# md5 inverse-CDF lookup (hard-coded integer thresholds — no RNG, no
+# libm), CI from percentile_disc over the B replicate means.  The
+# standard big-data bootstrap: one pass, B weighted partial sums, no
+# resampled copies of the data.
+BOOTSTRAP_B = 32
+# P(Poisson(1) <= k) scaled to 1e6, k = 0..5 (tail lumped into 6)
+_POIS_CDF_PPM = (367879, 735759, 919699, 980945, 996257, 999406)
+
+
+@register(
+    "revenue_bootstrap_ci",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    reps AS (
+      SELECT b.b, base.o_orderkey, base.cents,
+             CAST(('0x' || substr(md5('boot-' || CAST(b.b AS VARCHAR)
+                   || '-' || CAST(o_orderkey AS VARCHAR)), 1, 5))
+                  AS BIGINT) % 1000000 AS u
+      FROM base
+      CROSS JOIN (SELECT unnest(generate_series(1, {BOOTSTRAP_B})) AS b) b
+    ),
+    weighted AS (
+      SELECT b, cents,
+             {" + ".join(f"CASE WHEN u >= {t} THEN 1 ELSE 0 END"
+                          for t in _POIS_CDF_PPM)} AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(CAST(w AS BIGINT) * cents) AS BIGINT)
+               / CAST(SUM(CAST(w AS BIGINT)) AS BIGINT) / 100.0 AS mean_rep
+      FROM weighted GROUP BY b
+    ),
+    full_mean AS (
+      SELECT CAST(SUM(cents) AS BIGINT)
+               / CAST(COUNT(*) AS BIGINT) / 100.0 AS mean_full
+      FROM base
+    )
+    SELECT mean_full,
+           CAST({BOOTSTRAP_B} AS BIGINT) AS n_replicates,
+           (SELECT percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_rep)
+            FROM means) AS ci_lo,
+           (SELECT percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_rep)
+            FROM means) AS ci_hi
+    FROM full_mean
+    """,
+)
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean order value: 32 Poisson(1)
+    replicate weights per order from md5 inverse-CDF thresholds
+    (deterministic, engine-portable), replicate means as exact integer
+    ratios, percentile_disc over the B-row replicate table.  One fact
+    scan fanned x32 map-side; the only shuffle is the 32-group sum."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOTSTRAP_B))).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot-"),
+                        F.col("b").cast("string"),
+                        F.lit("-"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000,
+    )
+    w = sum(
+        F.when(F.col("u") >= t, 1).otherwise(0) for t in _POIS_CDF_PPM
+    )
+    means = (
+        reps.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w").cast("long") * F.col("cents"))
+                / F.sum(F.col("w").cast("long"))
+                / 100.0
+            ).alias("mean_rep")
+        )
+    )
+    ci = means.agg(
+        F.expr(
+            "percentile_disc(0.025) within group (order by mean_rep)"
+        ).alias("ci_lo"),
+        F.expr(
+            "percentile_disc(0.975) within group (order by mean_rep)"
+        ).alias("ci_hi"),
+    )
+    full_mean = orders.agg(
+        (F.sum("cents") / F.count(F.lit(1)) / 100.0).alias("mean_full"),
+        F.lit(BOOTSTRAP_B).cast("long").alias("n_replicates"),
+    )
+    return full_mean.crossJoin(F.broadcast(ci)).select(
+        "mean_full", "n_replicates", "ci_lo", "ci_hi"
+    )
+
+
+# Laspeyres price index: month-over-base price movement per category,
+# base-month quantities as the fixed basket.  Only parts priced in
+# BOTH months enter a month's index (matched-basket discipline); the
+# per-part month price is the quantity-weighted average in exact
+# integer cents, and the index is an exact-ratio ppm integer.
+@register(
+    "category_price_index",
+    """
+    WITH pm AS (
+      SELECT p_type AS category,
+             l_partkey,
+             DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS month,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT category, l_partkey, cents AS c0, qty AS q0
+      FROM pm
+      WHERE month = (SELECT MIN(month) FROM pm)
+    )
+    SELECT m.category,
+           CAST(m.month AS DATE) AS month,
+           COUNT(*) AS n_parts,
+           CAST(SUM((m.cents // m.qty) * b.q0) AS BIGINT) * 1000000
+             // CAST(SUM((b.c0 // b.q0) * b.q0) AS BIGINT)
+             AS index_ppm
+    FROM pm m
+    JOIN base b ON m.category = b.category AND m.l_partkey = b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def category_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-basket Laspeyres-style price index per category and
+    month vs the first month: per-(part, month) quantity and cents
+    from one fact scan, base-month basket equi-joined back, index as
+    exact integer ppm.  Unit prices are FLOORED integer cents per
+    unit (cents div qty) — never doubles — so the base-quantity-
+    weighted sums stay int64-exact through sf~1 (term bound ~4e12 x
+    1e6; past that, drop the ppm scale a decade); the sub-cent floor
+    bias (~1e-5 relative on ~1e5-cent prices) is deterministic and
+    identical on both engines."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.trunc(F.col("l_shipdate").cast("date"), "MM").alias("month"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pm = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("category"),
+            "l_partkey",
+            "month",
+        )
+        .agg(F.sum("cents").alias("cents"), F.sum("qty").alias("qty"))
+        .localCheckpoint(eager=False)  # feeds base month AND all months
+    )
+    min_month = pm.agg(F.min("month").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(min_month))
+        .where(F.col("month") == F.col("m0"))
+        .select(
+            F.col("category").alias("b_category"),
+            F.col("l_partkey").alias("b_partkey"),
+            F.col("cents").alias("c0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = pm.join(
+        base,
+        (F.col("category") == F.col("b_category"))
+        & (F.col("l_partkey") == F.col("b_partkey")),
+    )
+    return (
+        joined.groupBy("category", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                "sum((cents div qty) * q0) * 1000000"
+                " div sum((c0 div q0) * q0)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("category", "month")
+    )
+
+
+# ------------------------------- table fingerprints / separability
+
+# Order-independent content fingerprints for every table: each row is
+# canonically serialized (keys/strings verbatim, money as floor-cents,
+# timestamps as epoch seconds, float arrays as floor-micro ints — the
+# repo's standard engine-portable encodings), hashed to 60 bits, and
+# folded with a two-level modular sum that no partitioning, ordering,
+# or engine can change.  This is the cross-engine parity audit in
+# one query: two pipelines producing the same fingerprint hold the
+# same rows.  The two-level fold (bucket partial sums mod p, then sum
+# of the <=4096 partials) keeps every intermediate under int64 even
+# at 10^12 rows — a single-level SUM(h) would overflow.
+_FP_MOD = 1_000_000_007
+# (table, canonical-row expression) — ONE definition drives both the
+# Spark column and the oracle SQL, so the serializations cannot drift.
+_FP_CANON = {
+    "region": "concat_ws('|', r_regionkey, r_name)",
+    "nation": "concat_ws('|', n_nationkey, n_name, n_regionkey)",
+    "customer": "concat_ws('|', c_custkey, c_name, c_nationkey,"
+    " CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment)",
+    "supplier": "concat_ws('|', s_suppkey, s_name, s_nationkey,"
+    " CAST(floor(s_acctbal * 100) AS BIGINT))",
+    "part": "concat_ws('|', p_partkey, p_name, p_brand, p_type, p_size,"
+    " CAST(floor(p_retailprice * 100) AS BIGINT))",
+    "orders": "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+    " CAST(floor(o_totalprice * 100) AS BIGINT),"
+    " CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)",
+    "lineitem": "concat_ws('|', l_orderkey, l_linenumber, l_partkey,"
+    " l_suppkey, CAST(l_quantity AS BIGINT),"
+    " CAST(floor(l_extendedprice * 100) AS BIGINT),"
+    " CAST(floor(l_discount * 100) AS BIGINT),"
+    " CAST(floor(l_tax * 100) AS BIGINT),"
+    " l_returnflag, l_linestatus,"
+    " CAST(CAST(l_shipdate AS DATE) AS VARCHAR))",
+    "events": "concat_ws('|', event_id, CAST(floor(epoch(ts)) AS BIGINT),"
+    " user_id, event_type, CAST(floor(value * 100) AS BIGINT), props)",
+    "documents": "concat_ws('|', doc_id, lang, source, n_chars, text)",
+    "embeddings": "concat_ws('|', vec_id, label, array_join(transform("
+    "embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+    " ','))",
+}
+
+
+def _fp_oracle_sql() -> str:
+    parts = []
+    for t, canon in _FP_CANON.items():
+        duck = (
+            canon.replace("epoch(ts)", "epoch(ts)")
+            .replace("transform(", "list_transform(")
+            .replace("array_join(", "array_to_string(")
+        )
+        parts.append(f"""
+    SELECT '{t}' AS table_name, CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(hp) % {_FP_MOD} AS BIGINT) AS fingerprint
+    FROM (
+      SELECT CAST(SUM(h % {_FP_MOD}) % {_FP_MOD} AS BIGINT) AS hp,
+             COUNT(*) AS n
+      FROM (
+        SELECT CAST(('0x' || substr(md5({duck}), 1, 15)) AS BIGINT) AS h
+        FROM {t}
+      ) GROUP BY h % 4096
+    )""")
+    return (
+        "\n    UNION ALL".join(parts) + "\n    ORDER BY table_name"
+    )
+
+
+@register("table_fingerprints", _fp_oracle_sql())
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint + row count for all ten tables from one
+    canonical serialization map shared with the oracle.  Each table is
+    scanned once; the fold is groupBy(h%4096) partial sums then a
+    4096-row final sum — commutative, so bit-identical under any
+    partitioning.  Spark's epoch term uses unix_timestamp (same
+    integer seconds as DuckDB's floor(epoch(ts)))."""
+    outs = []
+    for t, canon in _FP_CANON.items():
+        expr = canon.replace(
+            "CAST(floor(epoch(ts)) AS BIGINT)",
+            "CAST(unix_timestamp(ts) AS BIGINT)",
+        ).replace("AS VARCHAR)", "AS STRING)")
+        df = load_table(spark, sf_dir, t).select(
+            F.conv(F.substring(F.md5(F.expr(expr)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        partial = df.groupBy((F.col("h") % 4096).alias("b")).agg(
+            (F.sum(F.col("h") % _FP_MOD) % _FP_MOD).alias("hp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        outs.append(
+            partial.agg(
+                F.lit(t).alias("table_name"),
+                F.sum("n").alias("n_rows"),
+                (F.sum("hp") % _FP_MOD).alias("fingerprint"),
+            )
+        )
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc.unionByName(o)
+    return acc.orderBy("table_name")
+
+
+# Label-separability gauge: per ground-truth label, the within-cluster
+# mean squared distance to the centroid vs the squared distance to the
+# NEAREST other centroid — the (simplified, centroid-based) silhouette
+# that grades whether labels are geometrically meaningful before
+# anyone trains on them.  Exactness: embeddings quantize to int64
+# micro-units; per-label per-dim sums and sum-of-squares are exact
+# ints (|x|<=1e6 squared x 64 dims x n fits comfortably), and the only
+# doubles are the FINAL per-label expressions, evaluated dim-by-dim in
+# index order on both engines (Σ||x-c||² = Σ||x||² - Σ_d S_d²/n — no
+# per-member double sums anywhere, so no accumulation-order hazard).
+@register(
+    "embedding_label_separation",
+    """
+    WITH ve AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    longf AS (
+      SELECT label, u.i AS dim,
+             CAST(floor(v[u.i] * 1000000) AS BIGINT) AS xi
+      FROM ve CROSS JOIN UNNEST(range(1, len(v) + 1)) AS u(i)
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(xi) AS BIGINT) AS sd,
+             CAST(SUM(xi * xi) AS BIGINT) AS sq
+      FROM longf GROUP BY label, dim
+    ),
+    per_label AS (
+      SELECT label,
+             list(sd ORDER BY dim) AS sds,
+             CAST(SUM(sq) AS BIGINT) AS sqq
+      FROM per_dim GROUP BY label
+    ),
+    counts AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    lab AS (
+      SELECT p.label, c.n, p.sds, p.sqq,
+             p.sqq / CAST(c.n AS DOUBLE)
+               - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(p.sds, s -> (s / CAST(c.n AS DOUBLE))
+                                            * (s / CAST(c.n AS DOUBLE)))),
+                   (a, b) -> a + b) AS intra_ms
+      FROM per_label p JOIN counts c ON p.label = c.label
+    ),
+    pairs AS (
+      SELECT a.label AS label, b.label AS other_label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.sds) + 1), i ->
+                 (a.sds[i] / CAST(a.n AS DOUBLE)
+                  - b.sds[i] / CAST(b.n AS DOUBLE))
+                 * (a.sds[i] / CAST(a.n AS DOUBLE)
+                    - b.sds[i] / CAST(b.n AS DOUBLE)))),
+               (x, y) -> x + y) AS inter_sq
+      FROM lab a JOIN lab b ON a.label <> b.label
+    ),
+    nearest AS (
+      SELECT label, other_label AS nearest_label, inter_sq,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY inter_sq, other_label) AS rk
+      FROM pairs
+      QUALIFY rk = 1
+    )
+    SELECT l.label, l.n, l.intra_ms,
+           ne.nearest_label, ne.inter_sq AS nearest_inter_sq,
+           ne.inter_sq / l.intra_ms AS separation
+    FROM lab l JOIN nearest ne ON l.label = ne.label
+    ORDER BY l.label
+    """,
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette per label over the embeddings table: intra =
+    mean squared distance to own centroid (via exact integer sufficient
+    statistics), inter = squared centroid-centroid distance to the
+    nearest other label, separation = inter/intra.  Facts are touched
+    once (posexplode -> per-(label,dim) sums); everything after is
+    |labels|- and |labels|²-sized.  The dim-ordered HOF fold keeps the
+    double summation order identical on both engines."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    longf = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("dim0", "xi"),
+    )
+    per_dim = longf.groupBy("label", "dim0").agg(
+        F.sum("xi").alias("sd"), F.sum(F.col("xi") * F.col("xi")).alias("sq")
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim0, sd))),"
+            " p -> p.sd)"
+        ).alias("sds"),
+        F.sum("sq").alias("sqq"),
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    lab = per_label.join(counts, "label").select(
+        "label",
+        "n",
+        "sds",
+        (
+            F.col("sqq") / F.col("n").cast("double")
+            - F.expr(
+                "aggregate(sds, CAST(0.0 AS DOUBLE),"
+                " (a, s) -> a + (s / CAST(n AS DOUBLE))"
+                " * (s / CAST(n AS DOUBLE)))"
+            )
+        ).alias("intra_ms"),
+    )
+    a = lab.select(
+        F.col("label").alias("label"),
+        F.col("n").alias("na"),
+        F.col("sds").alias("sda"),
+        F.col("intra_ms").alias("intra_ms"),
+    )
+    b = lab.select(
+        F.col("label").alias("other_label"),
+        F.col("n").alias("nb"),
+        F.col("sds").alias("sdb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("label") != F.col("other_label")).select(
+        "label",
+        "other_label",
+        "na",
+        "intra_ms",
+        F.expr(
+            "aggregate(sequence(1, size(sda)), CAST(0.0 AS DOUBLE),"
+            " (acc, i) -> acc + (element_at(sda, i) / CAST(na AS DOUBLE)"
+            "   - element_at(sdb, i) / CAST(nb AS DOUBLE))"
+            " * (element_at(sda, i) / CAST(na AS DOUBLE)"
+            "   - element_at(sdb, i) / CAST(nb AS DOUBLE)))"
+        ).alias("inter_sq"),
+    )
+    w = Window.partitionBy("label").orderBy("inter_sq", "other_label")
+    nearest = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return nearest.select(
+        "label",
+        F.col("na").alias("n"),
+        "intra_ms",
+        F.col("other_label").alias("nearest_label"),
+        F.col("inter_sq").alias("nearest_inter_sq"),
+        (F.col("inter_sq") / F.col("intra_ms")).alias("separation"),
+    ).orderBy("label")

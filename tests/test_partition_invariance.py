@@ -58,6 +58,15 @@ PROBE = [
     # two-sided window carry: interpolation anchors must not depend
     # on grid partition boundaries
     "events_gap_interpolate",
+    # modular-sum fold is the whole point: fingerprints must be
+    # identical under any placement
+    "table_fingerprints",
+    # dim-ordered double folds from integer sufficient statistics
+    "embedding_label_separation",
+    # replicate means are exact ratios of weighted int sums
+    "revenue_bootstrap_ci",
+    # floored unit prices + matched-basket sums
+    "category_price_index",
 ]
 
 

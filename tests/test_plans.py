@@ -118,7 +118,13 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "events_gap_interpolate",
                   # 1-row time-midpoint + 1-row conversion totals ride
                   # as broadcast crossJoins (scalar-subquery shape)
-                  "purchase_propensity_lift"}
+                  "purchase_propensity_lift",
+                  # 1-row replicate-CI crossJoin onto the 1-row full
+                  # mean (scalar-subquery shape)
+                  "revenue_bootstrap_ci",
+                  # |labels| x |labels| centroid pair join (10x10,
+                  # label-vocabulary-sized on both sides)
+                  "embedding_label_separation"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
