@@ -1195,3 +1195,59 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_candidate"),
         s50.alias("s50"),
     ).orderBy("bands", "s")
+
+
+CONTAINMENT_PCT = 70  # max-direction containment gate (integer pct)
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, pct: int = CONTAINMENT_PCT
+) -> DataFrame:
+    """LSH candidates verified with ASYMMETRIC containment
+    |A∩B|/|A| — the subset/quote detector Jaccard misses: a short doc
+    wholly embedded in a long one has tiny Jaccard (union is huge) but
+    containment 1.0 from the short side.  The training-corpus use is
+    catching excerpt/expansion duplicates that symmetric near-dup
+    keeps.
+
+    Same scale shape as near_duplicates_jaccard: candidates come from
+    the banded LSH equi-join, shingle sets ship only for candidates,
+    and the verdict is integer cross-multiplication (100·|∩| ≥ τ·|A|)
+    — no float at the gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    sets = _shingles(docs).groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh_set")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+        )
+        .where(
+            (F.lit(100) * F.col("n_inter") >= F.lit(pct) * F.col("n_a"))
+            | (F.lit(100) * F.col("n_inter") >= F.lit(pct) * F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("n_inter * 1000000 div n_a").alias("containment_a_ppm"),
+            F.expr("n_inter * 1000000 div n_b").alias("containment_b_ppm"),
+        )
+    )

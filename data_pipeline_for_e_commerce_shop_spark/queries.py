@@ -9130,3 +9130,534 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter_sq").alias("nearest_inter_sq"),
         (F.col("inter_sq") / F.col("intra_ms")).alias("separation"),
     ).orderBy("label")
+
+
+# ------------------- HHI / seasonality / bursts / containment
+
+# Herfindahl–Hirschman concentration per category: supplier revenue
+# shares in ppm, HHI = Σ share² (scaled /1e6 back to ppm²→ppm⁻ scale
+# kept integer).  The antitrust-style complement of revenue_gini:
+# Gini ranks whales globally, HHI scores per-market concentration.
+@register(
+    "category_hhi",
+    """
+    WITH sup AS (
+      SELECT p_type AS category, l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT category, CAST(SUM(cents) AS BIGINT) AS total
+      FROM sup GROUP BY category
+    )
+    SELECT s.category,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM((s.cents * 1000000 // t.total)
+                    * (s.cents * 1000000 // t.total)) AS BIGINT)
+             // 1000000 AS hhi_ppm
+    FROM sup s JOIN tot t ON s.category = t.category
+    GROUP BY s.category
+    ORDER BY s.category
+    """,
+)
+def category_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration HHI per category from supplier revenue
+    shares: per-(category, supplier) cents in one fact scan, category
+    totals joined back (vocabulary-sized), shares as floored integer
+    ppm, HHI = Σ share² div 1e6 — exact integers end to end (share²
+    ≤ 1e12, Σ over ≤ suppliers·1e12 « 2^63)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sup = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("category"), "l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = sup.groupBy("category").agg(F.sum("cents").alias("total"))
+    return (
+        sup.join(F.broadcast(tot), "category")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr(
+                "sum((cents * 1000000 div total)"
+                " * (cents * 1000000 div total)) div 1000000"
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("category")
+    )
+
+
+# Weekday seasonality decomposition: per event type, each weekday's
+# mean daily count vs the all-week mean as an integer ppm index — the
+# profile a seasonal-naive forecaster assumes and the input to any
+# deseasonalization step.  Two vocabulary-sized aggregations after one
+# fact-sized (type, day) rollup.
+@register(
+    "weekday_seasonality",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    wd AS (
+      SELECT event_type, dayofweek(day) AS weekday,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS BIGINT) AS tot_events,
+             CAST(SUM(n_days) AS BIGINT) AS tot_days
+      FROM wd GROUP BY event_type
+    )
+    SELECT w.event_type, w.weekday, w.n_events, w.n_days,
+           (w.n_events * b.tot_days * 1000000)
+             // (w.n_days * b.tot_events) AS seasonal_index_ppm
+    FROM wd w JOIN base b ON w.event_type = b.event_type
+    ORDER BY w.event_type, w.weekday
+    """,
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type weekday seasonal indices: mean daily volume per
+    weekday over mean daily volume overall, as exact integer ppm
+    (cross-multiplied — no division until the final floor).  DuckDB's
+    dayofweek is 0=Sunday; Spark's dayofweek is 1=Sunday, so the
+    Spark side subtracts 1 to agree."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    wd = daily.groupBy(
+        "event_type", (F.dayofweek("day") - 1).alias("weekday")
+    ).agg(
+        F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    base = wd.groupBy("event_type").agg(
+        F.sum("n_events").alias("tot_events"),
+        F.sum("n_days").alias("tot_days"),
+    )
+    return (
+        wd.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "weekday",
+            "n_events",
+            "n_days",
+            F.expr(
+                "(n_events * tot_days * 1000000)"
+                " div (n_days * tot_events)"
+            ).alias("seasonal_index_ppm"),
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
+# Burst detection: the max number of events any sliding 5-minute
+# window holds, per type — the ops alert that catches traffic spikes
+# a fixed hourly bucket smears away.  RANGE frame over integer epoch
+# seconds, partitioned by type: each partition sorts once; no
+# self-join, no explode.
+BURST_WINDOW_SECONDS = 300
+
+
+@register(
+    "events_burst_windows",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    counted AS (
+      SELECT event_type, sec,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY sec
+               RANGE BETWEEN {BURST_WINDOW_SECONDS - 1} PRECEDING
+                         AND CURRENT ROW) AS n_in_window
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(MAX(n_in_window) AS BIGINT) AS peak_5min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(n_in_window) AS BIGINT) * 1000000 // COUNT(*)
+             AS peak_share_ppm
+    FROM counted
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak trailing-5-minute event count per type via a RANGE window
+    over epoch seconds (every event anchors a window ending at
+    itself — the discrete sliding-window maximum without self-joins).
+    One type-partitioned sort, one groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-(BURST_WINDOW_SECONDS - 1), Window.currentRow)
+    )
+    counted = ev.withColumn("n_in_window", F.count(F.lit(1)).over(w))
+    return (
+        counted.groupBy("event_type")
+        .agg(
+            F.max("n_in_window").alias("peak_5min"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "max(n_in_window) * 1000000 div count(1)"
+            ).alias("peak_share_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (  # noqa: E402
+    CONTAINMENT_PCT as _CONTAINMENT_PCT,
+)
+
+# Asymmetric containment on the LSH candidate set: catches excerpt/
+# expansion duplicates whose symmetric Jaccard is tiny.  Shares the
+# banding CTEs with the other dedup oracles.
+register(
+    "dedup_containment_pairs",
+    _SHINGLE_CTE
+    + f"""
+    , sets AS (
+      SELECT doc_id, list_sort(list(DISTINCT shingle)) AS sh_set
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, n_a, n_b,
+           n_inter * 1000000 // n_a AS containment_a_ppm,
+           n_inter * 1000000 // n_b AS containment_b_ppm
+    FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT)
+               AS n_inter,
+             CAST(len(sa.sh_set) AS BIGINT) AS n_a,
+             CAST(len(sb.sh_set) AS BIGINT) AS n_b
+      FROM cand
+      JOIN sets sa ON cand.doc_a = sa.doc_id
+      JOIN sets sb ON cand.doc_b = sb.doc_id
+    )
+    WHERE 100 * n_inter >= {_CONTAINMENT_PCT} * n_a
+       OR 100 * n_inter >= {_CONTAINMENT_PCT} * n_b
+    """,
+)(dedup.containment_pairs)
+
+
+# ------------------- off-policy eval / graph stats / RAKE keywords
+
+# Inverse-propensity-scored offline policy evaluation (the replay
+# estimator): logged arms are the deterministic 50/50 hash assignment
+# (ab_test_report's), reward is the purchase value; a candidate
+# policy's value is estimated as mean(reward · 1[π(u)=logged arm] / p)
+# with p = 1/2 known — the counterfactual gauge that lets you grade a
+# new targeting rule on logged traffic without an experiment.  Exact:
+# rewards are integer cents, matched sums are exact, the /p is a
+# x2 integer scale.
+@register(
+    "offline_policy_ips",
+    """
+    WITH purchases AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('arm-' || CAST(user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 2 AS logged_arm,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    policies AS (
+      SELECT 'always_arm_0' AS policy, 0 AS pick_mod, -1 AS modulus
+      UNION ALL SELECT 'always_arm_1', 1, -1
+      UNION ALL SELECT 'user_mod3', -1, 3
+    ),
+    scored AS (
+      SELECT p.policy, pu.cents,
+             CASE WHEN p.modulus = -1
+                  THEN CASE WHEN pu.logged_arm = p.pick_mod
+                       THEN 1 ELSE 0 END
+                  ELSE CASE WHEN pu.logged_arm =
+                            (pu.user_id % p.modulus) % 2
+                       THEN 1 ELSE 0 END
+             END AS matched
+      FROM purchases pu CROSS JOIN policies p
+    )
+    SELECT policy,
+           COUNT(*) AS n_logged,
+           CAST(SUM(matched) AS BIGINT) AS n_matched,
+           CAST(SUM(matched * cents) AS BIGINT) * 2
+             / COUNT(*) / 100.0 AS ips_value,
+           CASE WHEN SUM(matched) > 0
+                THEN CAST(SUM(matched * cents) AS BIGINT)
+                     / CAST(SUM(matched) AS BIGINT) / 100.0
+                ELSE NULL END AS matched_avg_reward
+    FROM scored
+    GROUP BY policy
+    ORDER BY policy
+    """,
+)
+def offline_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS/replay off-policy evaluation of three candidate targeting
+    policies against the logged 50/50 hash assignment: value =
+    2·Σ(matched reward)/n from exact integer cents.  One purchase
+    scan fanned across the policy vocabulary (3 rows, broadcast);
+    the only shuffle is the 3-group rollup."""
+    purchases = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arm-"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("logged_arm"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    policies = spark.createDataFrame(
+        [("always_arm_0", 0, -1), ("always_arm_1", 1, -1), ("user_mod3", -1, 3)],
+        "policy string, pick_mod int, modulus int",
+    )
+    scored = purchases.crossJoin(F.broadcast(policies)).select(
+        "policy",
+        "cents",
+        F.when(
+            F.col("modulus") == -1,
+            F.when(F.col("logged_arm") == F.col("pick_mod"), 1).otherwise(0),
+        )
+        .otherwise(
+            F.when(
+                F.col("logged_arm")
+                == (F.col("user_id") % F.col("modulus")) % 2,
+                1,
+            ).otherwise(0)
+        )
+        .alias("matched"),
+    )
+    return (
+        scored.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).alias("n_logged"),
+            F.sum("matched").alias("n_matched"),
+            (
+                F.sum(F.col("matched") * F.col("cents")) * 2
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("ips_value"),
+            F.when(
+                F.sum("matched") > 0,
+                F.sum(F.col("matched") * F.col("cents"))
+                / F.sum("matched")
+                / 100.0,
+            ).alias("matched_avg_reward"),
+        )
+        .orderBy("policy")
+    )
+
+
+# Co-purchase graph topology profile: degree per part from the
+# in-basket pair expansion, log2 degree-bucket histogram, and the mean
+# neighbor degree per bucket (the assortativity diagnostic — do
+# popular parts co-sell with popular parts?).  Every stage is keyed
+# (part, bucket); the pair expansion is the same order-bounded one
+# basket_pairs uses.
+@register(
+    "part_degree_profile",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT u, COUNT(*) AS degree FROM pairs GROUP BY u
+    ),
+    nbr AS (
+      SELECT p.u, CAST(SUM(d2.degree) AS BIGINT) AS nbr_deg_sum
+      FROM pairs p JOIN deg d2 ON p.v = d2.u
+      GROUP BY p.u
+    )
+    SELECT CAST(floor(log2(d.degree)) AS BIGINT) AS degree_bucket,
+           COUNT(*) AS n_parts,
+           CAST(MIN(d.degree) AS BIGINT) AS min_degree,
+           CAST(MAX(d.degree) AS BIGINT) AS max_degree,
+           CAST(SUM(n.nbr_deg_sum) AS BIGINT) * 1000000
+             // CAST(SUM(d.degree) AS BIGINT) AS mean_nbr_degree_ppm
+    FROM deg d JOIN nbr n ON d.u = n.u
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def part_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram (log2 buckets) + mean neighbor degree of the
+    co-purchase graph: distinct in-order part pairs, per-part degree,
+    neighbor-degree sums via one edges⋈degrees equi-join, bucket
+    rollup.  log2 on an integer degree is exact on both engines
+    (power-of-two boundaries are representable)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds deg AND nbr
+    )
+    deg = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    d2 = deg.select(F.col("u").alias("v"), F.col("degree").alias("vdeg"))
+    nbr = (
+        pairs.join(d2, "v")
+        .groupBy("u")
+        .agg(F.sum("vdeg").alias("nbr_deg_sum"))
+    )
+    return (
+        deg.join(nbr, "u")
+        .groupBy(
+            F.floor(F.log2("degree")).cast("long").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+            F.expr(
+                "sum(nbr_deg_sum) * 1000000 div sum(degree)"
+            ).alias("mean_nbr_degree_ppm"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+# RAKE-style keyword extraction: candidate phrases are maximal
+# stopword-free token runs; each word scores degree/frequency over the
+# whole corpus (degree = Σ length of phrases containing it), each
+# phrase scores the sum of its words' scores, and the top phrases per
+# language surface.  Scores stay exact integer ppm (deg·1e6 div freq).
+RAKE_TOPK = 5
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH phr AS (
+      SELECT lang, phrase
+      FROM (
+        SELECT lang,
+               unnest(string_split(regexp_replace(text,
+                 '\\b(the|a|and|of|to)\\b', '|', 'g'), '|')) AS phrase
+        FROM documents
+      )
+      WHERE trim(phrase) <> ''
+    ),
+    norm AS (
+      SELECT lang, trim(phrase) AS phrase,
+             string_split(trim(phrase), ' ') AS words
+      FROM phr
+    ),
+    clean AS (
+      SELECT lang, phrase,
+             list_filter(words, w -> w <> '') AS words
+      FROM norm
+    ),
+    wstat AS (
+      SELECT lang, w.word,
+             COUNT(*) AS freq,
+             CAST(SUM(len(words)) AS BIGINT) AS deg
+      FROM clean, UNNEST(words) AS w(word)
+      GROUP BY lang, w.word
+    ),
+    wscore AS (
+      SELECT lang, word, deg * 1000000 // freq AS score_ppm
+      FROM wstat
+    ),
+    pexp AS (
+      SELECT c.lang, c.phrase, w.word
+      FROM (SELECT DISTINCT lang, phrase, words FROM clean) c,
+           UNNEST(c.words) AS w(word)
+    ),
+    pscore AS (
+      SELECT p.lang, p.phrase,
+             CAST(SUM(s.score_ppm) AS BIGINT) AS phrase_score_ppm
+      FROM pexp p
+      JOIN wscore s ON s.lang = p.lang AND s.word = p.word
+      GROUP BY p.lang, p.phrase
+    )
+    SELECT lang, phrase, phrase_score_ppm,
+           rk AS rank
+    FROM (
+      SELECT lang, phrase, phrase_score_ppm,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY phrase_score_ppm DESC, phrase) AS rk
+      FROM pscore
+    )
+    WHERE rk <= {RAKE_TOPK}
+    ORDER BY lang, rank
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction per language: stopword-delimited
+    phrase candidates, corpus-level word degree/frequency scores in
+    exact integer ppm, phrase scores as word-score sums, top-5 per
+    language.  Phrase splitting, trimming, and word explosion are all
+    JVM expressions; the two joins are keyed on (lang, word) and
+    (lang, phrase)."""
+    from pyspark.sql import Window
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import STOPWORDS
+
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    docs = load_table(spark, sf_dir, "documents")
+    phr = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.regexp_replace("text", pat, "|"), r"\|")
+        ).alias("phrase"),
+    ).where(F.trim("phrase") != "")
+    clean = phr.select(
+        "lang",
+        F.trim("phrase").alias("phrase"),
+        F.expr("filter(split(trim(phrase), ' '), w -> w <> '')").alias(
+            "words"
+        ),
+    ).localCheckpoint(eager=False)  # feeds word stats AND phrase scores
+    wstat = clean.select("lang", F.explode("words").alias("word"), F.size("words").alias("plen")).groupBy(
+        "lang", "word"
+    ).agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    wscore = wstat.select(
+        "lang", "word", F.expr("deg * 1000000 div freq").alias("score_ppm")
+    )
+    distinct_phr = clean.select("lang", "phrase", "words").distinct()
+    pscore = (
+        distinct_phr.select("lang", "phrase", F.explode("words").alias("word"))
+        .join(wscore, ["lang", "word"])
+        .groupBy("lang", "phrase")
+        .agg(F.sum("score_ppm").alias("phrase_score_ppm"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("phrase_score_ppm").desc(), "phrase"
+    )
+    return (
+        pscore.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RAKE_TOPK)
+        .select("lang", "phrase", "phrase_score_ppm", "rank")
+        .orderBy("lang", "rank")
+    )

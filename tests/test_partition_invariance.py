@@ -67,6 +67,12 @@ PROBE = [
     "revenue_bootstrap_ci",
     # floored unit prices + matched-basket sums
     "category_price_index",
+    # share² sums from floored integer ppm shares
+    "category_hhi",
+    # IPS values are exact ratios of matched-cents sums
+    "offline_policy_ips",
+    # corpus-level deg/freq ppm scores + phrase-sum ranking
+    "text_rake_keywords",
 ]
 
 

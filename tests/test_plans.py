@@ -124,7 +124,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "revenue_bootstrap_ci",
                   # |labels| x |labels| centroid pair join (10x10,
                   # label-vocabulary-sized on both sides)
-                  "embedding_label_separation"}
+                  "embedding_label_separation",
+                  # 3-row policy-vocabulary broadcast crossJoin
+                  # (model-scoring shape)
+                  "offline_policy_ips"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
