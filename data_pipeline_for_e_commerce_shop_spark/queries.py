@@ -8010,12 +8010,20 @@ def kmv_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_recognition",
     """
-    WITH li AS (
+    WITH raw AS (
       SELECT l_orderkey, l_linenumber,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
              LEAST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d0,
              GREATEST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d1
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    li AS (
+      -- (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      -- data; collapse to unique allocation units or the per-unit
+      -- Hamilton window merges unrelated lines and leaks cents
+      SELECT l_orderkey, l_linenumber, d0, d1,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM raw GROUP BY 1, 2, 3, 4
     ),
     exploded AS (
       SELECT l_orderkey, l_linenumber, cents, d0, d1,
@@ -8025,14 +8033,14 @@ def kmv_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM li
     ),
     weighted AS (
-      SELECT l_orderkey, l_linenumber, cents, month,
+      SELECT l_orderkey, l_linenumber, d0, d1, cents, month,
              date_diff('day', GREATEST(month, d0),
                        LEAST(last_day(month), d1)) + 1 AS days,
              date_diff('day', d0, d1) + 1 AS total_days
       FROM exploded
     ),
     based AS (
-      SELECT l_orderkey, l_linenumber, cents, month,
+      SELECT l_orderkey, l_linenumber, d0, d1, cents, month,
              cents * days // total_days AS base,
              (cents * days) % total_days AS rem
       FROM weighted
@@ -8040,16 +8048,16 @@ def kmv_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT *,
              cents - SUM(base) OVER (
-               PARTITION BY l_orderkey, l_linenumber) AS leftover,
+               PARTITION BY l_orderkey, l_linenumber, d0, d1) AS leftover,
              ROW_NUMBER() OVER (
-               PARTITION BY l_orderkey, l_linenumber
+               PARTITION BY l_orderkey, l_linenumber, d0, d1
                ORDER BY rem DESC, month) AS rk
       FROM based
     )
     SELECT month,
            SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) / 100.0
              AS recognized_revenue,
-           COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines
+           COUNT(DISTINCT (l_orderkey, l_linenumber, d0, d1)) AS n_units
     FROM ranked
     GROUP BY month
     ORDER BY month
@@ -8082,13 +8090,18 @@ def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("od", "sd").alias("d0"),
             F.greatest("od", "sd").alias("d1"),
         )
+        # (orderkey, linenumber) is NOT unique in the synthetic data:
+        # collapse to unique allocation units so the Hamilton window
+        # never merges unrelated lines (cents would leak)
+        .groupBy("l_orderkey", "l_linenumber", "d0", "d1")
+        .agg(F.sum("cents").alias("cents"))
     )
     exploded = li.select(
         "l_orderkey",
         "l_linenumber",
-        "cents",
         "d0",
         "d1",
+        "cents",
         F.explode(
             F.sequence(
                 F.trunc("d0", "MM"),
@@ -8100,6 +8113,8 @@ def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = exploded.select(
         "l_orderkey",
         "l_linenumber",
+        "d0",
+        "d1",
         "cents",
         "month",
         (
@@ -8111,16 +8126,20 @@ def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
     based = weighted.select(
         "l_orderkey",
         "l_linenumber",
+        "d0",
+        "d1",
         "cents",
         "month",
         F.expr("cents * days div total_days").alias("base"),
         ((F.col("cents") * F.col("days")) % F.col("total_days")).alias("rem"),
     )
-    w_line = Window.partitionBy("l_orderkey", "l_linenumber")
+    w_line = Window.partitionBy("l_orderkey", "l_linenumber", "d0", "d1")
     w_rank = w_line.orderBy(F.col("rem").desc(), "month")
     ranked = based.select(
         "l_orderkey",
         "l_linenumber",
+        "d0",
+        "d1",
         "month",
         "base",
         (F.col("cents") - F.sum("base").over(w_line)).alias("leftover"),
@@ -8136,7 +8155,9 @@ def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 100.0
             ).alias("recognized_revenue"),
-            F.countDistinct("l_orderkey", "l_linenumber").alias("n_lines"),
+            F.countDistinct("l_orderkey", "l_linenumber", "d0", "d1").alias(
+                "n_units"
+            ),
         )
         .orderBy("month")
     )

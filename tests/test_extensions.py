@@ -769,3 +769,189 @@ def test_bigram_ce_flags_shuffled_text(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     got = {r["doc_id"]: r["ce_nats"] for r in bigram_cross_entropy(spark, d).collect()}
     assert got[1] < got[2], got
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-3 additions: invariants the parity gate can't state
+
+
+def test_skyline_members_are_mutually_nondominating(spark):
+    """No skyline member may dominate another (they'd both be on the
+    frontier only if incomparable or equal), and every non-member must
+    be dominated by some member — frontier soundness + completeness
+    against a brute-force pass in plain Python."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    sky = {
+        (r["p_partkey"], int(r["price"] * 100), r["p_size"])
+        for r in QUERIES["part_skyline"](spark, SF).collect()
+    }
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    allp = [
+        (r["p_partkey"], int(r["cents"]), r["p_size"])
+        for r in load_table(spark, SF, "part")
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+            "p_size",
+        )
+        .collect()
+    ]
+
+    def dominates(q, p):
+        return (q[1] <= p[1] and q[2] >= p[2]) and (q[1] < p[1] or q[2] > p[2])
+
+    members = [(k, c, s) for (k, c, s) in allp if (k, c, s) in sky]
+    non_members = [(k, c, s) for (k, c, s) in allp if (k, c, s) not in sky]
+    for m in members:
+        assert not any(dominates(q, m) for q in members if q[0] != m[0]), m
+    for p in non_members:
+        assert any(dominates(q, p) for q in members), p
+
+
+def test_revenue_recognition_conserves_cents(spark):
+    """Largest-remainder proration must conserve money EXACTLY: the sum
+    of monthly recognized revenue equals the sum of line cents (joined
+    lines only) to the cent."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    monthly = QUERIES["revenue_recognition"](spark, SF)
+    total_out = monthly.agg(
+        F.sum(F.round(F.col("recognized_revenue") * 100).cast("long"))
+    ).collect()[0][0]
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    total_in = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert total_out == total_in
+
+
+def test_table_fingerprint_changes_on_any_row_edit(spark, tmp_path):
+    """The fingerprint must move if any single row changes — write a
+    copy of `part` with one mutated row and compare against the
+    original through the same canonical fold."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import (
+        _FP_CANON,
+        _FP_MOD,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    def fp(df):
+        expr = _FP_CANON["part"]
+        h = df.select(
+            F.conv(F.substring(F.md5(F.expr(expr)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        partial = h.groupBy((F.col("h") % 4096).alias("b")).agg(
+            (F.sum(F.col("h") % _FP_MOD) % _FP_MOD).alias("hp")
+        )
+        return partial.agg((F.sum("hp") % _FP_MOD)).collect()[0][0]
+
+    orig = load_table(spark, SF, "part")
+    mutated = orig.withColumn(
+        "p_size",
+        F.when(F.col("p_partkey") == 1, F.col("p_size") + 1).otherwise(
+            F.col("p_size")
+        ),
+    )
+    assert fp(orig) != fp(mutated)
+    # and permuting row order must NOT move it
+    assert fp(orig.orderBy(F.col("p_name").desc())) == fp(orig)
+
+
+def test_kmv_exact_when_audience_fits_sketch(spark):
+    """KMV contract: any audience with fewer than K distinct users must
+    be estimated EXACTLY (the sketch holds the whole audience)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators import dedup as _d  # noqa: F401
+    from data_pipeline_for_e_commerce_shop_spark.queries import KMV_K, QUERIES
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    exact = {
+        (r["event_type"]): r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = QUERIES["kmv_theta_overlap"](spark, SF).collect()
+    for r in rows:
+        for t, est in ((r["type_a"], r["est_a"]), (r["type_b"], r["est_b"])):
+            if exact[t] < KMV_K:
+                assert est == float(exact[t]), (t, est, exact[t])
+
+
+def test_hhi_bounds_and_monopoly_detection(spark):
+    """HHI must lie in (0, 1e6] ppm and a single-supplier category
+    must score ~1e6 (within the floor bias of share quantization)."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    rows = QUERIES["category_hhi"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["hhi_ppm"] <= 1_000_000
+        if r["n_suppliers"] == 1:
+            assert r["hhi_ppm"] >= 999_998
+
+
+def test_gap_interpolation_is_between_anchors(spark):
+    """Interpolated values must lie in [min(prev,next), max(prev,next)]
+    and observed hours must pass through untouched."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    rows = QUERIES["events_gap_interpolate"](spark, SF).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for evs in by_type.values():
+        evs.sort(key=lambda r: r["hour_epoch"])
+        obs = [
+            (i, r["cents_filled"])
+            for i, r in enumerate(evs)
+            if r["fill_kind"] == "obs"
+        ]
+        for i, r in enumerate(evs):
+            if r["fill_kind"] != "interp":
+                continue
+            prev = max((o for o in obs if o[0] < i), key=lambda o: o[0])
+            nxt = min((o for o in obs if o[0] > i), key=lambda o: o[0])
+            lo, hi = min(prev[1], nxt[1]), max(prev[1], nxt[1])
+            assert lo <= r["cents_filled"] <= hi
+
+
+def test_containment_catches_embedded_docs(spark, tmp_path):
+    """A document that is a strict shingle-subset of another must be
+    flagged with containment 1.0 from the short side when the LSH
+    bands surface the pair — build a tiny corpus where they must."""
+    import os
+
+    from data_pipeline_for_e_commerce_shop_spark.operators import dedup as _d
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " phi chi psi omega extra tokens here", "en", "s", 1),
+            (2, base, "en", "s", 1),
+            (3, "totally different words entirely unrelated text", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = _d.containment_pairs(spark, d).collect()
+    pair = [r for r in out if {r["doc_a"], r["doc_b"]} == {1, 2}]
+    assert pair, "embedded doc pair not surfaced"
+    r = pair[0]
+    short_side = (
+        r["containment_a_ppm"] if r["n_a"] < r["n_b"] else r["containment_b_ppm"]
+    )
+    assert short_side == 1_000_000
