@@ -9682,3 +9682,440 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "phrase", "phrase_score_ppm", "rank")
         .orderBy("lang", "rank")
     )
+
+
+# ------------------- encoding advisor / QQ shift / MRR / LTV
+
+# Storage-encoding advisor: per column, the statistics a columnar
+# writer needs to pick an encoding — distinct count (dictionary
+# viability) and value-run structure under the table's deterministic
+# sort order (RLE viability).  Runs are counted inside orderkey
+# buckets so the window never needs a global sort (the ≤|buckets|
+# boundary truncation is documented and identical on both engines).
+@register(
+    "lineitem_encoding_advisor",
+    """
+    WITH ordered AS (
+      SELECT l_orderkey // 65536 AS bkt,
+             l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship
+      FROM lineitem
+    ),
+    runs AS (
+      SELECT l_returnflag, l_linestatus, qty, ship,
+             CASE WHEN l_returnflag IS DISTINCT FROM lag(l_returnflag)
+               OVER w THEN 1 ELSE 0 END AS r_flag,
+             CASE WHEN l_linestatus IS DISTINCT FROM lag(l_linestatus)
+               OVER w THEN 1 ELSE 0 END AS r_status,
+             CASE WHEN qty IS DISTINCT FROM lag(qty) OVER w
+               THEN 1 ELSE 0 END AS r_qty,
+             CASE WHEN ship IS DISTINCT FROM lag(ship) OVER w
+               THEN 1 ELSE 0 END AS r_ship
+      FROM ordered
+      WINDOW w AS (PARTITION BY bkt
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 l_returnflag, l_linestatus, qty, ship)
+    ),
+    stats AS (
+      SELECT 'returnflag' AS col, COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_returnflag) AS n_distinct,
+             CAST(SUM(r_flag) AS BIGINT) AS n_breaks FROM runs
+      UNION ALL SELECT 'linestatus', COUNT(*),
+             COUNT(DISTINCT l_linestatus), CAST(SUM(r_status) AS BIGINT)
+      FROM runs
+      UNION ALL SELECT 'quantity', COUNT(*),
+             COUNT(DISTINCT qty), CAST(SUM(r_qty) AS BIGINT) FROM runs
+      UNION ALL SELECT 'shipdate', COUNT(*),
+             COUNT(DISTINCT ship), CAST(SUM(r_ship) AS BIGINT) FROM runs
+    )
+    SELECT col, n_rows, n_distinct, n_breaks,
+           n_rows * 1000000 // (n_breaks + 1) AS avg_run_len_ppm,
+           CASE WHEN n_rows * 1000 >= (n_breaks + 1) * 2000 THEN 'RLE'
+                WHEN n_distinct * 50 <= n_rows THEN 'DICT'
+                ELSE 'PLAIN' END AS advice
+    FROM stats
+    ORDER BY col
+    """,
+)
+def lineitem_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor (the ANALYZE step a lakehouse writer
+    runs before choosing parquet encodings): distinct counts + value
+    runs under the deterministic (orderkey, linenumber, partkey,
+    suppkey, value...) order, bucketed so each window partition sorts
+    locally.  One struct-lag window pass serves all four columns; the
+    advisor rule is avg run ≥ 2 → RLE, distinct ≤ 2% → DICT."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey div 65536").alias("bkt"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship"),
+    )
+    w = Window.partitionBy("bkt").orderBy(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_linestatus",
+        "qty",
+        "ship",
+    )
+    cols = {
+        "returnflag": "l_returnflag",
+        "linestatus": "l_linestatus",
+        "quantity": "qty",
+        "shipdate": "ship",
+    }
+    runs = li.select(
+        *[
+            F.when(
+                ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)), 1
+            )
+            .otherwise(0)
+            .alias(f"r_{name}")
+            for name, c in cols.items()
+        ],
+        *[F.col(c).alias(f"v_{name}") for name, c in cols.items()],
+    )
+    stats = [
+        runs.agg(
+            F.lit(name).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(f"v_{name}").alias("n_distinct"),
+            F.sum(f"r_{name}").alias("n_breaks"),
+        )
+        for name in cols
+    ]
+    acc = stats[0]
+    for s_ in stats[1:]:
+        acc = acc.unionByName(s_)
+    return acc.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "n_breaks",
+        F.expr("n_rows * 1000000 div (n_breaks + 1)").alias(
+            "avg_run_len_ppm"
+        ),
+        F.when(
+            F.expr("n_rows * 1000 >= (n_breaks + 1) * 2000"), F.lit("RLE")
+        )
+        .when(F.expr("n_distinct * 50 <= n_rows"), F.lit("DICT"))
+        .otherwise(F.lit("PLAIN"))
+        .alias("advice"),
+    ).orderBy("col")
+
+
+# Quantile-quantile drift: the order-value distribution early vs late
+# (orders split at the median order date), compared decile by decile —
+# the continuous-drift view events_ks_drift summarizes into one number.
+@register(
+    "order_value_qq_shift",
+    """
+    WITH o AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS dd,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    split AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY dd) AS mid FROM o
+    ),
+    labeled AS (
+      SELECT CASE WHEN dd <= mid THEN 'early' ELSE 'late' END AS half,
+             cents
+      FROM o CROSS JOIN split
+    ),
+    qw AS (
+      SELECT half,
+             CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q1,
+             CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q2,
+             CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q3,
+             CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q4,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q5,
+             CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q6,
+             CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q7,
+             CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q8,
+             CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q9
+      FROM labeled GROUP BY half
+    ),
+    q AS (
+      SELECT half, p, CASE p WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 3 THEN q3 WHEN 4 THEN q4 WHEN 5 THEN q5 WHEN 6 THEN q6 WHEN 7 THEN q7 WHEN 8 THEN q8 WHEN 9 THEN q9 END AS qv
+      FROM qw CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS p) ps
+    )
+    SELECT e.p AS decile,
+           e.qv / 100.0 AS early_value,
+           l.qv / 100.0 AS late_value,
+           (l.qv - e.qv) * 1000000 // e.qv AS shift_ppm
+    FROM (SELECT p, qv FROM q WHERE half = 'early') e
+    JOIN (SELECT p, qv FROM q WHERE half = 'late') l ON e.p = l.p
+    ORDER BY e.p
+    """,
+)
+def order_value_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-by-decile distribution shift of order value between the
+    early and late half of the order history (split at the median
+    date): percentile_disc exact data values on both sides, shift as
+    integer ppm.  Two grouped percentile aggregations after a 1-row
+    broadcast split point."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dd"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    split = o.agg(
+        F.expr("percentile_disc(0.5) within group (order by dd)").alias("mid")
+    )
+    labeled = o.crossJoin(F.broadcast(split)).select(
+        F.when(F.col("dd") <= F.col("mid"), "early")
+        .otherwise("late")
+        .alias("half"),
+        "cents",
+    )
+    deciles = labeled.groupBy("half").agg(
+        *[
+            F.expr(
+                f"cast(percentile_disc({p / 10.0}) within group"
+                f" (order by cents) as bigint)"
+            ).alias(f"q{p}")
+            for p in range(1, 10)
+        ]
+    )
+    long = deciles.select(
+        "half",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("decile"), F.col(f"q{p}").alias("qv")
+                    )
+                    for p in range(1, 10)
+                ]
+            )
+        ).alias("r"),
+    ).select("half", "r.decile", "r.qv")
+    e = long.where(F.col("half") == "early").select(
+        "decile", F.col("qv").alias("eqv")
+    )
+    l_ = long.where(F.col("half") == "late").select(
+        "decile", F.col("qv").alias("lqv")
+    )
+    return (
+        e.join(l_, "decile")
+        .select(
+            "decile",
+            (F.col("eqv") / 100.0).alias("early_value"),
+            (F.col("lqv") / 100.0).alias("late_value"),
+            F.expr("(lqv - eqv) * 1000000 div eqv").alias("shift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+# Session-level mean reciprocal rank of the first purchase: how deep
+# into a session users convert — the (deterministic, exact-integer)
+# ranking-metric shape used to grade recommenders, composed over the
+# 90 s gap sessionizer.
+@register(
+    "session_purchase_mrr",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > 90
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    ),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY epoch_sec, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    ),
+    ranked AS (
+      SELECT user_id, session_no, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+               ORDER BY epoch_sec, event_id) AS rk
+      FROM numbered
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             MIN(CASE WHEN event_type = 'purchase' THEN rk END)
+               AS first_purchase_rank
+      FROM ranked GROUP BY user_id, session_no
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(first_purchase_rank) AS n_with_purchase,
+           CAST(SUM(CASE WHEN first_purchase_rank = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rank_1,
+           CAST(SUM(CASE WHEN first_purchase_rank BETWEEN 2 AND 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rank_2_3,
+           CAST(SUM(CASE WHEN first_purchase_rank >= 4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rank_4plus,
+           CAST(SUM(1000000 // first_purchase_rank) AS BIGINT)
+             // COUNT(first_purchase_rank) AS mrr_ppm
+    FROM per_session
+    """,
+)
+def session_purchase_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR of the first purchase within gap sessions: the sessionizer's
+    exact window chain, a per-session rank, reciprocal ranks as integer
+    ppm (1e6 div rank), and the rank-bucket histogram.  One user_id
+    shuffle end to end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("epoch_sec"),
+        F.when((sec - F.lag(sec).over(w)) > 90, 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn(
+        "session_no", F.sum("new_session").over(w2)
+    )
+    w3 = Window.partitionBy("user_id", "session_no").orderBy(
+        "epoch_sec", "event_id"
+    )
+    ranked = numbered.withColumn("rk", F.row_number().over(w3))
+    per_session = ranked.groupBy("user_id", "session_no").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rk"))
+        ).alias("first_purchase_rank")
+    )
+    fpr = F.col("first_purchase_rank")
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(fpr).alias("n_with_purchase"),
+        F.sum(F.when(fpr == 1, 1).otherwise(0)).alias("n_rank_1"),
+        F.sum(F.when(fpr.between(2, 3), 1).otherwise(0)).alias("n_rank_2_3"),
+        F.sum(F.when(fpr >= 4, 1).otherwise(0)).alias("n_rank_4plus"),
+        F.expr(
+            "sum(1000000 div first_purchase_rank)"
+            " div count(first_purchase_rank)"
+        ).alias("mrr_ppm"),
+    )
+
+
+# Cohort LTV-to-date + run rate: per signup cohort (first-order
+# month), cumulative revenue per member and the trailing-3-offset
+# monthly run rate — the exact-integer core of an LTV model (the
+# geometric extrapolation that usually sits on top needs libm pow and
+# is deliberately out of the bit-exact gate).
+@register(
+    "customer_ltv_todate",
+    """
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(DATE_TRUNC('month', CAST(o_orderdate AS DATE)))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_month, COUNT(*) AS cohort_size
+      FROM first_order GROUP BY cohort_month
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             date_diff('month', f.cohort_month,
+               DATE_TRUNC('month', CAST(o.o_orderdate AS DATE))) AS offset_m,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    maxoff AS (
+      SELECT cohort_month, MAX(offset_m) AS max_offset
+      FROM rev GROUP BY cohort_month
+    )
+    SELECT CAST(r.cohort_month AS DATE) AS cohort_month,
+           s.cohort_size,
+           CAST(SUM(r.cents) AS BIGINT) / 100.0 AS total_revenue,
+           CAST(SUM(r.cents) AS BIGINT) / s.cohort_size / 100.0
+             AS ltv_to_date,
+           CAST(SUM(CASE WHEN m.max_offset - r.offset_m < 3
+                    THEN r.cents ELSE 0 END) AS BIGINT)
+             / (3 * s.cohort_size) / 100.0 AS monthly_run_rate
+    FROM rev r
+    JOIN sized s ON r.cohort_month = s.cohort_month
+    JOIN maxoff m ON r.cohort_month = m.cohort_month
+    GROUP BY r.cohort_month, s.cohort_size
+    ORDER BY r.cohort_month
+    """,
+)
+def customer_ltv_todate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value to date: first-order-month cohorts,
+    cumulative revenue per member (exact cents / exact size), and the
+    trailing-3-month run rate per member.  Facts are scanned twice
+    (cohort assignment + revenue), both shuffles keyed on custkey/
+    cohort month."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("om"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)  # feeds cohorts AND revenue
+    first_order = orders.groupBy("o_custkey").agg(
+        F.min("om").alias("cohort_month")
+    )
+    sized = first_order.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev = (
+        orders.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between("om", "cohort_month").cast("long").alias(
+                "offset_m"
+            ),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    maxoff = rev.groupBy("cohort_month").agg(
+        F.max("offset_m").alias("max_offset")
+    )
+    return (
+        rev.join(F.broadcast(sized), "cohort_month")
+        .join(F.broadcast(maxoff), "cohort_month")
+        .groupBy("cohort_month", "cohort_size")
+        .agg(
+            (F.sum("cents") / 100.0).alias("total_revenue"),
+            (F.sum("cents") / F.col("cohort_size") / 100.0).alias(
+                "ltv_to_date"
+            ),
+            (
+                F.sum(
+                    F.when(
+                        F.col("max_offset") - F.col("offset_m") < 3,
+                        F.col("cents"),
+                    ).otherwise(0)
+                )
+                / (3 * F.col("cohort_size"))
+                / 100.0
+            ).alias("monthly_run_rate"),
+        )
+        .orderBy("cohort_month")
+    )

@@ -73,6 +73,10 @@ PROBE = [
     "offline_policy_ips",
     # corpus-level deg/freq ppm scores + phrase-sum ranking
     "text_rake_keywords",
+    # bucketed run counting must not depend on shuffle placement
+    "lineitem_encoding_advisor",
+    # sessionizer window chain + integer reciprocal ranks
+    "session_purchase_mrr",
 ]
 
 

@@ -127,7 +127,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "embedding_label_separation",
                   # 3-row policy-vocabulary broadcast crossJoin
                   # (model-scoring shape)
-                  "offline_policy_ips"}
+                  "offline_policy_ips",
+                  # 1-row median-split-point crossJoin + 2x9 decile
+                  # grid explode (scalar-subquery shape)
+                  "order_value_qq_shift"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
