@@ -63,6 +63,13 @@ HEADLINE = [
     "shipping_priority",
     "events_stream_dedup",
     "synthetic_source_kpis",
+    # round-3 session-3 flagships
+    "part_skyline",
+    "kmv_theta_overlap",
+    "revenue_recognition",
+    "table_fingerprints",
+    "dedup_containment_pairs",
+    "session_purchase_mrr",
 ]
 
 

@@ -10119,3 +10119,569 @@ def customer_ltv_todate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month")
     )
+
+
+# -------- sampled join size / partition stats / attribution / SLA
+
+# Optimizer-statistics family: join cardinality estimated from
+# independent deterministic Bernoulli samples of both sides (est =
+# |sample join| / (pa·pb)), with the exact size riding as the audit —
+# the sampling-based complement of cms_join_size's sketch estimate.
+JOIN_SAMPLE_PCT = 10
+
+
+@register(
+    "join_size_sampled_estimate",
+    f"""
+    WITH sa AS (
+      SELECT o_orderkey FROM orders
+      WHERE CAST(('0x' || substr(md5('jsa-' || CAST(o_orderkey AS VARCHAR)),
+            1, 8)) AS BIGINT) % 100 < {JOIN_SAMPLE_PCT}
+    ),
+    sb AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE CAST(('0x' || substr(md5('jsb-' || CAST(l_orderkey AS VARCHAR)
+            || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < {JOIN_SAMPLE_PCT}
+    ),
+    est AS (
+      SELECT COUNT(*) AS n_sample_join FROM sa JOIN sb
+        ON o_orderkey = l_orderkey
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_exact FROM orders JOIN lineitem
+        ON o_orderkey = l_orderkey
+    )
+    SELECT n_sample_join,
+           n_sample_join * 10000 // ({JOIN_SAMPLE_PCT} * {JOIN_SAMPLE_PCT})
+             AS est_join_size,
+           n_exact,
+           ABS(n_sample_join * 10000
+               // ({JOIN_SAMPLE_PCT} * {JOIN_SAMPLE_PCT}) - n_exact)
+             * 1000000 // n_exact AS rel_err_ppm
+    FROM est CROSS JOIN exact
+    """,
+)
+def join_size_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided Bernoulli join-size estimation: md5-deterministic 10%
+    samples of orders and lineitem, sample-join count scaled by
+    1/(pa·pb), exact join count as the audit with integer-ppm relative
+    error.  Note the fact-key sample keeps whole orderkey groups on
+    the orders side but thins lines independently — the estimator the
+    sketch-based cms_join_size should beat on skewed keys."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    def keep(prefix, *cols):
+        key = F.concat_ws("-", *[F.col(c).cast("string") for c in cols])
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix + "-"), key)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < JOIN_SAMPLE_PCT
+        )
+    sa = orders.where(keep("jsa", "o_orderkey"))
+    sb = li.where(keep("jsb", "l_orderkey", "l_linenumber"))
+    est = sa.join(sb, sa.o_orderkey == sb.l_orderkey).agg(
+        F.count(F.lit(1)).alias("n_sample_join")
+    )
+    exact = orders.join(li, orders.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sample_join",
+        F.expr(
+            f"n_sample_join * 10000 div ({JOIN_SAMPLE_PCT} * {JOIN_SAMPLE_PCT})"
+        ).alias("est_join_size"),
+        "n_exact",
+        F.expr(
+            f"abs(n_sample_join * 10000"
+            f" div ({JOIN_SAMPLE_PCT} * {JOIN_SAMPLE_PCT}) - n_exact)"
+            f" * 1000000 div n_exact"
+        ).alias("rel_err_ppm"),
+    )
+
+
+# Iceberg/Delta-style partition manifest statistics: per month
+# partition, the row count, key bounds, null counts, and total size
+# proxy that drive scan pruning — the metadata a lakehouse keeps so
+# queries never open irrelevant files.
+@register(
+    "orders_partition_stats",
+    """
+    SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS partition_month,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(MIN(floor(o_totalprice * 100)) AS BIGINT) AS min_price_cents,
+           CAST(MAX(floor(o_totalprice * 100)) AS BIGINT) AS max_price_cents,
+           COUNT(*) - COUNT(o_custkey) AS n_null_custkey,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning manifest for a month-partitioned orders
+    table: per-partition bounds/null/distinct statistics in ONE scan
+    (map-side combinable aggregates only).  At 100 TB this IS the
+    table the planner consults instead of the data."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "MM").alias(
+                "partition_month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+            F.min(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("min_price_cents"),
+            F.max(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("max_price_cents"),
+            (F.count(F.lit(1)) - F.count("o_custkey")).alias(
+                "n_null_custkey"
+            ),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("partition_month")
+    )
+
+
+# Position-based (U-shaped) attribution: 40% first touch, 40% last
+# touch, 20% split over middle touches, allocated in EXACT cents via
+# the same Hamilton largest-remainder discipline as budget_allocation
+# (every conversion's credits sum to its cents, so the per-type rollup
+# conserves money).  Touches = the session's events before the first
+# purchase; single-touch sessions grant 100% to it.
+@register(
+    "events_position_attribution",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > 90
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    ),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY epoch_sec, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    ),
+    conv AS (
+      SELECT user_id, session_no,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_sec * 100000
+                      + event_id % 100000 END) AS pkey,
+             MIN(CASE WHEN event_type = 'purchase' THEN cents END) IS NOT NULL
+               AS has_p
+      FROM numbered GROUP BY user_id, session_no
+    ),
+    pvalue AS (
+      SELECT n.user_id, n.session_no, n.cents AS conv_cents
+      FROM numbered n JOIN conv c
+        ON n.user_id = c.user_id AND n.session_no = c.session_no
+      WHERE c.has_p
+        AND n.epoch_sec * 100000 + n.event_id % 100000 = c.pkey
+        AND n.event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT n.user_id, n.session_no, n.event_id, n.event_type,
+             p.conv_cents,
+             ROW_NUMBER() OVER (PARTITION BY n.user_id, n.session_no
+               ORDER BY n.epoch_sec, n.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY n.user_id, n.session_no) AS n_touch
+      FROM numbered n
+      JOIN pvalue p ON n.user_id = p.user_id AND n.session_no = p.session_no
+      JOIN conv c ON n.user_id = c.user_id AND n.session_no = c.session_no
+      WHERE n.event_type <> 'purchase'
+        AND n.epoch_sec * 100000 + n.event_id % 100000 < c.pkey
+    ),
+    weighted AS (
+      SELECT user_id, session_no, event_id, event_type, conv_cents, n_touch,
+             CASE WHEN n_touch = 1 THEN 100
+                  WHEN n_touch = 2 THEN 50
+                  WHEN pos = 1 THEN 40
+                  WHEN pos = n_touch THEN 40
+                  ELSE 20 END AS w_num,
+             CASE WHEN n_touch <= 2 THEN 100
+                  ELSE 100 * (n_touch - 2) END AS w_den_scale,
+             CASE WHEN n_touch <= 2 OR pos = 1 OR pos = n_touch
+                  THEN 100 ELSE 100 * (n_touch - 2) END AS my_den
+      FROM touches
+    ),
+    based AS (
+      SELECT user_id, session_no, event_id, event_type, conv_cents,
+             conv_cents * w_num // my_den AS base,
+             (conv_cents * w_num) % my_den AS rem
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT *,
+             conv_cents - SUM(base) OVER (
+               PARTITION BY user_id, session_no) AS leftover,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+               ORDER BY rem DESC, event_id) AS rk
+      FROM based
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           CAST(SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                AS BIGINT) / 100.0 AS attributed_revenue
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution over gap sessions: first and
+    last pre-purchase touches carry 40% each, the middle splits 20%,
+    degenerate 1/2-touch sessions collapse to 100/50-50 — all as
+    integer basis points with Hamilton top-ups per conversion, so
+    attributed cents equal conversion cents exactly.  Windows stay
+    keyed on (user, session)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        sec.alias("epoch_sec"),
+        F.when((sec - F.lag(sec).over(w)) > 90, 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn(
+        "session_no", F.sum("new_session").over(w2)
+    ).withColumn(
+        "okey",
+        F.col("epoch_sec") * 100000 + F.col("event_id") % 100000,
+    ).localCheckpoint(eager=False)  # feeds conv, pvalue, touches
+    conv = numbered.groupBy("user_id", "session_no").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("okey"))
+        ).alias("pkey")
+    ).where(F.col("pkey").isNotNull())
+    pvalue = (
+        numbered.join(conv, ["user_id", "session_no"])
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("okey") == F.col("pkey"))
+        )
+        .select(
+            "user_id", "session_no", F.col("cents").alias("conv_cents")
+        )
+    )
+    w3 = Window.partitionBy("user_id", "session_no").orderBy(
+        "epoch_sec", "event_id"
+    )
+    w3all = Window.partitionBy("user_id", "session_no")
+    touches = (
+        numbered.join(conv, ["user_id", "session_no"])
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("okey") < F.col("pkey"))
+        )
+        .join(pvalue, ["user_id", "session_no"])
+        .withColumn("pos", F.row_number().over(w3))
+        .withColumn("n_touch", F.count(F.lit(1)).over(w3all))
+    )
+    w_num = (
+        F.when(F.col("n_touch") == 1, 100)
+        .when(F.col("n_touch") == 2, 50)
+        .when(F.col("pos") == 1, 40)
+        .when(F.col("pos") == F.col("n_touch"), 40)
+        .otherwise(20)
+    )
+    my_den = F.when(
+        (F.col("n_touch") <= 2)
+        | (F.col("pos") == 1)
+        | (F.col("pos") == F.col("n_touch")),
+        F.lit(100),
+    ).otherwise(F.lit(100) * (F.col("n_touch") - 2))
+    based = touches.select(
+        "user_id",
+        "session_no",
+        "event_id",
+        "event_type",
+        "conv_cents",
+        w_num.alias("w_num"),
+        my_den.alias("my_den"),
+    ).select(
+        "user_id",
+        "session_no",
+        "event_id",
+        "event_type",
+        "conv_cents",
+        F.expr("conv_cents * w_num div my_den").alias("base"),
+        ((F.col("conv_cents") * F.col("w_num")) % F.col("my_den")).alias(
+            "rem"
+        ),
+    )
+    w4 = Window.partitionBy("user_id", "session_no")
+    w5 = w4.orderBy(F.col("rem").desc(), "event_id")
+    ranked = based.select(
+        "event_type",
+        (F.col("conv_cents") - F.sum("base").over(w4)).alias("leftover"),
+        F.row_number().over(w5).alias("rk"),
+        "base",
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            (
+                F.sum(
+                    F.col("base")
+                    + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+                )
+                / 100.0
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Inter-arrival SLA profile: per type, p50/p95/p99 of the gap between
+# consecutive events plus the share of gaps breaching a 10-minute SLA
+# — the freshness dashboard for a streaming ingestion tier.
+SLA_GAP_SECONDS = 600
+
+
+@register(
+    "events_interarrival_sla",
+    f"""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS gap
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap) AS n_gaps,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY gap)
+                AS BIGINT) AS p50_gap,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap)
+                AS BIGINT) AS p95_gap,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap)
+                AS BIGINT) AS p99_gap,
+           CAST(SUM(CASE WHEN gap > {SLA_GAP_SECONDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_breaches,
+           CAST(SUM(CASE WHEN gap > {SLA_GAP_SECONDS} THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000 // COUNT(gap) AS breach_ppm
+    FROM gaps
+    WHERE gap IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_interarrival_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival distribution (p50/p95/p99 exact discrete
+    percentiles) and 10-minute SLA breach rate in integer ppm: one
+    type-partitioned lag window, one grouped percentile pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    gaps = ev.withColumn(
+        "gap", F.col("sec") - F.lag("sec").over(w)
+    ).where(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            *[
+                F.expr(
+                    f"cast(percentile_disc({q}) within group"
+                    f" (order by gap) as bigint)"
+                ).alias(f"p{int(q * 100)}_gap")
+                for q in (0.50, 0.95, 0.99)
+            ],
+            F.sum(
+                F.when(F.col("gap") > SLA_GAP_SECONDS, 1).otherwise(0)
+            ).alias("n_breaches"),
+            F.expr(
+                f"sum(CASE WHEN gap > {SLA_GAP_SECONDS} THEN 1 ELSE 0 END)"
+                f" * 1000000 div count(gap)"
+            ).alias("breach_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Perceptual-hash near-dup (aHash shape): the payload byte stream is
+# split into 64 equal chunks, each hashed to one bit (chunk mean >
+# global mean, integer cross-multiplied), and near-dups are pairs
+# within Hamming ≤ 3 of the 64-bit signature.  Blocking is exact on
+# 16-bit quarters (pigeonhole: ≤3 flipped bits leave ≥1 of 4 quarters
+# identical — recall 1.0 by construction, same rewrite as SimHash's
+# half-blocking).  The decode stub story applies: payloads here are
+# the utf-8 text bytes (operators/multimodal.media_table); with a real
+# codec the same 64-chunk luminance means drop in unchanged.
+AHASH_MAX_HAMMING = 3
+
+
+@register(
+    "media_ahash_neardup",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, u.i,
+             ascii(substr(text, CAST(u.i AS INT), 1)) AS code,
+             strlen(text) AS n
+      FROM documents
+      CROSS JOIN UNNEST(range(1, strlen(text) + 1)) AS u(i)
+      WHERE strlen(text) >= 64
+    ),
+    chunked AS (
+      SELECT doc_id, (i - 1) * 64 // n AS chunk,
+             CAST(SUM(code) AS BIGINT) AS csum,
+             COUNT(*) AS clen,
+             MAX(n) AS n
+      FROM chars GROUP BY doc_id, (i - 1) * 64 // n
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS total,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM chunked GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT c.doc_id, c.chunk,
+             CASE WHEN c.csum * t.n > t.total * c.clen
+                  THEN 1 ELSE 0 END AS bit
+      FROM chunked c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN chunk < 16
+                  THEN bit * (1 << chunk) ELSE 0 END) AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN chunk >= 16 AND chunk < 32
+                  THEN bit * (1 << (chunk - 16)) ELSE 0 END) AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN chunk >= 32 AND chunk < 48
+                  THEN bit * (1 << (chunk - 32)) ELSE 0 END) AS BIGINT) AS q2,
+             CAST(SUM(CASE WHEN chunk >= 48
+                  THEN bit * (1 << (chunk - 48)) ELSE 0 END) AS BIGINT) AS q3
+      FROM bits GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.q0 AS a0, a.q1 AS a1, a.q2 AS a2, a.q3 AS a3,
+             b.q0 AS b0, b.q1 AS b1, b.q2 AS b2, b.q3 AS b3
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       AND (a.q0 = b.q0 OR a.q1 = b.q1 OR a.q2 = b.q2 OR a.q3 = b.q3)
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+              + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+              AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+        <= {AHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-chunk average-hash near-dup pairs (Hamming ≤ 3) with exact
+    16-bit-quarter blocking: the signature build touches each payload
+    once (char explode bounded by doc length), candidates come from
+    four quarter equi-joins, the verify is xor+bit_count on four int64
+    quarters.  Docs shorter than 64 bytes are excluded (their chunks
+    would be empty)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 64
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.posexplode(F.split("text", "(?!^)")).alias("i0", "ch"),
+    ).select(
+        "doc_id",
+        "n",
+        F.col("i0").alias("i"),  # 0-based char index
+        F.ascii("ch").alias("code"),
+    )
+    chunked = chars.groupBy(
+        "doc_id", F.expr("i * 64 div n").alias("chunk")
+    ).agg(
+        F.sum("code").alias("csum"),
+        F.count(F.lit(1)).alias("clen"),
+        F.max("n").alias("n"),
+    )
+    tot = chunked.groupBy("doc_id").agg(
+        F.sum("csum").alias("total"), F.max("n").alias("nn")
+    )
+    bits = chunked.join(tot, "doc_id").select(
+        "doc_id",
+        "chunk",
+        F.when(
+            F.col("csum") * F.col("nn") > F.col("total") * F.col("clen"), 1
+        )
+        .otherwise(0)
+        .alias("bit"),
+    )
+    sig = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN chunk >= {16 * q} AND chunk < {16 * (q + 1)}"
+                    f" THEN bit * shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(chunk - {16 * q} AS INT)) ELSE 0 END"
+                )
+            ).alias(f"q{q}")
+            for q in range(4)
+        ]
+    ).localCheckpoint(eager=False)  # feeds both sides of the pair join
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"q{q}").alias(f"a{q}") for q in range(4)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"q{q}").alias(f"b{q}") for q in range(4)],
+    )
+    cands = None
+    for q in range(4):
+        c = a.join(
+            b,
+            (F.col(f"a{q}") == F.col(f"b{q}"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = sum(
+        F.expr(f"bit_count(a{q} ^ b{q})") for q in range(4)
+    )
+    return (
+        cands.distinct()
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

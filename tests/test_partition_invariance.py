@@ -77,6 +77,10 @@ PROBE = [
     "lineitem_encoding_advisor",
     # sessionizer window chain + integer reciprocal ranks
     "session_purchase_mrr",
+    # Hamilton attribution credits ride (user, session) windows
+    "events_position_attribution",
+    # 64-chunk bit signatures + quarter-blocked pair join
+    "media_ahash_neardup",
 ]
 
 

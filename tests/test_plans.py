@@ -130,7 +130,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "offline_policy_ips",
                   # 1-row median-split-point crossJoin + 2x9 decile
                   # grid explode (scalar-subquery shape)
-                  "order_value_qq_shift"}
+                  "order_value_qq_shift",
+                  # 1-row sampled estimate x 1-row exact audit
+                  # crossJoin (cms_join_size shape)
+                  "join_size_sampled_estimate"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
