@@ -10685,3 +10685,362 @@ def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= AHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------- trade matrix / market share / ops screens
+
+# TPC-H Q7 shape: revenue flows between customer and supplier nations
+# by year — the bilateral trade matrix.  Both nation lookups broadcast
+# (dims), revenue stays integer cents.
+@register(
+    "nation_trade_matrix",
+    """
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral nation-to-nation revenue matrix by year (TPC-H Q7
+    generalized: all pairs, not two fixed nations): one fact scan,
+    four broadcast dimension joins, one grouped money aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("cnk"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("snk"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .groupBy("cust_nation", "supp_nation", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+        .orderBy("cust_nation", "supp_nation", "yr")
+    )
+
+
+# TPC-H Q8 shape: each supplier nation's revenue share within every
+# customer region per year, as exact integer ppm.
+@register(
+    "supplier_market_share",
+    """
+    WITH flows AS (
+      SELECT r.r_name AS cust_region,
+             sn.n_name AS supp_nation,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT cust_region, yr, CAST(SUM(cents) AS BIGINT) AS total
+      FROM flows GROUP BY 1, 2
+    )
+    SELECT f.cust_region, f.supp_nation, f.yr,
+           f.cents / 100.0 AS revenue,
+           f.cents * 1000000 // t.total AS share_ppm
+    FROM flows f
+    JOIN tot t ON f.cust_region = t.cust_region AND f.yr = t.yr
+    ORDER BY 1, 2, 3
+    """,
+)
+def supplier_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation market share inside each customer region and
+    year (TPC-H Q8 generalized to the full share matrix): the flows
+    aggregate is vocabulary-sized, so the share join is trivial; all
+    shares exact integer ppm."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_regionkey").alias("crk"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("crk2"),
+                    F.col("r_name").alias("cust_region"),
+                )
+            ),
+            F.col("crk") == F.col("crk2"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .groupBy("cust_region", "supp_nation", "yr")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = flows.groupBy("cust_region", "yr").agg(
+        F.sum("cents").alias("total")
+    )
+    return (
+        flows.join(F.broadcast(tot), ["cust_region", "yr"])
+        .select(
+            "cust_region",
+            "supp_nation",
+            "yr",
+            (F.col("cents") / 100.0).alias("revenue"),
+            F.expr("cents * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy("cust_region", "supp_nation", "yr")
+    )
+
+
+# Fraud screen: multiple orders from one customer on one day, tiered
+# by amount proximity — 'exact' (same cents) and 'close' (within 20%,
+# integer cross-multiplied) are the duplicate-payment candidates a
+# payment-ops team reviews; 'same_day' is the base-rate context row.
+@register(
+    "duplicate_payment_screen",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           CAST(a.d AS DATE) AS order_date,
+           a.o_orderkey AS order_a,
+           b.o_orderkey AS order_b,
+           a.cents / 100.0 AS amount_a,
+           b.cents / 100.0 AS amount_b,
+           CASE WHEN a.cents = b.cents THEN 'exact'
+                WHEN ABS(a.cents - b.cents) * 5
+                     <= LEAST(a.cents, b.cents) THEN 'close'
+                ELSE 'same_day' END AS severity
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.d = b.d
+     AND a.o_orderkey < b.o_orderkey
+    ORDER BY custkey, order_a, order_b
+    """,
+)
+def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: self-join on (customer, day) — a key
+    with tiny per-group cardinality, so the pair expansion stays
+    linear-ish at any scale — then severity tiers by integer amount
+    proximity (same cents = 'exact', |a−b|·5 ≤ min = within 20% =
+    'close')."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).localCheckpoint(eager=False)  # both sides of the self-join
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cents").alias("cents_a"),
+        F.col("d").alias("d"),
+        F.col("o_orderkey").alias("order_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("d"),
+        F.col("o_orderkey").alias("order_b"),
+    )
+    severity = (
+        F.when(F.col("cents_a") == F.col("cents_b"), "exact")
+        .when(
+            F.abs(F.col("cents_a") - F.col("cents_b")) * 5
+            <= F.least("cents_a", "cents_b"),
+            "close",
+        )
+        .otherwise("same_day")
+    )
+    return (
+        a.join(b, ["custkey", "d"])
+        .where(F.col("order_a") < F.col("order_b"))
+        .select(
+            "custkey",
+            F.col("d").alias("order_date"),
+            "order_a",
+            "order_b",
+            (F.col("cents_a") / 100.0).alias("amount_a"),
+            (F.col("cents_b") / 100.0).alias("amount_b"),
+            severity.alias("severity"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )
+
+
+# Merchandising screens: parts with no sale in the trailing 90 days
+# (slow movers, an anti-join against recent facts) and parts whose
+# entire volume ships from one supplier (single-source supply risk).
+STALE_DAYS = 90
+
+
+@register(
+    "stale_parts",
+    f"""
+    WITH horizon AS (
+      SELECT MAX(CAST(l_shipdate AS DATE)) AS maxd FROM lineitem
+    ),
+    recent AS (
+      SELECT DISTINCT l_partkey
+      FROM lineitem CROSS JOIN horizon
+      WHERE CAST(l_shipdate AS DATE) > maxd - INTERVAL {STALE_DAYS} DAY
+    )
+    SELECT p.p_partkey, p.p_name, p.p_type
+    FROM part p LEFT JOIN recent r ON p.p_partkey = r.l_partkey
+    WHERE r.l_partkey IS NULL
+    ORDER BY p.p_partkey
+    """,
+)
+def stale_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow movers: parts with zero shipments inside the trailing
+    90-day horizon (horizon from a 1-row max aggregate, recent keys
+    distinct-reduced, then a LEFT anti pattern against the part dim)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    horizon = li.agg(F.max("sd").alias("maxd"))
+    recent = (
+        li.crossJoin(F.broadcast(horizon))
+        .where(F.col("sd") > F.date_sub(F.col("maxd"), STALE_DAYS))
+        .select("l_partkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_type"
+    )
+    return (
+        part.join(recent, part.p_partkey == recent.l_partkey, "left_anti")
+        .orderBy("p_partkey")
+    )
+
+
+# (A plain single-source HAVING filter is vacuous on the synthetic
+# generator's uniform supplier assignment, so the screen ranks by
+# concentration instead — top-20 is non-vacuous at every SF.)
+@register(
+    "part_supplier_concentration",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(SUM(n) AS BIGINT) AS n_lines,
+             COUNT(*) AS n_suppliers,
+             CAST(MAX(n) AS BIGINT) AS top_lines
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT p_partkey, n_lines, n_suppliers,
+           top_lines * 1000000 // n_lines AS top_share_ppm
+    FROM agg
+    ORDER BY top_share_ppm DESC, n_lines DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration screen: the 20 parts most dependent on a
+    single supplier (top-supplier share of shipped lines, exact
+    integer ppm, fully tie-broken so LIMIT is deterministic).  Two
+    grouped aggregates on part-keyed data — no windows, no joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_suppkey"
+    )
+    ps = li.groupBy("p_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = ps.groupBy("p_partkey").agg(
+        F.sum("n").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("n").alias("top_lines"),
+    )
+    return (
+        agg.select(
+            "p_partkey",
+            "n_lines",
+            "n_suppliers",
+            F.expr("top_lines * 1000000 div n_lines").alias(
+                "top_share_ppm"
+            ),
+        )
+        .orderBy(
+            F.col("top_share_ppm").desc(),
+            F.col("n_lines").desc(),
+            "p_partkey",
+        )
+        .limit(20)
+    )

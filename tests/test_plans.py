@@ -133,7 +133,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "order_value_qq_shift",
                   # 1-row sampled estimate x 1-row exact audit
                   # crossJoin (cms_join_size shape)
-                  "join_size_sampled_estimate"}
+                  "join_size_sampled_estimate",
+                  # 1-row horizon crossJoin (scalar-subquery shape)
+                  "stale_parts"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
