@@ -955,3 +955,134 @@ def test_containment_catches_embedded_docs(spark, tmp_path):
         r["containment_a_ppm"] if r["n_a"] < r["n_b"] else r["containment_b_ppm"]
     )
     assert short_side == 1_000_000
+
+
+def test_position_attribution_conserves_conversion_cents(spark):
+    """U-shaped credits must sum exactly to the conversion cents of
+    sessions that HAVE pre-purchase touches (purchases with no prior
+    touch get no credit row — by construction)."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    out = QUERIES["events_position_attribution"](spark, SF)
+    total_out = out.agg(
+        F.sum(F.round(F.col("attributed_revenue") * 100).cast("long"))
+    ).collect()[0][0]
+    # independent replay of which conversions have touches
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            sec.alias("epoch_sec"),
+            F.when((sec - F.lag(sec).over(w)) > 90, 1).otherwise(0).alias("ns"),
+        )
+        .withColumn("session_no", F.sum("ns").over(w2))
+        .withColumn(
+            "okey", F.col("epoch_sec") * 100000 + F.col("event_id") % 100000
+        )
+    )
+    conv = numbered.groupBy("user_id", "session_no").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("okey"))
+        ).alias("pkey"),
+        F.min(F.col("okey")).alias("first_key"),
+    ).where(F.col("pkey").isNotNull())
+    # sessions whose first purchase has at least one earlier event
+    with_touch = conv.where(F.col("first_key") < F.col("pkey"))
+    total_in = (
+        numbered.join(with_touch, ["user_id", "session_no"])
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("okey") == F.col("pkey"))
+        )
+        .agg(F.sum("cents"))
+        .collect()[0][0]
+    )
+    assert total_out == total_in
+
+
+def test_ips_complementary_policies_average_to_full_mean(spark):
+    """IPS identity: the two always-one-arm policies partition logged
+    traffic, so (V(arm0) + V(arm1)) / 2 must equal the full mean
+    reward exactly (same doubles, same division order)."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    rows = {
+        r["policy"]: r
+        for r in QUERIES["offline_policy_ips"](spark, SF).collect()
+    }
+    v0 = rows["always_arm_0"]["ips_value"]
+    v1 = rows["always_arm_1"]["ips_value"]
+    ev = load_table(spark, SF, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    full = ev.agg(
+        (
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert abs((v0 + v1) / 2 - full) < 1e-9
+
+
+def test_trade_matrix_conserves_total_revenue(spark):
+    """Every joined line lands in exactly one (cust_nation,
+    supp_nation, year) cell: matrix total == joined-fact total."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    m = QUERIES["nation_trade_matrix"](spark, SF)
+    total_m = m.agg(
+        F.sum(F.round(F.col("revenue") * 100).cast("long"))
+    ).collect()[0][0]
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    total = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert total_m == total
+
+
+def test_market_share_sums_to_million_within_floor_bias(spark):
+    """Per (region, year), supplier-nation shares must sum to 1e6 ppm
+    minus at most (#nations - 1) floor losses."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    rows = QUERIES["supplier_market_share"](spark, SF).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["cust_region"], r["yr"]), []).append(
+            r["share_ppm"]
+        )
+    for (reg, yr), shares in groups.items():
+        s = sum(shares)
+        assert 1_000_000 - len(shares) < s <= 1_000_000, (reg, yr, s)
+
+
+def test_encoding_advisor_flags_low_cardinality_as_dict_or_rle(spark):
+    """returnflag/linestatus have ~3 values on millions of rows — the
+    advisor must never suggest PLAIN for them."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    rows = {
+        r["col"]: r for r in QUERIES["lineitem_encoding_advisor"](spark, SF).collect()
+    }
+    assert rows["returnflag"]["advice"] in ("DICT", "RLE")
+    assert rows["linestatus"]["advice"] in ("DICT", "RLE")
+    assert rows["returnflag"]["n_distinct"] <= 5
