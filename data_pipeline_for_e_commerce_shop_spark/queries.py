@@ -11044,3 +11044,395 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ------------- CUPED / winsorized mean / vocab overlap / half-life
+
+# CUPED variance reduction (Deng et al. 2013): the experiment-analysis
+# upgrade over ab_test_report — each user's post-period purchase value
+# is adjusted by their pre-period activity (theta = cov(X,Y)/var(X)),
+# shrinking arm-mean variance by rho-squared without touching the
+# treatment effect.  Every moment comes from exact int64 sums; theta /
+# rho2 / adjusted means are fixed-order doubles identical on both
+# engines.
+@register(
+    "ab_cuped_adjusted",
+    """
+    WITH b AS (
+      SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+              + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('arm-' || CAST(user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+                       AND event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events CROSS JOIN b
+      GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS th,
+             ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+               / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS rho2
+      FROM mom
+    )
+    SELECT p.arm,
+           COUNT(*) AS n_users,
+           CAST(SUM(p.y) AS BIGINT) / COUNT(*) / 100.0 AS raw_mean,
+           (CAST(SUM(p.y) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+            - t.th * (CAST(SUM(p.x) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                      - CAST(t.sx AS DOUBLE) / t.n)) / 100.0
+             AS cuped_mean,
+           t.th AS theta,
+           t.rho2 AS variance_reduction
+    FROM per_user p CROSS JOIN theta t
+    GROUP BY p.arm, t.th, t.rho2, t.sx, t.n
+    ORDER BY p.arm
+    """,
+)
+def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout: per-user pre-period activity
+    X and post-period purchase cents Y (one fact scan), global moments
+    as exact int64 sums (map-side combinable), per-arm raw vs adjusted
+    means with theta and the variance-reduction factor.  The theta
+    join is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(((F.min("sec") + F.max("sec")) / 2).cast("long").alias("mid"))
+    per_user = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("sec") < F.col("mid"), 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("sec") >= F.col("mid"))
+                    & (F.col("event_type") == "purchase"),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("arm-"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+        .localCheckpoint(eager=False)  # feeds moments AND the arm rollup
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    theta = mom.select(
+        "n",
+        "sx",
+        (cov_n / varx_n).alias("th"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("rho2"),
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("y").alias("sy_arm"),
+            F.sum("x").alias("sx_arm"),
+        )
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "arm",
+            "n_users",
+            (F.col("sy_arm") / F.col("n_users") / 100.0).alias("raw_mean"),
+            (
+                (
+                    F.col("sy_arm") / F.col("n_users").cast("double")
+                    - F.col("th")
+                    * (
+                        F.col("sx_arm") / F.col("n_users").cast("double")
+                        - F.col("sx").cast("double") / F.col("n")
+                    )
+                )
+                / 100.0
+            ).alias("cuped_mean"),
+            F.col("th").alias("theta"),
+            F.col("rho2").alias("variance_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+# Winsorized category means: clamp line prices to the category's
+# [p5, p95] before averaging — the robust-mean complement of the MAD
+# outlier fence (which flags; this one summarises).
+@register(
+    "category_winsorized_mean",
+    """
+    WITH li AS (
+      SELECT p_type AS category,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    fences AS (
+      SELECT category,
+             CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)
+                  AS BIGINT) AS lo,
+             CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+                  AS BIGINT) AS hi
+      FROM li GROUP BY category
+    )
+    SELECT l.category,
+           COUNT(*) AS n_lines,
+           CAST(SUM(l.cents) AS BIGINT) / COUNT(*) / 100.0 AS raw_mean,
+           CAST(SUM(LEAST(GREATEST(l.cents, f.lo), f.hi)) AS BIGINT)
+             / COUNT(*) / 100.0 AS winsorized_mean,
+           CAST(SUM(CASE WHEN l.cents < f.lo OR l.cents > f.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM li l JOIN fences f ON l.category = f.category
+    GROUP BY l.category
+    ORDER BY l.category
+    """,
+)
+def category_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category winsorized mean price: exact p5/p95 fences from a
+    grouped percentile pass (vocabulary-sized, broadcast back), values
+    clamped with least/greatest, exact integer ratio means.  Two fact
+    passes, zero windows."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("p_type").alias("category"), "cents")
+        .localCheckpoint(eager=False)  # feeds fences AND the clamp pass
+    )
+    fences = li.groupBy("category").agg(
+        F.expr(
+            "cast(percentile_disc(0.05) within group (order by cents)"
+            " as bigint)"
+        ).alias("lo"),
+        F.expr(
+            "cast(percentile_disc(0.95) within group (order by cents)"
+            " as bigint)"
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    outside = (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi"))
+    return (
+        li.join(F.broadcast(fences), "category")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("cents") / F.count(F.lit(1)) / 100.0).alias("raw_mean"),
+            (F.sum(clamped) / F.count(F.lit(1)) / 100.0).alias(
+                "winsorized_mean"
+            ),
+            F.sum(F.when(outside, 1).otherwise(0)).alias("n_clamped"),
+        )
+        .orderBy("category")
+    )
+
+
+# Language vocabulary overlap: pairwise Jaccard of the distinct-token
+# vocabularies — the corpus-composition diagnostic behind lang-ID
+# confusability (and the exact analog of audience_overlap on tokens).
+@register(
+    "lang_vocab_overlap",
+    """
+    WITH v AS (
+      SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    sizes AS (
+      SELECT lang, COUNT(*) AS n FROM v GROUP BY lang
+    ),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b, i.n_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON i.lang_a = sa.lang
+    JOIN sizes sb ON i.lang_b = sb.lang
+    ORDER BY i.lang_a, i.lang_b
+    """,
+)
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language-vocabulary Jaccard in exact ppm: one distinct
+    (lang, token) pass, token-keyed intersection join, broadcast
+    vocabulary sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct().localCheckpoint(eager=False)  # sizes AND intersections
+    sizes = v.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), "tok")
+    b = v.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr(
+                "n_inter * 1000000 div (n_a + n_b - n_inter)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+# Cohort half-life: the first month offset where a cohort's retention
+# drops below 50% — the single-number summary of the retention
+# triangle (NULL offset = never dropped within the observation
+# window, surfaced with a flag rather than silently omitted).
+@register(
+    "cohort_half_life",
+    """
+    WITH cohorts AS (
+      SELECT o_custkey,
+             MIN(DATE_TRUNC('month', CAST(o_orderdate AS DATE)))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_month, COUNT(*) AS cohort_size
+      FROM cohorts GROUP BY cohort_month
+    ),
+    activity AS (
+      SELECT c.cohort_month,
+             date_diff('month', c.cohort_month,
+               DATE_TRUNC('month', CAST(o.o_orderdate AS DATE))) AS offset_m,
+             COUNT(DISTINCT o.o_custkey) AS n_active
+      FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    ),
+    below AS (
+      SELECT a.cohort_month,
+             MIN(CASE WHEN a.n_active * 2 < s.cohort_size
+                 THEN a.offset_m END) AS half_life_months,
+             MAX(a.offset_m) AS observed_months
+      FROM activity a JOIN sized s ON a.cohort_month = s.cohort_month
+      WHERE a.offset_m > 0
+      GROUP BY a.cohort_month
+    )
+    SELECT CAST(b.cohort_month AS DATE) AS cohort_month,
+           s.cohort_size,
+           b.half_life_months,
+           b.observed_months,
+           b.half_life_months IS NULL AS still_above_half
+    FROM below b JOIN sized s ON b.cohort_month = s.cohort_month
+    ORDER BY b.cohort_month
+    """,
+)
+def cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life per cohort: smallest positive offset with
+    active·2 < size (integer comparison, no rate division), the
+    observation horizon, and an explicit still-above-half flag.  Same
+    two-shuffle shape as the retention triangle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("om"),
+    ).localCheckpoint(eager=False)  # feeds cohorts AND activity
+    cohorts = orders.groupBy("o_custkey").agg(
+        F.min("om").alias("cohort_month")
+    )
+    sized = cohorts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        orders.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between("om", "cohort_month").cast("long").alias(
+                "offset_m"
+            ),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+    below = (
+        activity.where(F.col("offset_m") > 0)
+        .join(F.broadcast(sized), "cohort_month")
+        .groupBy("cohort_month")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("n_active") * 2 < F.col("cohort_size"),
+                    F.col("offset_m"),
+                )
+            ).alias("half_life_months"),
+            F.max("offset_m").alias("observed_months"),
+        )
+    )
+    return (
+        below.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            "cohort_size",
+            "half_life_months",
+            "observed_months",
+            F.col("half_life_months").isNull().alias("still_above_half"),
+        )
+        .orderBy("cohort_month")
+    )

@@ -81,6 +81,10 @@ PROBE = [
     "events_position_attribution",
     # 64-chunk bit signatures + quarter-blocked pair join
     "media_ahash_neardup",
+    # theta/rho2 from exact int64 moments; fixed-order doubles
+    "ab_cuped_adjusted",
+    # percentile fences + clamped exact-ratio means
+    "category_winsorized_mean",
 ]
 
 

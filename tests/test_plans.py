@@ -135,7 +135,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # crossJoin (cms_join_size shape)
                   "join_size_sampled_estimate",
                   # 1-row horizon crossJoin (scalar-subquery shape)
-                  "stale_parts"}
+                  "stale_parts",
+                  # 1-row midpoint + 1-row theta/moments crossJoins
+                  # (scalar-subquery shape)
+                  "ab_cuped_adjusted"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
