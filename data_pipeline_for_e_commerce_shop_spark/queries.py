@@ -11436,3 +11436,355 @@ def cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month")
     )
+
+
+# ---------------- CUSUM / item-item CF / scorecard / collocations
+
+# CUSUM change detection: the sequential drift alarm (Page 1954) that
+# catches small persistent shifts chi²/KS windows dilute — S_i =
+# max(0, S_{i-1} + x_i − μ − k) in exact integer cents through WITH
+# RECURSIVE (the third recursive-CTE shape after EMA and Holt; same
+# materialise-before-recursion discipline).
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(SUM(x) AS BIGINT) // COUNT(*) AS mu,
+             (CAST(SUM(x) AS BIGINT) // COUNT(*)) // 20 AS k
+      FROM daily GROUP BY event_type
+    ),
+    idx AS (
+      SELECT d.event_type, d.d, d.x, m.mu, m.k,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.d)
+               - 1 AS i
+      FROM daily d JOIN mu m ON d.event_type = m.event_type
+    ),
+    cusum(event_type, i, d, s) AS (
+      SELECT event_type, i, d,
+             GREATEST(CAST(0 AS BIGINT), x - mu - k)
+      FROM idx WHERE i = 0
+      UNION ALL
+      SELECT x.event_type, x.i, x.d,
+             GREATEST(CAST(0 AS BIGINT), c.s + x.x - x.mu - x.k)
+      FROM cusum c
+      JOIN idx x ON x.event_type = c.event_type AND x.i = c.i + 1
+    )
+    SELECT c.event_type,
+           CAST(MAX(c.s) AS BIGINT) AS max_cusum_cents,
+           CAST(MIN(CASE WHEN c.s = mx.mx THEN c.d END) AS BIGINT)
+             AS peak_day_epoch,
+           CAST(SUM(CASE WHEN c.s > 4 * m.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alert_days,
+           COUNT(*) AS n_days
+    FROM cusum c
+    JOIN mu m ON c.event_type = m.event_type
+    JOIN (SELECT event_type, MAX(s) AS mx FROM cusum GROUP BY event_type)
+      mx ON c.event_type = mx.event_type
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over daily value totals per type: per-type
+    integer target/slack (μ, k = μ/20), exact integer recursion
+    distributed by WITH RECURSIVE, peak statistic + earliest peak day
+    + alert-day count (S > 4k).  The |types|x|days| base table is
+    checkpointed before recursion (each level re-executes its source
+    subtree)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("x"))
+    mu = daily.groupBy("event_type").agg(
+        F.expr("sum(x) div count(1)").alias("mu"),
+        F.expr("(sum(x) div count(1)) div 20").alias("k"),
+    )
+    from pyspark.sql import Window as _W
+
+    idx = (
+        daily.join(F.broadcast(mu), "event_type")
+        .withColumn(
+            "i",
+            F.row_number().over(
+                _W.partitionBy("event_type").orderBy("d")
+            )
+            - 1,
+        )
+        .localCheckpoint(eager=False)
+    )
+    idx.createOrReplaceTempView("cusum_idx")
+    mu.createOrReplaceTempView("cusum_mu")
+    return spark.sql(
+        """
+        WITH RECURSIVE cusum(event_type, i, d, s) AS (
+          SELECT event_type, i, d,
+                 GREATEST(CAST(0 AS BIGINT), x - mu - k)
+          FROM cusum_idx WHERE i = 0
+          UNION ALL
+          SELECT x.event_type, x.i, x.d,
+                 GREATEST(CAST(0 AS BIGINT), c.s + x.x - x.mu - x.k)
+          FROM cusum c
+          JOIN cusum_idx x ON x.event_type = c.event_type
+                          AND x.i = c.i + 1
+        )
+        SELECT c.event_type,
+               MAX(c.s) AS max_cusum_cents,
+               MIN(CASE WHEN c.s = mx.mx THEN c.d END) AS peak_day_epoch,
+               SUM(CASE WHEN c.s > 4 * m.k THEN 1 ELSE 0 END)
+                 AS n_alert_days,
+               COUNT(*) AS n_days
+        FROM cusum c
+        JOIN cusum_mu m ON c.event_type = m.event_type
+        JOIN (SELECT event_type, MAX(s) AS mx FROM cusum
+              GROUP BY event_type) mx
+          ON c.event_type = mx.event_type
+        GROUP BY c.event_type
+        ORDER BY c.event_type
+        """
+    )
+
+
+# Item-item collaborative filtering: co-purchase Jaccard between
+# parts (n_ab from the in-basket pair expansion, per-part basket
+# counts joined back), fully tie-broken top-20 — the exact-integer
+# heart of an "also bought" recommender.
+ITEMCF_MIN_COBUY = 2
+
+
+@register(
+    "itemcf_similar_parts",
+    f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+      SELECT l_partkey, COUNT(*) AS n FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {ITEMCF_MIN_COBUY}
+    )
+    SELECT part_a, part_b, n_ab,
+           da.n AS n_a, db.n AS n_b,
+           n_ab * 1000000 // (da.n + db.n - n_ab) AS jaccard_ppm
+    FROM pairs
+    JOIN deg da ON part_a = da.l_partkey
+    JOIN deg db ON part_b = db.l_partkey
+    ORDER BY jaccard_ppm DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def itemcf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 'also bought' part pairs by co-purchase Jaccard: the
+    order-bounded basket pair expansion (same shape as basket_pairs),
+    support-pruned at {min} co-buys, per-part basket counts broadcast
+    back, exact ppm similarity, fully ordered LIMIT."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.distinct().localCheckpoint(eager=False)  # pairs + degrees
+    deg = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= ITEMCF_MIN_COBUY)
+    )
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * 1000000 div (n_a + n_b - n_ab)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# Supplier scorecard: the per-supplier operations rollup (revenue,
+# return rate, breadth, rank within nation) in one fact scan + two
+# broadcast dims.
+@register(
+    "supplier_scorecard",
+    """
+    WITH per AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+           p.cents / 100.0 AS revenue,
+           p.n_lines,
+           p.n_returned * 1000000 // p.n_lines AS return_ppm,
+           p.n_parts,
+           ROW_NUMBER() OVER (PARTITION BY n.n_name
+             ORDER BY p.cents DESC, s.s_suppkey) AS rank_in_nation
+    FROM per p
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY nation, rank_in_nation
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier operations scorecard: revenue/volume/return-rate/
+    breadth per supplier from one fact scan, nation dim broadcast,
+    deterministic revenue rank within nation (dim-sized window)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returned"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("cents").desc(), "s_suppkey"
+    )
+    return (
+        per.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            (F.col("cents") / 100.0).alias("revenue"),
+            "n_lines",
+            F.expr("n_returned * 1000000 div n_lines").alias("return_ppm"),
+            "n_parts",
+            F.row_number().over(w).alias("rank_in_nation"),
+        )
+        .orderBy("nation", "rank_in_nation")
+    )
+
+
+# Collocation extraction by LIFT (log-free PMI stand-in): bigrams
+# whose observed frequency beats the independence expectation, scored
+# as exact integer ppm lift with a support floor.
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOPK = 20
+
+
+@register(
+    "text_collocation_lift",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT w.word, COUNT(*) AS n
+      FROM toks, UNNEST(ws) AS w(word)
+      GROUP BY w.word
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM uni),
+    big AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks CROSS JOIN UNNEST(range(1, len(ws))) AS u(i)
+    ),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS n_ab
+      FROM big GROUP BY w1, w2
+      HAVING COUNT(*) >= {COLLOC_MIN_SUPPORT}
+    )
+    SELECT w1, w2, n_ab,
+           u1.n AS n_w1, u2.n AS n_w2,
+           n_ab * t.big_n * 1000000 // (u1.n * u2.n) AS lift_ppm
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.word
+    JOIN uni u2 ON bi.w2 = u2.word
+    CROSS JOIN tot t
+    ORDER BY lift_ppm DESC, w1, w2
+    LIMIT {COLLOC_TOPK}
+    """,
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by lift (P(ab)·N / (P(a)P(b)) as exact
+    integer ppm — the log-free PMI ordering): adjacent bigrams from
+    array slicing, unigram counts joined back on the word, support
+    floor, fully tie-broken LIMIT.  Magnitude bound: n_ab·N·1e6 ≲
+    1e16 at sf0.1 — int64-safe through sf~10."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).localCheckpoint(eager=False)  # feeds unigrams AND bigrams
+    uni = toks.select(F.explode("ws").alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = uni.agg(F.sum("n").alias("big_n"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= COLLOC_MIN_SUPPORT)
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n_w2"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_w1",
+            "n_w2",
+            F.expr(
+                "n_ab * big_n * 1000000 div (n_w1 * n_w2)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(COLLOC_TOPK)
+    )

@@ -85,6 +85,10 @@ PROBE = [
     "ab_cuped_adjusted",
     # percentile fences + clamped exact-ratio means
     "category_winsorized_mean",
+    # integer CUSUM recursion trajectory
+    "events_cusum_changepoint",
+    # support-pruned Jaccard top-k with full tie-break
+    "itemcf_similar_parts",
 ]
 
 

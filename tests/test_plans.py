@@ -138,7 +138,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "stale_parts",
                   # 1-row midpoint + 1-row theta/moments crossJoins
                   # (scalar-subquery shape)
-                  "ab_cuped_adjusted"}
+                  "ab_cuped_adjusted",
+                  # 1-row corpus-total crossJoin (tfidf shape)
+                  "text_collocation_lift"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
