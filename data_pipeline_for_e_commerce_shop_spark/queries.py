@@ -11788,3 +11788,320 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
         .limit(COLLOC_TOPK)
     )
+
+
+# ------ 3-step Markov / segment migration / pricing / aging
+
+# Three-step transition probabilities: the first-order per-step matrix
+# (events_transition_matrix's shape) composed with itself twice via
+# vocabulary-sized joins — P³ in exact integer ppm with documented
+# truncation at each composition (floor at 1e-6 resolution, identical
+# on both engines).  Answers "where is a user three actions from now"
+# without materializing paths.
+@register(
+    "events_transition_3step",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY src
+    ),
+    p1 AS (
+      SELECT c.src, c.dst, c.n * 1000000 // t.t AS p
+      FROM counts c JOIN tot t ON c.src = t.src
+    ),
+    p2 AS (
+      SELECT a.src, b.dst,
+             CAST(SUM(a.p * b.p) // 1000000 AS BIGINT) AS p
+      FROM p1 a JOIN p1 b ON a.dst = b.src
+      GROUP BY a.src, b.dst
+    ),
+    p3 AS (
+      SELECT a.src, b.dst,
+             CAST(SUM(a.p * b.p) // 1000000 AS BIGINT) AS p
+      FROM p2 a JOIN p1 b ON a.dst = b.src
+      GROUP BY a.src, b.dst
+    )
+    SELECT src, dst, p AS p3_ppm
+    FROM p3
+    ORDER BY src, dst
+    """,
+)
+def events_transition_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P³ of the event-type Markov chain in exact integer ppm: one
+    user-partitioned LEAD pass builds the step counts; the two matrix
+    compositions are |types|²-sized equi-joins (broadcast).  Floor
+    truncation at each composition is the documented, deterministic
+    quantization."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("src").agg(F.sum("n").alias("t"))
+    p1 = counts.join(F.broadcast(tot), "src").select(
+        "src", "dst", F.expr("n * 1000000 div t").alias("p")
+    ).localCheckpoint(eager=False)  # composed twice
+    a = p1.select(F.col("src"), F.col("dst").alias("mid"), F.col("p").alias("pa"))
+    b = p1.select(F.col("src").alias("mid"), F.col("dst"), F.col("p").alias("pb"))
+    p2 = (
+        a.join(F.broadcast(b), "mid")
+        .groupBy("src", "dst")
+        .agg(F.expr("sum(pa * pb) div 1000000").alias("p"))
+    )
+    a2 = p2.select(F.col("src"), F.col("dst").alias("mid"), F.col("p").alias("pa"))
+    p3 = (
+        a2.join(F.broadcast(b), "mid")
+        .groupBy("src", "dst")
+        .agg(F.expr("sum(pa * pb) div 1000000").alias("p3_ppm"))
+    )
+    return p3.select("src", "dst", "p3_ppm").orderBy("src", "dst")
+
+
+# Customer value-segment migration: quartile segment (by spend) in the
+# early half vs the late half of the order history, as the transition
+# matrix CRM teams watch (upgrades, downgrades, churn-ins/outs).
+@register(
+    "customer_segment_migration",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS dd,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    split AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY dd) AS mid FROM o
+    ),
+    spend AS (
+      SELECT o_custkey,
+             CASE WHEN dd <= mid THEN 'early' ELSE 'late' END AS half,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM o CROSS JOIN split
+      GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT o_custkey, half,
+             NTILE(4) OVER (PARTITION BY half
+               ORDER BY cents DESC, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT COALESCE(e.quartile, 0) AS early_quartile,
+           COALESCE(l.quartile, 0) AS late_quartile,
+           COUNT(*) AS n_customers
+    FROM (SELECT o_custkey, quartile FROM seg WHERE half = 'early') e
+    FULL OUTER JOIN
+         (SELECT o_custkey, quartile FROM seg WHERE half = 'late') l
+      ON e.o_custkey = l.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile migration matrix between the early and late half
+    of the order history (quartile 0 = absent that half): per-half
+    spend rollup, key-tiebroken ntile on the customer-reduced table,
+    FULL OUTER self-join, count per cell."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dd"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    split = o.agg(
+        F.expr("percentile_disc(0.5) within group (order by dd)").alias("mid")
+    )
+    spend = (
+        o.crossJoin(F.broadcast(split))
+        .groupBy(
+            "o_custkey",
+            F.when(F.col("dd") <= F.col("mid"), "early")
+            .otherwise("late")
+            .alias("half"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("half").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    seg = spend.withColumn("quartile", F.ntile(4).over(w))
+    e = seg.where(F.col("half") == "early").select(
+        "o_custkey", F.col("quartile").alias("eq")
+    )
+    l_ = seg.where(F.col("half") == "late").select(
+        "o_custkey", F.col("quartile").alias("lq")
+    )
+    return (
+        e.join(l_, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("eq", F.lit(0)).alias("early_quartile"),
+            F.coalesce("lq", F.lit(0)).alias("late_quartile"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("early_quartile", "late_quartile")
+    )
+
+
+# Discount effectiveness: mean quantity per discount band (does a
+# deeper discount move more units?) with volume and revenue context —
+# exact integer band edges and ratio means.
+@register(
+    "discount_band_lift",
+    """
+    SELECT CAST(floor(l_discount * 100) AS BIGINT) // 2 * 2 AS disc_band_pct,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             * 1000 // COUNT(*) AS mean_qty_milli,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def discount_band_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity response by 2-point discount band: integer band edges
+    (floor pct div 2 * 2), mean quantity in exact milli-units, revenue
+    context.  One scan, one groupBy — the pricing-effectiveness view."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.expr(
+                "CAST(floor(l_discount * 100) AS BIGINT) div 2 * 2"
+            ).alias("disc_band_pct")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                "sum(CAST(l_quantity AS BIGINT)) * 1000 div count(1)"
+            ).alias("mean_qty_milli"),
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("disc_band_pct")
+    )
+
+
+# Receivables aging: open (non-finished) orders bucketed by days
+# outstanding relative to the latest order date — the finance
+# dashboard for working capital.
+@register(
+    "orders_aging_buckets",
+    """
+    WITH horizon AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ),
+    aged AS (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             date_diff('day', CAST(o_orderdate AS DATE), maxd) AS age
+      FROM orders CROSS JOIN horizon
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age <= 30 THEN '0-30'
+                WHEN age <= 60 THEN '31-60'
+                WHEN age <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS outstanding
+    FROM aged
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order aging matrix (status x 30-day age bucket) against the
+    1-row horizon aggregate: the AR-aging shape with exact cents."""
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd")
+    )
+    aged = o.crossJoin(F.broadcast(horizon)).select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("maxd"), F.col("o_orderdate").cast("date")).alias(
+            "age"
+        ),
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        aged.groupBy("o_orderstatus", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("outstanding"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+# Modal price points per brand: the psychological price-ladder view —
+# top-3 most common exact cent prices per brand, fully tie-broken.
+@register(
+    "brand_price_points",
+    """
+    WITH pc AS (
+      SELECT p_brand,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM part GROUP BY 1, 2
+    )
+    SELECT p_brand, cents / 100.0 AS price_point, n, rk
+    FROM (
+      SELECT p_brand, cents, n,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY n DESC, cents) AS rk
+      FROM pc
+    )
+    WHERE rk <= 3
+    ORDER BY p_brand, rk
+    """,
+)
+def brand_price_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 modal price points per brand (exact cents, count-ranked
+    with price tie-break): grouped count + dim-sized window."""
+    from pyspark.sql import Window
+
+    pc = load_table(spark, sf_dir, "part").groupBy(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("n").desc(), "cents")
+    return (
+        pc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            (F.col("cents") / 100.0).alias("price_point"),
+            "n",
+            "rk",
+        )
+        .orderBy("p_brand", "rk")
+    )

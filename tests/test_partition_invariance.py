@@ -89,6 +89,10 @@ PROBE = [
     "events_cusum_changepoint",
     # support-pruned Jaccard top-k with full tie-break
     "itemcf_similar_parts",
+    # two ppm matrix compositions with floor truncation
+    "events_transition_3step",
+    # ntile quartiles in both halves + full-outer cell counts
+    "customer_segment_migration",
 ]
 
 

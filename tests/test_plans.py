@@ -140,7 +140,11 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # (scalar-subquery shape)
                   "ab_cuped_adjusted",
                   # 1-row corpus-total crossJoin (tfidf shape)
-                  "text_collocation_lift"}
+                  "text_collocation_lift",
+                  # 1-row median-split crossJoin (scalar-subquery shape)
+                  "customer_segment_migration",
+                  # 1-row horizon crossJoin (scalar-subquery shape)
+                  "orders_aging_buckets"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
