@@ -12105,3 +12105,37 @@ def brand_price_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "rk")
     )
+
+
+# Streaming hourly top-k leaderboard: the windowed aggregate is a real
+# watermarked streaming drain; the per-window rank is the batch
+# serving step (a global rank is not append-mode maintainable — the
+# split IS the production shape).  Same full-hash oracle as any batch
+# query.
+from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (  # noqa: E402
+    stream_hourly_topk as _stream_hourly_topk,
+)
+
+register(
+    "events_stream_hourly_topk",
+    """
+    WITH hourly AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+               AS hour_epoch,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_epoch, event_type, n_events,
+           cents / 100.0 AS total_value, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                  ORDER BY cents DESC, event_type) AS rank
+      FROM hourly
+    )
+    WHERE rank <= 3
+    ORDER BY hour_epoch, rank
+    """,
+)(_stream_hourly_topk)

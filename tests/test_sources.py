@@ -376,3 +376,71 @@ def test_manifest_sink_overwrite_garbage_collects(spark, tmp_path):
     assert sorted(r["row_id"] for r in got.collect()) == list(
         range(100, 130)
     )
+
+
+def test_arrow_ipc_round_trip(spark, tmp_path):
+    """Distributed Arrow IPC sink -> source round trip: same rows, one
+    file per non-empty partition, manifest counts match."""
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from data_pipeline_for_e_commerce_shop_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+    from pyspark.sql import functions as F
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").repartition(4)
+    out = str(tmp_path / "orders_arrow")
+    manifest = write_arrow_ipc(src, out)
+    files = manifest.collect()
+    assert 1 <= len(files) <= 4
+    assert sum(r["n_rows"] for r in files) == src.count()
+    back = read_arrow_ipc(spark, out)
+    assert back.schema == src.schema
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_arrow_ipc_reader_rejects_empty_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+    )
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    with _pytest.raises(FileNotFoundError):
+        read_arrow_ipc(spark, str(d))
+
+
+def test_versioned_write_time_travel_and_expiry(spark, tmp_path):
+    """Three commits: current advances, any historical version is
+    readable by number, expiry drops the oldest but never the
+    current, and unknown versions fail loudly."""
+    import pytest as _pytest
+
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from data_pipeline_for_e_commerce_shop_spark.sources import versioned as V
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, "/root/testdata/sf0.001", "region")
+    t = str(tmp_path / "region_versions")
+    v1 = V.write_versioned(base, t)
+    v2 = V.write_versioned(base.where(F.col("r_regionkey") > 0), t)
+    v3 = V.write_versioned(base.limit(1), t)
+    assert (v1, v2, v3) == (1, 2, 3)
+    n1 = V.read_versioned(spark, t, 1).count()
+    n2 = V.read_versioned(spark, t, 2).count()
+    n3 = V.read_versioned(spark, t).count()  # current == v3
+    assert n1 == base.count()
+    assert n2 == n1 - 1
+    assert n3 == 1
+    assert [e["v"] for e in V.versions(t)] == [1, 2, 3]
+    dropped = V.expire_versions(t, keep_last=2)
+    assert dropped == [1]
+    assert [e["v"] for e in V.versions(t)] == [2, 3]
+    with _pytest.raises(ValueError):
+        V.read_versioned(spark, t, 1)
+    # expired data really gone, survivors still readable
+    assert V.read_versioned(spark, t, 2).count() == n2
