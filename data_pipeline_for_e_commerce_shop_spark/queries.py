@@ -12139,3 +12139,324 @@ register(
     ORDER BY hour_epoch, rank
     """,
 )(_stream_hourly_topk)
+
+
+# ------- growth accounting / embedding drift / consolidation
+
+# Growth accounting (the MAU ledger): every month's actives decompose
+# into new + retained + resurrected, with churned counted against the
+# month they went dark — the canonical subscription-health view.
+# All set logic is (customer, month)-keyed joins; the first-month
+# table is customer-sized.
+@register(
+    "customer_growth_accounting",
+    """
+    WITH activity AS (
+      SELECT DISTINCT o_custkey,
+             DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, MIN(m) AS first_m FROM activity GROUP BY o_custkey
+    ),
+    flows AS (
+      SELECT a.m,
+             COUNT(*) AS n_active,
+             CAST(SUM(CASE WHEN f.first_m = a.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN p.o_custkey IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN f.first_m < a.m AND p.o_custkey IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM activity a
+      JOIN firsts f ON a.o_custkey = f.o_custkey
+      LEFT JOIN activity p
+        ON p.o_custkey = a.o_custkey
+       AND p.m = a.m - INTERVAL 1 MONTH
+      GROUP BY a.m
+    ),
+    churn AS (
+      SELECT p.m + INTERVAL 1 MONTH AS m, COUNT(*) AS n_churned
+      FROM activity p
+      LEFT JOIN activity a
+        ON a.o_custkey = p.o_custkey
+       AND a.m = p.m + INTERVAL 1 MONTH
+      WHERE a.o_custkey IS NULL
+      GROUP BY p.m + INTERVAL 1 MONTH
+    )
+    SELECT CAST(f.m AS DATE) AS month, f.n_active, f.n_new,
+           f.n_retained, f.n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM flows f LEFT JOIN churn c ON f.m = c.m
+    ORDER BY f.m
+    """,
+)
+def customer_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting: actives = new + retained +
+    resurrected (asserted by construction: the three CASEs partition
+    each active row), churned joined from the previous month's
+    lost-actives.  Two passes over the distinct (customer, month)
+    activity set, all equi-joins on (custkey, month)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("m"),
+    )
+    activity = orders.distinct().localCheckpoint(eager=False)  # 3 uses
+    firsts = activity.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    prev = activity.select(
+        F.col("o_custkey").alias("p_cust"), F.col("m").alias("p_m")
+    )
+    flows = (
+        activity.join(firsts, "o_custkey")
+        .join(
+            prev,
+            (F.col("o_custkey") == F.col("p_cust"))
+            & (F.col("p_m") == F.add_months(F.col("m"), -1)),
+            "left",
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("first_m") == F.col("m"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("p_cust").isNotNull(), 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(
+                    (F.col("first_m") < F.col("m"))
+                    & F.col("p_cust").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_resurrected"),
+        )
+    )
+    nxt = activity.select(
+        F.col("o_custkey").alias("n_cust"), F.col("m").alias("n_m")
+    )
+    churn = (
+        activity.join(
+            nxt,
+            (F.col("o_custkey") == F.col("n_cust"))
+            & (F.col("n_m") == F.add_months(F.col("m"), 1)),
+            "left",
+        )
+        .where(F.col("n_cust").isNull())
+        .groupBy(F.add_months(F.col("m"), 1).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        flows.join(churn, "m", "left")
+        .select(
+            F.col("m").alias("month"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("month")
+    )
+
+
+# Embedding snapshot drift: centroid shift and mean-square-norm change
+# per label between two corpus snapshots (vec_id parity stands in for
+# time) — the model-monitoring gauge that catches representation
+# drift before a recall cliff.  Same exact-integer sufficient-
+# statistics discipline as embedding_label_separation.
+@register(
+    "embedding_snapshot_drift",
+    """
+    WITH ve AS (
+      SELECT label, vec_id % 2 AS snap,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    longf AS (
+      SELECT label, snap, u.i AS dim,
+             CAST(floor(v[u.i] * 1000000) AS BIGINT) AS xi
+      FROM ve CROSS JOIN UNNEST(range(1, len(v) + 1)) AS u(i)
+    ),
+    per_dim AS (
+      SELECT label, snap, dim,
+             CAST(SUM(xi) AS BIGINT) AS sd,
+             CAST(SUM(xi * xi) AS BIGINT) AS sq
+      FROM longf GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT label, snap,
+             list(sd ORDER BY dim) AS sds,
+             CAST(SUM(sq) AS BIGINT) AS sqq
+      FROM per_dim GROUP BY label, snap
+    ),
+    counts AS (
+      SELECT label, vec_id % 2 AS snap, COUNT(*) AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT p.label, p.snap, c.n, p.sds, p.sqq
+      FROM per p JOIN counts c
+        ON p.label = c.label AND p.snap = c.snap
+    )
+    SELECT o.label,
+           o.n AS n_old, w.n AS n_new,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(o.sds) + 1), i ->
+               (o.sds[i] / CAST(o.n AS DOUBLE)
+                - w.sds[i] / CAST(w.n AS DOUBLE))
+               * (o.sds[i] / CAST(o.n AS DOUBLE)
+                  - w.sds[i] / CAST(w.n AS DOUBLE)))),
+             (x, y) -> x + y) AS centroid_shift_sq,
+           o.sqq / CAST(o.n AS DOUBLE) AS msq_old,
+           w.sqq / CAST(w.n AS DOUBLE) AS msq_new
+    FROM (SELECT * FROM lab WHERE snap = 0) o
+    JOIN (SELECT * FROM lab WHERE snap = 1) w ON o.label = w.label
+    ORDER BY o.label
+    """,
+)
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift (squared L2, dim-ordered fold over
+    exact int64 per-dim sums) and mean-square-norm change between the
+    even/odd-vec_id snapshots.  One posexplode pass; everything after
+    is |labels|-sized."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        "embedding",
+    )
+    longf = emb.select(
+        "label",
+        "snap",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("dim0", "xi"),
+    )
+    per_dim = longf.groupBy("label", "snap", "dim0").agg(
+        F.sum("xi").alias("sd"), F.sum(F.col("xi") * F.col("xi")).alias("sq")
+    )
+    per = per_dim.groupBy("label", "snap").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim0, sd))), p -> p.sd)"
+        ).alias("sds"),
+        F.sum("sq").alias("sqq"),
+    )
+    counts = emb.groupBy("label", "snap").agg(F.count(F.lit(1)).alias("n"))
+    lab = per.join(counts, ["label", "snap"])
+    o = lab.where(F.col("snap") == 0).select(
+        "label",
+        F.col("n").alias("n_old"),
+        F.col("sds").alias("so"),
+        F.col("sqq").alias("qo"),
+    )
+    w = lab.where(F.col("snap") == 1).select(
+        "label",
+        F.col("n").alias("n_new"),
+        F.col("sds").alias("sw"),
+        F.col("sqq").alias("qw"),
+    )
+    return (
+        o.join(w, "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.expr(
+                "aggregate(sequence(1, size(so)), CAST(0.0 AS DOUBLE),"
+                " (acc, i) -> acc"
+                " + (element_at(so, i) / CAST(n_old AS DOUBLE)"
+                "    - element_at(sw, i) / CAST(n_new AS DOUBLE))"
+                " * (element_at(so, i) / CAST(n_old AS DOUBLE)"
+                "    - element_at(sw, i) / CAST(n_new AS DOUBLE)))"
+            ).alias("centroid_shift_sq"),
+            (F.col("qo") / F.col("n_old").cast("double")).alias("msq_old"),
+            (F.col("qw") / F.col("n_new").cast("double")).alias("msq_new"),
+        )
+        .orderBy("label")
+    )
+
+
+# Shipment consolidation: lines of one order shipping within 7 days of
+# each other could share a box — the gap-clustering (sessionize-on-
+# dates) savings estimate, rolled up by order priority.
+CONSOLIDATION_GAP_DAYS = 7
+
+
+@register(
+    "shipment_consolidation",
+    f"""
+    WITH lines AS (
+      SELECT l_orderkey, o_orderpriority,
+             CAST(l_shipdate AS DATE) AS sd
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    marked AS (
+      SELECT l_orderkey, o_orderpriority, sd,
+             CASE WHEN date_diff('day',
+                    lag(sd) OVER (PARTITION BY l_orderkey ORDER BY sd),
+                    sd) > {CONSOLIDATION_GAP_DAYS}
+                  THEN 1 ELSE 0 END AS new_batch
+      FROM (SELECT DISTINCT l_orderkey, o_orderpriority, sd FROM lines)
+    ),
+    per_order AS (
+      SELECT l_orderkey, o_orderpriority,
+             COUNT(*) AS n_ship_days,
+             CAST(SUM(new_batch) AS BIGINT) + 1 AS n_batches
+      FROM marked GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(n_ship_days) AS BIGINT) AS total_ship_days,
+           CAST(SUM(n_batches) AS BIGINT) AS total_batches,
+           (CAST(SUM(n_ship_days) AS BIGINT) - CAST(SUM(n_batches) AS BIGINT))
+             * 1000000 // CAST(SUM(n_ship_days) AS BIGINT) AS saved_ppm
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def shipment_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidation-savings estimate: distinct ship dates per order
+    gap-clustered at 7 days (the sessionizer pattern on dates, keyed
+    per order), batches vs ship-days rolled up by priority with exact
+    ppm savings."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "o_orderpriority", "sd")
+        .distinct()
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("sd")
+    marked = lines.withColumn(
+        "new_batch",
+        F.when(
+            F.datediff("sd", F.lag("sd").over(w)) > CONSOLIDATION_GAP_DAYS, 1
+        ).otherwise(0),
+    )
+    per_order = marked.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_ship_days"),
+        (F.sum("new_batch") + 1).alias("n_batches"),
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_ship_days").alias("total_ship_days"),
+            F.sum("n_batches").alias("total_batches"),
+            F.expr(
+                "(sum(n_ship_days) - sum(n_batches)) * 1000000"
+                " div sum(n_ship_days)"
+            ).alias("saved_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )

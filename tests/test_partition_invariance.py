@@ -93,6 +93,8 @@ PROBE = [
     "events_transition_3step",
     # ntile quartiles in both halves + full-outer cell counts
     "customer_segment_migration",
+    # dim-ordered centroid-shift folds from exact per-dim sums
+    "embedding_snapshot_drift",
 ]
 
 
