@@ -12460,3 +12460,314 @@ def shipment_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------- hazard by depth / vocab growth / concentration / curve
+
+# Discrete hazard of conversion by session depth: P(first purchase at
+# step k | session reached step k) — the funnel view that tells you
+# WHERE in a session intent dies, not just whether.  Composes the
+# sessionizer's rank machinery; all rates exact ppm.
+@register(
+    "session_depth_hazard",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > 90
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    ),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY epoch_sec, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    ),
+    ranked AS (
+      SELECT user_id, session_no, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+               ORDER BY epoch_sec, event_id) AS rk
+      FROM numbered
+    ),
+    sess AS (
+      SELECT user_id, session_no,
+             COUNT(*) AS depth,
+             MIN(CASE WHEN event_type = 'purchase' THEN rk END) AS conv_rk
+      FROM ranked GROUP BY 1, 2
+    ),
+    steps AS (
+      SELECT CAST(u.k AS BIGINT) AS step,
+             COUNT(*) AS n_reached,
+             CAST(SUM(CASE WHEN s.conv_rk = u.k THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM sess s
+      CROSS JOIN UNNEST(range(1, 9)) AS u(k)
+      WHERE (CASE WHEN s.conv_rk IS NULL THEN s.depth
+                  ELSE s.conv_rk END) >= u.k
+      GROUP BY u.k
+    )
+    SELECT step, n_reached, n_converted,
+           n_converted * 1000000 // n_reached AS hazard_ppm
+    FROM steps
+    ORDER BY step
+    """,
+)
+def session_depth_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step conversion hazard over gap sessions (steps 1..8): a
+    session is 'at risk' at step k while it has neither converted nor
+    ended before k; the hazard is first-purchase-at-k over at-risk
+    count, exact ppm.  One user shuffle for the sessionizer; the step
+    fan-out is a fixed 8-row vocabulary."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("epoch_sec"),
+        F.when((sec - F.lag(sec).over(w)) > 90, 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn("session_no", F.sum("new_session").over(w2))
+    w3 = Window.partitionBy("user_id", "session_no").orderBy(
+        "epoch_sec", "event_id"
+    )
+    ranked = numbered.withColumn("rk", F.row_number().over(w3))
+    sess = ranked.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rk"))
+        ).alias("conv_rk"),
+    )
+    steps = (
+        sess.select(
+            F.coalesce("conv_rk", F.col("depth")).alias("horizon"),
+            "conv_rk",
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("step"),
+        )
+        .where(F.col("horizon") >= F.col("step"))
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(
+                F.when(F.col("conv_rk") == F.col("step"), 1).otherwise(0)
+            ).alias("n_converted"),
+        )
+    )
+    return steps.select(
+        "step",
+        "n_reached",
+        "n_converted",
+        F.expr("n_converted * 1000000 div n_reached").alias("hazard_ppm"),
+    ).orderBy("step")
+
+
+# Vocabulary growth (Heaps' law audit): distinct-type count vs
+# cumulative token count at doc-id checkpoints.  The trick that makes
+# it one pass: a token's FIRST document (min doc_id) decides when it
+# enters the vocabulary, so vocab(d) is a running count over the
+# first-occurrence table — no distinct-over-prefix rescans.
+@register(
+    "corpus_vocab_growth",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    firsts AS (
+      SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM toks GROUP BY tok
+    ),
+    checkpoints AS (
+      SELECT CAST(u.c AS BIGINT) * (SELECT MAX(doc_id) FROM documents)
+               // 10 AS cp
+      FROM UNNEST(range(1, 11)) AS u(c)
+    ),
+    vocab AS (
+      SELECT c.cp, COUNT(*) AS n_types
+      FROM checkpoints c JOIN firsts f ON f.first_doc <= c.cp
+      GROUP BY c.cp
+    ),
+    volume AS (
+      SELECT c.cp, COUNT(*) AS n_tokens
+      FROM checkpoints c JOIN toks t ON t.doc_id <= c.cp
+      GROUP BY c.cp
+    )
+    SELECT v.cp AS doc_id_ceiling, vol.n_tokens, v.n_types,
+           v.n_types * 1000000 // vol.n_tokens AS type_token_ppm
+    FROM vocab v JOIN volume vol ON v.cp = vol.cp
+    ORDER BY v.cp
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve at ten doc-id checkpoints:
+    token first-occurrence table (one groupBy) + checkpoint range
+    joins against the 10-row broadcast checkpoint set — sublinear
+    type growth falls straight out, with the type/token ratio in
+    exact ppm.  No prefix rescans: first_doc <= cp does the running
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).localCheckpoint(eager=False)  # feeds firsts AND volume
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    maxdoc = docs.agg(F.max("doc_id").alias("md"))
+    checkpoints = (
+        maxdoc.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("c"), "md"
+        )
+        .select(F.expr("CAST(c * md div 10 AS BIGINT)").alias("cp"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(checkpoints))
+        .where(F.col("first_doc") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    volume = (
+        toks.crossJoin(F.broadcast(checkpoints))
+        .where(F.col("doc_id") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return (
+        vocab.join(volume, "cp")
+        .select(
+            F.col("cp").alias("doc_id_ceiling"),
+            "n_tokens",
+            "n_types",
+            F.expr("n_types * 1000000 div n_tokens").alias(
+                "type_token_ppm"
+            ),
+        )
+        .orderBy("doc_id_ceiling")
+    )
+
+
+# Revenue concentration curve: cumulative revenue share by customer
+# spend decile — the explicit Lorenz curve behind revenue_gini's one
+# number ("the top 10% drive X% of revenue").
+@register(
+    "revenue_concentration_curve",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM spend
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per)
+    SELECT decile, n_customers,
+           cents / 100.0 AS revenue,
+           cents * 1000000 // total AS share_ppm,
+           CAST(SUM(cents) OVER (ORDER BY decile
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // total
+             AS cum_share_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+def revenue_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz/concentration table by spend decile (key-tiebroken ntile
+    on the customer-reduced table): per-decile and cumulative revenue
+    shares in exact ppm — the curve revenue_gini integrates."""
+    from pyspark.sql import Window
+
+    spend = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = spend.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), "o_custkey")),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = per.agg(F.sum("cents").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("cents") / 100.0).alias("revenue"),
+            F.expr("cents * 1000000 div total").alias("share_ppm"),
+            F.expr(
+                "CAST(sum(cents) OVER (ORDER BY decile"
+                " ROWS UNBOUNDED PRECEDING) * 1000000 div total"
+                " AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+# Size-price curve: median price and IQR per part size — the
+# monotonicity check a pricing team runs on an attribute ladder.
+@register(
+    "size_price_curve",
+    """
+    SELECT p_size,
+           COUNT(*) AS n_parts,
+           CAST(percentile_disc(0.25) WITHIN GROUP (
+             ORDER BY CAST(floor(p_retailprice * 100) AS BIGINT))
+             AS BIGINT) / 100.0 AS p25,
+           CAST(percentile_disc(0.50) WITHIN GROUP (
+             ORDER BY CAST(floor(p_retailprice * 100) AS BIGINT))
+             AS BIGINT) / 100.0 AS median_price,
+           CAST(percentile_disc(0.75) WITHIN GROUP (
+             ORDER BY CAST(floor(p_retailprice * 100) AS BIGINT))
+             AS BIGINT) / 100.0 AS p75
+    FROM part
+    GROUP BY p_size
+    ORDER BY p_size
+    """,
+)
+def size_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR price ladder by part size: grouped exact discrete
+    percentiles over integer cents, one dim scan."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    def pct(q, name):
+        return F.expr(
+            f"cast(percentile_disc({q}) within group (order by cents)"
+            f" as bigint) / 100.0"
+        ).alias(name)
+    return (
+        p.groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            pct(0.25, "p25"),
+            pct(0.50, "median_price"),
+            pct(0.75, "p75"),
+        )
+        .orderBy("p_size")
+    )

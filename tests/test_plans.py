@@ -144,7 +144,13 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row median-split crossJoin (scalar-subquery shape)
                   "customer_segment_migration",
                   # 1-row horizon crossJoin (scalar-subquery shape)
-                  "orders_aging_buckets"}
+                  "orders_aging_buckets",
+                  # 10-row checkpoint-set range joins (aggregate-
+                  # reduced grid shape)
+                  "corpus_vocab_growth",
+                  # 1-row revenue-total crossJoin (scalar-subquery
+                  # shape)
+                  "revenue_concentration_curve"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
