@@ -12771,3 +12771,220 @@ def size_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size")
     )
+
+
+# --------- filter agreement / cluster sizes / dedup length bias
+
+# Do two independent quality filters agree?  2x2 confusion of the
+# heuristic gate vs the unigram-CE perplexity proxy, with observed
+# agreement and Cohen's kappa — the calibration every multi-filter
+# pipeline owes itself before AND-ing its gates.  Kappa is a fixed-
+# order double from four exact integer counts.
+@register(
+    "filter_agreement_matrix",
+    f"""
+    WITH qg AS ({ORACLES["text_quality_gate"]}),
+    uce AS ({ORACLES["text_unigram_ce"]}),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN qg.keep AND uce.keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_keep,
+             CAST(SUM(CASE WHEN qg.keep AND NOT uce.keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS gate_only,
+             CAST(SUM(CASE WHEN NOT qg.keep AND uce.keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ce_only,
+             CAST(SUM(CASE WHEN NOT qg.keep AND NOT uce.keep
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_drop,
+             COUNT(*) AS n
+      FROM qg JOIN uce ON qg.doc_id = uce.doc_id
+    )
+    SELECT both_keep, gate_only, ce_only, both_drop, n,
+           (both_keep + both_drop) * 1000000 // n AS agreement_ppm,
+           ((CAST(both_keep + both_drop AS DOUBLE) / n)
+            - ((CAST(both_keep + gate_only AS DOUBLE) / n)
+               * (CAST(both_keep + ce_only AS DOUBLE) / n)
+               + (CAST(ce_only + both_drop AS DOUBLE) / n)
+                 * (CAST(gate_only + both_drop AS DOUBLE) / n)))
+           / (1.0 - ((CAST(both_keep + gate_only AS DOUBLE) / n)
+                     * (CAST(both_keep + ce_only AS DOUBLE) / n)
+                     + (CAST(ce_only + both_drop AS DOUBLE) / n)
+                       * (CAST(gate_only + both_drop AS DOUBLE) / n)))
+             AS cohen_kappa
+    FROM cells
+    """,
+)
+def filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the heuristic quality gate and the
+    unigram-CE screen: one doc-keyed join of the two per-doc verdicts,
+    four-cell confusion, observed agreement in exact ppm, Cohen's
+    kappa from the same exact counts in one fixed expression order."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        quality_gate,
+        unigram_cross_entropy,
+    )
+
+    qg = quality_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gate_keep")
+    )
+    uce = unigram_cross_entropy(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ce_keep")
+    )
+    cells = qg.join(uce, "doc_id").agg(
+        F.sum(
+            F.when(F.col("gate_keep") & F.col("ce_keep"), 1).otherwise(0)
+        ).alias("both_keep"),
+        F.sum(
+            F.when(F.col("gate_keep") & ~F.col("ce_keep"), 1).otherwise(0)
+        ).alias("gate_only"),
+        F.sum(
+            F.when(~F.col("gate_keep") & F.col("ce_keep"), 1).otherwise(0)
+        ).alias("ce_only"),
+        F.sum(
+            F.when(~F.col("gate_keep") & ~F.col("ce_keep"), 1).otherwise(0)
+        ).alias("both_drop"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("both_keep") + F.col("both_drop")).cast("double") / nd
+    pe = (
+        ((F.col("both_keep") + F.col("gate_only")).cast("double") / nd)
+        * ((F.col("both_keep") + F.col("ce_only")).cast("double") / nd)
+        + ((F.col("ce_only") + F.col("both_drop")).cast("double") / nd)
+        * ((F.col("gate_only") + F.col("both_drop")).cast("double") / nd)
+    )
+    return cells.select(
+        "both_keep",
+        "gate_only",
+        "ce_only",
+        "both_drop",
+        "n",
+        F.expr(
+            "(both_keep + both_drop) * 1000000 div n"
+        ).alias("agreement_ppm"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("cohen_kappa"),
+    )
+
+
+# Duplicate-cluster size histogram: how duplication mass distributes —
+# many pairs or a few giant blobs decide which dedup strategy pays.
+@register(
+    "dedup_cluster_sizes",
+    _CLOSURE_CTES
+    + """
+    , labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the LSH connected components
+    (clusters of size ≥ 2 only — singletons never enter the closure):
+    sizes from one groupBy over the labels, histogram from a second."""
+    all_labels = dedup.duplicate_clusters(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # the iterative star contraction runs ONCE
+    sizes = (
+        all_labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# Dedup length-bias audit: does keep-one-per-cluster systematically
+# drop longer or shorter documents?  Kept vs dropped doc counts per
+# log2 token-length bucket — all integers, no score doubles.
+@register(
+    "dedup_length_bias",
+    _CLOSURE_CTES
+    + """
+    , labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    qual AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    member AS (
+      SELECT l.cluster_id, l.doc_id, q.n_tokens
+      FROM labels l JOIN qual q ON l.doc_id = q.doc_id
+    ),
+    reps AS (
+      SELECT cluster_id,
+             MIN(doc_id) AS rep_doc_id
+      FROM member GROUP BY cluster_id
+    ),
+    verdicts AS (
+      SELECT m.doc_id, m.n_tokens,
+             m.doc_id = r.rep_doc_id AS kept
+      FROM member m JOIN reps r ON m.cluster_id = r.cluster_id
+    )
+    SELECT CAST(floor(log2(n_tokens)) AS BIGINT) AS len_bucket,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped
+    FROM verdicts
+    WHERE n_tokens > 0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dedup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit of cluster dedup: within every duplicate
+    cluster the min-doc_id member stands in as the kept rep (the
+    deterministic tie-break; quality election is dedup_cluster_reps'
+    business), and kept/dropped counts are bucketed by log2 token
+    length.  A skew here means dedup is reshaping the length
+    distribution — the audit LLM data teams run after every dedup
+    pass."""
+    labels = dedup.duplicate_clusters(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds sizes AND membership — contraction runs once
+    clustered = labels.join(
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") >= 2)
+        .select("cluster_id"),
+        "cluster_id",
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    member = clustered.join(docs, "doc_id")
+    reps = member.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("rep_doc_id")
+    )
+    verdicts = member.join(reps, "cluster_id").select(
+        "n_tokens", (F.col("doc_id") == F.col("rep_doc_id")).alias("kept")
+    )
+    return (
+        verdicts.where(F.col("n_tokens") > 0)
+        .groupBy(
+            F.floor(F.log2("n_tokens")).cast("long").alias("len_bucket")
+        )
+        .agg(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        )
+        .orderBy("len_bucket")
+    )

@@ -150,7 +150,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "corpus_vocab_growth",
                   # 1-row revenue-total crossJoin (scalar-subquery
                   # shape)
-                  "revenue_concentration_curve"}
+                  "revenue_concentration_curve",
+                  # inherits the unigram-CE gate's 1-row corpus-total
+                  # crossJoin
+                  "filter_agreement_matrix"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
