@@ -7600,12 +7600,33 @@ def lineitem_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANALYZE-histogram shape."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
-    ).localCheckpoint(eager=False)  # feeds boundaries AND assignment
-    bounds = li.agg(
+    )
+    # Boundaries WITHOUT percentile_disc: each percentile_disc
+    # expression is its own full sort pass (7 of them benched 13 s at
+    # sf0.1).  percentile_disc(p) == smallest value whose cumulative
+    # count reaches ceil(p*n), so build the value histogram (bounded
+    # by the price-ladder cardinality, ~10k rows), one cumulative
+    # window over it, and read all 7 boundaries with integer
+    # comparisons (cum*8 >= i*n) in a single tiny aggregate — exact
+    # percentile_disc semantics, one fact shuffle, zero doubles.
+    from pyspark.sql import Window as _W
+
+    hist = li.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = _W.orderBy("cents").rowsBetween(_W.unboundedPreceding, 0)
+    cum = hist.select(
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(
+            _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+        ).alias("n"),
+    )
+    bounds = cum.agg(
         *[
-            F.expr(
-                f"cast(percentile_disc({i / 8}) within group"
-                f" (order by cents) as bigint)"
+            F.min(
+                F.when(
+                    F.col("cum") * 8 >= F.lit(i) * F.col("n"),
+                    F.col("cents"),
+                )
             ).alias(f"b{i}")
             for i in range(1, 8)
         ]
@@ -12602,9 +12623,12 @@ def session_depth_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM checkpoints c JOIN firsts f ON f.first_doc <= c.cp
       GROUP BY c.cp
     ),
+    doc_counts AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ),
     volume AS (
-      SELECT c.cp, COUNT(*) AS n_tokens
-      FROM checkpoints c JOIN toks t ON t.doc_id <= c.cp
+      SELECT c.cp, CAST(SUM(d.n) AS BIGINT) AS n_tokens
+      FROM checkpoints c JOIN doc_counts d ON d.doc_id <= c.cp
       GROUP BY c.cp
     )
     SELECT v.cp AS doc_id_ceiling, vol.n_tokens, v.n_types,
@@ -12638,11 +12662,12 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cp")
         .agg(F.count(F.lit(1)).alias("n_types"))
     )
+    doc_counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     volume = (
-        toks.crossJoin(F.broadcast(checkpoints))
+        doc_counts.crossJoin(F.broadcast(checkpoints))
         .where(F.col("doc_id") <= F.col("cp"))
         .groupBy("cp")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .agg(F.sum("n").alias("n_tokens"))
     )
     return (
         vocab.join(volume, "cp")
