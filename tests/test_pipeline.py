@@ -315,3 +315,29 @@ def test_expire_partitions_numeric_order_and_zero_keep(spark, tmp_path):
     assert audit0["kept"] == []
     assert sorted(audit0["dropped"]) == ["10", "11"]
     assert not [d for d in os.listdir(p) if d.startswith("day=")]
+
+
+def test_cli_list_run_sql(capsys):
+    """The CLI front door: list filters, run executes a registered
+    query, sql answers ad-hoc statements over the table views."""
+    from data_pipeline_for_e_commerce_shop_spark.__main__ import main
+
+    assert main(["list", "dedup_*"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_exact\toracle" in out
+
+    assert main(
+        ["run", "null_gate", "--sf-dir", "/root/testdata/sf0.001",
+         "--limit", "5", "--json"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert '"n_null_user"' in out or "{" in out
+
+    assert main(
+        ["sql", "SELECT COUNT(*) AS n FROM region",
+         "--sf-dir", "/root/testdata/sf0.001", "--json"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert '"n":5' in out.replace(" ", "")
+
+    assert main(["run", "no_such_query"]) == 2
