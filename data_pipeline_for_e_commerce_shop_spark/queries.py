@@ -13013,3 +13013,289 @@ def dedup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket")
     )
+
+
+# --------- peak concurrency / revenue bridge / dow-hour heatmap
+
+# Peak concurrency: the maximum number of simultaneously-open gap
+# sessions per day — the capacity number an ops team sizes servers
+# with.  Sweep line in SQL: +1 at session start, -1 after session end,
+# running sum ordered by (time, -delta) so closings at t apply before
+# openings at t (touching sessions don't double-count).  The window
+# partitions by day: sessions are intra-day objects here (the 90 s
+# gap makes cross-midnight sessions vanishingly rare; the boundary
+# convention is documented and identical on both engines).
+@register(
+    "events_peak_concurrency",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > 90
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    ),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY epoch_sec, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, session_no,
+             MIN(epoch_sec) AS s0, MAX(epoch_sec) AS s1
+      FROM numbered GROUP BY 1, 2
+    ),
+    sweep AS (
+      SELECT s0 // 86400 AS day_epoch, s0 AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT s0 // 86400, s1 + 1, -1 FROM sess
+    ),
+    running AS (
+      SELECT day_epoch, t,
+             CAST(SUM(delta) OVER (PARTITION BY day_epoch
+               ORDER BY t, delta
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_now
+      FROM sweep
+    )
+    SELECT day_epoch,
+           CAST(MAX(open_now) AS BIGINT) AS peak_concurrent,
+           CAST(MIN(CASE WHEN open_now = mx THEN t END) AS BIGINT)
+             AS first_peak_epoch
+    FROM (
+      SELECT r.*, MAX(open_now) OVER (PARTITION BY day_epoch) AS mx
+      FROM running r
+    )
+    GROUP BY day_epoch
+    ORDER BY day_epoch
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak simultaneous sessions via the sweep line: sessions
+    from the 90 s gap sessionizer, +1/-1 deltas (close-before-open at
+    ties via ORDER BY t, delta — -1 sorts first), day-partitioned
+    running sum, per-day argmax with earliest-time tie-break."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        sec.alias("epoch_sec"),
+        F.when((sec - F.lag(sec).over(w)) > 90, 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn("session_no", F.sum("new_session").over(w2))
+    sess = numbered.groupBy("user_id", "session_no").agg(
+        F.min("epoch_sec").alias("s0"), F.max("epoch_sec").alias("s1")
+    )
+    starts = sess.select(
+        F.expr("s0 div 86400").alias("day_epoch"),
+        F.col("s0").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = sess.select(
+        F.expr("s0 div 86400").alias("day_epoch"),
+        (F.col("s1") + 1).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    sweep = starts.unionByName(ends)
+    w3 = (
+        Window.partitionBy("day_epoch")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = sweep.withColumn("open_now", F.sum("delta").over(w3))
+    w4 = Window.partitionBy("day_epoch")
+    return (
+        running.withColumn("mx", F.max("open_now").over(w4))
+        .groupBy("day_epoch")
+        .agg(
+            F.max("open_now").alias("peak_concurrent"),
+            F.min(
+                F.when(F.col("open_now") == F.col("mx"), F.col("t"))
+            ).alias("first_peak_epoch"),
+        )
+        .orderBy("day_epoch")
+    )
+
+
+# Revenue bridge: month-over-month change decomposed into price,
+# volume, and cross effects on the matched-part basket, with new and
+# exited parts as explicit residual buckets — Σ effects == Δ revenue
+# EXACTLY (every term is integer cent-units; the identity
+# p1q1 − p0q0 = (p1−p0)q0 + p0(q1−q0) + (p1−p0)(q1−q0) holds in
+# integers).  The finance "walk" behind category_price_index.
+@register(
+    "revenue_bridge",
+    """
+    WITH pm AS (
+      SELECT DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS month,
+             l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT COALESCE(c.month, p.month + INTERVAL 1 MONTH) AS month,
+             COALESCE(c.l_partkey, p.l_partkey) AS l_partkey,
+             c.cents AS c1, c.qty AS q1,
+             p.cents AS c0, p.qty AS q0
+      FROM pm c
+      FULL OUTER JOIN pm p
+        ON c.l_partkey = p.l_partkey
+       AND c.month = p.month + INTERVAL 1 MONTH
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(SUM(CASE WHEN c1 IS NOT NULL AND c0 IS NOT NULL
+                THEN ((c1 // q1) - (c0 // q0)) * q0 ELSE 0 END)
+                AS BIGINT) / 100.0 AS price_effect,
+           CAST(SUM(CASE WHEN c1 IS NOT NULL AND c0 IS NOT NULL
+                THEN (c0 // q0) * (q1 - q0) ELSE 0 END)
+                AS BIGINT) / 100.0 AS volume_effect,
+           CAST(SUM(CASE WHEN c1 IS NOT NULL AND c0 IS NOT NULL
+                THEN ((c1 // q1) - (c0 // q0)) * (q1 - q0)
+                     + (c1 - (c1 // q1) * q1) - (c0 - (c0 // q0) * q0)
+                ELSE 0 END) AS BIGINT) / 100.0 AS cross_effect,
+           CAST(SUM(CASE WHEN c0 IS NULL THEN c1 ELSE 0 END)
+                AS BIGINT) / 100.0 AS new_parts,
+           CAST(SUM(CASE WHEN c1 IS NULL THEN -c0 ELSE 0 END)
+                AS BIGINT) / 100.0 AS exited_parts,
+           CAST(SUM(COALESCE(c1, 0)) - SUM(COALESCE(c0, 0)) AS BIGINT)
+             / 100.0 AS total_change
+    FROM paired
+    WHERE month IS NOT NULL
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue walk per part basket: price / volume /
+    cross effects on matched parts (floored integer unit prices; the
+    sub-cent floor residual folds into the cross term so the five
+    effects sum to the total change EXACTLY), plus new/exited part
+    buckets.  One (part, month) rollup, one self full-outer join on
+    the shifted month."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.trunc(F.col("l_shipdate").cast("date"), "MM").alias("month"),
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pm = li.groupBy("month", "l_partkey").agg(
+        F.sum("cents").alias("cents"), F.sum("qty").alias("qty")
+    ).localCheckpoint(eager=False)  # both sides of the shifted join
+    c = pm.select(
+        F.col("month").alias("cm"),
+        F.col("l_partkey").alias("ck"),
+        F.col("cents").alias("c1"),
+        F.col("qty").alias("q1"),
+    )
+    prv = pm.select(
+        F.add_months(F.col("month"), 1).alias("pm_next"),
+        F.col("l_partkey").alias("pk"),
+        F.col("cents").alias("c0"),
+        F.col("qty").alias("q0"),
+    )
+    paired = c.join(
+        prv,
+        (F.col("ck") == F.col("pk")) & (F.col("cm") == F.col("pm_next")),
+        "full_outer",
+    ).select(
+        F.coalesce("cm", "pm_next").alias("month"),
+        "c1",
+        "q1",
+        "c0",
+        "q0",
+    ).where(F.col("month").isNotNull())
+    matched = F.col("c1").isNotNull() & F.col("c0").isNotNull()
+    u1 = F.expr("c1 div q1")
+    u0 = F.expr("c0 div q0")
+    return (
+        paired.groupBy("month")
+        .agg(
+            (
+                F.sum(F.when(matched, (u1 - u0) * F.col("q0")).otherwise(0))
+                / 100.0
+            ).alias("price_effect"),
+            (
+                F.sum(
+                    F.when(matched, u0 * (F.col("q1") - F.col("q0"))).otherwise(0)
+                )
+                / 100.0
+            ).alias("volume_effect"),
+            (
+                F.sum(
+                    F.when(
+                        matched,
+                        (u1 - u0) * (F.col("q1") - F.col("q0"))
+                        + (F.col("c1") - u1 * F.col("q1"))
+                        - (F.col("c0") - u0 * F.col("q0")),
+                    ).otherwise(0)
+                )
+                / 100.0
+            ).alias("cross_effect"),
+            (
+                F.sum(F.when(F.col("c0").isNull(), F.col("c1")).otherwise(0))
+                / 100.0
+            ).alias("new_parts"),
+            (
+                F.sum(F.when(F.col("c1").isNull(), -F.col("c0")).otherwise(0))
+                / 100.0
+            ).alias("exited_parts"),
+            (
+                (F.sum(F.coalesce("c1", F.lit(0))) - F.sum(F.coalesce("c0", F.lit(0))))
+                / 100.0
+            ).alias("total_change"),
+        )
+        .orderBy("month")
+    )
+
+
+# Weekday x hour traffic heatmap: the ops dashboard grid, exact
+# integer cells (one scan, one groupBy).
+@register(
+    "events_dow_hour_heatmap",
+    """
+    SELECT dayofweek(CAST(ts AS DATE)) AS weekday,
+           CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour event-count/value grid (DuckDB dayofweek is
+    0=Sunday; Spark's is 1=Sunday — reconciled with -1).  One scan,
+    one vocabulary-sized groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek(F.col("ts").cast("date")) - 1).alias("weekday"),
+            F.expr("unix_timestamp(ts) % 86400 div 3600").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("total_value"),
+        )
+        .orderBy("weekday", "hour")
+    )

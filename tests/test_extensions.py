@@ -1086,3 +1086,45 @@ def test_encoding_advisor_flags_low_cardinality_as_dict_or_rle(spark):
     assert rows["returnflag"]["advice"] in ("DICT", "RLE")
     assert rows["linestatus"]["advice"] in ("DICT", "RLE")
     assert rows["returnflag"]["n_distinct"] <= 5
+
+
+def test_revenue_bridge_effects_sum_to_total(spark):
+    """The walk identity: price + volume + cross + new + exited must
+    equal the month-over-month total change EXACTLY (integer cents)."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    for r in QUERIES["revenue_bridge"](spark, SF).collect():
+        lhs = round(
+            (
+                r["price_effect"]
+                + r["volume_effect"]
+                + r["cross_effect"]
+                + r["new_parts"]
+                + r["exited_parts"]
+            )
+            * 100
+        )
+        rhs = round(r["total_change"] * 100)
+        assert lhs == rhs, (r["month"], lhs, rhs)
+
+
+def test_peak_concurrency_bounds(spark):
+    """Peak concurrent sessions per day is at least 1 and no more than
+    that day's session count."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+    from data_pipeline_for_e_commerce_shop_spark.operators import events as _e
+
+    peaks = {
+        r["day_epoch"]: r["peak_concurrent"]
+        for r in QUERIES["events_peak_concurrency"](spark, SF).collect()
+    }
+    sess = _e.sessionize(spark, SF)
+    per_day = {
+        r["d"]: r["n"]
+        for r in sess.groupBy(
+            F.expr("session_start div 86400").alias("d")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert peaks
+    for d, peak in peaks.items():
+        assert 1 <= peak <= per_day[d], (d, peak, per_day.get(d))
