@@ -1128,3 +1128,168 @@ def test_peak_concurrency_bounds(spark):
     assert peaks
     for d, peak in peaks.items():
         assert 1 <= peak <= per_day[d], (d, peak, per_day.get(d))
+
+
+def test_peak_concurrency_hypothesis_vs_brute(spark, tmp_path):
+    """Hypothesis: on arbitrary small event streams, the sweep-line
+    peak matches a pure-Python interval-overlap brute force that
+    replays the same sessionizer and the same close-before-open tie
+    rule."""
+    import datetime as dt
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    base = dt.datetime(2020, 1, 1)
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=4),      # user_id
+        st.integers(min_value=0, max_value=600),    # seconds offset
+    )
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=25))
+    def check(rows):
+        counter[0] += 1
+        d = str(tmp_path / f"pc{counter[0]}")
+        os.makedirs(d, exist_ok=True)
+        data = [
+            (i + 1, base + dt.timedelta(seconds=s), u, "view", 1.0, "{}")
+            for i, (u, s) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["day_epoch"]: r["peak_concurrent"]
+            for r in QUERIES["events_peak_concurrency"](spark, d).collect()
+        }
+        # pure-Python replay
+        per_user: dict = {}
+        for i, (u, s) in enumerate(rows):
+            per_user.setdefault(u, []).append((s, i + 1))
+        sessions = []
+        for evs in per_user.values():
+            evs.sort()
+            s0 = prev = evs[0][0]
+            for s, _ in evs[1:]:
+                if s - prev > 90:
+                    sessions.append((s0, prev))
+                    s0 = s
+                prev = s
+            sessions.append((s0, prev))
+        deltas = []
+        for s0, s1 in sessions:
+            deltas.append((s0, 1))
+            deltas.append((s1 + 1, -1))
+        deltas.sort()  # (t, delta): -1 sorts before +1 at equal t
+        cur = peak = 0
+        for _, dl in deltas:
+            cur += dl
+            peak = max(peak, cur)
+        day = (int(base.timestamp())) // 86400
+        assert got == {day: peak}, (got, peak, sessions)
+
+    check()
+
+
+def test_revenue_bridge_hypothesis_identity_and_effects(spark, tmp_path):
+    """Hypothesis: on arbitrary small (part, month) baskets the bridge
+    effects equal a pure-Python decomposition and always sum to the
+    total change."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    line = st.tuples(
+        st.integers(min_value=1, max_value=3),    # partkey
+        st.integers(min_value=0, max_value=2),    # month index
+        st.integers(min_value=100, max_value=50000),  # cents
+        st.integers(min_value=1, max_value=9),    # qty
+    )
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=15))
+    def check(rows):
+        counter[0] += 1
+        d = str(tmp_path / f"rb{counter[0]}")
+        os.makedirs(d, exist_ok=True)
+        months = ["2020-01-15", "2020-02-15", "2020-03-15"]
+        data = [
+            (pk, months[m], cents / 100.0, float(q))
+            for (pk, m, cents, q) in rows
+        ]
+        spark.createDataFrame(
+            data,
+            "l_partkey long, l_shipdate string,"
+            " l_extendedprice double, l_quantity double",
+        ).selectExpr(
+            "l_partkey",
+            "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate",
+            "l_extendedprice",
+            "l_quantity",
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = QUERIES["revenue_bridge"](spark, d).collect()
+        # pure-Python: per (part, month-idx) rollup
+        pm: dict = {}
+        for pk, m, cents, q in rows:
+            c, qq = pm.get((pk, m), (0, 0))
+            pm[(pk, m)] = (c + cents, qq + q)
+        # month-by-month decomposition (month 0 has no predecessor:
+        # everything current is 'new'; month 3 exists only as the
+        # exit bucket of month-2 parts)
+        results: dict = {}
+        for m in (0, 1, 2, 3):
+            pe = ve = ce = new = exited = tot = 0
+            for pk in (1, 2, 3):
+                cur = pm.get((pk, m))
+                prev = pm.get((pk, m - 1))
+                if cur and prev:
+                    c1, q1 = cur
+                    c0, q0 = prev
+                    u1, u0 = c1 // q1, c0 // q0
+                    pe += (u1 - u0) * q0
+                    ve += u0 * (q1 - q0)
+                    ce += (u1 - u0) * (q1 - q0) + (c1 - u1 * q1) - (
+                        c0 - u0 * q0
+                    )
+                    tot += c1 - c0
+                elif cur and not prev:
+                    new += cur[0]
+                    tot += cur[0]
+                elif prev and not cur:
+                    exited -= prev[0]
+                    tot -= prev[0]
+            if pe or ve or ce or new or exited or tot or any(
+                (pk, m) in pm or (pk, m - 1) in pm for pk in (1, 2, 3)
+            ):
+                results[m] = (pe, ve, ce, new, exited, tot)
+        got = {}
+        for r in out:
+            m_idx = int(r["month"].strftime("%m"))  # 2,3,4 for months 1..3
+            got[m_idx - 1] = tuple(
+                round(r[k] * 100)
+                for k in (
+                    "price_effect",
+                    "volume_effect",
+                    "cross_effect",
+                    "new_parts",
+                    "exited_parts",
+                    "total_change",
+                )
+            )
+        for m, vals in got.items():
+            exp = results.get(m, (0, 0, 0, 0, 0, 0))
+            assert vals == exp, (m, vals, exp)
+            assert sum(vals[:5]) == vals[5]
+
+    check()
