@@ -13299,3 +13299,322 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday", "hour")
     )
+
+
+# ------ SLA attainment / reorder intervals / adjusted outliers
+
+# Priority SLA attainment: each order's LAST line must ship within its
+# priority's SLA window; attainment in exact ppm per priority.  SLA
+# days interpolate from one dict into operator and oracle alike.
+PRIORITY_SLA_DAYS = {
+    "1-URGENT": 30,
+    "2-HIGH": 60,
+    "3-MEDIUM": 90,
+    "4-NOT SPECIFIED": 120,
+    "5-LOW": 180,
+}
+
+
+@register(
+    "order_priority_sla",
+    f"""
+    WITH per_order AS (
+      SELECT o_orderkey, o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       MAX(CAST(l_shipdate AS DATE))) AS lag_days
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2, CAST(o_orderdate AS DATE)
+    ),
+    scored AS (
+      SELECT o_orderpriority, lag_days,
+             CASE o_orderpriority
+               {" ".join(f"WHEN '{k}' THEN {v}"
+                          for k, v in PRIORITY_SLA_DAYS.items())}
+             END AS sla_days
+      FROM per_order
+    )
+    SELECT o_orderpriority, sla_days,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN lag_days <= sla_days THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_met,
+           CAST(SUM(CASE WHEN lag_days <= sla_days THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000 // COUNT(*) AS attainment_ppm
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment per order priority: completion = the order's
+    latest line-ship date, window from PRIORITY_SLA_DAYS (one shared
+    constant drives both engines), attainment in exact ppm."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "od")
+        .agg(F.max("sd").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "od").alias("lag_days"),
+        )
+    )
+    sla = F.create_map(
+        *[
+            x
+            for k, v in PRIORITY_SLA_DAYS.items()
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )[F.col("o_orderpriority")]
+    met = F.col("lag_days") <= F.col("sla_days")
+    return (
+        per_order.withColumn("sla_days", sla)
+        .groupBy("o_orderpriority", "sla_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(met, 1).otherwise(0)).alias("n_met"),
+            F.expr(
+                "sum(CASE WHEN lag_days <= sla_days THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            ).alias("attainment_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Repeat-purchase cadence: the distribution of days between a
+# customer's consecutive orders, profiled per market segment — the
+# replenishment-cycle input to any reorder-reminder feature.
+@register(
+    "reorder_interval_profile",
+    """
+    WITH seq AS (
+      SELECT c_mktsegment,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(gap_days) AS n_intervals,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)
+                AS BIGINT) AS median_gap,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days)
+                AS BIGINT) AS p90_gap,
+           CAST(SUM(CASE WHEN gap_days = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_day
+    FROM seq
+    WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def reorder_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days-between-orders profile per segment: customer-partitioned
+    lag (key-tiebroken by orderkey for same-day orders), grouped
+    exact discrete percentiles + same-day counts."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    seq = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("gap_days", F.datediff("od", F.lag("od").over(w)))
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        seq.groupBy("c_mktsegment")
+        .agg(
+            F.count("gap_days").alias("n_intervals"),
+            F.expr(
+                "cast(percentile_disc(0.5) within group"
+                " (order by gap_days) as bigint)"
+            ).alias("median_gap"),
+            F.expr(
+                "cast(percentile_disc(0.9) within group"
+                " (order by gap_days) as bigint)"
+            ).alias("p90_gap"),
+            F.sum(
+                F.when(F.col("gap_days") == 0, 1).otherwise(0)
+            ).alias("n_same_day"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# Seasonality-adjusted anomalies: daily counts scored against the SAME
+# WEEKDAY's median and MAD — the screen that stops flagging every
+# weekend as an outage.  Composes the weekday profile with the robust
+# MAD fence, all integers.
+@register(
+    "events_weekday_adjusted_outliers",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS wd,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    ref AS (
+      SELECT event_type, wd,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                  AS BIGINT) AS med
+      FROM daily GROUP BY 1, 2
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.wd, d.n, r.med,
+             ABS(d.n - r.med) AS adev
+      FROM daily d JOIN ref r
+        ON d.event_type = r.event_type AND d.wd = r.wd
+    ),
+    mad AS (
+      SELECT event_type, wd,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+                  AS BIGINT) AS mad
+      FROM dev GROUP BY 1, 2
+    )
+    SELECT d.event_type, CAST(d.day AS DATE) AS day, d.n, d.med,
+           m.mad,
+           ABS(d.n - d.med) > 3 * m.mad AS is_outlier
+    FROM dev d JOIN mad m
+      ON d.event_type = m.event_type AND d.wd = m.wd
+    WHERE ABS(d.n - d.med) > 3 * m.mad AND m.mad > 0
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_weekday_adjusted_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday-conditioned MAD outliers on daily counts: per (type,
+    weekday) median + MAD (exact discrete percentiles over integers),
+    3-MAD fence, zero-MAD cells excluded (a degenerate fence flags
+    everything).  Both percentile passes run on the |types|x7-keyed
+    daily rollup — vocabulary-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy(
+        "event_type", "day", F.dayofweek("day").alias("wd_s")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # NOTE Spark dayofweek is 1=Sunday vs DuckDB 0=Sunday; the weekday
+    # only KEYS the reference groups (it never appears in the output),
+    # so the off-by-one origin is irrelevant as long as it is a
+    # bijection — both engines group the same days together.
+    ref = daily.groupBy("event_type", "wd_s").agg(
+        F.expr(
+            "cast(percentile_disc(0.5) within group (order by n) as bigint)"
+        ).alias("med")
+    )
+    dev = daily.join(ref, ["event_type", "wd_s"]).withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "wd_s").agg(
+        F.expr(
+            "cast(percentile_disc(0.5) within group (order by adev)"
+            " as bigint)"
+        ).alias("mad")
+    )
+    return (
+        dev.join(mad, ["event_type", "wd_s"])
+        .where(
+            (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+            & (F.col("mad") > 0)
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "med",
+            "mad",
+            (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad")).alias(
+                "is_outlier"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# Order quadrant segmentation: every order placed in the 2x2 grid of
+# (lines vs median, value vs median) — the merchandising view of
+# basket size against basket value.
+@register(
+    "basket_size_value_quadrants",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    med AS (
+      SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_lines)
+                  AS BIGINT) AS med_lines,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                  AS BIGINT) AS med_cents
+      FROM per_order
+    )
+    SELECT CASE WHEN n_lines > med_lines THEN 'many_lines'
+                ELSE 'few_lines' END AS lines_half,
+           CASE WHEN cents > med_cents THEN 'high_value'
+                ELSE 'low_value' END AS value_half,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue
+    FROM per_order CROSS JOIN med
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def basket_size_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 order segmentation against the median line count and median
+    value (exact discrete medians, 1-row broadcast): counts and
+    revenue per quadrant."""
+    per_order = load_table(spark, sf_dir, "lineitem").groupBy(
+        "l_orderkey"
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    med = per_order.agg(
+        F.expr(
+            "cast(percentile_disc(0.5) within group (order by n_lines)"
+            " as bigint)"
+        ).alias("med_lines"),
+        F.expr(
+            "cast(percentile_disc(0.5) within group (order by cents)"
+            " as bigint)"
+        ).alias("med_cents"),
+    )
+    return (
+        per_order.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.when(F.col("n_lines") > F.col("med_lines"), "many_lines")
+            .otherwise("few_lines")
+            .alias("lines_half"),
+            F.when(F.col("cents") > F.col("med_cents"), "high_value")
+            .otherwise("low_value")
+            .alias("value_half"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+        .orderBy("lines_half", "value_half")
+    )

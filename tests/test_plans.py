@@ -153,7 +153,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "revenue_concentration_curve",
                   # inherits the unigram-CE gate's 1-row corpus-total
                   # crossJoin
-                  "filter_agreement_matrix"}
+                  "filter_agreement_matrix",
+                  # 1-row median-pair crossJoin (scalar-subquery shape)
+                  "basket_size_value_quadrants"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
