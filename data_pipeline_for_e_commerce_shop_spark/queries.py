@@ -13618,3 +13618,254 @@ def basket_size_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lines_half", "value_half")
     )
+
+
+# --------------- bot screen / XYZ classes / p-chart SPC
+
+# Abuse/bot screen: per user, the burst ceiling (max events in any
+# sliding minute) and gap repetitiveness (repeated inter-arrival gaps
+# — a scripted client reuses the same cadence).  The synthetic stream
+# is organically human (max 2/min, ~98% distinct gaps), so a hard
+# filter is vacuous at every SF; the screen therefore RANKS — top-20
+# most suspicious users by (burst ceiling, repeated-gap count), fully
+# tie-broken — with the boolean flags riding as columns for the
+# thresholds a production stream would trip.
+BOT_BURST_LIMIT = 5      # events per minute
+BOT_MIN_EVENTS = 8       # don't judge thin histories
+
+
+@register(
+    "user_bot_screen",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    windowed AS (
+      SELECT user_id, sec,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS in_minute,
+             sec - lag(sec) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id) AS gap
+      FROM ev
+    ),
+    per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(MAX(in_minute) AS BIGINT) AS max_per_minute,
+             COUNT(DISTINCT gap) AS n_distinct_gaps,
+             COUNT(gap) AS n_gaps
+      FROM windowed GROUP BY user_id
+    )
+    SELECT user_id, n_events, max_per_minute,
+           n_distinct_gaps, n_gaps,
+           n_gaps - n_distinct_gaps AS n_repeated_gaps,
+           max_per_minute > {{BOT_BURST_LIMIT}} AS burst_flag,
+           n_distinct_gaps * 4 <= n_gaps AS periodic_flag
+    FROM per_user
+    WHERE n_events >= {{BOT_MIN_EVENTS}}
+    ORDER BY max_per_minute DESC, n_gaps - n_distinct_gaps DESC, user_id
+    LIMIT 20
+    """.format(BOT_BURST_LIMIT=BOT_BURST_LIMIT, BOT_MIN_EVENTS=BOT_MIN_EVENTS),
+)
+def user_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bot-suspicion ranking: sliding-minute burst ceiling
+    (RANGE window over epoch seconds) and repeated-gap counts per
+    user (≥8 events), ordered (burst desc, repeats desc, user_id) so
+    LIMIT is deterministic; threshold flags ride as columns.  One
+    user-keyed window pass, one rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-59, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    windowed = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w_range).alias("in_minute"),
+        (F.col("sec") - F.lag("sec").over(w_lag)).alias("gap"),
+    )
+    per_user = windowed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("in_minute").alias("max_per_minute"),
+        F.countDistinct("gap").alias("n_distinct_gaps"),
+        F.count("gap").alias("n_gaps"),
+    )
+    return (
+        per_user.where(F.col("n_events") >= BOT_MIN_EVENTS)
+        .select(
+            "user_id",
+            "n_events",
+            "max_per_minute",
+            "n_distinct_gaps",
+            "n_gaps",
+            (F.col("n_gaps") - F.col("n_distinct_gaps")).alias(
+                "n_repeated_gaps"
+            ),
+            (F.col("max_per_minute") > BOT_BURST_LIMIT).alias("burst_flag"),
+            (F.col("n_distinct_gaps") * 4 <= F.col("n_gaps")).alias(
+                "periodic_flag"
+            ),
+        )
+        .orderBy(
+            F.col("max_per_minute").desc(),
+            (F.col("n_gaps") - F.col("n_distinct_gaps")).desc(),
+            "user_id",
+        )
+        .limit(20)
+    )
+
+
+# XYZ demand-variability classes (the ABC complement): squared
+# coefficient of variation of weekly demand per part, exact integer
+# ppm (cv² = (nΣq² − (Σq)²)·1e6 div (Σq)²), classed X/Y/Z at the
+# conventional 0.25/1.0 cv² breaks — inventory policy picks by cell.
+@register(
+    "part_xyz_classes",
+    """
+    WITH weekly AS (
+      SELECT l_partkey,
+             CAST(floor(epoch(CAST(l_shipdate AS DATE))) AS BIGINT)
+               // 604800 AS wk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_weeks,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS sqq
+      FROM weekly GROUP BY l_partkey
+    ),
+    classed AS (
+      SELECT l_partkey AS p_partkey, n_weeks,
+             (n_weeks * sqq - sq * sq) * 1000000 // (sq * sq) AS cv2_ppm
+      FROM stats WHERE sq > 0
+    )
+    SELECT CASE WHEN cv2_ppm <= 250000 THEN 'X'
+                WHEN cv2_ppm <= 1000000 THEN 'Y'
+                ELSE 'Z' END AS xyz,
+           COUNT(*) AS n_parts,
+           CAST(MIN(cv2_ppm) AS BIGINT) AS min_cv2_ppm,
+           CAST(MAX(cv2_ppm) AS BIGINT) AS max_cv2_ppm
+    FROM classed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def part_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ variability classification of parts from weekly demand:
+    cv² in exact integer ppm ((nΣq²−(Σq)²)·1e6 div (Σq)²; magnitudes
+    bounded by weekly-qty sums « 2^31), X ≤ 0.25, Y ≤ 1.0, Z above.
+    Two part-keyed aggregates, 3-row output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "unix_timestamp(CAST(l_shipdate AS DATE)) div 604800"
+        ).alias("wk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    weekly = li.groupBy("l_partkey", "wk").agg(F.sum("qty").alias("q"))
+    stats = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    classed = stats.where(F.col("sq") > 0).select(
+        F.expr(
+            "(n_weeks * sqq - sq * sq) * 1000000 div (sq * sq)"
+        ).alias("cv2_ppm")
+    )
+    xyz = (
+        F.when(F.col("cv2_ppm") <= 250000, "X")
+        .when(F.col("cv2_ppm") <= 1000000, "Y")
+        .otherwise("Z")
+    )
+    return (
+        classed.groupBy(xyz.alias("xyz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("cv2_ppm").alias("min_cv2_ppm"),
+            F.max("cv2_ppm").alias("max_cv2_ppm"),
+        )
+        .orderBy("xyz")
+    )
+
+
+# p-chart (SPC control chart): weekly return-rate against 3-sigma
+# limits from the pooled rate — the statistical-process-control view
+# of quality drift.  Limits use only +,-,*,/ and sqrt (IEEE-exact) in
+# fixed order from exact integer counts.
+@register(
+    "returns_p_chart",
+    """
+    WITH weekly AS (
+      SELECT CAST(floor(epoch(CAST(l_shipdate AS DATE))) AS BIGINT)
+               // 604800 AS wk,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS tr,
+             CAST(SUM(n) AS BIGINT) AS tn
+      FROM weekly
+    )
+    SELECT w.wk, w.n, w.r,
+           CAST(w.r AS DOUBLE) / w.n AS p_hat,
+           CAST(p.tr AS DOUBLE) / p.tn AS p_bar,
+           CAST(p.tr AS DOUBLE) / p.tn
+             + 3.0 * sqrt((CAST(p.tr AS DOUBLE) / p.tn)
+                          * (1.0 - CAST(p.tr AS DOUBLE) / p.tn) / w.n)
+             AS ucl,
+           CAST(w.r AS DOUBLE) / w.n
+             > CAST(p.tr AS DOUBLE) / p.tn
+               + 3.0 * sqrt((CAST(p.tr AS DOUBLE) / p.tn)
+                            * (1.0 - CAST(p.tr AS DOUBLE) / p.tn) / w.n)
+             AS out_of_control
+    FROM weekly w CROSS JOIN pooled p
+    ORDER BY w.wk
+    """,
+)
+def returns_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly return-rate p-chart: pooled center line, 3σ upper
+    control limit per week (binomial σ = sqrt(p̄(1−p̄)/n), IEEE sqrt,
+    fixed expression order), out-of-control flags.  One scan, one
+    weekly rollup, 1-row pooled broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "unix_timestamp(CAST(l_shipdate AS DATE)) div 604800"
+        ).alias("wk"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    weekly = li.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ret").alias("r")
+    )
+    pooled = weekly.agg(
+        F.sum("r").alias("tr"), F.sum("n").alias("tn")
+    )
+    p_bar = F.col("tr").cast("double") / F.col("tn")
+    p_hat = F.col("r").cast("double") / F.col("n")
+    ucl = p_bar + F.lit(3.0) * F.sqrt(
+        p_bar * (F.lit(1.0) - p_bar) / F.col("n")
+    )
+    return (
+        weekly.crossJoin(F.broadcast(pooled))
+        .select(
+            "wk",
+            "n",
+            "r",
+            p_hat.alias("p_hat"),
+            p_bar.alias("p_bar"),
+            ucl.alias("ucl"),
+            (p_hat > ucl).alias("out_of_control"),
+        )
+        .orderBy("wk")
+    )

@@ -159,3 +159,48 @@ def test_compaction_plan_conserves_and_packs(spark):
     max_part = parts.agg(F.max("b")).collect()[0][0]
     for r in ordered:
         assert r["total_bytes"] <= COMPACT_TARGET_BYTES + max_part
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a month-partitioned fact against a FILTERED small dim
+    must plan dynamic partition pruning: the fact scan's partition
+    filters carry a dynamicpruning subquery, so only the dim's
+    surviving months are ever read — the 100-TB contract for
+    star-schema date filters."""
+    import contextlib
+    import io
+
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    fact_dir = str(tmp_path / "orders_by_month")
+    (
+        orders.withColumn(
+            "month", F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    months = [r["month"] for r in fact.select("month").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(m, i) for i, m in enumerate(sorted(months))], "month string, idx int"
+    )
+    joined = fact.join(
+        F.broadcast(dim.where(F.col("idx") < 2)), "month"
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "dynamicpruning" in plan, plan[:2000]
+    # and the result agrees with a static filter of the same months
+    keep = sorted(months)[:2]
+    expected = (
+        fact.where(F.col("month").isin(keep))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert joined.collect()[0][0] == expected

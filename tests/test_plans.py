@@ -155,7 +155,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # crossJoin
                   "filter_agreement_matrix",
                   # 1-row median-pair crossJoin (scalar-subquery shape)
-                  "basket_size_value_quadrants"}
+                  "basket_size_value_quadrants",
+                  # 1-row pooled-rate crossJoin (scalar-subquery shape)
+                  "returns_p_chart"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
