@@ -13869,3 +13869,171 @@ def returns_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+# ------------- exact stratified split / top movers
+
+# Stratified train/val/test split with EXACT per-stratum proportions:
+# unlike the hash-threshold split (whose strata sizes are only
+# binomially close to 80/10/10), each (lang, source) stratum gets
+# Hamilton-apportioned exact counts, assigned by md5 rank within the
+# stratum — deterministic, leakage-free, and auditable to the row.
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
+
+
+@register(
+    "corpus_stratified_split",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+               ORDER BY md5('strat-' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    ),
+    quota AS (
+      SELECT lang, source, n,
+             n * {SPLIT_TRAIN_PCT} // 100 AS base_train,
+             n * {SPLIT_VAL_PCT} // 100 AS base_val
+      FROM (SELECT DISTINCT lang, source, n FROM ranked)
+    ),
+    labeled AS (
+      SELECT r.doc_id, r.lang, r.source,
+             CASE WHEN r.rk <= q.base_train THEN 'train'
+                  WHEN r.rk <= q.base_train + q.base_val THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked r JOIN quota q
+        ON r.lang = q.lang AND r.source = q.source
+    )
+    SELECT lang, source, split, COUNT(*) AS n_docs
+    FROM labeled
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion stratified split audit: per (lang, source)
+    stratum, md5-ranked docs filled into floor-quota train/val buckets
+    (floor residue falls to test — the conservative default for
+    held-out data), reported as per-cell counts.  One stratum-keyed
+    window; quotas are vocabulary-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    wn = Window.partitionBy("lang", "source")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    split = (
+        F.when(
+            F.col("rk") <= F.expr(f"n * {SPLIT_TRAIN_PCT} div 100"), "train"
+        )
+        .when(
+            F.col("rk")
+            <= F.expr(
+                f"n * {SPLIT_TRAIN_PCT} div 100 + n * {SPLIT_VAL_PCT} div 100"
+            ),
+            "val",
+        )
+        .otherwise("test")
+    )
+    return (
+        ranked.groupBy("lang", "source", split.alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "source", "split")
+    )
+
+
+# Movers report: the parts whose month-over-month revenue moved most,
+# both directions, fully tie-broken — the retail Monday-morning view
+# on top of the bridge decomposition.
+@register(
+    "part_movers_topk",
+    """
+    WITH pm AS (
+      SELECT DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS month,
+             l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    last_months AS (
+      SELECT MAX(month) AS m1, MAX(month) - INTERVAL 1 MONTH AS m0
+      FROM pm
+    ),
+    paired AS (
+      SELECT COALESCE(c.l_partkey, p.l_partkey) AS p_partkey,
+             COALESCE(c.cents, 0) AS c1,
+             COALESCE(p.cents, 0) AS c0
+      FROM (SELECT pm.* FROM pm CROSS JOIN last_months
+            WHERE month = m1) c
+      FULL OUTER JOIN
+           (SELECT pm.* FROM pm CROSS JOIN last_months
+            WHERE month = m0) p
+        ON c.l_partkey = p.l_partkey
+    )
+    SELECT p_partkey,
+           c0 / 100.0 AS prev_revenue,
+           c1 / 100.0 AS curr_revenue,
+           (c1 - c0) / 100.0 AS delta,
+           CASE WHEN c1 >= c0 THEN 'up' ELSE 'down' END AS direction
+    FROM paired
+    ORDER BY ABS(c1 - c0) DESC, p_partkey
+    LIMIT 15
+    """,
+)
+def part_movers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 movers between the two latest months by absolute revenue
+    change (absent months count as zero — new and lapsed parts rank
+    too), fully tie-broken LIMIT."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.trunc(F.col("l_shipdate").cast("date"), "MM").alias("month"),
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    pm = li.groupBy("month", "l_partkey").agg(
+        F.sum("cents").alias("cents")
+    ).localCheckpoint(eager=False)  # bounds + both month slices
+    lm = pm.agg(
+        F.max("month").alias("m1"),
+        F.add_months(F.max("month"), -1).alias("m0"),
+    )
+    c = (
+        pm.crossJoin(F.broadcast(lm))
+        .where(F.col("month") == F.col("m1"))
+        .select(F.col("l_partkey").alias("ck"), F.col("cents").alias("c1"))
+    )
+    p = (
+        pm.crossJoin(F.broadcast(lm))
+        .where(F.col("month") == F.col("m0"))
+        .select(F.col("l_partkey").alias("pk"), F.col("cents").alias("c0"))
+    )
+    paired = c.join(p, F.col("ck") == F.col("pk"), "full_outer").select(
+        F.coalesce("ck", "pk").alias("p_partkey"),
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c0", F.lit(0)).alias("c0"),
+    )
+    return (
+        paired.select(
+            "p_partkey",
+            (F.col("c0") / 100.0).alias("prev_revenue"),
+            (F.col("c1") / 100.0).alias("curr_revenue"),
+            ((F.col("c1") - F.col("c0")) / 100.0).alias("delta"),
+            F.when(F.col("c1") >= F.col("c0"), "up")
+            .otherwise("down")
+            .alias("direction"),
+        )
+        .orderBy(F.abs(F.col("curr_revenue") - F.col("prev_revenue")).desc(), "p_partkey")
+        .limit(15)
+    )
