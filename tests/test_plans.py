@@ -157,7 +157,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row median-pair crossJoin (scalar-subquery shape)
                   "basket_size_value_quadrants",
                   # 1-row pooled-rate crossJoin (scalar-subquery shape)
-                  "returns_p_chart"}
+                  "returns_p_chart",
+                  # 1-row corpus-count crossJoin onto the 4096-cell
+                  # gram table (scalar-subquery shape)
+                  "embedding_top_pc"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
