@@ -14269,3 +14269,645 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim INT, loading DOUBLE, eigenvalue_scaled DOUBLE"
     ).orderBy("dim")
+
+
+# --------------------------- autocorrelation of daily revenue
+
+# Pearson autocorrelation of the daily-revenue series at lags 1..14 —
+# the "is there weekly structure worth a seasonal model" diagnostic
+# that precedes any forecast.  Exactness recipe: the series is integer
+# dollars; per-lag means are FLOORED integers, so the deviation
+# products and squares are exact int64 (bound: |dev| <= ~1e8 dollars/
+# day keeps sums under int64 at ~1e4 days); only the final
+# sqrt/divide runs in IEEE doubles from identical integers on both
+# engines.  One fact-sized date rollup; everything after is
+# |days| x |lags| (~tens of k rows).
+ACF_MAX_LAG = 14
+
+
+@register(
+    "revenue_acf",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT CAST(u.k AS BIGINT) AS lag
+             FROM UNNEST(range(1, {ACF_MAX_LAG} + 1)) AS u(k)),
+    pairs AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.de = a.de + l.lag
+    ),
+    stats AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+             CAST(SUM(y) AS BIGINT) // COUNT(*) AS my
+      FROM pairs GROUP BY lag
+    ),
+    devs AS (
+      SELECT p.lag, s.n,
+             CAST(SUM((p.x - s.mx) * (p.y - s.my)) AS BIGINT) AS sxy,
+             CAST(SUM((p.x - s.mx) * (p.x - s.mx)) AS BIGINT) AS sxx,
+             CAST(SUM((p.y - s.my) * (p.y - s.my)) AS BIGINT) AS syy
+      FROM pairs p JOIN stats s ON p.lag = s.lag
+      GROUP BY p.lag, s.n
+    )
+    SELECT lag, n AS n_pairs,
+           CAST(floor(CAST(sxy AS DOUBLE) * 1000000
+             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))
+             AS BIGINT) AS acf_ppm
+    FROM devs
+    ORDER BY lag
+    """,
+)
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..14 autocorrelation of daily order revenue: integer-
+    dollar daily rollup -> 14-row lag spine broadcast -> calendar-
+    aligned self-join (equi on epoch-day + lag) -> floored integer
+    means -> exact int64 deviation sums -> one double sqrt/divide at
+    the very end.  Per-lag Pearson over the aligned pairs (means
+    recomputed per lag), the standard cross-correlogram form."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date")).alias("de")
+        )
+        .agg(F.sum(F.floor("o_totalprice").cast("bigint")).alias("rev"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select("de", F.col("rev").alias("x"))
+    b = daily.select(F.col("de").alias("de_b"), F.col("rev").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("de_b") == F.col("de") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(x) AS BIGINT) div COUNT(*)").alias("mx"),
+        F.expr("CAST(SUM(y) AS BIGINT) div COUNT(*)").alias("my"),
+    )
+    devs = (
+        pairs.join(F.broadcast(stats), "lag")
+        .groupBy("lag", "n")
+        .agg(
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            .alias("sxy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+            .alias("sxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
+            .alias("syy"),
+        )
+    )
+    return devs.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CAST(floor(CAST(sxy AS DOUBLE) * 1000000"
+            " / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))"
+            " AS BIGINT)"
+        ).alias("acf_ppm"),
+    ).orderBy("lag")
+
+
+# --------------------------- newsvendor stock levels
+
+# Critical-fractile stock level per part: the smallest daily-demand
+# quantity q with P(D <= q) >= cu/(cu+co) — the closed-form
+# newsvendor answer with underage cost 3x overage.  Discrete quantile
+# realized as a per-part window (value at sorted position
+# ceil(CF*n)), NOT percentile_disc, so both engines share one
+# tie-agnostic definition (the value at a fixed sorted position is
+# unique even when row_number among ties is not).
+NEWSVENDOR_UNDERAGE = 3
+NEWSVENDOR_OVERAGE = 1
+
+
+@register(
+    "part_newsvendor_stock",
+    f"""
+    WITH daily AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, demand,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY demand) AS rn,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n_days,
+             CAST(SUM(demand) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS tot_demand
+      FROM daily
+    )
+    SELECT l_partkey, n_days, tot_demand,
+           demand AS stock_level
+    FROM ranked
+    WHERE rn = ({NEWSVENDOR_UNDERAGE} * n_days
+                + {NEWSVENDOR_UNDERAGE} + {NEWSVENDOR_OVERAGE} - 1)
+               // ({NEWSVENDOR_UNDERAGE} + {NEWSVENDOR_OVERAGE})
+    ORDER BY l_partkey
+    """,
+)
+def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stock: per part, daily demand (sum of shipped
+    quantity per ship-date) and its critical-fractile discrete
+    quantile at CF = cu/(cu+co) = 3/4 — the value at sorted position
+    ceil(CF*n).  One fact rollup, one per-part sort window; output is
+    part-vocabulary-sized."""
+    from pyspark.sql import Window
+
+    cf_num = NEWSVENDOR_UNDERAGE
+    cf_den = NEWSVENDOR_UNDERAGE + NEWSVENDOR_OVERAGE
+    daily = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("demand"))
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = daily.select(
+        "l_partkey",
+        "demand",
+        F.row_number().over(w.orderBy("demand")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("demand").over(w).alias("tot_demand"),
+    )
+    return (
+        ranked.where(
+            F.col("rn")
+            == F.expr(f"({cf_num} * n_days + {cf_den} - 1) div {cf_den}")
+        )
+        .select(
+            "l_partkey",
+            "n_days",
+            "tot_demand",
+            F.col("demand").alias("stock_level"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+# --------------------------- OLS demand slope per category
+
+# Linear price-sensitivity of demand per category: the OLS slope of
+# quantity on unit price over line items — the "does demand fall as
+# price rises, and how fast" regression.  Exactness: prices are
+# integer cents and quantities integers, per-category means are
+# FLOORED integers, deviation sums are exact int64 (dev <= ~1e6
+# cents, rows per category <= ~1e6 keeps sums under int64); the final
+# slope/r2 division is one double op from identical integers.  No
+# logs anywhere — log() is not IEEE-correctly-rounded and differs
+# across libm implementations, so a quantized-log design would NOT be
+# engine-portable (sqrt/div are exact; that's all we use).
+@register(
+    "category_demand_slope",
+    """
+    WITH pts AS (
+      SELECT p_type AS category,
+             CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)
+               AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    m AS (
+      SELECT category, COUNT(*) AS n,
+             CAST(SUM(price_cents) AS BIGINT) // COUNT(*) AS mx,
+             CAST(SUM(qty) AS BIGINT) // COUNT(*) AS my
+      FROM pts GROUP BY category
+    ),
+    d AS (
+      SELECT p.category, m.n,
+             CAST(SUM((p.price_cents - m.mx) * (p.qty - m.my)) AS BIGINT)
+               AS sxy,
+             CAST(SUM((p.price_cents - m.mx) * (p.price_cents - m.mx))
+               AS BIGINT) AS sxx,
+             CAST(SUM((p.qty - m.my) * (p.qty - m.my)) AS BIGINT) AS syy
+      FROM pts p JOIN m ON p.category = m.category
+      GROUP BY p.category, m.n
+    )
+    SELECT category, n AS n_lines,
+           CAST(floor(CAST(sxy AS DOUBLE) * 1000000000
+                      / CAST(sxx AS DOUBLE)) AS BIGINT)
+             AS slope_qty_per_cent_e9,
+           CAST(floor(CAST(sxy AS DOUBLE) * sxy * 1000000
+                      / (CAST(sxx AS DOUBLE) * syy)) AS BIGINT)
+             AS r2_ppm
+    FROM d
+    ORDER BY category
+    """,
+)
+def category_demand_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category OLS of quantity on unit price (integer cents):
+    fact-sized scan -> per-category floored-integer means (broadcast
+    back) -> exact int64 deviation sums -> slope*1e9 and r^2 ppm via
+    one final double division.  Category-keyed partial aggregation;
+    the dim join broadcasts part."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type").alias("category")
+    )
+    pts = li.join(F.broadcast(part), "l_partkey").select(
+        "category", "price_cents", "qty"
+    )
+    m = pts.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(price_cents) AS BIGINT) div COUNT(*)").alias("mx"),
+        F.expr("CAST(SUM(qty) AS BIGINT) div COUNT(*)").alias("my"),
+    )
+    d = (
+        pts.join(F.broadcast(m), "category")
+        .groupBy("category", "n")
+        .agg(
+            F.sum(
+                (F.col("price_cents") - F.col("mx"))
+                * (F.col("qty") - F.col("my"))
+            ).alias("sxy"),
+            F.sum(
+                (F.col("price_cents") - F.col("mx"))
+                * (F.col("price_cents") - F.col("mx"))
+            ).alias("sxx"),
+            F.sum(
+                (F.col("qty") - F.col("my")) * (F.col("qty") - F.col("my"))
+            ).alias("syy"),
+        )
+    )
+    return d.select(
+        "category",
+        F.col("n").alias("n_lines"),
+        F.expr(
+            "CAST(floor(CAST(sxy AS DOUBLE) * 1000000000"
+            " / CAST(sxx AS DOUBLE)) AS BIGINT)"
+        ).alias("slope_qty_per_cent_e9"),
+        F.expr(
+            "CAST(floor(CAST(sxy AS DOUBLE) * sxy * 1000000"
+            " / (CAST(sxx AS DOUBLE) * syy)) AS BIGINT)"
+        ).alias("r2_ppm"),
+    ).orderBy("category")
+
+
+# --------------------------- embedding centroid outliers
+
+# The farthest-from-centroid audit that precedes embedding-space
+# cleaning: rank vectors by distance to the corpus centroid without
+# materializing a float mean.  Exactness recipe: with S_d = Σ x_d and
+# n the corpus count (both exact int64 over micro-quantized ints),
+# n^2 * dist^2 = Σ_d (n*x_d - S_d)^2 — each per-dim difference is an
+# exact int64 (~|n*x| <= 1e6 * n), squared in DOUBLE and folded in
+# dim order, so both engines walk identical IEEE sequences.  One
+# corpus scan for sums, one for scoring (centroid rides as a 1-row
+# broadcast).
+EMBEDDING_OUTLIER_TOPK = 20
+
+
+@register(
+    "embedding_centroid_outliers",
+    f"""
+    WITH ve AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000) AS BIGINT)) AS xs
+      FROM embeddings
+    ),
+    longf AS (
+      SELECT ve.vec_id, u.i AS dim, xs[u.i] AS xi
+      FROM ve CROSS JOIN UNNEST(range(1, len(xs) + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT list(s ORDER BY dim) AS sv, MAX(n) AS n FROM (
+        SELECT dim, CAST(SUM(xi) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM longf GROUP BY dim
+      )
+    )
+    SELECT vec_id,
+           CAST(floor(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), j ->
+               CAST(c.n * ve.xs[j] - c.sv[j] AS DOUBLE)
+               * CAST(c.n * ve.xs[j] - c.sv[j] AS DOUBLE))),
+             (a, b) -> a + b))) AS BIGINT) AS ndist_micro
+    FROM ve CROSS JOIN cent c
+    ORDER BY ndist_micro DESC, vec_id
+    LIMIT {EMBEDDING_OUTLIER_TOPK}
+    """,
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by (n-scaled) distance to the global
+    centroid: per-dim integer sums -> 1-row broadcast centroid ->
+    per-row dim-ordered double fold of exact int64 differences ->
+    floor(sqrt).  TakeOrdered top-k; corpus touched twice (sums +
+    scoring), no shuffle beyond the 64-key sum."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xs"),
+    )
+    longf = emb.select("vec_id", F.posexplode("xs").alias("d0", "xi"))
+    cent = (
+        longf.groupBy("d0")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d0, s))),"
+                " p -> p.s)"
+            ).alias("sv"),
+            F.max("cnt").alias("n"),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(floor(sqrt(aggregate(sequence(1, 64),"
+                " CAST(0.0 AS DOUBLE), (a, j) ->"
+                " a + CAST(n * element_at(xs, j) - element_at(sv, j)"
+                "     AS DOUBLE)"
+                "   * CAST(n * element_at(xs, j) - element_at(sv, j)"
+                "     AS DOUBLE)))) AS BIGINT)"
+            ).alias("ndist_micro"),
+        )
+        .orderBy(F.col("ndist_micro").desc(), "vec_id")
+        .limit(EMBEDDING_OUTLIER_TOPK)
+    )
+
+
+# --------------------------- label propagation communities
+
+# Synchronous min-label propagation on the co-purchase graph: after K
+# rounds every part carries the smallest partkey within K hops — the
+# cheap community/cluster detector that needs no union-find state and
+# is embarrassingly parallel (each round is one equi-join + one min).
+# Complements dedup_clusters (async star-contraction to FULL
+# convergence on the doc-similarity graph): here rounds are FIXED so
+# the result is a deterministic K-hop invariant, same recipe as
+# part_pagerank's unrolled iterations.
+PLP_ROUNDS = 3
+PLP_MIN_SUPPORT = 2
+
+
+def _plp_oracle() -> str:
+    steps = ["""
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {sup}
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+    """.format(sup=PLP_MIN_SUPPORT)]
+    prev = "l0"
+    for t in range(1, PLP_ROUNDS + 1):
+        steps.append(f"""
+    l{t} AS (
+      SELECT p.node,
+             LEAST(p.label, MIN(q.label)) AS label
+      FROM {prev} p
+      JOIN edges e ON e.src = p.node
+      JOIN {prev} q ON q.node = e.dst
+      GROUP BY p.node, p.label
+    )""")
+        prev = f"l{t}"
+    return (
+        "WITH " + ",".join(steps)
+        + f"""
+    SELECT node AS p_partkey, label AS community,
+           COUNT(*) OVER (PARTITION BY label) AS community_size
+    FROM {prev}
+    ORDER BY community, p_partkey
+    """
+    )
+
+
+@register("part_label_propagation", _plp_oracle())
+def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 rounds of synchronous min-label propagation over support-
+    pruned co-purchase edges.  Per round: edges equi-join labels on
+    dst, groupBy src MIN — partial-aggregated, label table is
+    node-sized.  Every node in the edge set has degree >= 1 (edges
+    are symmetric), so the round join never drops nodes.  Labels are
+    localCheckpoint'ed per round to stop plan re-expansion
+    (part_pagerank lesson)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= PLP_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(PLP_ROUNDS):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr.withColumnRenamed("src", "node"), "node")
+            .select(
+                "node", F.least("label", F.col("nbr_min")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("p_partkey"),
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("community_size"),
+    ).orderBy("community", "p_partkey")
+
+
+# --------------------------- minhash as a mergeable register
+
+# MinHash signatures as MERGEABLE sketch registers — the HLL/CMS/Bloom
+# family's missing member: a per-source signature is the element-wise
+# MIN over the source's shingle hashes, so merging sources is the same
+# MIN — one commutative/associative aggregate both builds and unions
+# sketches (min is dedup-insensitive, so no per-source distinct pass
+# is even needed).  The estimate column (share of matching components)
+# is graded against the exact shingle-set Jaccard per source pair.
+# The oracle interpolates dedup.py's hash constants (the
+# HLL_ROLLING_DAYS drift-proofing pattern) so the two sides cannot
+# diverge.
+from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (  # noqa: E402
+    MINHASH_A as _MH_A_CONST,
+    MINHASH_B as _MH_B_CONST,
+    MINHASH_P as MINHASH_P_CONST,
+)
+
+MINHASH_AB_CONST = list(zip(_MH_A_CONST, _MH_B_CONST))
+
+
+@register(
+    "minhash_union_rollup",
+    f"""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+      )
+    ),
+    hashed AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT source,
+             {", ".join(
+                 f"MIN((h * {a} + {b}) % {MINHASH_P_CONST}) AS mh{i}"
+                 for i, (a, b) in enumerate(MINHASH_AB_CONST)
+             )},
+             COUNT(*) AS n_shingles
+      FROM hashed GROUP BY source
+    ),
+    est AS (
+      SELECT sa.source AS source_a, sb.source AS source_b,
+             sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+             ({" + ".join(
+                 f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                 for i in range(8)
+             )}) * 1000000 // 8 AS est_jaccard_ppm
+      FROM sig sa JOIN sig sb ON sa.source < sb.source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.est_jaccard_ppm,
+           COALESCE(i.n_inter, 0) * 1000000
+             // (e.n_a + e.n_b - COALESCE(i.n_inter, 0))
+             AS exact_jaccard_ppm
+    FROM est e LEFT JOIN inter i
+      ON e.source_a = i.source_a AND e.source_b = i.source_b
+    ORDER BY e.source_a, e.source_b
+    """,
+)
+def minhash_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level MinHash registers: shingle once, hash once, then
+    ONE min-aggregate per source builds the 8-component signature
+    (mergeable: the same MIN unions registers).  Source pairs expand
+    from a collect_list of the |sources|-row signature table (no
+    self-join); the exact-Jaccard audit is one shingle-keyed equi-join
+    over the deduped (source, shingle) set."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        _shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds signature + exact audit
+    )
+    hashed = sh.withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    )
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min(
+                (F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+            ).alias(f"mh{i}")
+            for i in range(8)
+        ],
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    # |sources| rows -> expand ordered pairs without a self-join
+    match_sum = " + ".join(
+        f"IF(x.mh{i} = y.mh{i}, 1, 0)" for i in range(8)
+    )
+    est = (
+        sig.agg(
+            F.expr(
+                "array_sort(collect_list(struct(source, mh0, mh1, mh2,"
+                " mh3, mh4, mh5, mh6, mh7, n_shingles)))"
+            ).alias("sigs")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sigs, (x, i) ->"
+                    " transform(slice(sigs, i + 2, size(sigs)), y ->"
+                    " struct(x.source AS source_a, y.source AS source_b,"
+                    f" x.n_shingles AS n_a, y.n_shingles AS n_b,"
+                    f" CAST(({match_sum}) * 1000000 div 8 AS BIGINT)"
+                    " AS est_jaccard_ppm))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    ia = sh.select(F.col("source").alias("source_a"), "shingle")
+    ib = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        ia.join(ib, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        est.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard_ppm",
+            F.expr(
+                "COALESCE(n_inter, 0) * 1000000"
+                " div (n_a + n_b - COALESCE(n_inter, 0))"
+            ).alias("exact_jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

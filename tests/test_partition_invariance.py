@@ -97,6 +97,16 @@ PROBE = [
     "embedding_snapshot_drift",
     # power-iteration trajectory from exact integer gram sums
     "embedding_top_pc",
+    # floored-integer-mean deviation sums + final double sqrt/divide
+    "revenue_acf",
+    # same exact-OLS recipe keyed per category
+    "category_demand_slope",
+    # dim-ordered double fold over exact int64 centroid differences
+    "embedding_centroid_outliers",
+    # K-round min-label trajectory over support-pruned edges
+    "part_label_propagation",
+    # min-register signatures must be placement-independent
+    "minhash_union_rollup",
 ]
 
 

@@ -160,7 +160,14 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "returns_p_chart",
                   # 1-row corpus-count crossJoin onto the 4096-cell
                   # gram table (scalar-subquery shape)
-                  "embedding_top_pc"}
+                  "embedding_top_pc",
+                  # 14-row lag-spine broadcast crossJoin fanning the
+                  # |days|-row daily table (aggregate-reduced grid
+                  # shape, reused by two downstream branches)
+                  "revenue_acf",
+                  # 1-row centroid-sums crossJoin (scalar-subquery
+                  # shape)
+                  "embedding_centroid_outliers"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
