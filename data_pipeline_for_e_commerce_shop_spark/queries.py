@@ -14911,3 +14911,620 @@ def minhash_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------- robust trend (Theil–Sen + Mann–Kendall)
+
+# Robust trend diagnosis of the daily-revenue series: the Theil–Sen
+# slope (median of all pairwise slopes — 29% breakdown point vs OLS's
+# zero) and the Mann–Kendall S/z test (distribution-free monotone
+# trend).  The pair grid is CALENDAR-BOUNDED (|days|^2, ~3M at any
+# scale factor — the fact-sized work is only the daily rollup), so
+# the O(n^2) is a constant, not a scale risk.  Integer S and
+# tie-corrected variance; the only doubles are each pair's slope
+# division and the final z — identical op order on both engines.
+@register(
+    "revenue_trend_robust",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.de - a.de) AS slope,
+             CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.de > a.de
+    ),
+    med AS (
+      SELECT slope FROM (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS np
+        FROM pairs
+      ) WHERE rn = (np + 1) // 2
+    ),
+    s AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS mk_s, COUNT(*) AS n_pairs
+      FROM pairs
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM daily),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)
+      WHERE t > 1
+    )
+    SELECT nn.n AS n_days, s.n_pairs,
+           CAST(floor(med.slope * 1000000) AS BIGINT)
+             AS theil_sen_slope_e6,
+           s.mk_s,
+           CAST(floor(
+             (CASE WHEN s.mk_s > 0 THEN s.mk_s - 1
+                   WHEN s.mk_s < 0 THEN s.mk_s + 1
+                   ELSE 0 END)
+             * 1000000
+             / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                     - ties.tie_term) / 18)) AS BIGINT) AS mk_z_e6
+    FROM s CROSS JOIN nn CROSS JOIN med CROSS JOIN ties
+    """,
+)
+def revenue_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen median slope + Mann–Kendall z over daily revenue.
+    Daily rollup (fact-sized) -> calendar-bounded pair grid (one
+    inequality join of two |days|-row aggregates) -> positional lower
+    median by sort window + exact integer S with tie-corrected
+    variance.  Single-row output assembled from 1-row broadcasts."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date")).alias("de")
+        )
+        .agg(F.sum(F.floor("o_totalprice").cast("bigint")).alias("rev"))
+        .localCheckpoint(eager=True)  # feeds pairs, n, ties
+    )
+    a = daily.select(F.col("de").alias("de_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("de").alias("de_b"), F.col("rev").alias("rev_b"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("de_b") > F.col("de_a"))
+        .select(
+            ((F.col("rev_b") - F.col("rev_a")).cast("double")
+             / (F.col("de_b") - F.col("de_a"))).alias("slope"),
+            F.signum(F.col("rev_b") - F.col("rev_a")).cast("bigint")
+            .alias("sgn"),
+        )
+        .localCheckpoint(eager=True)  # feeds median + S
+    )
+    from pyspark.sql import Window
+
+    # Distributed positional median: bucket the ~|days|^2/2 slopes by
+    # a coarse key, walk the SMALL bucket-count table to the bucket
+    # holding rank (np+1)/2, then sort ONLY that bucket (partitioned
+    # window) — no global single-partition sort.  The picked VALUE is
+    # the same positional element the oracle's plain ROW_NUMBER
+    # selects.
+    bucketed = pairs.select(
+        "slope", F.floor(F.col("slope") / 10000).cast("long").alias("bk")
+    )
+    bcounts = bucketed.groupBy("bk").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    target_bucket = (
+        bcounts.select(
+            "bk",
+            "cnt",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("np"),
+        )
+        .where(
+            (F.col("cum") >= F.expr("(np + 1) div 2"))
+            & (F.col("cum") - F.col("cnt") < F.expr("(np + 1) div 2"))
+        )
+        .select(
+            "bk",
+            (F.expr("(np + 1) div 2") - (F.col("cum") - F.col("cnt")))
+            .alias("offset"),
+        )
+    )
+    med = (
+        bucketed.join(F.broadcast(target_bucket), "bk")
+        .select(
+            "slope",
+            "offset",
+            F.row_number()
+            .over(Window.partitionBy("bk").orderBy("slope"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == F.col("offset"))
+        .select("slope")
+    )
+    s = pairs.agg(
+        F.sum("sgn").alias("mk_s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("tie_term")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.expr("CAST(floor(slope * 1000000) AS BIGINT)")
+            .alias("theil_sen_slope_e6"),
+            "mk_s",
+            F.expr(
+                "CAST(floor("
+                " (CASE WHEN mk_s > 0 THEN mk_s - 1"
+                "       WHEN mk_s < 0 THEN mk_s + 1 ELSE 0 END)"
+                " * 1000000"
+                " / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+                "         - tie_term) / 18)) AS BIGINT)"
+            ).alias("mk_z_e6"),
+        )
+    )
+
+
+# --------------------------- binary-segmentation changepoint
+
+# Best single split of the daily-revenue series: the t minimizing
+# SSE(1..t) + SSE(t+1..N) — one step of binary segmentation, the
+# changepoint primitive CUSUM only approximates.  SSE decomposes over
+# exact integer prefix sums (Q_t - S_t^2/n), so each candidate split
+# is O(1) from two running windows; the argmin is a positional pick
+# with smallest-t tie-break.
+@register(
+    "revenue_best_split",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT de, rev,
+             ROW_NUMBER() OVER (ORDER BY de) AS t,
+             CAST(SUM(rev) OVER (ORDER BY de) AS BIGINT) AS s_t,
+             CAST(SUM(rev * rev) OVER (ORDER BY de) AS BIGINT) AS q_t,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(rev) OVER () AS BIGINT) AS s_n,
+             CAST(SUM(rev * rev) OVER () AS BIGINT) AS q_n
+      FROM daily
+    ),
+    costs AS (
+      SELECT de, t, n, s_t, s_n,
+             (CAST(q_t AS DOUBLE)
+              - CAST(s_t AS DOUBLE) * s_t / t)
+             + (CAST(q_n - q_t AS DOUBLE)
+                - CAST(s_n - s_t AS DOUBLE) * (s_n - s_t) / (n - t))
+               AS split_sse,
+             CAST(q_n AS DOUBLE)
+              - CAST(s_n AS DOUBLE) * s_n / n AS total_sse
+      FROM pre WHERE t < n
+    )
+    SELECT DATE '1970-01-01' + INTERVAL (de) DAY AS split_after_day,
+           t AS n_left, n - t AS n_right,
+           s_t // t AS mean_left,
+           (s_n - s_t) // (n - t) AS mean_right,
+           CAST(floor((total_sse - split_sse) * 1000000 / total_sse)
+             AS BIGINT) AS sse_drop_ppm
+    FROM costs
+    ORDER BY split_sse, t
+    LIMIT 1
+    """,
+)
+def revenue_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of binary segmentation on daily revenue: running
+    integer prefix sums (S_t, Q_t) in a single ordered window, O(1)
+    double SSE per candidate split, argmin with smallest-t tie-break
+    via orderBy+limit.  Everything after the daily rollup is
+    |days|-sized."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date")).alias("de")
+        )
+        .agg(F.sum(F.floor("o_totalprice").cast("bigint")).alias("rev"))
+    )
+    w_run = Window.orderBy("de").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "de",
+        F.row_number().over(Window.orderBy("de")).alias("t"),
+        F.sum("rev").over(w_run).alias("s_t"),
+        F.sum(F.col("rev") * F.col("rev")).over(w_run).alias("q_t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("s_n"),
+        F.sum(F.col("rev") * F.col("rev")).over(w_all).alias("q_n"),
+    )
+    costs = pre.where(F.col("t") < F.col("n")).select(
+        "de",
+        "t",
+        "n",
+        "s_t",
+        "s_n",
+        F.expr(
+            "(CAST(q_t AS DOUBLE) - CAST(s_t AS DOUBLE) * s_t / t)"
+            " + (CAST(q_n - q_t AS DOUBLE)"
+            "    - CAST(s_n - s_t AS DOUBLE) * (s_n - s_t) / (n - t))"
+        ).alias("split_sse"),
+        F.expr(
+            "CAST(q_n AS DOUBLE) - CAST(s_n AS DOUBLE) * s_n / n"
+        ).alias("total_sse"),
+    )
+    return (
+        costs.orderBy("split_sse", "t")
+        .limit(1)
+        .select(
+            F.expr("date_add(DATE '1970-01-01', CAST(de AS INT))")
+            .alias("split_after_day"),
+            F.col("t").alias("n_left"),
+            (F.col("n") - F.col("t")).alias("n_right"),
+            F.expr("s_t div t").alias("mean_left"),
+            F.expr("(s_n - s_t) div (n - t)").alias("mean_right"),
+            F.expr(
+                "CAST(floor((total_sse - split_sse) * 1000000"
+                " / total_sse) AS BIGINT)"
+            ).alias("sse_drop_ppm"),
+        )
+    )
+
+
+# --------------------------- exact type-7 quantile bands
+
+# Per-category price quartiles with R's default type-7 LINEAR
+# INTERPOLATION computed EXACTLY: at p = k/4 the interpolation
+# fraction is a quarter, so reporting values in QUARTER-CENTS
+# (4*lo + r*(hi-lo), r = ((n-1)*k) mod 4) keeps the whole quantile in
+# integers — no float quantile disagreement possible.  Complements
+# percentile_disc (segment_price_quantiles) and the sketch twin
+# (_approx): this is the exact-interpolated rung of the ladder.
+@register(
+    "category_quantile_bands",
+    """
+    WITH pts AS (
+      SELECT p_type AS category,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    ranked AS (
+      SELECT category, cents,
+             ROW_NUMBER() OVER (PARTITION BY category
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY category) AS n
+      FROM pts
+    ),
+    pos AS (
+      SELECT category, n, u.k AS k,
+             ((n - 1) * u.k) // 4 + 1 AS lo_rank,
+             ((n - 1) * u.k) % 4 AS r
+      FROM (SELECT DISTINCT category, n FROM ranked)
+      CROSS JOIN UNNEST(range(1, 4)) AS u(k)
+    ),
+    picked AS (
+      SELECT p.category, p.k,
+             MAX(CASE WHEN r.rn = p.lo_rank THEN r.cents END) AS lo,
+             MAX(CASE WHEN r.rn = p.lo_rank + 1 THEN r.cents END) AS hi,
+             p.r, p.n
+      FROM pos p
+      JOIN ranked r ON r.category = p.category
+                   AND r.rn IN (p.lo_rank, p.lo_rank + 1)
+      GROUP BY p.category, p.k, p.r, p.n
+    )
+    SELECT category, MAX(n) AS n_lines,
+           MAX(CASE WHEN k = 1 THEN 4 * lo + r * (COALESCE(hi, lo) - lo)
+               END) AS q25_qcents,
+           MAX(CASE WHEN k = 2 THEN 4 * lo + r * (COALESCE(hi, lo) - lo)
+               END) AS q50_qcents,
+           MAX(CASE WHEN k = 3 THEN 4 * lo + r * (COALESCE(hi, lo) - lo)
+               END) AS q75_qcents
+    FROM picked
+    GROUP BY category
+    ORDER BY category
+    """,
+)
+def category_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-7 quartiles per category in quarter-cents: one
+    per-category sort window, a 3-row position spine from the counts,
+    and positional picks of lo/hi neighbors — the interpolated
+    quantile with zero floating point.  (hi is NULL only at p=1.0
+    edge cases where r=0; COALESCE keeps the algebra total.)"""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    pts = li.join(F.broadcast(part), "l_partkey").select("category", "cents")
+    w = Window.partitionBy("category")
+    ranked = pts.select(
+        "category",
+        "cents",
+        F.row_number().over(w.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    pos = (
+        ranked.select("category", "n")
+        .distinct()
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "category",
+            "n",
+            "k",
+            F.expr("((n - 1) * k) div 4 + 1").alias("lo_rank"),
+            F.expr("((n - 1) * k) % 4").alias("r"),
+        )
+    )
+    ranked2 = ranked.select(
+        F.col("category").alias("cat_r"), "cents", "rn"
+    )
+    picked = (
+        pos.join(
+            ranked2,
+            (F.col("cat_r") == F.col("category"))
+            & (
+                (F.col("rn") == F.col("lo_rank"))
+                | (F.col("rn") == F.col("lo_rank") + 1)
+            ),
+        )
+        .groupBy("category", "k", "r", "n")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("cents")))
+            .alias("lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("lo_rank") + 1, F.col("cents"))
+            ).alias("hi"),
+        )
+    )
+    band = F.expr("4 * lo + r * (COALESCE(hi, lo) - lo)")
+    return (
+        picked.groupBy("category")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.max(F.when(F.col("k") == 1, band)).alias("q25_qcents"),
+            F.max(F.when(F.col("k") == 2, band)).alias("q50_qcents"),
+            F.max(F.when(F.col("k") == 3, band)).alias("q75_qcents"),
+        )
+        .orderBy("category")
+    )
+
+
+# --------------------------- k-core peeling
+
+# Four peeling rounds toward the 2-core of the co-purchase graph:
+# each round drops nodes with degree < k and the edges touching them
+# — the standard "dense enough to matter" filter before community or
+# influence analysis.  Fixed rounds (like part_pagerank /
+# part_label_propagation) keep the result a deterministic invariant;
+# each round is one degree count + two semi joins, all equi-keyed.
+KCORE_K = 2
+KCORE_ROUNDS = 4
+# sup=2/k=2 keeps the peeling discriminative at every test SF
+# (sup2-k3 empties at sf0.1; sup1 graphs are so dense nothing peels)
+KCORE_MIN_SUPPORT = 2
+
+
+def _kcore_oracle() -> str:
+    steps = [f"""
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {KCORE_MIN_SUPPORT}
+    ),
+    e0 AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    )"""]
+    prev = "e0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+    k{t} AS (
+      SELECT src FROM {prev} GROUP BY src
+      HAVING COUNT(*) >= {KCORE_K}
+    ),
+    e{t} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN k{t} a ON e.src = a.src
+      JOIN k{t} b ON e.dst = b.src
+    )""")
+        prev = f"e{t}"
+    return (
+        "WITH " + ",".join(steps)
+        + f"""
+    SELECT src AS p_partkey, COUNT(*) AS degree
+    FROM {prev} GROUP BY src
+    ORDER BY p_partkey
+    """
+    )
+
+
+@register("part_kcore", _kcore_oracle())
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peel toward the 2-core: per round, degree count (groupBy) then
+    two semi joins restrict edges to surviving endpoints; edge tables
+    are localCheckpoint'ed per round (plan re-expansion lesson).
+    Output: surviving parts with their within-subgraph degree after
+    4 rounds."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= KCORE_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("p_partkey"), "degree")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------- Neyman sample allocation
+
+# Optimal stratified-sampling design: allocate a fixed label/audit
+# budget across (lang, source) strata proportional to N_h * sigma_h
+# (Neyman allocation minimizes the estimator variance for the mean of
+# n_chars).  sigma from exact integer sums; quotas by the same
+# Hamilton largest-remainder recipe as revenue_recognition, so the
+# allocation sums to the budget EXACTLY.  All post-rollup work is
+# strata-vocabulary-sized.
+NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    f"""
+    WITH strata AS (
+      SELECT lang, source, COUNT(*) AS n_h,
+             CAST(SUM(n_chars) AS BIGINT) AS s_h,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q_h
+      FROM documents GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT lang, source, n_h,
+             n_h * sqrt(
+               (CAST(q_h AS DOUBLE) * n_h - CAST(s_h AS DOUBLE) * s_h)
+               / (CAST(n_h AS DOUBLE) * GREATEST(n_h - 1, 1))) AS wgt
+      FROM strata
+    ),
+    tot AS (SELECT SUM(wgt) AS wsum FROM w),
+    quota AS (
+      SELECT lang, source, n_h, wgt,
+             CAST(floor({NEYMAN_BUDGET} * wgt / wsum) AS BIGINT) AS base,
+             {NEYMAN_BUDGET} * wgt / wsum
+               - floor({NEYMAN_BUDGET} * wgt / wsum) AS rem
+      FROM w CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rr,
+             {NEYMAN_BUDGET} - CAST(SUM(base) OVER () AS BIGINT)
+               AS shortfall
+      FROM quota
+    )
+    SELECT lang, source, n_h,
+           CAST(floor(wgt * 1000) AS BIGINT) AS weight_e3,
+           base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END AS alloc_n
+    FROM ranked
+    ORDER BY lang, source
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a {NEYMAN_BUDGET}-unit audit budget over
+    (lang, source) strata: one fact-sized rollup to exact integer
+    (n, sum, sum-of-squares), sigma and weights in deterministic
+    doubles, Hamilton largest-remainder top-ups (rem desc, lang,
+    source tie-break) so allocations sum to the budget exactly."""
+    from pyspark.sql import Window
+
+    strata = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum("n_chars").alias("s_h"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("q_h"),
+        )
+    )
+    w = strata.select(
+        "lang",
+        "source",
+        "n_h",
+        F.expr(
+            "n_h * sqrt("
+            " (CAST(q_h AS DOUBLE) * n_h - CAST(s_h AS DOUBLE) * s_h)"
+            " / (CAST(n_h AS DOUBLE) * GREATEST(n_h - 1, 1)))"
+        ).alias("wgt"),
+    )
+    tot = w.agg(F.sum("wgt").alias("wsum"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_h",
+        "wgt",
+        F.expr(
+            f"CAST(floor({NEYMAN_BUDGET} * wgt / wsum) AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"{NEYMAN_BUDGET} * wgt / wsum"
+            f" - floor({NEYMAN_BUDGET} * wgt / wsum)"
+        ).alias("rem"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = quota.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang", "source"))
+        .alias("rr"),
+        (F.lit(NEYMAN_BUDGET) - F.sum("base").over(w_all)).alias(
+            "shortfall"
+        ),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_h",
+        F.expr("CAST(floor(wgt * 1000) AS BIGINT)").alias("weight_e3"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+        ).alias("alloc_n"),
+    ).orderBy("lang", "source")

@@ -107,6 +107,16 @@ PROBE = [
     "part_label_propagation",
     # min-register signatures must be placement-independent
     "minhash_union_rollup",
+    # bucketed positional median + integer S/tie-variance
+    "revenue_trend_robust",
+    # double SSE argmin over integer prefix sums
+    "revenue_best_split",
+    # positional lo/hi picks + quarter-cent interpolation
+    "category_quantile_bands",
+    # peeling trajectory over fixed rounds
+    "part_kcore",
+    # Hamilton top-ups ranked on double remainders
+    "neyman_allocation",
 ]
 
 

@@ -167,7 +167,17 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "revenue_acf",
                   # 1-row centroid-sums crossJoin (scalar-subquery
                   # shape)
-                  "embedding_centroid_outliers"}
+                  "embedding_centroid_outliers",
+                  # calendar-bounded |days| x |days| inequality pair
+                  # grid (both sides aggregate-reduced) + 1-row
+                  # result-assembly crossJoins
+                  "revenue_trend_robust",
+                  # 3-row quantile-position spine crossJoin
+                  # (aggregate-reduced grid shape)
+                  "category_quantile_bands",
+                  # 1-row weight-total crossJoin (scalar-subquery
+                  # shape)
+                  "neyman_allocation"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
