@@ -15528,3 +15528,386 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
         ).alias("alloc_n"),
     ).orderBy("lang", "source")
+
+
+# --------------------------- maximum drawdown
+
+# Worst peak-to-trough drop of the daily-revenue series — the
+# finance-style stability gauge.  The running peak and both argmax
+# tie-breaks (earliest peak day, earliest trough day) are encoded as
+# single BIGINTs (rev*1e5 - epoch_day is injective while epoch_day <
+# 1e5, i.e. until year 2243), so the whole query is integer windows +
+# one integer global max: zero floats, zero ordering ambiguity.
+@register(
+    "revenue_max_drawdown",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    runpk AS (
+      SELECT de, rev,
+             CAST(MAX(rev * 100000 - de) OVER (ORDER BY de) AS BIGINT)
+               AS peak_code
+      FROM daily
+    ),
+    dd AS (
+      SELECT de, rev, peak_code,
+             (peak_code + 100000 - 1) // 100000 AS peak_rev,
+             ((peak_code + 100000 - 1) // 100000) - rev AS draw
+      FROM runpk
+    ),
+    best AS (
+      SELECT CAST(MAX(draw * 100000 - de) AS BIGINT) AS best_code
+      FROM dd
+    )
+    SELECT d.peak_rev * 100000 - d.peak_code AS peak_day_epoch,
+           d.de AS trough_day_epoch,
+           d.peak_rev, d.rev AS trough_rev, d.draw AS drawdown,
+           d.draw * 1000000 // d.peak_rev AS drawdown_ppm
+    FROM dd d JOIN best b
+      ON d.draw * 100000 - d.de = b.best_code
+    """,
+)
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown of daily revenue: one ordered running-max window
+    (integer-encoded argmax), one global integer max, one equi-join
+    back to decode the winning row.  |days|-sized after the rollup."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date")).alias("de")
+        )
+        .agg(F.sum(F.floor("o_totalprice").cast("bigint")).alias("rev"))
+    )
+    runpk = daily.select(
+        "de",
+        "rev",
+        F.max(F.col("rev") * 100000 - F.col("de"))
+        .over(Window.orderBy("de").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak_code"),
+    )
+    dd = runpk.select(
+        "de",
+        "rev",
+        "peak_code",
+        F.expr("(peak_code + 100000 - 1) div 100000").alias("peak_rev"),
+        F.expr(
+            "((peak_code + 100000 - 1) div 100000) - rev"
+        ).alias("draw"),
+    ).localCheckpoint(eager=False)  # feeds best + decode join
+    best = dd.agg(
+        F.max(F.col("draw") * 100000 - F.col("de")).alias("best_code")
+    )
+    return (
+        dd.join(
+            F.broadcast(best),
+            F.col("draw") * 100000 - F.col("de") == F.col("best_code"),
+        )
+        .select(
+            (F.col("peak_rev") * 100000 - F.col("peak_code"))
+            .alias("peak_day_epoch"),
+            F.col("de").alias("trough_day_epoch"),
+            "peak_rev",
+            F.col("rev").alias("trough_rev"),
+            F.col("draw").alias("drawdown"),
+            F.expr("draw * 1000000 div peak_rev").alias("drawdown_ppm"),
+        )
+    )
+
+
+# --------------------------- common-neighbor link prediction
+
+# Recommender-graph link prediction: for part pairs NOT yet
+# co-purchased, count shared co-purchase neighbors — the classic
+# common-neighbors score whose top pairs are "customers who buy both
+# of these buy the same third things".  Two-hop paths come from one
+# edge-edge equi-join on the middle node; existing edges are removed
+# with an anti join; all integer counts with full (score desc, a, b)
+# tie-break.
+LINKPRED_TOPK = 20
+
+
+@register(
+    "part_link_prediction",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PLP_MIN_SUPPORT}
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    two_hop AS (
+      SELECT e1.src AS a, e2.dst AS b, COUNT(DISTINCT e1.dst) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT t.a, t.b, t.cn
+      FROM two_hop t
+      LEFT JOIN pairs p ON t.a = p.src AND t.b = p.dst
+      WHERE p.src IS NULL
+    )
+    SELECT a AS part_a, b AS part_b, cn AS common_neighbors
+    FROM cand
+    ORDER BY cn DESC, a, b
+    LIMIT {LINKPRED_TOPK}
+    """,
+)
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links on the support-2 co-purchase graph by
+    common-neighbor count: edge-edge equi-join on the middle node ->
+    distinct-middle count per (a < b) -> anti join against existing
+    edges -> TakeOrdered.  Everything is equi-keyed; the two-hop
+    fan-out is bounded by the pruned graph's degree."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= PLP_MIN_SUPPORT)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # feeds edges + anti join
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("z"))
+    e2 = edges.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    two_hop = (
+        e1.join(e2, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("z").alias("cn"))
+    )
+    cand = two_hop.join(
+        pairs.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
+        .limit(LINKPRED_TOPK)
+    )
+
+
+# --------------------------- two-way ANOVA
+
+# Two-way ANOVA with interaction on order value: does revenue-per-
+# order differ by customer nation, by order priority, and by their
+# interaction?  The whole decomposition reduces over ONE cell-level
+# rollup (nation x priority: n, sum, sum-of-squares in exact integer
+# cents); SS terms and F ratios are computed from those integers in
+# fixed-order doubles.  Unbalanced design uses the classic
+# "factor-margin" (Type I sequential, A then B) sums of squares.
+@register(
+    "anova_nation_priority",
+    """
+    WITH cells AS (
+      SELECT n_name AS nation, o_orderpriority AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT))
+               AS BIGINT) AS s,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)
+                      * CAST(floor(o_totalprice) AS BIGINT))
+               AS BIGINT) AS q
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    grand AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(q) AS BIGINT) AS qq,
+             COUNT(*) AS n_cells,
+             COUNT(DISTINCT nation) AS n_a,
+             COUNT(DISTINCT priority) AS n_b
+      FROM cells
+    ),
+    ma AS (
+      SELECT nation, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s
+      FROM cells GROUP BY nation
+    ),
+    mb AS (
+      SELECT priority, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s
+      FROM cells GROUP BY priority
+    ),
+    ea AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(s AS DOUBLE) * s / n ORDER BY nation)),
+             (a, b) -> a + b) AS v FROM ma
+    ),
+    eb AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(s AS DOUBLE) * s / n ORDER BY priority)),
+             (a, b) -> a + b) AS v FROM mb
+    ),
+    ec AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(s AS DOUBLE) * s / n
+                    ORDER BY nation, priority)),
+             (a, b) -> a + b) AS v FROM cells
+    ),
+    terms AS (
+      SELECT
+        (SELECT v FROM ea)
+          - (SELECT CAST(ss AS DOUBLE) * ss / nn FROM grand) AS ss_a,
+        (SELECT v FROM eb)
+          - (SELECT CAST(ss AS DOUBLE) * ss / nn FROM grand) AS ss_b,
+        (SELECT v FROM ec)
+          - (SELECT v FROM ea)
+          - (SELECT v FROM eb)
+          + (SELECT CAST(ss AS DOUBLE) * ss / nn FROM grand) AS ss_ab,
+        (SELECT CAST(qq AS DOUBLE) FROM grand)
+          - (SELECT v FROM ec) AS ss_e,
+        (SELECT n_a FROM grand) AS n_a,
+        (SELECT n_b FROM grand) AS n_b,
+        (SELECT n_cells FROM grand) AS n_cells,
+        (SELECT nn FROM grand) AS nn
+    )
+    SELECT effect, df, CAST(floor(ss_term) AS BIGINT)
+             AS ss_dollars2,
+           CAST(floor((ss_term / df)
+                      / (ss_e / (nn - n_cells)) * 1000) AS BIGINT)
+             AS f_stat_e3
+    FROM (
+      SELECT 'nation' AS effect, n_a - 1 AS df, ss_a AS ss_term,
+             ss_e, nn, n_cells FROM terms
+      UNION ALL
+      SELECT 'priority', n_b - 1, ss_b, ss_e, nn, n_cells FROM terms
+      UNION ALL
+      SELECT 'interaction', n_cells - n_a - n_b + 1, ss_ab, ss_e, nn,
+             n_cells FROM terms
+    )
+    ORDER BY effect
+    """,
+)
+def anova_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA (nation x priority) on order value: one
+    fact-sized rollup to 125 cells of exact integer (n, Σdollars,
+    Σdollars² — dollars, not cents, so Σx² stays under int64 up to
+    ~sf30); margins, grand totals, SS terms and F stats all reduce
+    from those integers in deterministic doubles.  Dims broadcast;
+    the 1-row term table assembles via crossJoins."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("dol"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cells = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dol").alias("s"),
+            F.sum(F.col("dol") * F.col("dol")).alias("q"),
+        )
+        .localCheckpoint(eager=True)  # feeds grand/margins/cell term
+    )
+    grand = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("nation").alias("n_a"),
+        F.countDistinct("priority").alias("n_b"),
+    )
+    # key-ordered double folds (collect_list -> sort -> aggregate):
+    # a plain SUM of doubles is partition-order dependent and flips
+    # floor() at SS boundaries — the fold pins one IEEE order that
+    # the oracle's list(... ORDER BY key) replays exactly
+    def _fold(col_expr: str, keys: str, alias: str):
+        return F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            f"{keys}, 'v', {col_expr}))), CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x.v)"
+        ).alias(alias)
+
+    ta = cells.groupBy("nation").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    ).agg(_fold("CAST(s AS DOUBLE) * s / n", "'k1', nation", "expl_a"))
+    tb = cells.groupBy("priority").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    ).agg(_fold("CAST(s AS DOUBLE) * s / n", "'k1', priority", "expl_b"))
+    tc = cells.agg(
+        _fold(
+            "CAST(s AS DOUBLE) * s / n",
+            "'k1', nation, 'k2', priority",
+            "expl_cells",
+        )
+    )
+    terms = (
+        grand.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tc))
+        .select(
+            F.expr("expl_a - CAST(ss AS DOUBLE) * ss / nn").alias("ss_a"),
+            F.expr("expl_b - CAST(ss AS DOUBLE) * ss / nn").alias("ss_b"),
+            F.expr(
+                "expl_cells - expl_a - expl_b"
+                " + CAST(ss AS DOUBLE) * ss / nn"
+            ).alias("ss_ab"),
+            F.expr("CAST(qq AS DOUBLE) - expl_cells").alias("ss_e"),
+            "n_a",
+            "n_b",
+            "n_cells",
+            "nn",
+        )
+    )
+    rows = terms.selectExpr(
+        "stack(3,"
+        " 'nation', CAST(n_a - 1 AS BIGINT), ss_a,"
+        " 'priority', CAST(n_b - 1 AS BIGINT), ss_b,"
+        " 'interaction', CAST(n_cells - n_a - n_b + 1 AS BIGINT), ss_ab)"
+        " AS (effect, df, ss_term)",
+        "ss_e",
+        "nn",
+        "n_cells",
+    )
+    return rows.select(
+        "effect",
+        "df",
+        F.expr("CAST(floor(ss_term) AS BIGINT)").alias(
+            "ss_dollars2"
+        ),
+        F.expr(
+            "CAST(floor((ss_term / df) / (ss_e / (nn - n_cells))"
+            " * 1000) AS BIGINT)"
+        ).alias("f_stat_e3"),
+    ).orderBy("effect")

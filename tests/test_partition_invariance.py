@@ -117,6 +117,12 @@ PROBE = [
     "part_kcore",
     # Hamilton top-ups ranked on double remainders
     "neyman_allocation",
+    # integer-encoded running-max argmax chain
+    "revenue_max_drawdown",
+    # key-ordered explained-sum folds + F ratios
+    "anova_nation_priority",
+    # two-hop counts with anti-join pruning
+    "part_link_prediction",
 ]
 
 

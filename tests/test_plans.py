@@ -177,7 +177,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "category_quantile_bands",
                   # 1-row weight-total crossJoin (scalar-subquery
                   # shape)
-                  "neyman_allocation"}
+                  "neyman_allocation",
+                  # 1-row grand-total + three 1-row explained-sum
+                  # crossJoins (scalar-subquery shape)
+                  "anova_nation_priority"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
