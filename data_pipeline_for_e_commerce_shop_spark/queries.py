@@ -15911,3 +15911,342 @@ def anova_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("f_stat_e3"),
     ).orderBy("effect")
+
+
+# --------------------------- packing efficiency planner
+
+# Sequence-packing cost planner: for each candidate context length,
+# how many tokens survive truncation, how much padding the naive
+# one-doc-per-row layout wastes, and how many rows a greedy packer
+# would need (ceil(kept/ctx) — the information-theoretic floor).
+# This is the "which context size do we train at" table; every value
+# is an exact integer ratio.  One doc scan fanned by a 4-row
+# broadcast spine.
+PACKING_CTX_SIZES = (128, 256, 512, 1024)
+
+
+@register(
+    "corpus_packing_efficiency",
+    f"""
+    WITH toks AS (
+      SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    spine AS (SELECT CAST(u.c AS BIGINT) AS ctx
+              FROM UNNEST([{", ".join(str(c) for c in PACKING_CTX_SIZES)}])
+                AS u(c)),
+    per AS (
+      SELECT s.ctx,
+             COUNT(*) AS n_docs,
+             CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(LEAST(t.n_tok, s.ctx)) AS BIGINT) AS kept_tokens,
+             CAST(SUM(CASE WHEN t.n_tok > s.ctx THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_truncated
+      FROM toks t CROSS JOIN spine s
+      GROUP BY s.ctx
+    )
+    SELECT ctx, n_docs, total_tokens, kept_tokens, n_truncated,
+           (n_docs * ctx - kept_tokens) * 1000000 // (n_docs * ctx)
+             AS pad_waste_ppm,
+           (kept_tokens + ctx - 1) // ctx AS packed_rows,
+           (((kept_tokens + ctx - 1) // ctx) * ctx - kept_tokens)
+             * 1000000 // (((kept_tokens + ctx - 1) // ctx) * ctx)
+             AS packed_waste_ppm
+    FROM per
+    ORDER BY ctx
+    """,
+)
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation/padding/packing economics per candidate context
+    length: whitespace token counts once per doc, a broadcast ctx
+    spine, integer LEAST/ceil arithmetic — the exact planning table
+    for sequence packing."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    spine = spark.createDataFrame(
+        [(c,) for c in PACKING_CTX_SIZES], "ctx long"
+    )
+    per = (
+        toks.crossJoin(F.broadcast(spine))
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.least("n_tok", "ctx")).alias("kept_tokens"),
+            F.sum(
+                F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0)
+            ).alias("n_truncated"),
+        )
+    )
+    return per.select(
+        "ctx",
+        "n_docs",
+        "total_tokens",
+        "kept_tokens",
+        "n_truncated",
+        F.expr(
+            "(n_docs * ctx - kept_tokens) * 1000000 div (n_docs * ctx)"
+        ).alias("pad_waste_ppm"),
+        F.expr("(kept_tokens + ctx - 1) div ctx").alias("packed_rows"),
+        F.expr(
+            "(((kept_tokens + ctx - 1) div ctx) * ctx - kept_tokens)"
+            " * 1000000 div (((kept_tokens + ctx - 1) div ctx) * ctx)"
+        ).alias("packed_waste_ppm"),
+    ).orderBy("ctx")
+
+
+# --------------------------- hard-negative mining
+
+# Contrastive-pair mining for embedding training: per query vector,
+# the best same-label match (positive) and the best OTHER-label match
+# (hard negative) by exact int64 micro-unit dot product, plus the
+# margin between them — the pairs that make metric-learning batches
+# informative.  Same broadcast-queries-vs-corpus shape as
+# brute_force_topk (plan-exempt); all scoring integer-exact with
+# smallest-corpus-id tie-break via integer argmax encoding.
+HARDNEG_N_QUERIES = 10
+
+
+@register(
+    "embedding_hard_negatives",
+    f"""
+    WITH ve AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000) AS BIGINT)) AS xs
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM ve WHERE vec_id < {HARDNEG_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS corpus_id, c.label AS corpus_label,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 65), j -> q.xs[j] * c.xs[j])),
+               (a, b) -> a + b) AS dot_micro2
+      FROM q JOIN ve c ON c.vec_id <> q.vec_id
+    ),
+    picked AS (
+      SELECT query_id, query_label, corpus_id, corpus_label,
+             dot_micro2,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id,
+                            (corpus_label = query_label)
+               ORDER BY dot_micro2 DESC, corpus_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, query_label,
+           MAX(CASE WHEN corpus_label = query_label
+               THEN corpus_id END) AS pos_id,
+           MAX(CASE WHEN corpus_label = query_label
+               THEN dot_micro2 END) AS pos_dot_micro2,
+           MAX(CASE WHEN corpus_label <> query_label
+               THEN corpus_id END) AS hneg_id,
+           MAX(CASE WHEN corpus_label <> query_label
+               THEN dot_micro2 END) AS hneg_dot_micro2,
+           MAX(CASE WHEN corpus_label = query_label
+               THEN dot_micro2 END)
+             - MAX(CASE WHEN corpus_label <> query_label
+                   THEN dot_micro2 END) AS margin_micro2
+    FROM picked WHERE rn = 1
+    GROUP BY query_id, query_label
+    ORDER BY query_id
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query (vec_id < 10): best same-label (positive) and best
+    other-label (hard negative) corpus vectors by exact int64
+    micro-dot, picked with a per-(query, same-label?) window ordered
+    (dot desc, corpus_id) — fully deterministic — then pivoted to one
+    row per query with the contrastive margin.  Queries broadcast
+    against one corpus scan (brute_force_topk shape)."""
+    from pyspark.sql import Window
+
+    ve = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xs"),
+    )
+    q = ve.where(F.col("vec_id") < HARDNEG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("xs").alias("q_xs"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(ve)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("corpus_id"),
+            F.col("label").alias("corpus_label"),
+            F.expr(
+                "aggregate(zip_with(q_xs, xs, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("dot_micro2"),
+        )
+    )
+    picked = scored.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                "query_id", F.col("corpus_label") == F.col("query_label")
+            ).orderBy(F.col("dot_micro2").desc(), "corpus_id")
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    same = F.col("corpus_label") == F.col("query_label")
+    return (
+        picked.groupBy("query_id", "query_label")
+        .agg(
+            F.max(F.when(same, F.col("corpus_id"))).alias("pos_id"),
+            F.max(F.when(same, F.col("dot_micro2"))).alias(
+                "pos_dot_micro2"
+            ),
+            F.max(F.when(~same, F.col("corpus_id"))).alias("hneg_id"),
+            F.max(F.when(~same, F.col("dot_micro2"))).alias(
+                "hneg_dot_micro2"
+            ),
+        )
+        .select(
+            "*",
+            (F.col("pos_dot_micro2") - F.col("hneg_dot_micro2")).alias(
+                "margin_micro2"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------- sequential purchase rules
+
+# "Bought A, next order contains B": association rules ACROSS
+# consecutive orders of the same customer — the sequential complement
+# to basket_rules (within one basket) and events_transition_matrix
+# (event types).  Consecutive orders pair by a per-customer
+# row_number self-join; the A x B fan-out is bounded by parts-per-
+# order squared; lift is exact integer ppm from first/second-position
+# marginals.
+SEQRULE_TOPK = 20
+
+
+@register(
+    "part_sequence_rules",
+    f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    consec AS (
+      SELECT a.o_orderkey AS ok1, b.o_orderkey AS ok2
+      FROM seq a JOIN seq b ON a.o_custkey = b.o_custkey
+                           AND b.rn = a.rn + 1
+    ),
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ab AS (
+      SELECT p1.l_partkey AS part_a, p2.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM consec c
+      JOIN li p1 ON p1.l_orderkey = c.ok1
+      JOIN li p2 ON p2.l_orderkey = c.ok2
+      WHERE p1.l_partkey <> p2.l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM consec),
+    ma AS (
+      SELECT p1.l_partkey AS part_a, COUNT(DISTINCT c.ok1) AS n_a
+      FROM consec c JOIN li p1 ON p1.l_orderkey = c.ok1
+      GROUP BY 1
+    ),
+    mb AS (
+      SELECT p2.l_partkey AS part_b, COUNT(DISTINCT c.ok2) AS n_b
+      FROM consec c JOIN li p2 ON p2.l_orderkey = c.ok2
+      GROUP BY 1
+    )
+    SELECT ab.part_a, ab.part_b, ab.n_ab,
+           ab.n_ab * t.n_pairs * 1000000 // (ma.n_a * mb.n_b)
+             AS lift_ppm
+    FROM ab
+    JOIN ma ON ab.part_a = ma.part_a
+    JOIN mb ON ab.part_b = mb.part_b
+    CROSS JOIN tot t
+    ORDER BY ab.n_ab DESC, ab.part_a, ab.part_b
+    LIMIT {SEQRULE_TOPK}
+    """,
+)
+def part_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 next-order purchase rules: per-customer order ranking
+    window, consecutive-pair self-join (equi on custkey + rank),
+    part fan-in from two lineitem joins, exact integer lift vs the
+    first/second-position marginals, TakeOrdered tie-broken
+    (n desc, a, b)."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+    )
+    a = seq.select("o_custkey", F.col("o_orderkey").alias("ok1"), "rn")
+    b = seq.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok2"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    consec = a.join(b, ["o_custkey", "rn"]).select("ok1", "ok2")
+    consec = consec.localCheckpoint(eager=True)  # feeds ab/tot/ma/mb
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    p1 = li.select(
+        F.col("l_orderkey").alias("ok1"), F.col("l_partkey").alias("part_a")
+    )
+    p2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    withp = consec.join(p1, "ok1").join(p2, "ok2")
+    ab = (
+        withp.where(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot = consec.agg(F.count(F.lit(1)).alias("n_pairs"))
+    ma = (
+        consec.join(p1, "ok1")
+        .groupBy("part_a")
+        .agg(F.countDistinct("ok1").alias("n_a"))
+    )
+    mb = (
+        consec.join(p2, "ok2")
+        .groupBy("part_b")
+        .agg(F.countDistinct("ok2").alias("n_b"))
+    )
+    return (
+        ab.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(
+                "n_ab * n_pairs * 1000000 div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(SEQRULE_TOPK)
+    )

@@ -123,6 +123,10 @@ PROBE = [
     "anova_nation_priority",
     # two-hop counts with anti-join pruning
     "part_link_prediction",
+    # windowed argmax picks over integer dots
+    "embedding_hard_negatives",
+    # consecutive-order pairing + integer lift
+    "part_sequence_rules",
 ]
 
 

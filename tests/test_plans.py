@@ -180,7 +180,16 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "neyman_allocation",
                   # 1-row grand-total + three 1-row explained-sum
                   # crossJoins (scalar-subquery shape)
-                  "anova_nation_priority"}
+                  "anova_nation_priority",
+                  # 4-row context-size spine crossJoin
+                  # (aggregate-reduced grid shape)
+                  "corpus_packing_efficiency",
+                  # broadcast query set vs one corpus scan — the
+                  # intended brute-force shape (like ann_brute_topk)
+                  "embedding_hard_negatives",
+                  # 1-row consecutive-pair total crossJoin
+                  # (scalar-subquery shape)
+                  "part_sequence_rules"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
