@@ -16250,3 +16250,144 @@ def part_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
         .limit(SEQRULE_TOPK)
     )
+
+
+# --------------------------- LATERAL correlated top-k
+
+# Top-3 suppliers per nation expressed as a correlated LATERAL
+# subquery — the SQL-surface rung Spark 4 added (correlated
+# subqueries in FROM): the engine decorrelates the per-nation
+# ORDER BY ... LIMIT into the same window plan topk_per_group builds
+# by hand, which is exactly what the plan contract asserts (no
+# nested-loop re-execution per outer row).  Money kept in integer
+# cents; ordering fully tie-broken.
+@register(
+    "lateral_topk_suppliers",
+    """
+    SELECT n.n_name AS nation, x.s_name, x.bal_cents, x.rnk
+    FROM nation n,
+    LATERAL (
+      SELECT s_name,
+             CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(floor(s_acctbal * 100) AS BIGINT) DESC,
+                        s_suppkey) AS rnk
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY bal_cents DESC, s_suppkey
+      LIMIT 3
+    ) x
+    ORDER BY nation, x.rnk
+    """,
+)
+def lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-3 per nation, written as SQL so
+    Catalyst's decorrelation (RewriteLateralSubquery) produces the
+    windowed top-k plan — the declarative twin of topk_per_group.
+    Dims are vocabulary-sized; supplier is scanned once."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "lat_nation"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "lat_supplier"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, x.s_name, x.bal_cents, x.rnk
+        FROM lat_nation n,
+        LATERAL (
+          SELECT s_name,
+                 CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(floor(s_acctbal * 100) AS BIGINT) DESC,
+                            s_suppkey) AS rnk
+          FROM lat_supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, s_suppkey
+          LIMIT 3
+        ) x
+        ORDER BY nation, x.rnk
+        """
+    )
+
+
+# --------------------------- inclusion-dependency audit
+
+# Foreign-key DISCOVERY (not verification): for every declared or
+# suspected child->parent column pair, measure containment — what
+# fraction of distinct child values exist in the parent — plus both
+# distinct cardinalities.  1.0 containment = a real FK (ri_orphans'
+# precondition); partial containment flags drifting references.  Each
+# pair costs two distinct-aggregations and one left anti join on
+# ALREADY-DISTINCT keys; the pair list is fixed metadata, so the
+# whole audit is a union of small key-space queries.
+FK_CANDIDATE_PAIRS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ckey, parent, pkey in FK_CANDIDATE_PAIRS:
+        parts.append(f"""
+    SELECT '{child}.{ckey}' AS child_col,
+           '{parent}.{pkey}' AS parent_col,
+           (SELECT COUNT(DISTINCT {ckey}) FROM {child}) AS n_child,
+           (SELECT COUNT(DISTINCT {pkey}) FROM {parent}) AS n_parent,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT {ckey} AS v FROM {child}
+              WHERE {ckey} IS NOT NULL
+           ) c WHERE c.v IN (SELECT {pkey} FROM {parent}))
+             * 1000000
+             // (SELECT COUNT(DISTINCT {ckey}) FROM {child})
+             AS containment_ppm""")
+    return " UNION ALL ".join(parts) + " ORDER BY child_col, parent_col"
+
+
+@register("fk_inclusion_audit", _fk_oracle())
+def fk_inclusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency profile over the declared candidate FK
+    pairs: per pair, distinct cardinalities both sides and
+    containment ppm via a semi join of the deduped child key space
+    against the parent.  Results union into one metadata table."""
+    out = None
+    for child, ckey, parent, pkey in FK_CANDIDATE_PAIRS:
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ckey).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+        )
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("v")
+        )
+        stats = (
+            c.join(p.distinct(), "v", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_contained"))
+            .crossJoin(
+                F.broadcast(c.agg(F.count(F.lit(1)).alias("n_child")))
+            )
+            .crossJoin(
+                F.broadcast(
+                    p.agg(F.countDistinct("v").alias("n_parent"))
+                )
+            )
+            .select(
+                F.lit(f"{child}.{ckey}").alias("child_col"),
+                F.lit(f"{parent}.{pkey}").alias("parent_col"),
+                "n_child",
+                "n_parent",
+                F.expr(
+                    "n_contained * 1000000 div n_child"
+                ).alias("containment_ppm"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("child_col", "parent_col")

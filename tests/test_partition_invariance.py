@@ -127,6 +127,9 @@ PROBE = [
     "embedding_hard_negatives",
     # consecutive-order pairing + integer lift
     "part_sequence_rules",
+    # decorrelated LATERAL must equal the window top-k under any
+    # placement
+    "lateral_topk_suppliers",
 ]
 
 

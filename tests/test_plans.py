@@ -189,7 +189,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "embedding_hard_negatives",
                   # 1-row consecutive-pair total crossJoin
                   # (scalar-subquery shape)
-                  "part_sequence_rules"}
+                  "part_sequence_rules",
+                  # 16 1-row cardinality crossJoins (2 per audited FK
+                  # pair; scalar-subquery shape)
+                  "fk_inclusion_audit"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
