@@ -11515,11 +11515,13 @@ def cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM over daily value totals per type: per-type
-    integer target/slack (μ, k = μ/20), exact integer recursion
-    distributed by WITH RECURSIVE, peak statistic + earliest peak day
-    + alert-day count (S > 4k).  The |types|x|days| base table is
-    checkpointed before recursion (each level re-executes its source
-    subtree)."""
+    integer target/slack (μ, k = μ/20), exact integer recursion run
+    as ONE day-ordered aggregate-HOF fold per type (the day array is
+    calendar-bounded), carrying (s, running max, earliest peak day,
+    alert count) in a single struct accumulator.  This replaces a
+    WITH RECURSIVE formulation whose depth-=-days join ladder cost
+    ~60 scheduler rounds (5-10 s) for the identical integers; the
+    ema/holt queries keep the recursion demo."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
@@ -11528,48 +11530,35 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(x) div count(1)").alias("mu"),
         F.expr("(sum(x) div count(1)) div 20").alias("k"),
     )
-    from pyspark.sql import Window as _W
-
-    idx = (
+    arr = (
         daily.join(F.broadcast(mu), "event_type")
-        .withColumn(
-            "i",
-            F.row_number().over(
-                _W.partitionBy("event_type").orderBy("d")
-            )
-            - 1,
-        )
-        .localCheckpoint(eager=False)
+        .groupBy("event_type", "mu", "k")
+        .agg(F.expr("array_sort(collect_list(struct(d, x)))").alias("seq"))
     )
-    idx.createOrReplaceTempView("cusum_idx")
-    mu.createOrReplaceTempView("cusum_mu")
-    return spark.sql(
-        """
-        WITH RECURSIVE cusum(event_type, i, d, s) AS (
-          SELECT event_type, i, d,
-                 GREATEST(CAST(0 AS BIGINT), x - mu - k)
-          FROM cusum_idx WHERE i = 0
-          UNION ALL
-          SELECT x.event_type, x.i, x.d,
-                 GREATEST(CAST(0 AS BIGINT), c.s + x.x - x.mu - x.k)
-          FROM cusum c
-          JOIN cusum_idx x ON x.event_type = c.event_type
-                          AND x.i = c.i + 1
+    step_s = "GREATEST(CAST(0 AS BIGINT), a.s + e.x - mu - k)"
+    fold = (
+        "aggregate(seq, named_struct("
+        " 's', CAST(0 AS BIGINT), 'mx', CAST(-1 AS BIGINT),"
+        " 'peak', CAST(0 AS BIGINT), 'alerts', CAST(0 AS BIGINT),"
+        " 'n', CAST(0 AS BIGINT)),"
+        " (a, e) -> named_struct("
+        f" 's', {step_s},"
+        f" 'mx', GREATEST(a.mx, {step_s}),"
+        f" 'peak', IF({step_s} > a.mx, e.d, a.peak),"
+        f" 'alerts', a.alerts + IF({step_s} > 4 * k,"
+        "    CAST(1 AS BIGINT), CAST(0 AS BIGINT)),"
+        " 'n', a.n + CAST(1 AS BIGINT)))"
+    )
+    return (
+        arr.select("event_type", F.expr(fold).alias("st"))
+        .select(
+            "event_type",
+            F.col("st.mx").alias("max_cusum_cents"),
+            F.col("st.peak").alias("peak_day_epoch"),
+            F.col("st.alerts").alias("n_alert_days"),
+            F.col("st.n").alias("n_days"),
         )
-        SELECT c.event_type,
-               MAX(c.s) AS max_cusum_cents,
-               MIN(CASE WHEN c.s = mx.mx THEN c.d END) AS peak_day_epoch,
-               SUM(CASE WHEN c.s > 4 * m.k THEN 1 ELSE 0 END)
-                 AS n_alert_days,
-               COUNT(*) AS n_days
-        FROM cusum c
-        JOIN cusum_mu m ON c.event_type = m.event_type
-        JOIN (SELECT event_type, MAX(s) AS mx FROM cusum
-              GROUP BY event_type) mx
-          ON c.event_type = mx.event_type
-        GROUP BY c.event_type
-        ORDER BY c.event_type
-        """
+        .orderBy("event_type")
     )
 
 

@@ -1239,11 +1239,19 @@ def test_revenue_bridge_hypothesis_identity_and_effects(spark, tmp_path):
             "l_quantity",
         ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
         out = QUERIES["revenue_bridge"](spark, d).collect()
-        # pure-Python: per (part, month-idx) rollup
+        # pure-Python: per (part, month-idx) rollup.  The engine's
+        # money convention is floor(price_double * 100) — and
+        # cents/100.0*100 can floor one cent LOW (201 -> 2.01 ->
+        # 200.999... -> 200), so the reference must quantize through
+        # the SAME double round-trip or it disagrees with BOTH
+        # engines (hypothesis found cents=201).
+        import math
+
         pm: dict = {}
         for pk, m, cents, q in rows:
+            eng_cents = math.floor((cents / 100.0) * 100)
             c, qq = pm.get((pk, m), (0, 0))
-            pm[(pk, m)] = (c + cents, qq + q)
+            pm[(pk, m)] = (c + eng_cents, qq + q)
         # month-by-month decomposition (month 0 has no predecessor:
         # everything current is 'new'; month 3 exists only as the
         # exit bucket of month-2 parts)
