@@ -16380,3 +16380,115 @@ def fk_inclusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out.orderBy("child_col", "parent_col")
+
+
+# --------------------------- VARIANT semi-structured path
+
+# Spark 4's VARIANT type as the semi-structured fast path: props
+# parses ONCE into the binary variant encoding (parse_json), then
+# typed paths extract JVM-side (variant_get / try_variant_get) — the
+# engine-native successor to get_json_object string re-parsing that
+# scalar_json demonstrates.  The rollup grades extraction totals,
+# missing-path behavior (try_variant_get -> NULL, never an error),
+# and type-cast strictness per event type.
+@register(
+    "variant_props_kpis",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS max_k,
+           COUNT(json_extract_string(props, '$.missing')) AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_props_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse props to VARIANT once, extract '$.k' as a typed BIGINT
+    and a deliberately missing path via try_variant_get (NULL, not an
+    error), then a per-type rollup — one scan, all extraction inside
+    codegen on the binary variant encoding."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+            F.expr("try_variant_get(v, '$.missing', 'string')").alias(
+                "miss"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("miss").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------- Observation metrics
+
+# Spark's Observation API as the pipeline-instrumentation surface:
+# named aggregate metrics ride ON the production query (df.observe)
+# and are harvested from the SAME pass — no second scan, no sampling
+# — the mechanism a 100-TB job uses to publish row counts / null
+# rates / money totals to its run ledger.  The observed numbers are
+# returned as a table and graded against a direct SQL computation.
+@register(
+    "pipeline_observed_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END)
+             AS BIGINT) AS n_null_price,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    """,
+)
+def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach four named metrics to the orders scan via df.observe,
+    drive the pass with a count(), and return Observation.get as a
+    one-row table — run-ledger instrumentation for free on the
+    production plan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("orders_metrics")
+    orders = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias(
+            "n_null_price"
+        ),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "revenue_cents"
+        ),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+    orders.count()  # one action materializes the metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_price"],
+                m["revenue_cents"],
+                m["max_orderkey"],
+            )
+        ],
+        "n_rows long, n_null_price long, revenue_cents long,"
+        " max_orderkey long",
+    )

@@ -130,6 +130,8 @@ PROBE = [
     # decorrelated LATERAL must equal the window top-k under any
     # placement
     "lateral_topk_suppliers",
+    # variant extraction + rollup independent of placement
+    "variant_props_kpis",
 ]
 
 
