@@ -16492,3 +16492,129 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_null_price long, revenue_cents long,"
         " max_orderkey long",
     )
+
+
+# --------------------------- inventory policy replay
+
+# Deterministic (s, S) inventory simulation as a QUERY: replay each
+# part's day-ordered demand through an order-up-to policy (reorder
+# point s = mean daily demand, order-up-to S = 3x mean) counting
+# stockout days, lost units and replenishment orders — "what would
+# this policy have done" over history, entirely in exact integers.
+# The per-part day array is calendar-bounded, so the fold is O(days)
+# per part inside one partial-aggregated groupBy; no joins at all
+# after the rollup.
+# DuckDB's list_reduce mis-folds STRUCT accumulators (field lanes
+# reduce independently — verified with a trace probe), so the oracle
+# replays the identical policy as three scalar folds whose packed
+# state is metric*1e5 + inventory (inventory < 1e5 by the 3x-mean
+# bound; metrics bounded by days/total-units, margins ~1e6x).
+def _inv_fold(metric_expr: str) -> str:
+    inv = "(a % 100000)"
+    served = f"LEAST({inv}, e)"
+    rem = f"({inv} - {served})"
+    invp = (
+        f"CASE WHEN {rem} <= mean_q THEN 3 * mean_q ELSE {rem} END"
+    )
+    return (
+        "list_reduce(list_prepend(3 * mean_q, seq),"
+        f" (a, e) -> ({metric_expr}) * 100000 + ({invp}))"
+    )
+
+
+_INV_ORDERS = _inv_fold(
+    "(a // 100000) + CASE WHEN (a % 100000)"
+    " - LEAST(a % 100000, e) <= mean_q THEN 1 ELSE 0 END"
+)
+_INV_SO = _inv_fold(
+    "(a // 100000) + CASE WHEN e > (a % 100000) THEN 1 ELSE 0 END"
+)
+_INV_LOST = _inv_fold("(a // 100000) + e - LEAST(a % 100000, e)")
+
+
+@register(
+    "part_inventory_replay",
+    f"""
+    WITH daily AS (
+      SELECT l_partkey,
+             CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    seqs AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_days,
+             CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_q,
+             list(q ORDER BY de) AS seq
+      FROM daily GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, n_days, mean_q,
+           {_INV_ORDERS} // 100000 AS n_orders,
+           {_INV_SO} // 100000 AS stockout_days,
+           {_INV_LOST} // 100000 AS lost_units,
+           {_INV_ORDERS} % 100000 AS end_inventory
+    FROM seqs
+    ORDER BY p_partkey
+    """,
+)
+def part_inventory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, S) policy replay per part: one fact rollup to (part, day,
+    qty), one groupBy collecting the day-ordered demand array, one
+    integer HOF fold carrying (inventory, orders, stockout days,
+    lost units) in a named_struct accumulator.  (The oracle packs the
+    same recursion into scalar folds — DuckDB list_reduce mis-folds
+    struct accumulators; see the oracle comment.)"""
+    daily = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("de"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    seqs = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("CAST(SUM(q) AS BIGINT) div COUNT(*)").alias("mean_q"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(de, q))),"
+            " p -> p.q)"
+        ).alias("seq"),
+    )
+    served = "LEAST(a.inv, e.inv)"
+    fold = (
+        "aggregate("
+        " transform(seq, x -> named_struct("
+        "  'inv', x, 'orders', CAST(0 AS BIGINT),"
+        "  'so_days', CAST(0 AS BIGINT), 'lost', CAST(0 AS BIGINT))),"
+        " named_struct('inv', 3 * mean_q, 'orders', CAST(0 AS BIGINT),"
+        "  'so_days', CAST(0 AS BIGINT), 'lost', CAST(0 AS BIGINT)),"
+        " (a, e) -> named_struct("
+        f" 'inv', CASE WHEN a.inv - {served} <= mean_q THEN 3 * mean_q"
+        f"         ELSE a.inv - {served} END,"
+        f" 'orders', a.orders + CASE WHEN a.inv - {served} <= mean_q"
+        "           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,"
+        " 'so_days', a.so_days + CASE WHEN e.inv > a.inv"
+        "           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,"
+        f" 'lost', a.lost + e.inv - {served}))"
+    )
+    return (
+        seqs.select(
+            "l_partkey",
+            "n_days",
+            "mean_q",
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_days",
+            "mean_q",
+            F.col("st.orders").alias("n_orders"),
+            F.col("st.so_days").alias("stockout_days"),
+            F.col("st.lost").alias("lost_units"),
+            F.col("st.inv").alias("end_inventory"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -132,6 +132,8 @@ PROBE = [
     "lateral_topk_suppliers",
     # variant extraction + rollup independent of placement
     "variant_props_kpis",
+    # policy-replay fold trajectory per part
+    "part_inventory_replay",
 ]
 
 
