@@ -16618,3 +16618,203 @@ def part_inventory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------- Shapley channel attribution
+
+# Game-theoretic channel attribution (Zhao et al.'s simplified
+# Shapley): users' pre-conversion channel SETS form a 4-bit lattice
+# (view=1, click=2, signup=4, error=8); v(S) is the exact ppm
+# conversion rate of users with exactly set S (0 for unobserved
+# sets); each channel's Shapley value sums w(|S|)·(v(S∪i)−v(S)) over
+# the 8 subsets not containing it, with the factorial weights
+# |S|!(4−|S|−1)! carried as INTEGER numerators over 4!=24 (output is
+# the x24-scaled sum — no negative integer division, whose floor/
+# truncate semantics differ between engines).  Everything after the
+# per-user mask rollup is a 16-row lattice self-join.
+SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+
+
+@register(
+    "events_shapley_attribution",
+    """
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+               AS b_view,
+             MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+               AS b_click,
+             MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+               AS b_signup,
+             MAX(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+               AS b_error
+      FROM events e
+      LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.first_purchase IS NULL OR e.ts < fp.first_purchase)
+      GROUP BY e.user_id
+    ),
+    users AS (
+      SELECT u.user_id,
+             COALESCE(p.b_view, 0) + 2 * COALESCE(p.b_click, 0)
+               + 4 * COALESCE(p.b_signup, 0)
+               + 8 * COALESCE(p.b_error, 0) AS mask,
+             CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS conv
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN pre p ON u.user_id = p.user_id
+      LEFT JOIN fp f ON u.user_id = f.user_id
+    ),
+    masks AS (
+      SELECT mask, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      FROM users GROUP BY mask
+    ),
+    lattice AS (
+      SELECT CAST(u.s AS BIGINT) AS s,
+             COALESCE(m.c * 1000000 // m.n, 0) AS rate_ppm
+      FROM UNNEST(range(0, 16)) AS u(s)
+      LEFT JOIN masks m ON m.mask = u.s
+    ),
+    chan AS (
+      SELECT * FROM (VALUES ('view', CAST(1 AS BIGINT)),
+                            ('click', CAST(2 AS BIGINT)),
+                            ('signup', CAST(4 AS BIGINT)),
+                            ('error', CAST(8 AS BIGINT)))
+        AS t(channel, bit)
+    ),
+    contrib AS (
+      SELECT ch.channel, ch.bit,
+             CASE (l.s % 2) + ((l.s // 2) % 2) + ((l.s // 4) % 2)
+                  + ((l.s // 8) % 2)
+               WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+               * (lw.rate_ppm - l.rate_ppm) AS term
+      FROM chan ch
+      JOIN lattice l ON ((l.s // ch.bit) % 2) = 0
+      JOIN lattice lw ON lw.s = l.s + ch.bit
+    )
+    SELECT c.channel,
+           (SELECT COUNT(*) FROM users u
+            WHERE ((u.mask // c.bit) % 2) = 1) AS touched_users,
+           (SELECT CAST(SUM(term) AS BIGINT) FROM contrib t
+            WHERE t.channel = c.channel) AS shapley_x24_ppm
+    FROM chan c
+    ORDER BY c.channel
+    """,
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified Shapley attribution: per-user pre-first-purchase
+    channel mask (one fact pass + broadcast first-purchase table),
+    16-cell lattice of exact ppm conversion rates, factorial-weighted
+    marginal contributions summed per channel over the 8 relevant
+    subsets.  All integers; the only joins after the user rollup are
+    16x16-row lattice lookups."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    pre = (
+        ev.join(F.broadcast(fp), "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (
+                F.col("first_purchase").isNull()
+                | (F.col("ts") < F.col("first_purchase"))
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == name, bit).otherwise(0)
+                ).alias(f"b_{name}")
+                for name, bit in SHAPLEY_CHANNELS
+            ]
+        )
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .join(F.broadcast(pre), "user_id", "left")
+        .join(
+            F.broadcast(fp.withColumn("conv", F.lit(1))).select(
+                "user_id", "conv"
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            sum(
+                [F.coalesce(F.col(f"b_{name}"), F.lit(0))
+                 for name, _ in SHAPLEY_CHANNELS],
+                F.lit(0),
+            ).alias("mask"),
+            F.coalesce("conv", F.lit(0)).alias("conv"),
+        )
+        .localCheckpoint(eager=True)  # feeds masks + touched counts
+    )
+    masks = users.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    lattice = (
+        spark.range(0, 16)
+        .select(F.col("id").alias("s"))
+        .join(F.broadcast(masks), F.col("s") == F.col("mask"), "left")
+        .select(
+            "s",
+            F.coalesce(
+                F.expr("c * 1000000 div n"), F.lit(0).cast("long")
+            ).alias("rate_ppm"),
+        )
+    )
+    chan = spark.createDataFrame(
+        list(SHAPLEY_CHANNELS), "channel string, bit long"
+    )
+    lw = lattice.select(
+        F.col("s").alias("sw"), F.col("rate_ppm").alias("rate_w")
+    )
+    contrib = (
+        chan.join(
+            F.broadcast(lattice),
+            F.expr("(s div bit) % 2 = 0"),
+        )
+        .join(F.broadcast(lw), F.expr("sw = s + bit"))
+        .select(
+            "channel",
+            "bit",
+            F.expr(
+                "CASE (s % 2) + ((s div 2) % 2) + ((s div 4) % 2)"
+                " + ((s div 8) % 2)"
+                " WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+                " * (rate_w - rate_ppm)"
+            ).alias("term"),
+        )
+        .groupBy("channel", "bit")
+        .agg(F.sum("term").alias("shapley_x24_ppm"))
+    )
+    touched = (
+        chan.join(
+            F.broadcast(users),
+            F.expr("(mask div bit) % 2 = 1"),
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("touched_users"))
+    )
+    return (
+        contrib.join(F.broadcast(touched), "channel", "left")
+        .select(
+            "channel",
+            F.coalesce("touched_users", F.lit(0).cast("long")).alias(
+                "touched_users"
+            ),
+            "shapley_x24_ppm",
+        )
+        .orderBy("channel")
+    )

@@ -134,6 +134,8 @@ PROBE = [
     "variant_props_kpis",
     # policy-replay fold trajectory per part
     "part_inventory_replay",
+    # lattice marginal sums from exact ppm rates
+    "events_shapley_attribution",
 ]
 
 

@@ -192,7 +192,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "part_sequence_rules",
                   # 16 1-row cardinality crossJoins (2 per audited FK
                   # pair; scalar-subquery shape)
-                  "fk_inclusion_audit"}
+                  "fk_inclusion_audit",
+                  # 4-channel x 16-cell lattice joins on bit
+                  # predicates (aggregate-reduced grid shape)
+                  "events_shapley_attribution"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
