@@ -16818,3 +16818,113 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------- NDCG retrieval grading
+
+# NDCG@5 for the approximate indexes, graded against brute-force
+# ground truth: relevance of a retrieved item is 6 - its brute rank
+# (0 if outside the exact top-5), position discounts are the standard
+# 1/log2(pos+1) — but FROZEN as integer micro-unit literals on both
+# engines (log2 is not correctly-rounded-portable; five constants
+# are), so DCG is a pure integer dot product and NDCG an exact ppm.
+# Extends ann_recall (set overlap) with rank-sensitive quality.
+NDCG_W_E6 = (1000000, 630929, 500000, 430676, 386852)
+NDCG_IDCG_E6 = sum((5 - i) * w for i, w in enumerate(NDCG_W_E6))
+
+
+def _ndcg_oracle() -> str:
+    w_vals = ", ".join(
+        f"({i + 1}, CAST({w} AS BIGINT))" for i, w in enumerate(NDCG_W_E6)
+    )
+    return f"""
+    WITH brute AS ({ORACLES["ann_brute_topk"]}),
+    lsh AS ({ORACLES["ann_lsh_topk"]}),
+    ivf AS ({ORACLES["ann_ivf_topk"]}),
+    w AS (SELECT * FROM (VALUES {w_vals}) AS t(pos, w_e6)),
+    graded AS (
+      SELECT m.method, m.query_id,
+             CAST(SUM(COALESCE(6 - b.rank, 0) * w.w_e6) AS BIGINT)
+               AS dcg_e6
+      FROM (
+        SELECT 'lsh' AS method, query_id, corpus_id, rank FROM lsh
+        UNION ALL
+        SELECT 'ivf', query_id, corpus_id, rank FROM ivf
+      ) m
+      JOIN w ON w.pos = m.rank
+      LEFT JOIN brute b ON b.query_id = m.query_id
+                       AND b.corpus_id = m.corpus_id
+      GROUP BY m.method, m.query_id
+    )
+    SELECT query_id,
+           MAX(CASE WHEN method = 'lsh' THEN
+               dcg_e6 * 1000000 // {NDCG_IDCG_E6} END) AS lsh_ndcg_ppm,
+           MAX(CASE WHEN method = 'ivf' THEN
+               dcg_e6 * 1000000 // {NDCG_IDCG_E6} END) AS ivf_ndcg_ppm
+    FROM graded
+    GROUP BY query_id
+    ORDER BY query_id
+    """
+
+
+@register("ann_ndcg", _ndcg_oracle())
+def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 per query for LSH and IVF vs the brute ranking:
+    equi-joins over n_queries x 5 rows, integer relevance x frozen
+    integer discounts, exact ppm.  The heavy work is the three index
+    scans themselves (the measurement panel is tiny) — identical
+    cost shape to ann_recall."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    brute = brute_force_topk(spark, sf_dir, k=5).select(
+        "query_id", "corpus_id", F.col("rank").alias("brank")
+    )
+    w = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(NDCG_W_E6)],
+        "pos int, w_e6 long",
+    )
+    retrieved = (
+        lsh_topk(spark, sf_dir, k=5)
+        .select("query_id", "corpus_id", "rank")
+        .withColumn("method", F.lit("lsh"))
+        .unionByName(
+            ivf_topk(spark, sf_dir, k=5)
+            .select("query_id", "corpus_id", "rank")
+            .withColumn("method", F.lit("ivf"))
+        )
+    )
+    graded = (
+        retrieved.join(
+            F.broadcast(w), retrieved["rank"] == w["pos"]
+        )
+        .join(F.broadcast(brute), ["query_id", "corpus_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.lit(6) - F.col("brank"), F.lit(0))
+                * F.col("w_e6")
+            ).alias("dcg_e6")
+        )
+    )
+    return (
+        graded.groupBy("query_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("method") == "lsh",
+                    F.expr(f"dcg_e6 * 1000000 div {NDCG_IDCG_E6}"),
+                )
+            ).alias("lsh_ndcg_ppm"),
+            F.max(
+                F.when(
+                    F.col("method") == "ivf",
+                    F.expr(f"dcg_e6 * 1000000 div {NDCG_IDCG_E6}"),
+                )
+            ).alias("ivf_ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -136,6 +136,8 @@ PROBE = [
     "part_inventory_replay",
     # lattice marginal sums from exact ppm rates
     "events_shapley_attribution",
+    # three index scans + frozen-discount integer DCG
+    "ann_ndcg",
 ]
 
 

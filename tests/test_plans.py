@@ -195,7 +195,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "fk_inclusion_audit",
                   # 4-channel x 16-cell lattice joins on bit
                   # predicates (aggregate-reduced grid shape)
-                  "events_shapley_attribution"}
+                  "events_shapley_attribution",
+                  # composes brute (intended broadcast-NL baseline)
+                  # like ann_recall
+                  "ann_ndcg"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
