@@ -16928,3 +16928,179 @@ def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------- time-decay attribution
+
+# Time-decay multi-touch attribution with EXACT weights: a touch
+# k weeks before the conversion earns 1e6 / 2^k micro-credits
+# (half-life = 7 days) — powers of two keep the decay integer-exact,
+# where an exp() decay would hit non-portable libm rounding.
+# Completes the attribution ladder: position-based, U-shaped,
+# Shapley, time-decay.  One user-keyed equi-join bounded by the
+# 28-day window.
+TIMEDECAY_WINDOW_DAYS = 28
+TIMEDECAY_HALFLIFE_DAYS = 7
+
+
+@register(
+    "events_time_decay_attribution",
+    f"""
+    WITH purch AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_type AS channel,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tt
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    credited AS (
+      SELECT t.channel,
+             1000000 // CAST(power(2,
+               ((p.pt - t.tt) // 86400) // {TIMEDECAY_HALFLIFE_DAYS})
+               AS BIGINT) AS w_e6
+      FROM touch t JOIN purch p ON t.user_id = p.user_id
+      WHERE t.tt <= p.pt
+        AND p.pt - t.tt < {TIMEDECAY_WINDOW_DAYS} * 86400
+    ),
+    per AS (
+      SELECT channel, COUNT(*) AS n_credited_touches,
+             CAST(SUM(w_e6) AS BIGINT) AS weight_e6
+      FROM credited GROUP BY channel
+    ),
+    tot AS (SELECT CAST(SUM(weight_e6) AS BIGINT) AS w FROM per)
+    SELECT channel, n_credited_touches, weight_e6,
+           weight_e6 * 1000000 // tot.w AS share_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY channel
+    """,
+)
+def events_time_decay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-channel time-decayed conversion credit: purchases and
+    touches split from one scan, user-keyed equi-join with the 28-day
+    residual predicate, integer 2^-k weights (k = age-weeks), share
+    of total as exact ppm."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("sec").alias("pt")
+    )
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"),
+        F.col("sec").alias("tt"),
+    )
+    credited = (
+        touch.join(purch, "user_id")
+        .where(
+            (F.col("tt") <= F.col("pt"))
+            & (
+                F.col("pt") - F.col("tt")
+                < TIMEDECAY_WINDOW_DAYS * 86400
+            )
+        )
+        .select(
+            "channel",
+            F.expr(
+                "1000000 div CAST(power(2,"
+                f" ((pt - tt) div 86400) div {TIMEDECAY_HALFLIFE_DAYS})"
+                " AS BIGINT)"
+            ).alias("w_e6"),
+        )
+    )
+    per = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        F.sum("w_e6").alias("weight_e6"),
+    )
+    tot = per.agg(F.sum("weight_e6").alias("w"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_credited_touches",
+            "weight_e6",
+            F.expr("weight_e6 * 1000000 div w").alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------- empirical-Bayes return rates
+
+# Small-sample stabilization: per-part return rates shrunk toward the
+# global prior with integer beta-binomial pseudo-counts (alpha/beta
+# derived from the corpus rate over a fixed prior strength) — the
+# ranking you'd actually act on, where a 1-for-1 part no longer beats
+# a 40-for-400 part.  Entirely integer: raw ppm, shrunk ppm, and the
+# top-20 shrunk ranking with full tie-break.
+SHRINKAGE_PRIOR_N = 50
+
+
+@register(
+    "part_return_shrinkage",
+    f"""
+    WITH per AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returns
+      FROM lineitem GROUP BY l_partkey
+    ),
+    g AS (
+      SELECT CAST(SUM(n_returns) AS BIGINT) AS tot_r,
+             CAST(SUM(n_lines) AS BIGINT) AS tot_n
+      FROM per
+    ),
+    scored AS (
+      SELECT p.l_partkey AS p_partkey, p.n_lines, p.n_returns,
+             p.n_returns * 1000000 // p.n_lines AS raw_ppm,
+             (p.n_returns * g.tot_n + {SHRINKAGE_PRIOR_N} * g.tot_r)
+               * 1000000
+               // ((p.n_lines + {SHRINKAGE_PRIOR_N}) * g.tot_n)
+               AS shrunk_ppm
+      FROM per p CROSS JOIN g
+    )
+    SELECT * FROM scored
+    ORDER BY shrunk_ppm DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def part_return_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial shrinkage of per-part return rates: one fact
+    rollup, 1-row global prior broadcast, exact integer shrunk rate
+    (returns + prior_n * global_rate) / (n + prior_n) cross-
+    multiplied to ppm, top-20 tie-broken."""
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returns"),
+        )
+    )
+    g = per.agg(
+        F.sum("n_returns").alias("tot_r"), F.sum("n_lines").alias("tot_n")
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_lines",
+            "n_returns",
+            F.expr("n_returns * 1000000 div n_lines").alias("raw_ppm"),
+            F.expr(
+                f"(n_returns * tot_n + {SHRINKAGE_PRIOR_N} * tot_r)"
+                " * 1000000"
+                f" div ((n_lines + {SHRINKAGE_PRIOR_N}) * tot_n)"
+            ).alias("shrunk_ppm"),
+        )
+        .orderBy(F.col("shrunk_ppm").desc(), "p_partkey")
+        .limit(20)
+    )

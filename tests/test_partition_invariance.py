@@ -138,6 +138,8 @@ PROBE = [
     "events_shapley_attribution",
     # three index scans + frozen-discount integer DCG
     "ann_ndcg",
+    # power-of-two decay credits + share ppm
+    "events_time_decay_attribution",
 ]
 
 

@@ -198,7 +198,13 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "events_shapley_attribution",
                   # composes brute (intended broadcast-NL baseline)
                   # like ann_recall
-                  "ann_ndcg"}
+                  "ann_ndcg",
+                  # 1-row credit-total crossJoin (scalar-subquery
+                  # shape)
+                  "events_time_decay_attribution",
+                  # 1-row global-prior crossJoin (scalar-subquery
+                  # shape)
+                  "part_return_shrinkage"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
