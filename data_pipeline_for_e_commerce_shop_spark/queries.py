@@ -17104,3 +17104,86 @@ def part_return_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shrunk_ppm").desc(), "p_partkey")
         .limit(20)
     )
+
+
+# --------------------------- price waterfall
+
+# Gross-to-net price waterfall per category: list revenue, discount
+# give-back, tax add-on, and net — every tier an exact per-line
+# integer-cents floor (floor(ext*100), floor(ext*disc*100),
+# floor(ext*(1-disc)*tax*100)), so the waterfall reconciles to the
+# cent and the discount leakage ppm is an exact ratio.  One fact scan
+# + broadcast dim, category-keyed partial agg.
+@register(
+    "category_price_waterfall",
+    """
+    WITH lines AS (
+      SELECT p_type AS category,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS gross_c,
+             CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS disc_c,
+             CAST(floor(l_extendedprice * (1 - l_discount) * l_tax
+                        * 100) AS BIGINT) AS tax_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT category,
+           COUNT(*) AS n_lines,
+           CAST(SUM(gross_c) AS BIGINT) AS gross_cents,
+           CAST(SUM(disc_c) AS BIGINT) AS discount_cents,
+           CAST(SUM(tax_c) AS BIGINT) AS tax_cents,
+           CAST(SUM(gross_c) - SUM(disc_c) + SUM(tax_c) AS BIGINT)
+             AS net_cents,
+           CAST(SUM(disc_c) AS BIGINT) * 1000000
+             // CAST(SUM(gross_c) AS BIGINT) AS discount_leakage_ppm
+    FROM lines
+    GROUP BY category
+    ORDER BY category
+    """,
+)
+def category_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross -> -discount -> +tax -> net per category in exact
+    integer cents (per-line floors on both engines), with discount
+    leakage as ppm of gross."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "gross_c"
+        ),
+        F.expr(
+            "CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)"
+        ).alias("disc_c"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * l_tax"
+            " * 100) AS BIGINT)"
+        ).alias("tax_c"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("gross_c").alias("gross_cents"),
+            F.sum("disc_c").alias("discount_cents"),
+            F.sum("tax_c").alias("tax_cents"),
+        )
+        .select(
+            "category",
+            "n_lines",
+            "gross_cents",
+            "discount_cents",
+            "tax_cents",
+            (
+                F.col("gross_cents")
+                - F.col("discount_cents")
+                + F.col("tax_cents")
+            ).alias("net_cents"),
+            F.expr(
+                "discount_cents * 1000000 div gross_cents"
+            ).alias("discount_leakage_ppm"),
+        )
+        .orderBy("category")
+    )

@@ -140,6 +140,8 @@ PROBE = [
     "ann_ndcg",
     # power-of-two decay credits + share ppm
     "events_time_decay_attribution",
+    # three-tier cent floors must reconcile under any placement
+    "category_price_waterfall",
 ]
 
 
