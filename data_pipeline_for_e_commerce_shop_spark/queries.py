@@ -17187,3 +17187,121 @@ def category_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --------------------------- degree assortativity
+
+# Degree assortativity of the co-purchase graph: the Pearson
+# correlation of endpoint degrees over all (directed) edges — do
+# popular parts co-sell with popular parts (assortative, r>0) or with
+# niche ones (disassortative, r<0)?  Same exactness recipe as
+# revenue_acf: floored integer means, exact int64 deviation sums
+# (bounded: deg <= ~1e5, edges <= ~1e7 keeps sums under int64), one
+# final double sqrt/divide.
+@register(
+    "graph_assortativity",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PLP_MIN_SUPPORT}
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e
+      JOIN deg da ON e.src = da.node
+      JOIN deg db ON e.dst = db.node
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+             CAST(SUM(y) AS BIGINT) // COUNT(*) AS my
+      FROM ed
+    ),
+    d2 AS (
+      SELECT m.n,
+             CAST(SUM((e.x - m.mx) * (e.y - m.my)) AS BIGINT) AS sxy,
+             CAST(SUM((e.x - m.mx) * (e.x - m.mx)) AS BIGINT) AS sxx,
+             CAST(SUM((e.y - m.my) * (e.y - m.my)) AS BIGINT) AS syy
+      FROM ed e CROSS JOIN m
+      GROUP BY m.n
+    )
+    SELECT n AS n_directed_edges,
+           CAST(floor(CAST(sxy AS DOUBLE) * 1000000
+             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))
+             AS BIGINT) AS assortativity_ppm
+    FROM d2
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-endpoint degree correlation: support-pruned symmetric
+    edges, degree table joined onto both endpoints (equi), floored
+    integer means broadcast back, exact deviation sums, one double
+    sqrt/divide.  Completes the graph family: pagerank, triangles,
+    components, label-prop, k-core, link prediction, degree profile,
+    assortativity."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("nn"))
+        .where(F.col("nn") >= PLP_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # feeds deg + edge-join
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        edges.join(
+            F.broadcast(deg.select(F.col("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
+            ),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(x) AS BIGINT) div COUNT(*)").alias("mx"),
+        F.expr("CAST(SUM(y) AS BIGINT) div COUNT(*)").alias("my"),
+    )
+    d2 = (
+        ed.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            .alias("sxy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+            .alias("sxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
+            .alias("syy"),
+        )
+    )
+    return d2.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(
+            "CAST(floor(CAST(sxy AS DOUBLE) * 1000000"
+            " / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))"
+            " AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )

@@ -142,6 +142,8 @@ PROBE = [
     "events_time_decay_attribution",
     # three-tier cent floors must reconcile under any placement
     "category_price_waterfall",
+    # deviation sums + final sqrt over edge-degree pairs
+    "graph_assortativity",
 ]
 
 

@@ -204,7 +204,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "events_time_decay_attribution",
                   # 1-row global-prior crossJoin (scalar-subquery
                   # shape)
-                  "part_return_shrinkage"}
+                  "part_return_shrinkage",
+                  # 1-row means crossJoin (scalar-subquery shape)
+                  "graph_assortativity"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
