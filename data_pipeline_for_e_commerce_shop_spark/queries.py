@@ -17305,3 +17305,157 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("assortativity_ppm"),
     )
+
+
+# --------------------------- forecast backtesting
+
+# Rolling-origin backtest of the seasonal-naive forecaster (predict
+# each day with the value 7 days earlier) — model EVALUATION as a
+# query: MAE in exact cents, MAPE and bias in exact ppm, coverage
+# count.  The "model" is a calendar self-join, so the whole backtest
+# is one equi-join on epoch-day + 7 over the daily rollup; extending
+# to other lags is a spine away (revenue_acf shape).
+FORECAST_LAG_DAYS = 7
+
+
+@register(
+    "forecast_backtest",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.de, a.rev_c AS actual_c, p.rev_c AS pred_c
+      FROM daily a
+      JOIN daily p ON p.de = a.de - {FORECAST_LAG_DAYS}
+    )
+    SELECT COUNT(*) AS n_scored,
+           CAST(SUM(ABS(actual_c - pred_c)) AS BIGINT) // COUNT(*)
+             AS mae_cents,
+           CAST(SUM(ABS(actual_c - pred_c) * 1000000 // actual_c)
+             AS BIGINT) // COUNT(*) AS mape_ppm,
+           CAST(SUM(pred_c - actual_c) AS BIGINT) * 1000000
+             // CAST(SUM(actual_c) AS BIGINT) AS bias_ppm
+    FROM scored
+    """,
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (t-7) rolling backtest over daily revenue:
+    daily rollup, one lag equi-join, exact integer MAE/MAPE/bias.
+    Per-row MAPE terms floor to ppm BEFORE averaging (the usual
+    definition), so everything stays integer."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date")).alias("de")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+            ).alias("rev_c")
+        )
+    )
+    a = daily.select("de", F.col("rev_c").alias("actual_c"))
+    p = daily.select(
+        (F.col("de") + FORECAST_LAG_DAYS).alias("de"),
+        F.col("rev_c").alias("pred_c"),
+    )
+    return (
+        a.join(p, "de")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.col("actual_c") - F.col("pred_c"))).alias(
+                "sae"
+            ),
+            F.sum(
+                F.expr(
+                    "ABS(actual_c - pred_c) * 1000000 div actual_c"
+                )
+            ).alias("sape"),
+            F.sum(F.col("pred_c") - F.col("actual_c")).alias("sdiff"),
+            F.sum("actual_c").alias("sact"),
+        )
+        .select(
+            F.col("n").alias("n_scored"),
+            F.expr("sae div n").alias("mae_cents"),
+            F.expr("sape div n").alias("mape_ppm"),
+            F.expr("sdiff * 1000000 div sact").alias("bias_ppm"),
+        )
+    )
+
+
+# --------------------------- dispersion diagnostics
+
+# Overdispersion screen on daily event counts per type: a Poisson
+# process has variance = mean (index-of-dispersion 1e6 ppm); real
+# traffic is bursty (index >> 1e6).  Exact integers end-to-end:
+# variance via n·Σx² − (Σx)² cross-multiplication, the index as one
+# integer ratio — the diagnostic that decides between Poisson and
+# negative-binomial rate models downstream.
+@register(
+    "events_dispersion_index",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, s AS n_events,
+           s * 1000000 // n_days AS mean_ppm,
+           (n_days * q - s * s) * 1000000
+             // (n_days * (n_days - 1) * s // n_days)
+             // n_days AS dispersion_index_ppm_approx,
+           (n_days * q - s * s) // (n_days * (n_days - 1))
+             AS var_floor,
+           CASE WHEN (n_days * q - s * s) // (n_days * (n_days - 1))
+                     * n_days > s THEN 1 ELSE 0 END AS overdispersed
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-count dispersion: one date rollup, one
+    vocabulary-sized aggregate, exact integer variance floor and
+    mean; the overdispersion flag cross-multiplies (var > mean)
+    without any division at all."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        F.expr("s * 1000000 div n_days").alias("mean_ppm"),
+        F.expr(
+            "(n_days * q - s * s) * 1000000"
+            " div (n_days * (n_days - 1) * s div n_days)"
+            " div n_days"
+        ).alias("dispersion_index_ppm_approx"),
+        F.expr(
+            "(n_days * q - s * s) div (n_days * (n_days - 1))"
+        ).alias("var_floor"),
+        F.expr(
+            "CASE WHEN (n_days * q - s * s)"
+            " div (n_days * (n_days - 1)) * n_days > s"
+            " THEN 1 ELSE 0 END"
+        ).alias("overdispersed"),
+    ).orderBy("event_type")

@@ -144,6 +144,8 @@ PROBE = [
     "category_price_waterfall",
     # deviation sums + final sqrt over edge-degree pairs
     "graph_assortativity",
+    # per-row floored MAPE terms averaged as integers
+    "forecast_backtest",
 ]
 
 
