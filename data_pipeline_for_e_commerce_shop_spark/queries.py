@@ -17393,7 +17393,7 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Overdispersion screen on daily event counts per type: a Poisson
 # process has variance = mean (index-of-dispersion 1e6 ppm); real
 # traffic is bursty (index >> 1e6).  Exact integers end-to-end:
-# variance via n·Σx² − (Σx)² cross-multiplication, the index as one
+# D = var/mean = (n·Σx² − (Σx)²)/((n−1)·Σx), the index as one
 # integer ratio — the diagnostic that decides between Poisson and
 # negative-binomial rate models downstream.
 @register(
@@ -17415,8 +17415,7 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_days, s AS n_events,
            s * 1000000 // n_days AS mean_ppm,
            (n_days * q - s * s) * 1000000
-             // (n_days * (n_days - 1) * s // n_days)
-             // n_days AS dispersion_index_ppm_approx,
+             // ((n_days - 1) * s) AS dispersion_index_ppm,
            (n_days * q - s * s) // (n_days * (n_days - 1))
              AS var_floor,
            CASE WHEN (n_days * q - s * s) // (n_days * (n_days - 1))
@@ -17447,9 +17446,8 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s * 1000000 div n_days").alias("mean_ppm"),
         F.expr(
             "(n_days * q - s * s) * 1000000"
-            " div (n_days * (n_days - 1) * s div n_days)"
-            " div n_days"
-        ).alias("dispersion_index_ppm_approx"),
+            " div ((n_days - 1) * s)"
+        ).alias("dispersion_index_ppm"),
         F.expr(
             "(n_days * q - s * s) div (n_days * (n_days - 1))"
         ).alias("var_floor"),
