@@ -17457,3 +17457,272 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("overdispersed"),
     ).orderBy("event_type")
+
+
+# --------------------------- z-order pruning audit
+
+# WHY z-order: simulate two physical layouts of the same fact rows —
+# natural (arrival) order vs Morton-interleaved (l_partkey,
+# l_suppkey) — carve each into 1000-row "files", collect per-file
+# min/max zone maps, and replay 20 deterministic two-column point
+# probes against the zone maps.  The output is the data-skipping
+# table: how many files each layout lets a (partkey, suppkey) probe
+# prune.  The global sort IS the simulated writer (a real z-order
+# write range-partitions the same key); everything after is
+# |files|x|probes| sized.
+ZORDER_AUDIT_FILE_ROWS = 1000
+ZORDER_AUDIT_N_PROBES = 20
+
+
+def _zaudit_oracle() -> str:
+    morton = (
+        f"({_spread_sql('l_partkey')}"
+        f" | ({_spread_sql('l_suppkey')} << 1))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             {morton} AS mz,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+                                l_partkey, l_suppkey) AS rn_nat,
+             ROW_NUMBER() OVER (ORDER BY {morton}, l_orderkey,
+                                l_linenumber, l_partkey, l_suppkey)
+               AS rn_z,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ),
+    probes AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk
+      FROM base CROSS JOIN
+        UNNEST(range(1, {ZORDER_AUDIT_N_PROBES} + 1)) AS u(k)
+      WHERE rn_nat = u.k * (n // ({ZORDER_AUDIT_N_PROBES} + 1))
+    ),
+    files AS (
+      SELECT layout, file_id,
+             MIN(l_partkey) AS lo_pk, MAX(l_partkey) AS hi_pk,
+             MIN(l_suppkey) AS lo_sk, MAX(l_suppkey) AS hi_sk
+      FROM (
+        SELECT 'natural' AS layout,
+               (rn_nat - 1) // {ZORDER_AUDIT_FILE_ROWS} AS file_id,
+               l_partkey, l_suppkey FROM base
+        UNION ALL
+        SELECT 'zorder',
+               (rn_z - 1) // {ZORDER_AUDIT_FILE_ROWS},
+               l_partkey, l_suppkey FROM base
+      ) GROUP BY layout, file_id
+    ),
+    hits AS (
+      SELECT f.layout, COUNT(*) AS candidate_files
+      FROM probes p
+      JOIN files f ON p.pk BETWEEN f.lo_pk AND f.hi_pk
+                  AND p.sk BETWEEN f.lo_sk AND f.hi_sk
+      GROUP BY f.layout
+    ),
+    nf AS (SELECT layout, COUNT(*) AS n_files FROM files
+           GROUP BY layout)
+    SELECT nf.layout, nf.n_files,
+           {ZORDER_AUDIT_N_PROBES} AS n_probes,
+           COALESCE(h.candidate_files, 0) AS candidate_files,
+           (nf.n_files * {ZORDER_AUDIT_N_PROBES}
+            - COALESCE(h.candidate_files, 0)) * 1000000
+             // (nf.n_files * {ZORDER_AUDIT_N_PROBES})
+             AS skipped_ppm
+    FROM nf LEFT JOIN hits h ON nf.layout = h.layout
+    ORDER BY nf.layout
+    """
+
+
+@register("layout_zorder_pruning_audit", _zaudit_oracle())
+def layout_zorder_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map skipping simulation: natural vs Morton layout, 1000-
+    row files, 20 positional two-column point probes; candidate =
+    probe inside the file's (partkey, suppkey) min/max box.  Reuses
+    layout.morton_code (one bit-interleave source of truth)."""
+    from pyspark.sql import Window
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.layout import (
+        morton_code,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    base = li.select(
+        "*",
+        morton_code(F.col("l_partkey"), F.col("l_suppkey")).alias("mz"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = base.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+            )
+        )
+        .alias("rn_nat"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                "mz", "l_orderkey", "l_linenumber", "l_partkey",
+                "l_suppkey"
+            )
+        )
+        .alias("rn_z"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).localCheckpoint(eager=True)  # feeds probes + both layouts
+    ks = spark.range(1, ZORDER_AUDIT_N_PROBES + 1).select(
+        F.col("id").alias("k")
+    )
+    probes = (
+        base.crossJoin(F.broadcast(ks))
+        .where(
+            F.col("rn_nat")
+            == F.col("k")
+            * F.expr(f"n div ({ZORDER_AUDIT_N_PROBES} + 1)")
+        )
+        .select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+    )
+    nat = base.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"(rn_nat - 1) div {ZORDER_AUDIT_FILE_ROWS}").alias(
+            "file_id"
+        ),
+        "l_partkey",
+        "l_suppkey",
+    )
+    zor = base.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"(rn_z - 1) div {ZORDER_AUDIT_FILE_ROWS}").alias(
+            "file_id"
+        ),
+        "l_partkey",
+        "l_suppkey",
+    )
+    files = (
+        nat.unionByName(zor)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("l_partkey").alias("lo_pk"),
+            F.max("l_partkey").alias("hi_pk"),
+            F.min("l_suppkey").alias("lo_sk"),
+            F.max("l_suppkey").alias("hi_sk"),
+        )
+        .localCheckpoint(eager=True)  # feeds hits + counts
+    )
+    hits = (
+        F.broadcast(probes)
+        .join(
+            files,
+            (F.col("pk") >= F.col("lo_pk"))
+            & (F.col("pk") <= F.col("hi_pk"))
+            & (F.col("sk") >= F.col("lo_sk"))
+            & (F.col("sk") <= F.col("hi_sk")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).alias("candidate_files"))
+    )
+    nf = files.groupBy("layout").agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        nf.join(F.broadcast(hits), "layout", "left")
+        .select(
+            "layout",
+            "n_files",
+            F.lit(ZORDER_AUDIT_N_PROBES).cast("long").alias("n_probes"),
+            F.coalesce("candidate_files", F.lit(0).cast("long")).alias(
+                "candidate_files"
+            ),
+            F.expr(
+                f"(n_files * {ZORDER_AUDIT_N_PROBES}"
+                " - COALESCE(candidate_files, 0)) * 1000000"
+                f" div (n_files * {ZORDER_AUDIT_N_PROBES})"
+            ).alias("skipped_ppm"),
+        )
+        .orderBy("layout")
+    )
+
+
+# --------------------------- top conversion paths
+
+# The top pre-purchase journeys: each converter's LAST 4 channel
+# touches before their first purchase, joined into a path string, and
+# the most common paths ranked — "what does the road to checkout
+# actually look like".  One user-keyed rollup with a deterministic
+# (ts, event_id)-ordered array slice; vocabulary-sized top-k.
+CONVPATH_MAX_STEPS = 4
+CONVPATH_TOPK = 10
+
+
+@register(
+    "events_top_conversion_paths",
+    f"""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+      SELECT e.user_id,
+             list(e.event_type ORDER BY e.ts, e.event_id) AS seq
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type <> 'purchase' AND e.ts < fp.t
+      GROUP BY e.user_id
+    ),
+    paths AS (
+      SELECT array_to_string(
+               seq[GREATEST(len(seq) - {CONVPATH_MAX_STEPS} + 1, 1):
+                   len(seq)], '>') AS path
+      FROM pre
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {CONVPATH_TOPK}
+    """,
+)
+def events_top_conversion_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 last-4-touch paths of converting users: first-purchase
+    broadcast, per-user (ts, event_id)-sorted type array, tail slice,
+    concat, top-k with path tie-break."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    pre = (
+        ev.join(F.broadcast(fp), "user_id")
+        .where(
+            (F.col("event_type") != "purchase") & (F.col("ts") < F.col("t"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                " struct(ts, event_id, event_type))), p -> p.event_type)"
+            ).alias("seq")
+        )
+    )
+    return (
+        pre.select(
+            F.expr(
+                "array_join(slice(seq,"
+                f" GREATEST(size(seq) - {CONVPATH_MAX_STEPS} + 1, 1),"
+                f" {CONVPATH_MAX_STEPS}), '>')"
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(CONVPATH_TOPK)
+    )

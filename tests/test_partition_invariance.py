@@ -146,6 +146,11 @@ PROBE = [
     "graph_assortativity",
     # per-row floored MAPE terms averaged as integers
     "forecast_backtest",
+    # simulated file assignment + zone-map hits must be
+    # placement-independent
+    "layout_zorder_pruning_audit",
+    # deterministic (ts, event_id)-ordered path slices
+    "events_top_conversion_paths",
 ]
 
 

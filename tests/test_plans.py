@@ -206,7 +206,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # shape)
                   "part_return_shrinkage",
                   # 1-row means crossJoin (scalar-subquery shape)
-                  "graph_assortativity"}
+                  "graph_assortativity",
+                  # 20-probe x |files| zone-map containment grid
+                  # (both sides aggregate-reduced)
+                  "layout_zorder_pruning_audit"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
