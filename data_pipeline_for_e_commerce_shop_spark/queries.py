@@ -17726,3 +17726,212 @@ def events_top_conversion_paths(
         .orderBy(F.col("n_users").desc(), "path")
         .limit(CONVPATH_TOPK)
     )
+
+
+# --------------------------- chi-square independence
+
+# Are discount and tax set independently?  Pearson chi-square test of
+# independence on the (discount-band, tax-band) contingency table —
+# the INDEPENDENCE complement to events_drift_chi2's goodness-of-fit.
+# Counts are exact integers; each cell's (O−E)²/E term and the total
+# fold in (band, band) key order (the ANOVA lesson: a plain double
+# SUM is placement-dependent at floor boundaries).
+@register(
+    "discount_tax_independence",
+    """
+    WITH cells AS (
+      SELECT CAST(floor(l_discount * 100) AS BIGINT) AS disc_band,
+             CAST(floor(l_tax * 100) AS BIGINT) AS tax_band,
+             COUNT(*) AS o
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mr AS (SELECT disc_band, CAST(SUM(o) AS BIGINT) AS r
+           FROM cells GROUP BY disc_band),
+    mc AS (SELECT tax_band, CAST(SUM(o) AS BIGINT) AS c
+           FROM cells GROUP BY tax_band),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 COUNT(DISTINCT disc_band) AS nr,
+                 COUNT(DISTINCT tax_band) AS nc
+          FROM cells),
+    terms AS (
+      SELECT ce.disc_band, ce.tax_band,
+             (CAST(ce.o AS DOUBLE)
+              - CAST(mr.r AS DOUBLE) * mc.c / n.n)
+             * (CAST(ce.o AS DOUBLE)
+                - CAST(mr.r AS DOUBLE) * mc.c / n.n)
+             / (CAST(mr.r AS DOUBLE) * mc.c / n.n) AS t
+      FROM cells ce
+      JOIN mr ON ce.disc_band = mr.disc_band
+      JOIN mc ON ce.tax_band = mc.tax_band
+      CROSS JOIN n
+    )
+    SELECT (SELECT nr FROM n) AS n_disc_bands,
+           (SELECT nc FROM n) AS n_tax_bands,
+           ((SELECT nr FROM n) - 1) * ((SELECT nc FROM n) - 1) AS df,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             (SELECT list(t ORDER BY disc_band, tax_band) FROM terms)),
+             (a, b) -> a + b) * 1000) AS BIGINT) AS chi2_e3
+    """,
+)
+def discount_tax_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of (discount band, tax band): one fact
+    rollup to the ~100-cell contingency table, broadcast margins,
+    per-cell (O−E)²/E in doubles from exact integers, key-ordered
+    fold (not SUM) for the statistic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_discount * 100) AS BIGINT)").alias(
+            "disc_band"
+        ),
+        F.expr("CAST(floor(l_tax * 100) AS BIGINT)").alias("tax_band"),
+    )
+    cells = li.groupBy("disc_band", "tax_band").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    mr = cells.groupBy("disc_band").agg(F.sum("o").alias("r"))
+    mc = cells.groupBy("tax_band").agg(F.sum("o").alias("c"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("disc_band").alias("nr"),
+        F.countDistinct("tax_band").alias("nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(mr), "disc_band")
+        .join(F.broadcast(mc), "tax_band")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "disc_band",
+            "tax_band",
+            "nr",
+            "nc",
+            F.expr(
+                "(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)"
+                " * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)"
+                " / (CAST(r AS DOUBLE) * c / n)"
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("nr", "nc").agg(
+        F.expr(
+            "CAST(floor(aggregate(array_sort(collect_list("
+            " named_struct('k1', disc_band, 'k2', tax_band, 'v', t))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.v) * 1000)"
+            " AS BIGINT)"
+        ).alias("chi2_e3")
+    ).select(
+        F.col("nr").alias("n_disc_bands"),
+        F.col("nc").alias("n_tax_bands"),
+        F.expr("(nr - 1) * (nc - 1)").alias("df"),
+        "chi2_e3",
+    )
+
+
+# --------------------------- segment-popularity recommendations
+
+# The cold-start fallback recommender: for each customer, the top
+# categories their market segment buys that THEY haven't bought yet —
+# segment-popularity ranking minus own history (anti join), top 3 per
+# customer.  Everything is equi-keyed; the segment×category rank
+# table is vocabulary-sized and broadcast.
+CATREC_TOPK = 3
+
+
+@register(
+    "customer_category_recs",
+    f"""
+    WITH bought AS (
+      SELECT DISTINCT o.o_custkey AS c_custkey, p.p_type AS category
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    seg_pop AS (
+      SELECT c.c_mktsegment, b.category, COUNT(*) AS n_buyers
+      FROM bought b JOIN customer c ON b.c_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, category, n_buyers,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n_buyers DESC, category)
+               AS seg_rank
+      FROM seg_pop
+    ),
+    cand AS (
+      SELECT c.c_custkey, r.category, r.n_buyers, r.seg_rank
+      FROM customer c
+      JOIN ranked r ON c.c_mktsegment = r.c_mktsegment
+      LEFT JOIN bought b ON b.c_custkey = c.c_custkey
+                        AND b.category = r.category
+      WHERE b.c_custkey IS NULL
+    )
+    SELECT c_custkey, category, n_buyers, rec_rank FROM (
+      SELECT c_custkey, category, n_buyers,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY seg_rank) AS rec_rank
+      FROM cand
+    ) WHERE rec_rank <= {CATREC_TOPK}
+    ORDER BY c_custkey, rec_rank
+    """,
+)
+def customer_category_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 unbought segment-popular categories per customer:
+    distinct purchase history, segment-popularity rank (vocabulary-
+    sized, broadcast), anti join against own history, per-customer
+    re-rank."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    bought = (
+        orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"]
+        )
+        .join(F.broadcast(part), "l_partkey")
+        .select(F.col("o_custkey").alias("c_custkey"), "category")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds seg_pop + anti join
+    )
+    seg_pop = (
+        bought.join(F.broadcast(cust), "c_custkey")
+        .groupBy("c_mktsegment", "category")
+        .agg(F.count(F.lit(1)).alias("n_buyers"))
+    )
+    ranked = seg_pop.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.col("n_buyers").desc(), "category"
+            )
+        )
+        .alias("seg_rank"),
+    )
+    cand = (
+        cust.join(F.broadcast(ranked), "c_mktsegment")
+        .join(bought, ["c_custkey", "category"], "left_anti")
+    )
+    return (
+        cand.select(
+            "c_custkey",
+            "category",
+            "n_buyers",
+            F.row_number()
+            .over(
+                Window.partitionBy("c_custkey").orderBy("seg_rank")
+            )
+            .alias("rec_rank"),
+        )
+        .where(F.col("rec_rank") <= CATREC_TOPK)
+        .orderBy("c_custkey", "rec_rank")
+    )

@@ -151,6 +151,8 @@ PROBE = [
     "layout_zorder_pruning_audit",
     # deterministic (ts, event_id)-ordered path slices
     "events_top_conversion_paths",
+    # key-ordered chi-square term fold
+    "discount_tax_independence",
 ]
 
 

@@ -209,7 +209,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "graph_assortativity",
                   # 20-probe x |files| zone-map containment grid
                   # (both sides aggregate-reduced)
-                  "layout_zorder_pruning_audit"}
+                  "layout_zorder_pruning_audit",
+                  # 1-row grand-total crossJoin (scalar-subquery
+                  # shape)
+                  "discount_tax_independence"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
