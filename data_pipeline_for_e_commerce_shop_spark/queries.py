@@ -17935,3 +17935,179 @@ def customer_category_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rec_rank") <= CATREC_TOPK)
         .orderBy("c_custkey", "rec_rank")
     )
+
+
+# --------------------------- stickiness (DAU/WAU/MAU)
+
+# The product-health trinity per day — DAU, trailing-7 WAU,
+# trailing-28 MAU — and the stickiness ratio DAU/MAU as exact ppm.
+# Same scale decomposition as rolling_active_users: dedup to
+# (day, user) ONCE, explode each pair into the bounded set of window
+# ends it serves (1, 7 and 28 rows respectively), semi-join to real
+# days, count distinct per end — shuffles spread over users, never a
+# per-day rescan or single-partition funnel.
+STICKINESS_WAU_DAYS = 7
+STICKINESS_MAU_DAYS = 28
+
+
+@register(
+    "events_stickiness_ratio",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+    ),
+    wau AS (
+      SELECT w.day, COUNT(DISTINCT c.user_id) AS wau
+      FROM (
+        SELECT user_id,
+               day + CAST(u.i AS INTEGER) AS day
+        FROM du CROSS JOIN
+          UNNEST(range(0, {STICKINESS_WAU_DAYS})) AS u(i)
+      ) c JOIN days w ON c.day = w.day
+      GROUP BY w.day
+    ),
+    mau AS (
+      SELECT m.day, COUNT(DISTINCT c.user_id) AS mau
+      FROM (
+        SELECT user_id,
+               day + CAST(u.i AS INTEGER) AS day
+        FROM du CROSS JOIN
+          UNNEST(range(0, {STICKINESS_MAU_DAYS})) AS u(i)
+      ) c JOIN days m ON c.day = m.day
+      GROUP BY m.day
+    )
+    SELECT d.day, d.dau, w.wau, m.mau,
+           d.dau * 1000000 // m.mau AS stickiness_ppm
+    FROM dau d JOIN wau w ON d.day = w.day
+    JOIN mau m ON d.day = m.day
+    ORDER BY d.day
+    """,
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-WAU / trailing-MAU per day + DAU/MAU ppm:
+    (day, user) dedup once, bounded sequence explodes for the two
+    trailing windows, day-keyed distinct counts, one |days|-sized
+    3-way join."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds dau/wau/mau
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+
+    def trailing(n: int, alias: str):
+        contrib = du.select(
+            "user_id",
+            F.explode(
+                F.sequence("day", F.date_add("day", n - 1))
+            ).alias("day"),
+        )
+        return (
+            contrib.join(days, "day", "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(alias))
+        )
+
+    wau = trailing(STICKINESS_WAU_DAYS, "wau")
+    mau = trailing(STICKINESS_MAU_DAYS, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------- single-source supply risk
+
+# Supply-chain fragility screen: parts bought from exactly one
+# supplier, with the trailing revenue that supplier alone carries —
+# the "if this supplier fails, this revenue stalls" table, plus the
+# category-level share of single-sourced revenue.  Two fact rollups
+# and one vocabulary-sized join; all money in exact cents.
+@register(
+    "part_single_source_risk",
+    """
+    WITH per AS (
+      SELECT l_partkey,
+             COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    agg AS (
+      SELECT p.p_type AS category,
+             COUNT(*) AS n_parts,
+             CAST(SUM(CASE WHEN per.n_suppliers = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_single_sourced,
+             CAST(SUM(per.rev_cents) AS BIGINT) AS rev_cents,
+             CAST(SUM(CASE WHEN per.n_suppliers = 1
+                      THEN per.rev_cents ELSE 0 END) AS BIGINT)
+               AS single_rev_cents
+      FROM per JOIN part p ON per.l_partkey = p.p_partkey
+      GROUP BY p.p_type
+    )
+    SELECT category, n_parts, n_single_sourced, rev_cents,
+           single_rev_cents,
+           single_rev_cents * 1000000 // rev_cents AS at_risk_ppm
+    FROM agg
+    ORDER BY category
+    """,
+)
+def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-supplier exposure per category: per-part supplier
+    cardinality + revenue, broadcast dim join, exact at-risk revenue
+    share ppm."""
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("rev_cents"),
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    return (
+        per.join(F.broadcast(part), "l_partkey")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+            ).alias("n_single_sourced"),
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum(
+                F.when(
+                    F.col("n_suppliers") == 1, F.col("rev_cents")
+                ).otherwise(0)
+            ).alias("single_rev_cents"),
+        )
+        .select(
+            "category",
+            "n_parts",
+            "n_single_sourced",
+            "rev_cents",
+            "single_rev_cents",
+            F.expr(
+                "single_rev_cents * 1000000 div rev_cents"
+            ).alias("at_risk_ppm"),
+        )
+        .orderBy("category")
+    )

@@ -153,6 +153,8 @@ PROBE = [
     "events_top_conversion_paths",
     # key-ordered chi-square term fold
     "discount_tax_independence",
+    # bounded window-end explodes + distinct counts
+    "events_stickiness_ratio",
 ]
 
 
