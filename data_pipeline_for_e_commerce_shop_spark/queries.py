@@ -18111,3 +18111,195 @@ def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --------------------------- double-fire event screen
+
+# Client-side double-fire detection: events from the same user with
+# the same type and value landing within 5 seconds of the previous
+# one — the telemetry-quality screen that catches retry storms and
+# double-submitted beacons before they pollute every downstream rate.
+# One (user, type, value)-keyed lag window; summary per type with
+# exact ppm incidence.
+DOUBLEFIRE_WINDOW_SECONDS = 5
+
+
+@register(
+    "events_double_fire_screen",
+    f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id, event_type,
+                              CAST(floor(value * 100) AS BIGINT)
+                 ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN gap IS NOT NULL
+                    AND gap <= {DOUBLEFIRE_WINDOW_SECONDS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_double_fired,
+           CAST(SUM(CASE WHEN gap IS NOT NULL
+                    AND gap <= {DOUBLEFIRE_WINDOW_SECONDS}
+                    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // COUNT(*) AS double_fire_ppm
+    FROM seq
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_double_fire_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type double-fire incidence: lag gap within (user, type,
+    value-cents) ordered by (ts, event_id), flagged when <= 5 s,
+    rolled up to exact ppm."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").alias("sec"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "vc").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+    )
+    dbl = (
+        F.when(
+            F.col("gap").isNotNull()
+            & (F.col("gap") <= DOUBLEFIRE_WINDOW_SECONDS),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dbl).alias("n_double_fired"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_double_fired",
+            F.expr(
+                "n_double_fired * 1000000 div n_events"
+            ).alias("double_fire_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------- brand switching matrix
+
+# Brand loyalty as a transition matrix: for each customer's
+# consecutive order pair, do their brands repeat (stay) or switch?
+# Emits the brand->brand matrix over consecutive orders with exact
+# row-share ppm — the aggregated-loyalty complement to
+# part_sequence_rules (part-level) and customer_segment_migration
+# (value-segment level).
+@register(
+    "brand_switch_matrix",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    consec AS (
+      SELECT a.o_orderkey AS ok1, b.o_orderkey AS ok2
+      FROM seq a JOIN seq b ON a.o_custkey = b.o_custkey
+                           AND b.rn = a.rn + 1
+    ),
+    ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    trans AS (
+      SELECT b1.p_brand AS brand_from, b2.p_brand AS brand_to,
+             COUNT(*) AS n
+      FROM consec c
+      JOIN ob b1 ON b1.l_orderkey = c.ok1
+      JOIN ob b2 ON b2.l_orderkey = c.ok2
+      GROUP BY 1, 2
+    ),
+    rowtot AS (
+      SELECT brand_from, CAST(SUM(n) AS BIGINT) AS tot
+      FROM trans GROUP BY brand_from
+    )
+    SELECT t.brand_from, t.brand_to, t.n,
+           t.n * 1000000 // r.tot AS share_ppm,
+           CASE WHEN t.brand_from = t.brand_to THEN 1 ELSE 0 END
+             AS is_stay
+    FROM trans t JOIN rowtot r ON t.brand_from = r.brand_from
+    ORDER BY t.brand_from, t.brand_to
+    """,
+)
+def brand_switch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand->brand transition counts over consecutive orders per
+    customer: rank window, consecutive equi-join, distinct
+    order-brand sets joined twice, row-normalized exact ppm."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+    )
+    a = seq.select("o_custkey", F.col("o_orderkey").alias("ok1"), "rn")
+    b = seq.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok2"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    consec = a.join(b, ["o_custkey", "rn"]).select("ok1", "ok2")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = (
+        li.join(F.broadcast(part), "l_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    b1 = ob.select(
+        F.col("l_orderkey").alias("ok1"), F.col("p_brand").alias("brand_from")
+    )
+    b2 = ob.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_to")
+    )
+    trans = (
+        consec.join(b1, "ok1")
+        .join(b2, "ok2")
+        .groupBy("brand_from", "brand_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowtot = trans.groupBy("brand_from").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(rowtot), "brand_from")
+        .select(
+            "brand_from",
+            "brand_to",
+            "n",
+            F.expr("n * 1000000 div tot").alias("share_ppm"),
+            F.when(F.col("brand_from") == F.col("brand_to"), 1)
+            .otherwise(0)
+            .alias("is_stay"),
+        )
+        .orderBy("brand_from", "brand_to")
+    )

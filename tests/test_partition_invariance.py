@@ -155,6 +155,10 @@ PROBE = [
     "discount_tax_independence",
     # bounded window-end explodes + distinct counts
     "events_stickiness_ratio",
+    # lag-gap flags keyed on (user, type, value-cents)
+    "events_double_fire_screen",
+    # consecutive-order brand pairs + row-share ppm
+    "brand_switch_matrix",
 ]
 
 
