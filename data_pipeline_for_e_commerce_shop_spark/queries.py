@@ -18303,3 +18303,87 @@ def brand_switch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_from", "brand_to")
     )
+
+
+# --------------------------- A/B power analysis
+
+# Experiment DESIGN from observed data: given each event type's daily
+# per-user value variance (exact integer sufficient statistics), how
+# many users per arm detect a 2% lift at alpha=.05 / power=.80?
+# n = 2 (z_a + z_b)^2 sigma^2 / delta^2, with the two z quantiles
+# FROZEN as micro-literals (inverse-normal is not portably
+# computable) — completes the experimentation suite: power design ->
+# CUPED adjustment -> Wilson/report -> logrank.
+POWER_Z_ALPHA_E6 = 1_959_964   # z_{0.975}
+POWER_Z_BETA_E6 = 841_621      # z_{0.80}
+POWER_MDE_PPM = 20_000         # 2% of the mean
+
+
+@register(
+    "events_power_analysis",
+    f"""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n_users,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS q
+      FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n_users,
+           s // n_users AS mean_cents,
+           (n_users * q - s * s) // (n_users * (n_users - 1))
+             AS var_floor,
+           CAST(ceil(
+             2.0 * (({POWER_Z_ALPHA_E6} + {POWER_Z_BETA_E6}) / 1e6)
+                 * (({POWER_Z_ALPHA_E6} + {POWER_Z_BETA_E6}) / 1e6)
+             * (CAST(n_users * q - s * s AS DOUBLE)
+                / (CAST(n_users AS DOUBLE) * (n_users - 1)))
+             / ((CAST(s AS DOUBLE) / n_users * {POWER_MDE_PPM} / 1e6)
+                * (CAST(s AS DOUBLE) / n_users * {POWER_MDE_PPM}
+                   / 1e6))) AS BIGINT) AS n_per_arm
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type two-arm sample size for a 2% lift: per-user cent
+    totals, exact integer (n, Σv, Σv²), frozen z constants, one
+    deterministic double formula with identical op order on both
+    engines."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 100) AS BIGINT)")
+            ).alias("v")
+        )
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    z = POWER_Z_ALPHA_E6 + POWER_Z_BETA_E6
+    return m.select(
+        "event_type",
+        "n_users",
+        F.expr("s div n_users").alias("mean_cents"),
+        F.expr(
+            "(n_users * q - s * s) div (n_users * (n_users - 1))"
+        ).alias("var_floor"),
+        F.expr(
+            f"CAST(ceil(2.0 * (({z}) / 1e6) * (({z}) / 1e6)"
+            " * (CAST(n_users * q - s * s AS DOUBLE)"
+            "    / (CAST(n_users AS DOUBLE) * (n_users - 1)))"
+            f" / ((CAST(s AS DOUBLE) / n_users * {POWER_MDE_PPM} / 1e6)"
+            f"    * (CAST(s AS DOUBLE) / n_users * {POWER_MDE_PPM}"
+            "       / 1e6))) AS BIGINT)"
+        ).alias("n_per_arm"),
+    ).orderBy("event_type")

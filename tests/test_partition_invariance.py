@@ -159,6 +159,8 @@ PROBE = [
     "events_double_fire_screen",
     # consecutive-order brand pairs + row-share ppm
     "brand_switch_matrix",
+    # frozen-z double formula from exact integer moments
+    "events_power_analysis",
 ]
 
 
