@@ -18387,3 +18387,175 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "       / 1e6))) AS BIGINT)"
         ).alias("n_per_arm"),
     ).orderBy("event_type")
+
+
+# --------------------------- overdue-customer alarm
+
+# The reorder-reminder list: per customer, mean days between orders
+# (exact integer), days since their last order relative to the
+# corpus horizon (max order date — the "now" of a historical
+# snapshot), and an overdue flag when the silence exceeds 2x their
+# own cadence.  Output: top-25 overdue by trailing spend, the list a
+# win-back campaign would pull.  All integer day/cent arithmetic;
+# horizon rides as a 1-row broadcast.
+OVERDUE_FACTOR = 2
+OVERDUE_TOPK = 25
+
+
+@register(
+    "customer_overdue_alarm",
+    f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    h AS (SELECT MAX(de) AS horizon FROM o),
+    per AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             MIN(de) AS first_de,
+             MAX(de) AS last_de,
+             CAST(SUM(cents) AS BIGINT) AS spend_cents
+      FROM o GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT p.o_custkey AS c_custkey, p.n_orders, p.spend_cents,
+             (p.last_de - p.first_de) // (p.n_orders - 1) AS mean_gap,
+             h.horizon - p.last_de AS silence_days
+      FROM per p CROSS JOIN h
+      WHERE p.n_orders >= 2
+    )
+    SELECT c_custkey, n_orders, spend_cents, mean_gap, silence_days
+    FROM scored
+    WHERE mean_gap > 0
+      AND silence_days > {OVERDUE_FACTOR} * mean_gap
+    ORDER BY spend_cents DESC, c_custkey
+    LIMIT {OVERDUE_TOPK}
+    """,
+)
+def customer_overdue_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 overdue high-value customers: per-customer cadence
+    (range/(n-1), exact days), silence vs the 1-row horizon,
+    2x-cadence overdue filter, spend-ranked tie-broken LIMIT."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("de"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    h = o.agg(F.max("de").alias("horizon"))
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("de").alias("first_de"),
+        F.max("de").alias("last_de"),
+        F.sum("cents").alias("spend_cents"),
+    )
+    return (
+        per.where(F.col("n_orders") >= 2)
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "n_orders",
+            "spend_cents",
+            F.expr("(last_de - first_de) div (n_orders - 1)").alias(
+                "mean_gap"
+            ),
+            (F.col("horizon") - F.col("last_de")).alias("silence_days"),
+        )
+        .where(
+            (F.col("mean_gap") > 0)
+            & (F.col("silence_days") > OVERDUE_FACTOR * F.col("mean_gap"))
+        )
+        .orderBy(F.col("spend_cents").desc(), "c_custkey")
+        .limit(OVERDUE_TOPK)
+    )
+
+
+# --------------------------- error/purchase cross-correlation
+
+# Do error bursts coincide with purchase dips?  Daily error counts
+# vs daily purchase counts, Pearson r via the floored-integer-mean
+# deviation recipe (revenue_acf) — the incident-impact gauge that
+# justifies paging on error-rate alarms.  One fact rollup; the
+# |days|-sized series join is calendar-bounded.
+@register(
+    "error_purchase_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS errs,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS purch
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(errs) AS BIGINT) // COUNT(*) AS mx,
+             CAST(SUM(purch) AS BIGINT) // COUNT(*) AS my
+      FROM daily
+    ),
+    d AS (
+      SELECT m.n,
+             CAST(SUM((errs - mx) * (purch - my)) AS BIGINT) AS sxy,
+             CAST(SUM((errs - mx) * (errs - mx)) AS BIGINT) AS sxx,
+             CAST(SUM((purch - my) * (purch - my)) AS BIGINT) AS syy
+      FROM daily CROSS JOIN m
+      GROUP BY m.n
+    )
+    SELECT n AS n_days,
+           CAST(floor(CAST(sxy AS DOUBLE) * 1000000
+             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))
+             AS BIGINT) AS corr_ppm
+    FROM d
+    """,
+)
+def error_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily errors vs purchases Pearson r: one conditional-sum
+    rollup (both series in one pass), floored integer means, exact
+    deviation sums, one final sqrt/divide."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errs"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purch"),
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(errs) AS BIGINT) div COUNT(*)").alias("mx"),
+        F.expr("CAST(SUM(purch) AS BIGINT) div COUNT(*)").alias("my"),
+    )
+    d = (
+        daily.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                (F.col("errs") - F.col("mx")) * (F.col("purch") - F.col("my"))
+            ).alias("sxy"),
+            F.sum(
+                (F.col("errs") - F.col("mx")) * (F.col("errs") - F.col("mx"))
+            ).alias("sxx"),
+            F.sum(
+                (F.col("purch") - F.col("my"))
+                * (F.col("purch") - F.col("my"))
+            ).alias("syy"),
+        )
+    )
+    return d.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(floor(CAST(sxy AS DOUBLE) * 1000000"
+            " / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))"
+            " AS BIGINT)"
+        ).alias("corr_ppm"),
+    )

@@ -161,6 +161,8 @@ PROBE = [
     "brand_switch_matrix",
     # frozen-z double formula from exact integer moments
     "events_power_analysis",
+    # cross-series deviation sums + final sqrt
+    "error_purchase_correlation",
 ]
 
 

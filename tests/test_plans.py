@@ -212,7 +212,11 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "layout_zorder_pruning_audit",
                   # 1-row grand-total crossJoin (scalar-subquery
                   # shape)
-                  "discount_tax_independence"}
+                  "discount_tax_independence",
+                  # 1-row horizon crossJoin (scalar-subquery shape)
+                  "customer_overdue_alarm",
+                  # 1-row means crossJoin (scalar-subquery shape)
+                  "error_purchase_correlation"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
