@@ -18559,3 +18559,194 @@ def error_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("corr_ppm"),
     )
+
+
+# --------------------------- money hygiene audit
+
+# Decimal hygiene across every money/quantity column: how many values
+# carry sub-cent residue (would be silently floored by the integer-
+# cents convention), how many are zero/negative, min/max cents — the
+# audit that PROVES the engine's floor(x*100) money convention loses
+# nothing on this data (or measures exactly what it would).  One
+# conditional-sum pass per table, union of two vocabulary-sized rows
+# per column.
+@register(
+    "money_hygiene_audit",
+    """
+    SELECT 'orders.o_totalprice' AS col,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN floor(o_totalprice * 100)
+                    <> o_totalprice * 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_subcent,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nonpositive,
+           CAST(MIN(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS max_cents
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_extendedprice', COUNT(*),
+           CAST(SUM(CASE WHEN floor(l_extendedprice * 100)
+                    <> l_extendedprice * 100 THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(MIN(CAST(floor(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT),
+           CAST(MAX(CAST(floor(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_quantity', COUNT(*),
+           CAST(SUM(CASE WHEN floor(l_quantity) <> l_quantity
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(MIN(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def money_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-cent residue / non-positive / range audit for the three
+    money-bearing columns — the measured justification for the
+    integer-cents convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def audit(df, col, label, scale):
+        mul = f"{col} * 100" if scale else col
+        return df.agg(
+            F.lit(label).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr(f"CASE WHEN floor({mul}) <> {mul} THEN 1"
+                       " ELSE 0 END")
+            ).alias("n_subcent"),
+            F.sum(
+                F.expr(f"CASE WHEN {col} <= 0 THEN 1 ELSE 0 END")
+            ).alias("n_nonpositive"),
+            F.expr(f"MIN(CAST(floor({mul}) AS BIGINT))").alias(
+                "min_cents"
+            ),
+            F.expr(f"MAX(CAST(floor({mul}) AS BIGINT))").alias(
+                "max_cents"
+            ),
+        )
+
+    return (
+        audit(orders, "o_totalprice", "orders.o_totalprice", True)
+        .unionByName(
+            audit(li, "l_extendedprice", "lineitem.l_extendedprice", True)
+        )
+        .unionByName(audit(li, "l_quantity", "lineitem.l_quantity", False))
+        .orderBy("col")
+    )
+
+
+# --------------------------- peak-day drivers
+
+# The "what happened on our biggest days" report: top-5 revenue days
+# with, for each, the leading category and its share of that day's
+# revenue — argmax-within-day via a fully tie-broken window, all
+# money exact cents.  Fact scanned once through one (day, category)
+# rollup.
+PEAKDAY_TOPK = 5
+
+
+@register(
+    "peak_day_drivers",
+    f"""
+    WITH dc AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, p.p_type AS category,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT day, CAST(SUM(cents) AS BIGINT) AS day_cents
+      FROM dc GROUP BY day
+    ),
+    lead AS (
+      SELECT day, category AS top_category, cents AS top_cents
+      FROM (
+        SELECT day, category, cents,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY cents DESC, category) AS rn
+        FROM dc
+      ) WHERE rn = 1
+    )
+    SELECT d.day, d.day_cents, l.top_category, l.top_cents,
+           l.top_cents * 1000000 // d.day_cents AS top_share_ppm
+    FROM days d JOIN lead l ON d.day = l.day
+    ORDER BY d.day_cents DESC, d.day
+    LIMIT {PEAKDAY_TOPK}
+    """,
+)
+def peak_day_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 revenue days with each day's leading category and exact
+    share ppm: one (day, category) rollup feeding both the day total
+    and the per-day argmax window."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    dc = (
+        li.join(orders, "o_orderkey")
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("day", "category")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)  # feeds totals + argmax
+    )
+    days = dc.groupBy("day").agg(F.sum("cents").alias("day_cents"))
+    lead = (
+        dc.select(
+            "day",
+            "category",
+            "cents",
+            F.row_number()
+            .over(
+                Window.partitionBy("day").orderBy(
+                    F.col("cents").desc(), "category"
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "day",
+            F.col("category").alias("top_category"),
+            F.col("cents").alias("top_cents"),
+        )
+    )
+    return (
+        days.join(lead, "day")
+        .select(
+            "day",
+            "day_cents",
+            "top_category",
+            "top_cents",
+            F.expr("top_cents * 1000000 div day_cents").alias(
+                "top_share_ppm"
+            ),
+        )
+        .orderBy(F.col("day_cents").desc(), "day")
+        .limit(PEAKDAY_TOPK)
+    )

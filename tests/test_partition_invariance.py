@@ -163,6 +163,8 @@ PROBE = [
     "events_power_analysis",
     # cross-series deviation sums + final sqrt
     "error_purchase_correlation",
+    # per-day argmax window + exact share
+    "peak_day_drivers",
 ]
 
 
