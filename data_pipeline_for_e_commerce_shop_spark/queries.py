@@ -18750,3 +18750,105 @@ def peak_day_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("day_cents").desc(), "day")
         .limit(PEAKDAY_TOPK)
     )
+
+
+# --------------------------- transitivity over-collapse audit
+
+# The known failure mode of clustering LSH matches: transitive chains
+# merge documents that are NOT actually similar (A~B, B~C, but A!~C)
+# — over-collapse that silently deletes non-duplicates.  This audit
+# measures it: for every cluster, the exact shingle-set Jaccard of
+# each member against the cluster representative (component min), the
+# count below the 0.5 verify threshold, and the worst member.  Verify
+# joins touch only cluster members (candidate-sized, not corpus-
+# sized).
+DEDUP_AUDIT_TAU_PPM = 500_000
+
+
+@register(
+    "dedup_transitivity_audit",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f"""
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    sets AS (
+      SELECT doc_id, list_sort(list(DISTINCT shingle)) AS sh_set
+      FROM sh GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT c.cluster_id,
+             len(list_intersect(sm.sh_set, sr.sh_set)) * 1000000
+               // len(list_distinct(list_concat(sm.sh_set, sr.sh_set)))
+               AS jac_ppm
+      FROM clusters c
+      JOIN sets sm ON c.doc_id = sm.doc_id
+      JOIN sets sr ON c.cluster_id = sr.doc_id
+      WHERE c.doc_id <> c.cluster_id
+    )
+    SELECT cluster_id,
+           COUNT(*) + 1 AS n_members,
+           CAST(SUM(CASE WHEN jac_ppm < {DEDUP_AUDIT_TAU_PPM}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overcollapsed,
+           MIN(jac_ppm) AS worst_member_jac_ppm
+    FROM scored
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-vs-representative exact Jaccard per LSH cluster:
+    components from the star-contraction clustering, shingle sets
+    shipped only for members, over-collapse count below the 0.5
+    verify threshold + the worst member ppm."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        _shingles,
+        duplicate_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    sets = _shingles(docs).groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh_set")
+    )
+    members = clusters.where(F.col("doc_id") != F.col("cluster_id"))
+    sm = sets.select("doc_id", F.col("sh_set").alias("m_set"))
+    sr = sets.select(
+        F.col("doc_id").alias("cluster_id"), F.col("sh_set").alias("r_set")
+    )
+    scored = (
+        members.join(sm, "doc_id")
+        .join(sr, "cluster_id")
+        .select(
+            "cluster_id",
+            F.expr(
+                "size(array_intersect(m_set, r_set)) * 1000000"
+                " div size(array_union(m_set, r_set))"
+            ).alias("jac_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_members"),
+            F.sum(
+                F.when(
+                    F.col("jac_ppm") < DEDUP_AUDIT_TAU_PPM, 1
+                ).otherwise(0)
+            ).alias("n_overcollapsed"),
+            F.min("jac_ppm").alias("worst_member_jac_ppm"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -165,6 +165,8 @@ PROBE = [
     "error_purchase_correlation",
     # per-day argmax window + exact share
     "peak_day_drivers",
+    # member-vs-rep exact Jaccard over star-contraction clusters
+    "dedup_transitivity_audit",
 ]
 
 
