@@ -18852,3 +18852,182 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------- part lifecycle stages
+
+# Catalog lifecycle classification: split each part's revenue between
+# the first and second half of its OWN active span and bucket the
+# trajectory — growth (h2 >= 1.5x h1), decline (h2 <= 2/3 h1), mature
+# otherwise — plus a lapsed flag when the last sale predates the
+# corpus horizon by 90+ days.  Integer cross-multiplication instead
+# of ratios, so the stage boundaries are exact.
+@register(
+    "part_lifecycle_stages",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    h AS (SELECT MAX(de) AS horizon FROM li),
+    span AS (
+      SELECT l_partkey, MIN(de) AS lo, MAX(de) AS hi
+      FROM li GROUP BY l_partkey
+    ),
+    split AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CASE WHEN 2 * (l.de - s.lo) <= (s.hi - s.lo)
+                      THEN l.cents ELSE 0 END) AS BIGINT) AS h1_cents,
+             CAST(SUM(CASE WHEN 2 * (l.de - s.lo) > (s.hi - s.lo)
+                      THEN l.cents ELSE 0 END) AS BIGINT) AS h2_cents,
+             MAX(s.hi) AS last_de
+      FROM li l JOIN span s ON l.l_partkey = s.l_partkey
+      GROUP BY l.l_partkey
+    )
+    SELECT sp.l_partkey AS p_partkey, sp.h1_cents, sp.h2_cents,
+           CASE
+             WHEN 2 * sp.h2_cents >= 3 * sp.h1_cents THEN 'growth'
+             WHEN 3 * sp.h2_cents <= 2 * sp.h1_cents THEN 'decline'
+             ELSE 'mature'
+           END AS stage,
+           CASE WHEN hh.horizon - sp.last_de >= 90 THEN 1 ELSE 0 END
+             AS lapsed
+    FROM split sp CROSS JOIN h hh
+    ORDER BY p_partkey
+    """,
+)
+def part_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth/mature/decline per part from own-span half-split revenue
+    (integer cross-multiplied boundaries), with a 90-day lapsed flag
+    against the 1-row corpus horizon."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("de"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    ).localCheckpoint(eager=False)  # feeds horizon + span + split
+    h = li.agg(F.max("de").alias("horizon"))
+    span = li.groupBy("l_partkey").agg(
+        F.min("de").alias("lo"), F.max("de").alias("hi")
+    )
+    split = (
+        li.join(span, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * (F.col("de") - F.col("lo"))
+                    <= (F.col("hi") - F.col("lo")),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("h1_cents"),
+            F.sum(
+                F.when(
+                    2 * (F.col("de") - F.col("lo"))
+                    > (F.col("hi") - F.col("lo")),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("h2_cents"),
+            F.max("hi").alias("last_de"),
+        )
+    )
+    return (
+        split.crossJoin(F.broadcast(h))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "h1_cents",
+            "h2_cents",
+            F.expr(
+                "CASE WHEN 2 * h2_cents >= 3 * h1_cents THEN 'growth'"
+                " WHEN 3 * h2_cents <= 2 * h1_cents THEN 'decline'"
+                " ELSE 'mature' END"
+            ).alias("stage"),
+            F.when(
+                F.col("horizon") - F.col("last_de") >= 90, 1
+            ).otherwise(0).alias("lapsed"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------- 4-4-5 fiscal calendar
+
+# Enterprise reporting runs on 4-4-5 fiscal calendars, not ISO
+# months: 52-week years of four 13-week quarters split 4+4+5, weeks
+# starting Monday.  The mapping is PURE INTEGER arithmetic off a
+# fixed Monday epoch (1991-02-04, epoch-day 7704), so both engines
+# derive identical periods with zero date-library semantics; the
+# (52-week) drift against the Gregorian calendar is absorbed by the
+# final period, as real 4-4-5 calendars do with their leap week.
+FISCAL_EPOCH_DAY = 7704  # 1991-02-04, a Monday
+
+
+@register(
+    "fiscal_445_rollup",
+    f"""
+    WITH o AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+              - {FISCAL_EPOCH_DAY}) // 7 AS week_no,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mapped AS (
+      SELECT 1991 + week_no // 52 AS fiscal_year,
+             (week_no % 52) // 13 + 1 AS fiscal_quarter,
+             CASE WHEN (week_no % 52) % 13 < 4 THEN 1
+                  WHEN (week_no % 52) % 13 < 8 THEN 2
+                  ELSE 3 END AS period_in_quarter,
+             cents
+      FROM o
+    )
+    SELECT fiscal_year, fiscal_quarter,
+           (fiscal_quarter - 1) * 3 + period_in_quarter AS fiscal_period,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM mapped
+    GROUP BY 1, 2, 3
+    ORDER BY fiscal_year, fiscal_period
+    """,
+)
+def fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by 4-4-5 fiscal (year, quarter, period): integer week
+    arithmetic off the fixed Monday epoch, one rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            f" - {FISCAL_EPOCH_DAY}) div 7"
+        ).alias("week_no"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    mapped = o.select(
+        (F.lit(1991) + F.expr("week_no div 52")).alias("fiscal_year"),
+        F.expr("(week_no % 52) div 13 + 1").alias("fiscal_quarter"),
+        F.expr(
+            "CASE WHEN (week_no % 52) % 13 < 4 THEN 1"
+            " WHEN (week_no % 52) % 13 < 8 THEN 2 ELSE 3 END"
+        ).alias("period_in_quarter"),
+        "cents",
+    )
+    return (
+        mapped.groupBy("fiscal_year", "fiscal_quarter", "period_in_quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "fiscal_year",
+            "fiscal_quarter",
+            F.expr(
+                "(fiscal_quarter - 1) * 3 + period_in_quarter"
+            ).alias("fiscal_period"),
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("fiscal_year", "fiscal_period")
+    )

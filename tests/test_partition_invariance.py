@@ -167,6 +167,8 @@ PROBE = [
     "peak_day_drivers",
     # member-vs-rep exact Jaccard over star-contraction clusters
     "dedup_transitivity_audit",
+    # own-span half-split with integer boundaries
+    "part_lifecycle_stages",
 ]
 
 

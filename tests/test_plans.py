@@ -216,7 +216,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row horizon crossJoin (scalar-subquery shape)
                   "customer_overdue_alarm",
                   # 1-row means crossJoin (scalar-subquery shape)
-                  "error_purchase_correlation"}
+                  "error_purchase_correlation",
+                  # 1-row horizon crossJoin (scalar-subquery shape)
+                  "part_lifecycle_stages"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
