@@ -19031,3 +19031,156 @@ def fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fiscal_year", "fiscal_period")
     )
+
+
+# --------------------------- key-space density audit
+
+# Surrogate-key forensics: how densely the orderkey space is used,
+# and the largest holes — the audit that catches silent hard-deletes,
+# failed backfills, and sequence exhaustion.  One lag window over the
+# distinct key set; top-5 gaps fully tie-broken.
+@register(
+    "orderkey_density_audit",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    lagged AS (
+      SELECT k, k - LAG(k) OVER (ORDER BY k) AS gap,
+             LAG(k) OVER (ORDER BY k) AS prev_k
+      FROM k
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             MIN(k) AS min_key, MAX(k) AS max_key,
+             CAST(COUNT(*) AS BIGINT) * 1000000
+               // (MAX(k) - MIN(k) + 1) AS density_ppm
+      FROM k
+    ),
+    topgaps AS (
+      SELECT prev_k AS gap_after_key, gap
+      FROM lagged WHERE gap IS NOT NULL
+      ORDER BY gap DESC, prev_k LIMIT 5
+    )
+    SELECT s.n_keys, s.min_key, s.max_key, s.density_ppm,
+           g.gap_after_key, g.gap
+    FROM stats s CROSS JOIN topgaps g
+    ORDER BY g.gap DESC, g.gap_after_key
+    """,
+)
+def orderkey_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-space density + top-5 largest holes in o_orderkey: global
+    stats (1 row) crossJoined onto the TakeOrdered gap list; the lag
+    window runs on the deduped key column only."""
+    from pyspark.sql import Window
+
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds stats + gaps
+    )
+    lagged = k.select(
+        "k",
+        (F.col("k") - F.lag("k").over(Window.orderBy("k"))).alias("gap"),
+        F.lag("k").over(Window.orderBy("k")).alias("prev_k"),
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.expr(
+            "CAST(COUNT(*) AS BIGINT) * 1000000"
+            " div (MAX(k) - MIN(k) + 1)"
+        ).alias("density_ppm"),
+    )
+    topgaps = (
+        lagged.where(F.col("gap").isNotNull())
+        .select(F.col("prev_k").alias("gap_after_key"), "gap")
+        .orderBy(F.col("gap").desc(), "gap_after_key")
+        .limit(5)
+    )
+    return (
+        F.broadcast(stats)
+        .crossJoin(topgaps)
+        .select(
+            "n_keys",
+            "min_key",
+            "max_key",
+            "density_ppm",
+            "gap_after_key",
+            "gap",
+        )
+        .orderBy(F.col("gap").desc(), "gap_after_key")
+    )
+
+
+# --------------------------- trailing-window revenue snapshot
+
+# The dashboard header numbers: revenue and order counts in the
+# trailing 7 / 30 / 90 days before the corpus horizon, plus the
+# 7-day week-over-week growth — all from ONE conditional-sum pass
+# (no per-window rescans), all exact integer cents/ppm.
+@register(
+    "revenue_trailing_windows",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    h AS (SELECT MAX(de) AS hz FROM o)
+    SELECT
+      CAST(SUM(CASE WHEN de > hz - 7 THEN cents END) AS BIGINT)
+        AS rev_7d_cents,
+      CAST(SUM(CASE WHEN de > hz - 14 AND de <= hz - 7 THEN cents END)
+        AS BIGINT) AS rev_prev_7d_cents,
+      CAST(SUM(CASE WHEN de > hz - 30 THEN cents END) AS BIGINT)
+        AS rev_30d_cents,
+      CAST(SUM(CASE WHEN de > hz - 90 THEN cents END) AS BIGINT)
+        AS rev_90d_cents,
+      CAST(COUNT(CASE WHEN de > hz - 7 THEN 1 END) AS BIGINT)
+        AS n_orders_7d,
+      CAST(SUM(CASE WHEN de > hz - 7 THEN cents END) AS BIGINT)
+        * 1000000
+        // CAST(SUM(CASE WHEN de > hz - 14 AND de <= hz - 7
+                    THEN cents END) AS BIGINT) AS wow_ppm
+    FROM o CROSS JOIN h
+    """,
+)
+def revenue_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7/30/90-day revenue + WoW growth off the 1-row
+    horizon: one conditional-sum scan, zero window functions."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("de"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    h = o.agg(F.max("de").alias("hz"))
+    return (
+        o.crossJoin(F.broadcast(h))
+        .agg(
+            F.sum(F.when(F.col("de") > F.col("hz") - 7, F.col("cents")))
+            .alias("rev_7d_cents"),
+            F.sum(
+                F.when(
+                    (F.col("de") > F.col("hz") - 14)
+                    & (F.col("de") <= F.col("hz") - 7),
+                    F.col("cents"),
+                )
+            ).alias("rev_prev_7d_cents"),
+            F.sum(F.when(F.col("de") > F.col("hz") - 30, F.col("cents")))
+            .alias("rev_30d_cents"),
+            F.sum(F.when(F.col("de") > F.col("hz") - 90, F.col("cents")))
+            .alias("rev_90d_cents"),
+            F.count(F.when(F.col("de") > F.col("hz") - 7, 1)).alias(
+                "n_orders_7d"
+            ),
+        )
+        .select(
+            "*",
+            F.expr(
+                "rev_7d_cents * 1000000 div rev_prev_7d_cents"
+            ).alias("wow_ppm"),
+        )
+    )

@@ -218,7 +218,12 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row means crossJoin (scalar-subquery shape)
                   "error_purchase_correlation",
                   # 1-row horizon crossJoin (scalar-subquery shape)
-                  "part_lifecycle_stages"}
+                  "part_lifecycle_stages",
+                  # 1-row stats x 5-row gap list crossJoin
+                  # (scalar-subquery shape)
+                  "orderkey_density_audit",
+                  # 1-row horizon crossJoin (scalar-subquery shape)
+                  "revenue_trailing_windows"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
