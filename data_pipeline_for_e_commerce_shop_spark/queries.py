@@ -19184,3 +19184,196 @@ def revenue_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wow_ppm"),
         )
     )
+
+
+# --------------------------- customer spend concentration
+
+# Specialist or generalist?  Per customer: spend HHI across
+# categories (Σ share² in exact ppm, the category-level complement to
+# category_hhi's market view), the top category and its share — the
+# personalization signal that separates single-category loyalists
+# from browsers.  One (customer, category) rollup; shares floored to
+# ppm before squaring so the HHI is exact integer arithmetic.
+CONC_MIN_ORDERS = 2
+
+
+@register(
+    "customer_spend_concentration",
+    f"""
+    WITH cc AS (
+      SELECT o.o_custkey AS c_custkey, p.p_type AS category,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c_custkey,
+             CAST(SUM(cents) AS BIGINT) AS tot_cents,
+             COUNT(*) AS n_categories
+      FROM cc GROUP BY c_custkey
+    ),
+    shares AS (
+      SELECT cc.c_custkey, cc.category,
+             cc.cents * 1000000 // t.tot_cents AS share_ppm,
+             t.n_categories,
+             ROW_NUMBER() OVER (PARTITION BY cc.c_custkey
+                                ORDER BY cc.cents DESC, cc.category)
+               AS rn
+      FROM cc JOIN tot t ON cc.c_custkey = t.c_custkey
+    )
+    SELECT c_custkey, MAX(n_categories) AS n_categories,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) // 1000000
+             AS hhi_ppm,
+           MAX(CASE WHEN rn = 1 THEN category END) AS top_category,
+           MAX(CASE WHEN rn = 1 THEN share_ppm END)
+             AS top_share_ppm
+    FROM shares
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def customer_spend_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-customer category HHI (Σ floored-ppm-share², exact) + top
+    category and share via a per-customer argmax window."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    cc = (
+        li.join(orders, "o_orderkey")
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "category")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = cc.groupBy("c_custkey").agg(
+        F.sum("cents").alias("tot_cents"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    shares = cc.join(tot, "c_custkey").select(
+        "c_custkey",
+        "category",
+        F.expr("cents * 1000000 div tot_cents").alias("share_ppm"),
+        "n_categories",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_custkey").orderBy(
+                F.col("cents").desc(), "category"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        shares.groupBy("c_custkey")
+        .agg(
+            F.max("n_categories").alias("n_categories"),
+            F.expr(
+                "CAST(SUM(share_ppm * share_ppm) AS BIGINT)"
+                " div 1000000"
+            ).alias("hhi_ppm"),
+            F.max(F.when(F.col("rn") == 1, F.col("category"))).alias(
+                "top_category"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("share_ppm"))).alias(
+                "top_share_ppm"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------- region quarterly growth grid
+
+# The exec dashboard grid: revenue per (region, calendar quarter)
+# with quarter-over-quarter growth ppm from a region-partitioned lag
+# window — regional_revenue's trend extension.  Dims broadcast;
+# quarters derived with integer month arithmetic (no date-library
+# quarter semantics).
+@register(
+    "region_quarter_growth",
+    """
+    WITH rq AS (
+      SELECT r.r_name AS region,
+             EXTRACT(year FROM o.o_orderdate) * 4
+               + (EXTRACT(month FROM o.o_orderdate) - 1) // 3 AS qidx,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region,
+           qidx // 4 AS year,
+           qidx % 4 + 1 AS quarter,
+           cents AS revenue_cents,
+           CASE WHEN LAG(qidx) OVER w = qidx - 1
+                THEN cents * 1000000 // (LAG(cents) OVER w) END
+             AS qoq_ppm
+    FROM rq
+    WINDOW w AS (PARTITION BY region ORDER BY qidx)
+    ORDER BY region, qidx
+    """,
+)
+def region_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(region, quarter) revenue + QoQ ppm: three broadcast dim hops,
+    integer quarter index, region-partitioned lag (gap quarters yield
+    NULL growth rather than comparing non-adjacent quarters)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "EXTRACT(year FROM o_orderdate) * 4"
+            " + CAST((EXTRACT(month FROM o_orderdate) - 1) div 3 AS BIGINT)"
+        ).alias("qidx"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"),
+        F.col("r_name").alias("region"),
+    )
+    rq = (
+        o.join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .join(F.broadcast(region), "n_regionkey")
+        .groupBy("region", "qidx")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("region").orderBy("qidx")
+    return rq.select(
+        "region",
+        F.expr("qidx div 4").alias("year"),
+        (F.col("qidx") % 4 + 1).alias("quarter"),
+        F.col("cents").alias("revenue_cents"),
+        F.when(
+            F.lag("qidx").over(w) == F.col("qidx") - 1,
+            F.expr("cents * 1000000") / F.lag("cents").over(w),
+        )
+        .cast("long")
+        .alias("qoq_ppm"),
+        F.col("qidx").alias("_qidx"),
+    ).drop("_qidx").orderBy("region", "year", "quarter")

@@ -169,6 +169,8 @@ PROBE = [
     "dedup_transitivity_audit",
     # own-span half-split with integer boundaries
     "part_lifecycle_stages",
+    # floored-share HHI + per-customer argmax
+    "customer_spend_concentration",
 ]
 
 
