@@ -19377,3 +19377,206 @@ def region_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qoq_ppm"),
         F.col("qidx").alias("_qidx"),
     ).drop("_qidx").orderBy("region", "year", "quarter")
+
+
+# --------------------------- sample-ratio-mismatch guardrail
+
+# The experiment guardrail that fires BEFORE anyone reads lift
+# numbers: users hash into two arms that should split 50/50; a
+# chi-square of the observed counts against the even split catches
+# broken assignment/logging (SRM).  chi2 for the equal-split case
+# reduces to (o1-o2)^2/(o1+o2) — one exact integer ratio; the alarm
+# cross-multiplies against the frozen 3.841 critical value, so the
+# whole guardrail is division-free integers.
+@register(
+    "ab_srm_check",
+    """
+    WITH arms AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+             AS chi2_e3,
+           CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000
+                     > 3841 * (n_a + n_b)
+                THEN 1 ELSE 0 END AS srm_alarm
+    FROM c
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRM chi-square on the md5 arm split of distinct users: exact
+    integer (o1−o2)²/(o1+o2) in e3 units, division-free alarm against
+    the frozen df=1 critical value."""
+    arms = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm")
+        )
+    )
+    return (
+        arms.agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)"
+            ).alias("chi2_e3"),
+            F.expr(
+                "CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000"
+                " > 3841 * (n_a + n_b) THEN 1 ELSE 0 END"
+            ).alias("srm_alarm"),
+        )
+    )
+
+
+# --------------------------- ABC x XYZ policy matrix
+
+# The 9-cell inventory policy matrix: value class (ABC by cumulative
+# revenue share) crossed with variability class (XYZ by weekly-demand
+# cv²) — AX is "automate replenishment", CZ is "make to order".
+# Recomputes both classifications from their single sources of truth
+# (identical boundary arithmetic as part_abc_classes /
+# part_xyz_classes), then one part-keyed join and a 9-cell rollup.
+@register(
+    "part_abc_xyz_matrix",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_part),
+    abc AS (
+      SELECT l_partkey,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM per_part
+      ) CROSS JOIN tot
+    ),
+    weekly AS (
+      SELECT l_partkey,
+             CAST(floor(epoch(CAST(l_shipdate AS DATE))) AS BIGINT)
+               // 604800 AS wk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN (n_weeks * sqq - sq * sq) * 1000000
+                       // (sq * sq) <= 250000 THEN 'X'
+                  WHEN (n_weeks * sqq - sq * sq) * 1000000
+                       // (sq * sq) <= 1000000 THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM (
+        SELECT l_partkey, COUNT(*) AS n_weeks,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(q * q) AS BIGINT) AS sqq
+        FROM weekly GROUP BY l_partkey
+      ) WHERE sq > 0
+    )
+    SELECT a.abc, x.xyz, COUNT(*) AS n_parts
+    FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+    GROUP BY a.abc, x.xyz
+    ORDER BY a.abc, x.xyz
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC x XYZ cell counts: both classifications re-derived with
+    the exact boundary arithmetic of their standalone queries, one
+    part-keyed equi-join, 9-row output."""
+    from pyspark.sql import Window
+
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    tot = per_part.agg(F.sum("cents").alias("total"))
+    abc = (
+        per_part.select(
+            "l_partkey",
+            "cents",
+            F.sum("cents")
+            .over(
+                Window.orderBy(F.col("cents").desc(), "l_partkey")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.expr(
+                "CASE WHEN cum * 100 <= total * 80 THEN 'A'"
+                " WHEN cum * 100 <= total * 95 THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc"),
+        )
+    )
+    weekly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "unix_timestamp(CAST(l_shipdate AS DATE)) div 604800"
+            ).alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    xyz = (
+        weekly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_weeks"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        )
+        .where(F.col("sq") > 0)
+        .select(
+            "l_partkey",
+            F.expr(
+                "CASE WHEN (n_weeks * sqq - sq * sq) * 1000000"
+                " div (sq * sq) <= 250000 THEN 'X'"
+                " WHEN (n_weeks * sqq - sq * sq) * 1000000"
+                " div (sq * sq) <= 1000000 THEN 'Y'"
+                " ELSE 'Z' END"
+            ).alias("xyz"),
+        )
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("abc", "xyz")
+    )

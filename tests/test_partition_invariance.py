@@ -171,6 +171,9 @@ PROBE = [
     "part_lifecycle_stages",
     # floored-share HHI + per-customer argmax
     "customer_spend_concentration",
+    # cumulative-share boundaries x cv2 boundaries must agree
+    # under any placement
+    "part_abc_xyz_matrix",
 ]
 
 

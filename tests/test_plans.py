@@ -223,7 +223,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # (scalar-subquery shape)
                   "orderkey_density_audit",
                   # 1-row horizon crossJoin (scalar-subquery shape)
-                  "revenue_trailing_windows"}
+                  "revenue_trailing_windows",
+                  # 1-row revenue-total crossJoin (part_abc_classes
+                  # shape)
+                  "part_abc_xyz_matrix"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
