@@ -19580,3 +19580,218 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("abc", "xyz")
     )
+
+
+# --------------------------- int8 quantization recall
+
+# What does int8 ACTUALLY cost in retrieval quality?  Brute top-5
+# under symmetric int8 quantization (quantize_embeddings' exact
+# floor(x/||v||*127+.5) scheme — integer dot products) graded against
+# the full-precision brute top-5 — closing the quantization loop:
+# quantize (storage) -> PQ (index) -> THIS (the measured recall
+# cost).  Same broadcast-queries shape as every brute gauge.
+@register(
+    "ann_int8_recall",
+    f"""
+    WITH brute AS ({{brute}}),
+    ve AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(e, x -> x * x)), (a, b) -> a + b)) AS n
+      FROM ve
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(nrm.e,
+               x -> CAST(floor(x / nrm.n * 127 + 0.5) AS BIGINT)) AS q
+      FROM nrm
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 65), j -> a.q[j] * b.q[j])),
+               (x, y) -> x + y) AS dot8
+      FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    ),
+    top8 AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot8 DESC, corpus_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    )
+    SELECT t.query_id,
+           CAST(COUNT(b.corpus_id) AS BIGINT) AS n_matches,
+           CAST(COUNT(b.corpus_id) AS BIGINT) * 1000000 // 5
+             AS recall_ppm
+    FROM top8 t
+    LEFT JOIN brute b ON b.query_id = t.query_id
+                     AND b.corpus_id = t.corpus_id
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """.format(brute=ORACLES["ann_brute_topk"]),
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8-dot brute retrieval vs full-precision brute:
+    exact integer int8 dots (quantize_embeddings scheme), per-query
+    windowed top-5, equi-join overlap count."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    nrm = emb.select(
+        "vec_id",
+        "e",
+        F.expr(
+            "sqrt(aggregate(e, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x * x))"
+        ).alias("n"),
+    )
+    qv = nrm.select(
+        "vec_id",
+        F.expr(
+            "transform(e, x -> CAST(floor(x / n * 127 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    queries = qv.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(qv)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            F.expr(
+                "aggregate(zip_with(qq, q, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("dot8"),
+        )
+    )
+    top8 = (
+        scored.select(
+            "query_id",
+            "corpus_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("dot8").desc(), "corpus_id"
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .select("query_id", "corpus_id")
+    )
+    brute = brute_force_topk(spark, sf_dir, k=5).select(
+        "query_id", "corpus_id", F.lit(1).alias("hit")
+    )
+    return (
+        top8.join(brute, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_matches"))
+        .select(
+            "query_id",
+            "n_matches",
+            F.expr("n_matches * 1000000 div 5").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------- source-mix TV distance
+
+# How far is the corpus from the uniform source mix a balanced
+# training run wants?  Total-variation distance between the observed
+# source shares and uniform, EXACT via cross-multiplication:
+# TV = Σ|n_i·S − N| / (2·N·S) — no per-source division at all — plus
+# the most over- and under-represented sources.  One vocabulary-
+# sized rollup.
+@register(
+    "corpus_mix_tv_distance",
+    """
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS s FROM per
+    ),
+    dev AS (
+      SELECT p.source, p.n,
+             p.n * t.s - t.nn AS dev_num,
+             t.nn, t.s
+      FROM per p CROSS JOIN t
+    )
+    SELECT MAX(s) AS n_sources, MAX(nn) AS n_docs,
+           CAST(SUM(ABS(dev_num)) AS BIGINT) * 1000000
+             // (2 * MAX(nn) * MAX(s)) AS tv_uniform_ppm,
+           MAX(CASE WHEN dev_num = mx THEN source END)
+             AS most_over_source,
+           MAX(CASE WHEN dev_num = mn THEN source END)
+             AS most_under_source
+    FROM (
+      SELECT *,
+             MAX(dev_num) OVER () AS mx,
+             MIN(dev_num) OVER () AS mn
+      FROM dev
+    )
+    """,
+)
+def corpus_mix_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TV distance of the source mix from uniform (cross-
+    multiplied integers, single division at the end) + argmax over/
+    under sources."""
+    from pyspark.sql import Window
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = per.agg(
+        F.sum("n").alias("nn"), F.count(F.lit(1)).alias("s")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dev = (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n",
+            (F.col("n") * F.col("s") - F.col("nn")).alias("dev_num"),
+            "nn",
+            "s",
+        )
+        .select(
+            "*",
+            F.max("dev_num").over(w_all).alias("mx"),
+            F.min("dev_num").over(w_all).alias("mn"),
+        )
+    )
+    return dev.agg(
+        F.max("s").alias("n_sources"),
+        F.max("nn").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(ABS(dev_num)) AS BIGINT) * 1000000"
+            " div (2 * MAX(nn) * MAX(s))"
+        ).alias("tv_uniform_ppm"),
+        F.max(
+            F.when(F.col("dev_num") == F.col("mx"), F.col("source"))
+        ).alias("most_over_source"),
+        F.max(
+            F.when(F.col("dev_num") == F.col("mn"), F.col("source"))
+        ).alias("most_under_source"),
+    )

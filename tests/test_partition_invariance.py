@@ -174,6 +174,8 @@ PROBE = [
     # cumulative-share boundaries x cv2 boundaries must agree
     # under any placement
     "part_abc_xyz_matrix",
+    # int8 dots + overlap counts vs full-precision brute
+    "ann_int8_recall",
 ]
 
 

@@ -226,7 +226,11 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "revenue_trailing_windows",
                   # 1-row revenue-total crossJoin (part_abc_classes
                   # shape)
-                  "part_abc_xyz_matrix"}
+                  "part_abc_xyz_matrix",
+                  # broadcast query set vs corpus scan (brute shape)
+                  "ann_int8_recall",
+                  # 1-row totals crossJoin (scalar-subquery shape)
+                  "corpus_mix_tv_distance"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
