@@ -19795,3 +19795,115 @@ def corpus_mix_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dev_num") == F.col("mn"), F.col("source"))
         ).alias("most_under_source"),
     )
+
+
+# --------------------------- cross-supplier price consistency
+
+# Procurement leakage: the same part bought at different unit prices
+# from different suppliers.  Per (part, supplier): floored mean unit
+# price in cents; per part: cheapest/priciest supplier spread as
+# exact ppm; top-20 widest spreads with the supplier ids — the
+# renegotiation worklist.  Two part-keyed aggregates + one argmin/
+# argmax window pass.
+PRICECONS_TOPK = 20
+
+
+@register(
+    "part_price_consistency",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT)
+               // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS unit_cents
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cents,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cents, l_suppkey)
+               AS rn_lo,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cents DESC, l_suppkey)
+               AS rn_hi,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n_suppliers
+      FROM ps
+    )
+    SELECT l_partkey AS p_partkey, n_suppliers,
+           MAX(CASE WHEN rn_lo = 1 THEN l_suppkey END) AS cheap_supp,
+           MAX(CASE WHEN rn_lo = 1 THEN unit_cents END) AS cheap_cents,
+           MAX(CASE WHEN rn_hi = 1 THEN l_suppkey END) AS dear_supp,
+           MAX(CASE WHEN rn_hi = 1 THEN unit_cents END) AS dear_cents,
+           MAX(CASE WHEN rn_hi = 1 THEN unit_cents END) * 1000000
+             // MAX(CASE WHEN rn_lo = 1 THEN unit_cents END)
+             AS spread_ppm
+    FROM ranked
+    WHERE n_suppliers >= 2
+    GROUP BY l_partkey, n_suppliers
+    ORDER BY spread_ppm DESC, p_partkey
+    LIMIT {PRICECONS_TOPK}
+    """,
+)
+def part_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 widest cross-supplier unit-price spreads per part:
+    floored integer unit prices, cheapest/priciest picked by fully
+    tie-broken windows, exact spread ppm."""
+    from pyspark.sql import Window
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+                " div CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+            ).alias("unit_cents")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        "unit_cents",
+        F.row_number()
+        .over(w.orderBy("unit_cents", "l_suppkey"))
+        .alias("rn_lo"),
+        F.row_number()
+        .over(w.orderBy(F.col("unit_cents").desc(), "l_suppkey"))
+        .alias("rn_hi"),
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+    )
+    return (
+        ranked.where(F.col("n_suppliers") >= 2)
+        .groupBy("l_partkey", "n_suppliers")
+        .agg(
+            F.max(
+                F.when(F.col("rn_lo") == 1, F.col("l_suppkey"))
+            ).alias("cheap_supp"),
+            F.max(
+                F.when(F.col("rn_lo") == 1, F.col("unit_cents"))
+            ).alias("cheap_cents"),
+            F.max(
+                F.when(F.col("rn_hi") == 1, F.col("l_suppkey"))
+            ).alias("dear_supp"),
+            F.max(
+                F.when(F.col("rn_hi") == 1, F.col("unit_cents"))
+            ).alias("dear_cents"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_suppliers",
+            "cheap_supp",
+            "cheap_cents",
+            "dear_supp",
+            "dear_cents",
+            F.expr(
+                "dear_cents * 1000000 div cheap_cents"
+            ).alias("spread_ppm"),
+        )
+        .orderBy(F.col("spread_ppm").desc(), "p_partkey")
+        .limit(PRICECONS_TOPK)
+    )

@@ -176,6 +176,8 @@ PROBE = [
     "part_abc_xyz_matrix",
     # int8 dots + overlap counts vs full-precision brute
     "ann_int8_recall",
+    # tie-broken min/max supplier picks + exact spread
+    "part_price_consistency",
 ]
 
 
