@@ -19907,3 +19907,181 @@ def part_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("spread_ppm").desc(), "p_partkey")
         .limit(PRICECONS_TOPK)
     )
+
+
+# --------------------------- cart abandonment
+
+# Deadline-bounded conversion: for each user's click (the cart
+# proxy), did a purchase follow within 24 hours?  Abandonment per
+# day = clicks with no purchase inside the deadline — the funnel
+# family's "conversion with an SLA" member.  The click->next-purchase
+# match is one user-keyed equi-join with a MIN over qualifying
+# purchase times (no per-click rescan), all integer epoch seconds.
+CART_DEADLINE_SECONDS = 86400
+
+
+@register(
+    "cart_abandonment_rate",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ct,
+             CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.event_id, c.day,
+             MIN(p.pt) AS first_conv
+      FROM clicks c
+      LEFT JOIN purch p ON p.user_id = c.user_id
+                       AND p.pt >= c.ct
+                       AND p.pt < c.ct + {CART_DEADLINE_SECONDS}
+      GROUP BY c.event_id, c.day
+    )
+    SELECT day,
+           COUNT(*) AS n_carts,
+           CAST(SUM(CASE WHEN first_conv IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_abandoned,
+           CAST(SUM(CASE WHEN first_conv IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // COUNT(*) AS abandonment_ppm
+    FROM matched
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def cart_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day 24-hour cart abandonment: clicks left-joined to
+    qualifying purchases on user + time-window residual, MIN-reduced
+    per click, day rollup in exact ppm."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("sec").alias("ct"), "day"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("sec").alias("pt")
+    )
+    matched = (
+        clicks.join(
+            purch,
+            (clicks["user_id"] == purch["user_id"])
+            & (F.col("pt") >= F.col("ct"))
+            & (F.col("pt") < F.col("ct") + CART_DEADLINE_SECONDS),
+            "left",
+        )
+        .groupBy("event_id", "day")
+        .agg(F.min("pt").alias("first_conv"))
+    )
+    return (
+        matched.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_carts"),
+            F.sum(
+                F.when(F.col("first_conv").isNull(), 1).otherwise(0)
+            ).alias("n_abandoned"),
+        )
+        .select(
+            "day",
+            "n_carts",
+            "n_abandoned",
+            F.expr(
+                "n_abandoned * 1000000 div n_carts"
+            ).alias("abandonment_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------- seasonal peak tagging
+
+# Catalog seasonality tags: each part's peak revenue month (argmax
+# with earliest-month tie-break), the share of its revenue that month
+# carries, and a seasonal flag when the peak holds more than 2x the
+# uniform 1/12 share — the input to seasonal merchandising and
+# safety-stock policies.  One (part, month) rollup + one per-part
+# argmax window; the seasonal test cross-multiplies (share*12 > 2)
+# so no division happens per part.
+@register(
+    "part_peak_season",
+    """
+    WITH pm AS (
+      SELECT l_partkey,
+             EXTRACT(month FROM l_shipdate) AS month,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS tot_cents
+      FROM pm GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT pm.l_partkey, pm.month, pm.cents, t.tot_cents,
+             ROW_NUMBER() OVER (PARTITION BY pm.l_partkey
+                                ORDER BY pm.cents DESC, pm.month)
+               AS rn
+      FROM pm JOIN tot t ON pm.l_partkey = t.l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           month AS peak_month,
+           cents * 1000000 // tot_cents AS peak_share_ppm,
+           CASE WHEN cents * 12 > 2 * tot_cents THEN 1 ELSE 0 END
+             AS is_seasonal
+    FROM ranked WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def part_peak_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak revenue month per part (tie-broken argmax window), exact
+    peak share ppm, division-free 2x-uniform seasonal flag."""
+    from pyspark.sql import Window
+
+    pm = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.expr("EXTRACT(month FROM l_shipdate)").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    tot = pm.groupBy("l_partkey").agg(F.sum("cents").alias("tot_cents"))
+    ranked = pm.join(tot, "l_partkey").select(
+        "l_partkey",
+        "month",
+        "cents",
+        "tot_cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("l_partkey").orderBy(
+                F.col("cents").desc(), "month"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("month").alias("peak_month"),
+            F.expr("cents * 1000000 div tot_cents").alias(
+                "peak_share_ppm"
+            ),
+            F.expr(
+                "CASE WHEN cents * 12 > 2 * tot_cents THEN 1 ELSE 0 END"
+            ).alias("is_seasonal"),
+        )
+        .orderBy("p_partkey")
+    )

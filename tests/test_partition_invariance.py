@@ -178,6 +178,9 @@ PROBE = [
     "ann_int8_recall",
     # tie-broken min/max supplier picks + exact spread
     "part_price_consistency",
+    # deadline-bounded match + per-part argmax month
+    "cart_abandonment_rate",
+    "part_peak_season",
 ]
 
 
