@@ -20085,3 +20085,152 @@ def part_peak_season(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------- two-NN ratio diagnostic
+
+# Intrinsic-dimension diagnostic without the log: the TwoNN estimator
+# keys on the ratio r2/r1 of each point's second- to first-nearest-
+# neighbor distance (low ratios => high intrinsic dimension).  The
+# MLE itself needs log() (not engine-portable), so the query emits
+# the portable sufficient statistic instead: per-panel-point exact
+# integer n²·dist² for both neighbors and the ratio in ppm, plus the
+# panel's positional median ratio — downstream can apply any
+# estimator.  Panel (vec_id % 20 == 0) vs corpus is the brute gauge
+# shape; at 100 TB the panel stays fixed while the corpus scan is the
+# cost, like every other gauge.
+TWONN_PANEL_MOD = 20
+
+
+@register(
+    "embedding_twonn_ratio",
+    f"""
+    WITH ve AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000) AS BIGINT)) AS xs
+      FROM embeddings
+    ),
+    panel AS (SELECT * FROM ve WHERE vec_id % {TWONN_PANEL_MOD} = 0),
+    d2 AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS corpus_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), j ->
+                 CAST(p.xs[j] - c.xs[j] AS DOUBLE)
+                 * CAST(p.xs[j] - c.xs[j] AS DOUBLE))),
+               (a, b) -> a + b) AS dist2
+      FROM panel p JOIN ve c ON c.vec_id <> p.vec_id
+    ),
+    nn AS (
+      SELECT query_id, corpus_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist2, corpus_id) AS rn
+      FROM d2
+    ),
+    pairs AS (
+      SELECT a.query_id,
+             CAST(floor(sqrt(a.dist2)) AS BIGINT) AS r1_micro,
+             CAST(floor(sqrt(b.dist2)) AS BIGINT) AS r2_micro,
+             CAST(floor(sqrt(b.dist2) * 1000000 / sqrt(a.dist2))
+               AS BIGINT) AS ratio_ppm
+      FROM nn a JOIN nn b ON a.query_id = b.query_id
+      WHERE a.rn = 1 AND b.rn = 2
+    ),
+    med AS (
+      SELECT ratio_ppm AS median_ratio_ppm FROM (
+        SELECT ratio_ppm,
+               ROW_NUMBER() OVER (ORDER BY ratio_ppm, query_id) AS rn,
+               COUNT(*) OVER () AS np
+        FROM pairs
+      ) WHERE rn = (np + 1) // 2
+    )
+    SELECT p.query_id, p.r1_micro, p.r2_micro, p.ratio_ppm,
+           m.median_ratio_ppm
+    FROM pairs p CROSS JOIN med m
+    ORDER BY p.query_id
+    """,
+)
+def embedding_twonn_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-panel-point first/second-NN distances (exact int64 diffs,
+    dim-ordered double fold, floor(sqrt)) and the r2/r1 ratio ppm,
+    with the panel's positional median attached — the TwoNN
+    intrinsic-dimension sufficient statistic, log-free."""
+    from pyspark.sql import Window
+
+    ve = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xs"),
+    )
+    panel = ve.where(F.col("vec_id") % TWONN_PANEL_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("xs").alias("q_xs")
+    )
+    d2 = (
+        F.broadcast(panel)
+        .crossJoin(ve)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            F.expr(
+                "aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),"
+                " (a, j) -> a"
+                " + CAST(element_at(q_xs, j) - element_at(xs, j)"
+                "   AS DOUBLE)"
+                " * CAST(element_at(q_xs, j) - element_at(xs, j)"
+                "   AS DOUBLE))"
+            ).alias("dist2"),
+        )
+    )
+    nn = d2.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy("dist2", "corpus_id")
+        )
+        .alias("rn"),
+    ).where(F.col("rn") <= 2)
+    a = nn.where(F.col("rn") == 1).select(
+        "query_id", F.col("dist2").alias("d1")
+    )
+    b = nn.where(F.col("rn") == 2).select(
+        "query_id", F.col("dist2").alias("d2b")
+    )
+    pairs = a.join(b, "query_id").select(
+        "query_id",
+        F.expr("CAST(floor(sqrt(d1)) AS BIGINT)").alias("r1_micro"),
+        F.expr("CAST(floor(sqrt(d2b)) AS BIGINT)").alias("r2_micro"),
+        F.expr(
+            "CAST(floor(sqrt(d2b) * 1000000 / sqrt(d1)) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    med = (
+        pairs.select(
+            "ratio_ppm",
+            F.row_number()
+            .over(Window.orderBy("ratio_ppm", "query_id"))
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("np"),
+        )
+        .where(F.col("rn") == F.expr("(np + 1) div 2"))
+        .select(F.col("ratio_ppm").alias("median_ratio_ppm"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(med))
+        .select(
+            "query_id",
+            "r1_micro",
+            "r2_micro",
+            "ratio_ppm",
+            "median_ratio_ppm",
+        )
+        .orderBy("query_id")
+    )

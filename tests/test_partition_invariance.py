@@ -181,6 +181,8 @@ PROBE = [
     # deadline-bounded match + per-part argmax month
     "cart_abandonment_rate",
     "part_peak_season",
+    # NN argmins over dim-ordered folds + positional median
+    "embedding_twonn_ratio",
 ]
 
 

@@ -229,6 +229,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "part_abc_xyz_matrix",
                   # broadcast query set vs corpus scan (brute shape)
                   "ann_int8_recall",
+                  # broadcast panel vs corpus scan (brute shape) +
+                  # 1-row median crossJoin
+                  "embedding_twonn_ratio",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "corpus_mix_tv_distance"}
 
