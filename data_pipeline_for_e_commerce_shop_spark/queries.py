@@ -20234,3 +20234,160 @@ def embedding_twonn_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------- whale concentration
+
+# Whale analysis on event value: what share of total value do the
+# top 1% / 5% / 10% of users carry?  Users rank by exact cent
+# totals; the percentile head counts are ceil(n*p) positional (no
+# interpolation ambiguity), shares are exact ppm from running sums —
+# the user-level complement to revenue_concentration_curve's
+# category Lorenz deciles.
+@register(
+    "user_value_pareto",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rn,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(cents) OVER () AS BIGINT) AS tot
+      FROM per
+    ),
+    cuts AS (SELECT u.p AS pct FROM UNNEST([1, 5, 10]) AS u(p))
+    SELECT c.pct,
+           (SELECT (r.n * c.pct + 99) // 100 FROM ranked r LIMIT 1)
+             AS n_top_users,
+           MAX(CASE WHEN rn = (n * c.pct + 99) // 100
+               THEN cum END) AS top_cents,
+           MAX(CASE WHEN rn = (n * c.pct + 99) // 100
+               THEN cum * 1000000 // tot END) AS share_ppm
+    FROM ranked CROSS JOIN cuts c
+    GROUP BY c.pct
+    ORDER BY c.pct
+    """,
+)
+def user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1/5/10% user share of total event value: one user rollup,
+    one desc running-sum window, positional ceil(n·p) cuts, exact
+    ppm shares."""
+    from pyspark.sql import Window
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    w_desc = Window.orderBy(F.col("cents").desc(), "user_id")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "cents",
+        F.row_number().over(w_desc).alias("rn"),
+        F.sum("cents")
+        .over(w_desc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("tot"),
+    )
+    cuts = spark.createDataFrame([(1,), (5,), (10,)], "pct long")
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .groupBy("pct")
+        .agg(
+            F.max(F.expr("(n * pct + 99) div 100")).alias("n_top_users"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rn = (n * pct + 99) div 100"
+                    " THEN cum END"
+                )
+            ).alias("top_cents"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rn = (n * pct + 99) div 100"
+                    " THEN cum * 1000000 div tot END"
+                )
+            ).alias("share_ppm"),
+        )
+        .orderBy("pct")
+    )
+
+
+# --------------------------- order complexity profile
+
+# Fulfillment complexity: orders bucketed by how many line items,
+# distinct suppliers, and distinct categories they touch — the
+# operational histogram that prices split-shipment risk.  One
+# order-keyed rollup (broadcast dim for categories), grouped into a
+# compact (n_items, n_suppliers, n_categories) profile with exact
+# average order value per cell.
+@register(
+    "order_complexity_profile",
+    """
+    WITH per AS (
+      SELECT l.l_orderkey,
+             COUNT(*) AS n_items,
+             COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+             COUNT(DISTINCT p.p_type) AS n_categories,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY l.l_orderkey
+    )
+    SELECT n_items, n_suppliers, n_categories,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) // COUNT(*) AS avg_cents
+    FROM per
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def order_complexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(items, suppliers, categories) complexity cells with order
+    counts and exact floored average value."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    per = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("category").alias("n_categories"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return (
+        per.groupBy("n_items", "n_suppliers", "n_categories")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(cents) AS BIGINT) div COUNT(*)"
+            ).alias("avg_cents"),
+        )
+        .orderBy("n_items", "n_suppliers", "n_categories")
+    )

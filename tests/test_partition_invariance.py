@@ -183,6 +183,8 @@ PROBE = [
     "part_peak_season",
     # NN argmins over dim-ordered folds + positional median
     "embedding_twonn_ratio",
+    # desc running sums + positional percentile cuts
+    "user_value_pareto",
 ]
 
 

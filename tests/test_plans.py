@@ -233,7 +233,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row median crossJoin
                   "embedding_twonn_ratio",
                   # 1-row totals crossJoin (scalar-subquery shape)
-                  "corpus_mix_tv_distance"}
+                  "corpus_mix_tv_distance",
+                  # 3-row percentile-cut spine crossJoin
+                  # (aggregate-reduced grid shape)
+                  "user_value_pareto"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
