@@ -20391,3 +20391,84 @@ def order_complexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_items", "n_suppliers", "n_categories")
     )
+
+
+# --------------------------- one-pass KPI wall
+
+# The multi-query-optimization statement: five dashboard KPI families
+# — revenue stats, status mix, priority mix, weekday mix, order-size
+# bands — computed in ONE scan of orders with conditional aggregation
+# (a dashboard that issues five queries pays five scans; at 100 TB
+# the difference IS the bill).  The plan carries exactly one
+# Exchange: the final single-row aggregate.
+@register(
+    "orders_onepass_kpis",
+    """
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) // COUNT(*) AS avg_cents,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+             AS BIGINT) AS n_status_f,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+             AS BIGINT) AS n_status_o,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+             AS BIGINT) AS n_status_p,
+           CAST(COUNT(CASE WHEN o_orderpriority LIKE '1%'
+                      OR o_orderpriority LIKE '2%' THEN 1 END)
+             AS BIGINT) AS n_urgent_high,
+           CAST(COUNT(CASE WHEN dayofweek(CAST(o_orderdate AS DATE))
+                      IN (0, 6) THEN 1 END) AS BIGINT)
+             AS n_weekend,
+           CAST(COUNT(CASE WHEN o_totalprice >= 200000 THEN 1 END)
+             AS BIGINT) AS n_jumbo,
+           CAST(COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END)
+             AS BIGINT) AS n_small
+    FROM orders
+    """,
+)
+def orders_onepass_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five KPI families in one conditional-aggregation scan (single
+    Exchange).  DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday; the
+    Spark side subtracts 1 so the weekend set matches."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+        ).alias("revenue_cents"),
+        F.expr(
+            "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) div COUNT(*)"
+        ).alias("avg_cents"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias(
+            "n_status_f"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias(
+            "n_status_o"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias(
+            "n_status_p"
+        ),
+        F.count(
+            F.when(
+                F.col("o_orderpriority").like("1%")
+                | F.col("o_orderpriority").like("2%"),
+                1,
+            )
+        ).alias("n_urgent_high"),
+        F.count(
+            F.when(
+                (F.dayofweek(F.col("o_orderdate").cast("date")) - 1)
+                .isin(0, 6),
+                1,
+            )
+        ).alias("n_weekend"),
+        F.count(F.when(F.col("o_totalprice") >= 200000, 1)).alias(
+            "n_jumbo"
+        ),
+        F.count(F.when(F.col("o_totalprice") < 50000, 1)).alias(
+            "n_small"
+        ),
+    )
