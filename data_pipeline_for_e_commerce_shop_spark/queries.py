@@ -20472,3 +20472,107 @@ def orders_onepass_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_small"
         ),
     )
+
+
+# --------------------------- exact 1-D bimodal split
+
+# Optimal 2-cluster split of order values — exact Fisher–Jenks for
+# k=2: for SORTED 1-D data the optimal 2-means partition is a prefix/
+# suffix cut, so scanning the n-1 cut positions with integer prefix
+# sums (SSE = Q - S²/n per side, the revenue_best_split decomposition
+# applied to the VALUE axis instead of time) finds the global optimum
+# — no EM, no seeds, no iterations.  Output: the split point, both
+# cluster means/sizes, and variance-explained ppm.
+@register(
+    "order_value_bimodal_split",
+    """
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS x FROM orders
+    ),
+    pre AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x) AS t,
+             CAST(SUM(x) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s_t,
+             CAST(SUM(x * x) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS q_t,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(x) OVER () AS BIGINT) AS s_n,
+             CAST(SUM(x * x) OVER () AS BIGINT) AS q_n
+      FROM v
+    ),
+    costs AS (
+      SELECT x, t, n, s_t, s_n,
+             (CAST(q_t AS DOUBLE) - CAST(s_t AS DOUBLE) * s_t / t)
+             + (CAST(q_n - q_t AS DOUBLE)
+                - CAST(s_n - s_t AS DOUBLE) * (s_n - s_t) / (n - t))
+               AS split_sse,
+             CAST(q_n AS DOUBLE)
+               - CAST(s_n AS DOUBLE) * s_n / n AS total_sse
+      FROM pre WHERE t < n
+    )
+    SELECT x AS split_below_dollars,
+           t AS n_low, n - t AS n_high,
+           s_t // t AS mean_low_dollars,
+           (s_n - s_t) // (n - t) AS mean_high_dollars,
+           CAST(floor((total_sse - split_sse) * 1000000 / total_sse)
+             AS BIGINT) AS variance_explained_ppm
+    FROM costs
+    ORDER BY split_sse, t
+    LIMIT 1
+    """,
+)
+def order_value_bimodal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Fisher–Jenks k=2 on order values: value-sorted integer
+    prefix sums, O(1) double SSE per cut, argmin with smallest-t
+    tie-break — globally optimal 1-D 2-means with zero iterations."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("x")
+    )
+    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = v.select(
+        "x",
+        F.row_number().over(Window.orderBy("x")).alias("t"),
+        F.sum("x").over(w_run).alias("s_t"),
+        F.sum(F.col("x") * F.col("x")).over(w_run).alias("q_t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("s_n"),
+        F.sum(F.col("x") * F.col("x")).over(w_all).alias("q_n"),
+    )
+    costs = pre.where(F.col("t") < F.col("n")).select(
+        "x",
+        "t",
+        "n",
+        "s_t",
+        "s_n",
+        F.expr(
+            "(CAST(q_t AS DOUBLE) - CAST(s_t AS DOUBLE) * s_t / t)"
+            " + (CAST(q_n - q_t AS DOUBLE)"
+            "    - CAST(s_n - s_t AS DOUBLE) * (s_n - s_t) / (n - t))"
+        ).alias("split_sse"),
+        F.expr(
+            "CAST(q_n AS DOUBLE) - CAST(s_n AS DOUBLE) * s_n / n"
+        ).alias("total_sse"),
+    )
+    return (
+        costs.orderBy("split_sse", "t")
+        .limit(1)
+        .select(
+            F.col("x").alias("split_below_dollars"),
+            F.col("t").alias("n_low"),
+            (F.col("n") - F.col("t")).alias("n_high"),
+            F.expr("s_t div t").alias("mean_low_dollars"),
+            F.expr("(s_n - s_t) div (n - t)").alias("mean_high_dollars"),
+            F.expr(
+                "CAST(floor((total_sse - split_sse) * 1000000"
+                " / total_sse) AS BIGINT)"
+            ).alias("variance_explained_ppm"),
+        )
+    )

@@ -185,6 +185,8 @@ PROBE = [
     "embedding_twonn_ratio",
     # desc running sums + positional percentile cuts
     "user_value_pareto",
+    # value-sorted prefix sums + double SSE argmin
+    "order_value_bimodal_split",
 ]
 
 
