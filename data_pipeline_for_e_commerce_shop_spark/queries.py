@@ -20576,3 +20576,169 @@ def order_value_bimodal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variance_explained_ppm"),
         )
     )
+
+
+# --------------------------- higher-moment profile
+
+# Skewness and excess kurtosis per event type from EXACT integer
+# power sums (Σx..Σx⁴ in whole dollars — cents would overflow int64
+# at Σx³): the one-pass moment profile that decides which downstream
+# models get a heavy-tail treatment.  Central moments expand from the
+# raw sums in deterministic doubles (identical op order both
+# engines); only mean/var/skew/kurt divisions are floating.
+@register(
+    "events_value_moments",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x * x) AS BIGINT) AS s3,
+             CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 // n AS mean_dollars,
+           CAST(floor((CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             * 1000) AS BIGINT) AS var_e3,
+           CAST(floor(
+             (CAST(s3 AS DOUBLE) / n
+              - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n))
+             / pow(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n), 1.5)
+             * 1000000) AS BIGINT) AS skew_ppm,
+           CAST(floor(
+             ((CAST(s4 AS DOUBLE) / n
+               - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+               + 6 * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              / ((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 * (CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)))
+              - 3) * 1000000) AS BIGINT) AS excess_kurtosis_ppm
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/skewness/excess-kurtosis per type from one pass
+    of exact integer power sums (whole dollars keep Σx³/Σx⁴ in
+    int64); moment expansion in fixed-order doubles."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(floor(value) AS BIGINT)").alias("x")
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias(
+            "s4"
+        ),
+    )
+    mu = "(CAST(s1 AS DOUBLE) / n)"
+    m2 = f"(CAST(s2 AS DOUBLE) / n - {mu} * {mu})"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / n - 3 * {mu} * (CAST(s2 AS DOUBLE) / n)"
+        f" + 2 * {mu} * {mu} * {mu})"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / n - 4 * {mu} * (CAST(s3 AS DOUBLE) / n)"
+        f" + 6 * {mu} * {mu} * (CAST(s2 AS DOUBLE) / n)"
+        f" - 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr("s1 div n").alias("mean_dollars"),
+        F.expr(f"CAST(floor({m2} * 1000) AS BIGINT)").alias("var_e3"),
+        F.expr(
+            f"CAST(floor({m3} / pow({m2}, 1.5) * 1000000) AS BIGINT)"
+        ).alias("skew_ppm"),
+        F.expr(
+            f"CAST(floor(({m4} / ({m2} * {m2}) - 3) * 1000000)"
+            " AS BIGINT)"
+        ).alias("excess_kurtosis_ppm"),
+    ).orderBy("event_type")
+
+
+# --------------------------- hapax profile by source
+
+# Corpus-health staple: per source, the share of vocabulary seen
+# exactly once (hapax legomena) and the type-token ratio — generated
+# and templated text collapse both numbers, so they screen synthetic
+# or boilerplate-heavy sources.  Token counting reuses the
+# whitespace convention; everything is vocabulary-keyed aggregation
+# with exact ppm ratios.
+@register(
+    "text_hapax_by_source",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, COUNT(*) AS f
+      FROM tok WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           COUNT(*) * 1000000 // CAST(SUM(f) AS BIGINT)
+             AS type_token_ppm,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS hapax_share_ppm
+    FROM tf
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax share and type-token ratio: one token
+    explode, (source, word) frequency table, exact ppm ratios."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = (
+        tok.where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("f").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias(
+                "n_hapax"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_types * 1000000 div n_tokens").alias(
+                "type_token_ppm"
+            ),
+            F.expr("n_hapax * 1000000 div n_types").alias(
+                "hapax_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

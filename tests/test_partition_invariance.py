@@ -187,6 +187,8 @@ PROBE = [
     "user_value_pareto",
     # value-sorted prefix sums + double SSE argmin
     "order_value_bimodal_split",
+    # moment expansion from exact power sums
+    "events_value_moments",
 ]
 
 
