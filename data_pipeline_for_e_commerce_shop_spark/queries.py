@@ -20742,3 +20742,187 @@ def text_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------- price-quantity dependence grid
+
+# The copula-style dependence picture behind the single chi² number:
+# unit price and quantity each cut into positional quintiles, the
+# 5x5 cell counts, and each cell's lift vs independence in exact ppm
+# — WHERE the dependence lives, not just whether it exists
+# (discount_tax_independence's granular sibling).  Quintile
+# boundaries are positional ranks (ntile), so every value lands
+# deterministically; lift cross-multiplies row/col margins.
+@register(
+    "price_qty_dependence_grid",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)
+               AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT NTILE(5) OVER (ORDER BY price_cents, l_orderkey,
+                            l_linenumber) AS price_q,
+             NTILE(5) OVER (ORDER BY qty, l_orderkey, l_linenumber)
+               AS qty_q
+      FROM pts
+    ),
+    cells AS (
+      SELECT price_q, qty_q, COUNT(*) AS o
+      FROM binned GROUP BY 1, 2
+    ),
+    mr AS (SELECT price_q, CAST(SUM(o) AS BIGINT) AS r FROM cells
+           GROUP BY price_q),
+    mc AS (SELECT qty_q, CAST(SUM(o) AS BIGINT) AS c FROM cells
+           GROUP BY qty_q),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT ce.price_q, ce.qty_q, ce.o AS n_lines,
+           ce.o * n.n * 1000000 // (mr.r * mc.c) AS lift_ppm
+    FROM cells ce
+    JOIN mr ON ce.price_q = mr.price_q
+    JOIN mc ON ce.qty_q = mc.qty_q
+    CROSS JOIN n
+    ORDER BY ce.price_q, ce.qty_q
+    """,
+)
+def price_qty_dependence_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5x5 positional-quintile grid of (unit price, quantity) with
+    exact independence-lift ppm per cell; ntile tie-broken on the
+    line identity so binning is deterministic."""
+    from pyspark.sql import Window
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    binned = pts.select(
+        F.ntile(5)
+        .over(Window.orderBy("price_cents", "l_orderkey", "l_linenumber"))
+        .alias("price_q"),
+        F.ntile(5)
+        .over(Window.orderBy("qty", "l_orderkey", "l_linenumber"))
+        .alias("qty_q"),
+    )
+    cells = binned.groupBy("price_q", "qty_q").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    mr = cells.groupBy("price_q").agg(F.sum("o").alias("r"))
+    mc = cells.groupBy("qty_q").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    return (
+        cells.join(F.broadcast(mr), "price_q")
+        .join(F.broadcast(mc), "qty_q")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "price_q",
+            "qty_q",
+            F.col("o").alias("n_lines"),
+            F.expr("o * n * 1000000 div (r * c)").alias("lift_ppm"),
+        )
+        .orderBy("price_q", "qty_q")
+    )
+
+
+# --------------------------- per-customer value trend
+
+# Thousands of tiny regressions in one pass: each customer's OLS
+# slope of order value (cents) against order sequence number — the
+# improving/declining/flat lifecycle classifier.  Slope numerator/
+# denominator stay EXACT integers (sequence index is small, cents
+# bounded), so the trend class is division-free; slope_e3 is the one
+# double at the end.  This is per-entity regression at fact scale:
+# the shuffle is customer-keyed, every group is a few rows, nothing
+# collects anywhere.
+@register(
+    "customer_value_trend",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+               AS BIGINT) AS t,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(cents) AS BIGINT) AS sc,
+             CAST(SUM(t * cents) AS BIGINT) AS stc,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM seq GROUP BY o_custkey
+    ),
+    fit AS (
+      SELECT o_custkey AS c_custkey, n,
+             n * stc - st * sc AS num,
+             n * stt - st * st AS den
+      FROM m WHERE n >= 3
+    )
+    SELECT CASE WHEN 10 * num > den * 100 THEN 'improving'
+                WHEN 10 * num < -den * 100 THEN 'declining'
+                ELSE 'flat' END AS trend,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM fit
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def customer_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS slope of order value vs sequence number from
+    exact integer sums (n·Σtc − ΣtΣc over n·Σt² − (Σt)²), classified
+    improving/declining/flat by division-free cross-multiplication
+    (|slope| > 10 cents/order), rolled up to class counts."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .cast("long")
+        .alias("t"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    m = seq.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("t") * F.col("cents")).alias("stc"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    fit = m.where(F.col("n") >= 3).select(
+        "n",
+        (F.col("n") * F.col("stc") - F.col("st") * F.col("sc")).alias(
+            "num"
+        ),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias(
+            "den"
+        ),
+    )
+    return (
+        fit.select(
+            F.expr(
+                "CASE WHEN 10 * num > den * 100 THEN 'improving'"
+                " WHEN 10 * num < -den * 100 THEN 'declining'"
+                " ELSE 'flat' END"
+            ).alias("trend"),
+            "n",
+        )
+        .groupBy("trend")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n").alias("n_orders"),
+        )
+        .orderBy("trend")
+    )

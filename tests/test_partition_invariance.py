@@ -189,6 +189,10 @@ PROBE = [
     "order_value_bimodal_split",
     # moment expansion from exact power sums
     "events_value_moments",
+    # tie-broken ntile bins + margin lifts
+    "price_qty_dependence_grid",
+    # per-entity integer OLS classification
+    "customer_value_trend",
 ]
 
 

@@ -236,7 +236,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "corpus_mix_tv_distance",
                   # 3-row percentile-cut spine crossJoin
                   # (aggregate-reduced grid shape)
-                  "user_value_pareto"}
+                  "user_value_pareto",
+                  # 1-row grand-total crossJoin (scalar-subquery
+                  # shape)
+                  "price_qty_dependence_grid"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
