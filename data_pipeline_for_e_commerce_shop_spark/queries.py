@@ -20926,3 +20926,77 @@ def customer_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trend")
     )
+
+
+# --------------------------- shingle-width sensitivity sweep
+
+# The other dedup tuning dial: how does shingle WIDTH (2/3/4-gram)
+# change the blocking universe?  Per width: distinct shingles,
+# average shingles per doc, and the share of shingles shared by >= 2
+# docs (the collision mass that drives candidate generation) — the
+# companion to dedup_lsh_tuning_curve's band sweep.  Each width is
+# one explode + two vocabulary-keyed aggregates; widths union into
+# one 3-row table.
+DEDUP_SWEEP_WIDTHS = (2, 3, 4)
+
+
+def _shingle_sweep_oracle() -> str:
+    parts = []
+    for w in DEDUP_SWEEP_WIDTHS:
+        parts.append(f"""
+    SELECT {w} AS width,
+           COUNT(*) AS n_distinct_shingles,
+           CAST(SUM(nd) AS BIGINT) AS n_doc_shingle_pairs,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS shared_shingle_ppm
+    FROM (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - {w - 1}),
+                 i -> array_to_string(toks[i:i+{w - 1}], ' ')))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= {w}
+      ) GROUP BY shingle
+    )""")
+    return " UNION ALL ".join(parts) + " ORDER BY width"
+
+
+@register("dedup_shingle_width_sweep", _shingle_sweep_oracle())
+def dedup_shingle_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-universe stats at shingle widths 2/3/4: distinct
+    shingles, doc-shingle pairs, and the >=2-doc collision share ppm
+    (DuckDB's 1-based inclusive slice toks[i:i+w-1] == Spark's
+    slice(toks, i, w))."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    out = None
+    for w in DEDUP_SWEEP_WIDTHS:
+        sh = docs.where(F.size("toks") >= w).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f" sequence(1, size(toks) - {w - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {w}))))"
+                )
+            ).alias("shingle"),
+        )
+        per = sh.groupBy("shingle").agg(
+            F.countDistinct("doc_id").alias("nd")
+        )
+        row = per.agg(
+            F.lit(w).cast("long").alias("width"),
+            F.count(F.lit(1)).alias("n_distinct_shingles"),
+            F.sum("nd").alias("n_doc_shingle_pairs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)"
+                " AS BIGINT) * 1000000 div COUNT(*)"
+            ).alias("shared_shingle_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("width")

@@ -193,6 +193,8 @@ PROBE = [
     "price_qty_dependence_grid",
     # per-entity integer OLS classification
     "customer_value_trend",
+    # collision-mass ratios across widths
+    "dedup_shingle_width_sweep",
 ]
 
 
