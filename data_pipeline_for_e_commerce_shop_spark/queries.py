@@ -21000,3 +21000,152 @@ def dedup_shingle_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("width")
+
+
+# --------------------------- circadian phase profile
+
+# Behavioral clock segmentation: each user's peak activity hour
+# (argmax with earliest-hour tie-break), rolled into the 24-hour
+# distribution of peak hours with share ppm — night-owl vs nine-to-
+# five cohorts for send-time optimization.  One (user, hour) rollup,
+# one per-user argmax window, one 24-row rollup.
+@register(
+    "user_peak_hour_profile",
+    """
+    WITH uh AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    peak AS (
+      SELECT user_id, hr FROM (
+        SELECT user_id, hr,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, hr) AS rn
+        FROM uh
+      ) WHERE rn = 1
+    ),
+    dist AS (
+      SELECT hr AS peak_hour, COUNT(*) AS n_users FROM peak GROUP BY hr
+    ),
+    t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tot FROM dist)
+    SELECT d.peak_hour, d.n_users,
+           d.n_users * 1000000 // t.tot AS share_ppm
+    FROM dist d CROSS JOIN t
+    ORDER BY d.peak_hour
+    """,
+)
+def user_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user peak activity hours (tie-broken
+    argmax window), exact share ppm."""
+    from pyspark.sql import Window
+
+    uh = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.hour("ts").cast("long").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    peak = (
+        uh.select(
+            "user_id",
+            "hr",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("n").desc(), "hr"
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    dist = peak.groupBy(F.col("hr").alias("peak_hour")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    t = dist.agg(F.sum("n_users").alias("tot"))
+    return (
+        dist.crossJoin(F.broadcast(t))
+        .select(
+            "peak_hour",
+            "n_users",
+            F.expr("n_users * 1000000 div tot").alias("share_ppm"),
+        )
+        .orderBy("peak_hour")
+    )
+
+
+# --------------------------- term burstiness
+
+# Church–Gale burstiness for the top document-frequency terms: a
+# bursty term clumps into few documents (dispersion of per-doc count
+# >> 1), a function word spreads evenly — the statistic separating
+# topical from structural vocabulary.  Per term: DF, total count,
+# exact dispersion (n·Σc² − (Σc)²)/((n−1)·Σc) over DOCUMENTS
+# CONTAINING the term, in ppm.  Top-20 by DF, fully tie-broken.
+TERM_BURST_TOPK = 20
+
+
+@register(
+    "text_term_burstiness",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY doc_id, w
+    ),
+    term AS (
+      SELECT w, COUNT(*) AS df,
+             CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(SUM(c * c) AS BIGINT) AS tot2
+      FROM tf GROUP BY w
+    ),
+    top AS (
+      SELECT w, df, tot, tot2,
+             ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn
+      FROM term
+    )
+    SELECT w AS term, df, tot AS n_occurrences,
+           CASE WHEN df >= 2 THEN
+             (df * tot2 - tot * tot) * 1000000 // ((df - 1) * tot)
+           END AS dispersion_ppm
+    FROM top WHERE rn <= {TERM_BURST_TOPK}
+    ORDER BY df DESC, term
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 DF terms with exact per-doc-count dispersion ppm
+    (the single-ratio index over containing docs); burstiness
+    separates topical from structural vocabulary."""
+    from pyspark.sql import Window
+
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = tf.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("tot2"),
+    )
+    top = term.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").desc(), "w"))
+        .alias("rn"),
+    ).where(F.col("rn") <= TERM_BURST_TOPK)
+    return top.select(
+        F.col("w").alias("term"),
+        "df",
+        F.col("tot").alias("n_occurrences"),
+        F.when(
+            F.col("df") >= 2,
+            F.expr(
+                "(df * tot2 - tot * tot) * 1000000"
+                " div ((df - 1) * tot)"
+            ),
+        ).alias("dispersion_ppm"),
+    ).orderBy(F.col("df").desc(), "term")

@@ -195,6 +195,10 @@ PROBE = [
     "customer_value_trend",
     # collision-mass ratios across widths
     "dedup_shingle_width_sweep",
+    # per-user argmax hour + share ppm
+    "user_peak_hour_profile",
+    # dispersion ratios over containing docs
+    "text_term_burstiness",
 ]
 
 

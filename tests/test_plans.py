@@ -239,7 +239,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "user_value_pareto",
                   # 1-row grand-total crossJoin (scalar-subquery
                   # shape)
-                  "price_qty_dependence_grid"}
+                  "price_qty_dependence_grid",
+                  # 1-row peak-total crossJoin (scalar-subquery shape)
+                  "user_peak_hour_profile"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
