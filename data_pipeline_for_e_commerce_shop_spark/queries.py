@@ -21149,3 +21149,71 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dispersion_ppm"),
     ).orderBy(F.col("df").desc(), "term")
+
+
+# --------------------------- temporal integrity audit
+
+# Cross-table TEMPORAL referential integrity: a line item cannot ship
+# before its order was placed.  Violations counted per order month
+# with exact incidence ppm and the worst (most-negative-lag) case —
+# the temporal sibling of ri_orphans' key-space check.  One fact join
+# (order date rides to the line via the orderkey shuffle), one month
+# rollup; lag arithmetic in integer days.
+@register(
+    "temporal_integrity_audit",
+    """
+    WITH j AS (
+      SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+             CAST(l.l_shipdate AS DATE)
+               - CAST(o.o_orderdate AS DATE) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT month,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_violations,
+           CAST(SUM(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // COUNT(*) AS violation_ppm,
+           CAST(MIN(lag_days) AS BIGINT) AS worst_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM j
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def temporal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-before-order violations per order month: one orderkey
+    join, integer day lags, exact ppm incidence + worst/max lag."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    j = li.join(o, "l_orderkey").select(
+        F.date_trunc("month", "odate").cast("date").alias("month"),
+        F.datediff("ship", "odate").cast("long").alias("lag_days"),
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("lag_days") < 0, 1).otherwise(0)
+            ).alias("n_violations"),
+            F.min("lag_days").alias("worst_lag_days"),
+            F.max("lag_days").alias("max_lag_days"),
+        )
+        .select(
+            "month",
+            "n_lines",
+            "n_violations",
+            F.expr(
+                "n_violations * 1000000 div n_lines"
+            ).alias("violation_ppm"),
+            "worst_lag_days",
+            "max_lag_days",
+        )
+        .orderBy("month")
+    )
