@@ -21217,3 +21217,228 @@ def temporal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------- weekend two-sample z-test
+
+# Do weekend orders differ in value?  Two-sample z from exact
+# integer moments of weekday vs weekend order cents (one conditional
+# pass), z in e3 against the frozen 1.96 critical value —
+# completing the testing family's two-sample mean comparison
+# (chi2 tests compare distributions, CUPED adjusts, this one tests).
+@register(
+    "weekend_value_ztest",
+    """
+    WITH o AS (
+      SELECT CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS wk,
+             CAST(floor(o_totalprice) AS BIGINT) AS x
+      FROM orders
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN wk = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN wk = 1 THEN x * x ELSE 0 END) AS BIGINT)
+          AS q1,
+        CAST(SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN wk = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN wk = 0 THEN x * x ELSE 0 END) AS BIGINT)
+          AS q0
+      FROM o
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           s1 // n1 AS mean_weekend_dollars,
+           s0 // n0 AS mean_weekday_dollars,
+           CAST(floor(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt(
+                 (CAST(q1 AS DOUBLE) / n1
+                  - (CAST(s1 AS DOUBLE) / n1)
+                    * (CAST(s1 AS DOUBLE) / n1)) / n1
+                 + (CAST(q0 AS DOUBLE) / n0
+                    - (CAST(s0 AS DOUBLE) / n0)
+                      * (CAST(s0 AS DOUBLE) / n0)) / n0)
+             * 1000) AS BIGINT) AS z_e3,
+           CASE WHEN ABS(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt(
+                 (CAST(q1 AS DOUBLE) / n1
+                  - (CAST(s1 AS DOUBLE) / n1)
+                    * (CAST(s1 AS DOUBLE) / n1)) / n1
+                 + (CAST(q0 AS DOUBLE) / n0
+                    - (CAST(s0 AS DOUBLE) / n0)
+                      * (CAST(s0 AS DOUBLE) / n0)) / n0))
+             > 1.959964 THEN 1 ELSE 0 END AS significant
+    FROM m
+    """,
+)
+def weekend_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z on weekend-vs-weekday order value from one
+    conditional-moment pass (exact integers in, deterministic double
+    formula out, frozen 1.96 critical value).  DuckDB dayofweek is
+    0=Sunday vs Spark 1=Sunday — the Spark side subtracts 1."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).isin(0, 6),
+            1,
+        )
+        .otherwise(0)
+        .alias("wk"),
+        F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("x"),
+    )
+    m = o.agg(
+        F.sum(F.when(F.col("wk") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("wk") == 1, F.col("x")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(
+            F.when(F.col("wk") == 1, F.col("x") * F.col("x")).otherwise(0)
+        ).alias("q1"),
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("wk") == 0, F.col("x")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(
+            F.when(F.col("wk") == 0, F.col("x") * F.col("x")).otherwise(0)
+        ).alias("q0"),
+    )
+    zexpr = (
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+        " / sqrt((CAST(q1 AS DOUBLE) / n1"
+        "         - (CAST(s1 AS DOUBLE) / n1)"
+        "           * (CAST(s1 AS DOUBLE) / n1)) / n1"
+        "        + (CAST(q0 AS DOUBLE) / n0"
+        "           - (CAST(s0 AS DOUBLE) / n0)"
+        "             * (CAST(s0 AS DOUBLE) / n0)) / n0)"
+    )
+    return m.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.expr("s1 div n1").alias("mean_weekend_dollars"),
+        F.expr("s0 div n0").alias("mean_weekday_dollars"),
+        F.expr(f"CAST(floor(({zexpr}) * 1000) AS BIGINT)").alias("z_e3"),
+        F.expr(
+            f"CASE WHEN ABS({zexpr}) > 1.959964 THEN 1 ELSE 0 END"
+        ).alias("significant"),
+    )
+
+
+# --------------------------- demand persistence screen
+
+# Which parts have PERSISTENT week-over-week demand?  Per part: the
+# lag-1 autocorrelation of WEEKLY demand (revenue_acf's exact
+# deviation recipe keyed per part over adjacent demand weeks),
+# classified persistent when r > 0.3 — the screen that routes parts
+# to momentum-aware forecasts.  Daily alignment is too sparse on
+# this data (zero lag-7 day pairs); weekly lag-1 keeps ~100 parts in
+# scope at sf0.1 while the recipe stays identical.
+@register(
+    "part_demand_persistence_screen",
+    """
+    WITH weekly AS (
+      SELECT l_partkey,
+             (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.l_partkey, a.q AS x, b.q AS y
+      FROM weekly a
+      JOIN weekly b ON b.l_partkey = a.l_partkey
+                   AND b.wk = a.wk + 1
+    ),
+    m AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+             CAST(SUM(y) AS BIGINT) // COUNT(*) AS my
+      FROM pairs GROUP BY l_partkey HAVING COUNT(*) >= 8
+    ),
+    r AS (
+      SELECT p.l_partkey, m.n,
+             CAST(SUM((p.x - m.mx) * (p.y - m.my)) AS BIGINT) AS sxy,
+             CAST(SUM((p.x - m.mx) * (p.x - m.mx)) AS BIGINT) AS sxx,
+             CAST(SUM((p.y - m.my) * (p.y - m.my)) AS BIGINT) AS syy
+      FROM pairs p JOIN m ON p.l_partkey = m.l_partkey
+      GROUP BY p.l_partkey, m.n
+    ),
+    scored AS (
+      SELECT l_partkey, n,
+             CAST(floor(CAST(sxy AS DOUBLE) * 1000000
+               / (sqrt(CAST(sxx AS DOUBLE))
+                  * sqrt(CAST(syy AS DOUBLE)))) AS BIGINT) AS r1w_ppm
+      FROM r WHERE sxx > 0 AND syy > 0
+    )
+    SELECT l_partkey AS p_partkey, n AS n_pairs, r1w_ppm,
+           CASE WHEN r1w_ppm > 300000 THEN 1 ELSE 0 END
+             AS is_persistent
+    FROM scored
+    ORDER BY r1w_ppm DESC, p_partkey
+    LIMIT 10
+    """,
+)
+def part_demand_persistence_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 parts by week-over-week demand autocorrelation
+    (per-part exact deviation sums over adjacent weeks, final sqrt),
+    with the >0.3 persistence flag."""
+    weekly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE),"
+                " DATE '1970-01-01') div 7"
+            ).alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .localCheckpoint(eager=False)  # both join sides
+    )
+    a = weekly.select("l_partkey", "wk", F.col("q").alias("x"))
+    b = weekly.select(
+        "l_partkey", (F.col("wk") - 1).alias("wk"), F.col("q").alias("y")
+    )
+    pairs = a.join(b, ["l_partkey", "wk"]).select("l_partkey", "x", "y")
+    m = (
+        pairs.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(x) AS BIGINT) div COUNT(*)").alias("mx"),
+            F.expr("CAST(SUM(y) AS BIGINT) div COUNT(*)").alias("my"),
+        )
+        .where(F.col("n") >= 8)
+    )
+    r = (
+        pairs.join(m, "l_partkey")
+        .groupBy("l_partkey", "n")
+        .agg(
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            .alias("sxy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+            .alias("sxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
+            .alias("syy"),
+        )
+    )
+    scored = r.where((F.col("sxx") > 0) & (F.col("syy") > 0)).select(
+        "l_partkey",
+        "n",
+        F.expr(
+            "CAST(floor(CAST(sxy AS DOUBLE) * 1000000"
+            " / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))"
+            " AS BIGINT)"
+        ).alias("r1w_ppm"),
+    )
+    return (
+        scored.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("n").alias("n_pairs"),
+            "r1w_ppm",
+            F.expr(
+                "CASE WHEN r1w_ppm > 300000 THEN 1 ELSE 0 END"
+            ).alias("is_persistent"),
+        )
+        .orderBy(F.col("r1w_ppm").desc(), "p_partkey")
+        .limit(10)
+    )

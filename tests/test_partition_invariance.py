@@ -199,6 +199,10 @@ PROBE = [
     "user_peak_hour_profile",
     # dispersion ratios over containing docs
     "text_term_burstiness",
+    # two-sample z from one conditional-moment pass
+    "weekend_value_ztest",
+    # per-part weekly lag-1 deviation sums + final sqrt
+    "part_demand_persistence_screen",
 ]
 
 
