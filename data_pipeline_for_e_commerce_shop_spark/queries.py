@@ -21442,3 +21442,130 @@ def part_demand_persistence_screen(
         .orderBy(F.col("r1w_ppm").desc(), "p_partkey")
         .limit(10)
     )
+
+
+# --------------------------- assortment gap grid
+
+# Assortment planning: the brand x size grid of offered parts, each
+# brand's fill rate (share of sizes it covers), and the emptiest
+# brands — where the catalog has holes competitors can occupy.  Both
+# axes are vocabulary-sized; the full grid is |brands| x |sizes|
+# (aggregate-reduced), so the only fact-sized work is the distinct
+# (brand, size) projection.
+@register(
+    "assortment_gap_grid",
+    """
+    WITH cells AS (
+      SELECT DISTINCT p_brand, p_size FROM part
+    ),
+    sizes AS (SELECT DISTINCT p_size FROM part),
+    brands AS (
+      SELECT p_brand, COUNT(*) AS n_covered
+      FROM cells GROUP BY p_brand
+    ),
+    t AS (SELECT COUNT(*) AS n_sizes FROM sizes)
+    SELECT b.p_brand, b.n_covered, t.n_sizes,
+           b.n_covered * 1000000 // t.n_sizes AS fill_ppm
+    FROM brands b CROSS JOIN t
+    ORDER BY fill_ppm, b.p_brand
+    """,
+)
+def assortment_gap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand size-coverage fill rate (distinct (brand, size)
+    projection, 1-row size-count broadcast), emptiest brands
+    first."""
+    part = load_table(spark, sf_dir, "part")
+    cells = part.select("p_brand", "p_size").distinct()
+    t = part.select("p_size").distinct().agg(
+        F.count(F.lit(1)).alias("n_sizes")
+    )
+    brands = cells.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+    return (
+        brands.crossJoin(F.broadcast(t))
+        .select(
+            "p_brand",
+            "n_covered",
+            "n_sizes",
+            F.expr("n_covered * 1000000 div n_sizes").alias("fill_ppm"),
+        )
+        .orderBy("fill_ppm", "p_brand")
+    )
+
+
+# --------------------------- cross-source duplication rate
+
+# Mirror detection: how much near-duplication crosses SOURCE
+# boundaries?  Per dup cluster: distinct sources; the rollup reports
+# within-source vs cross-source cluster counts and the cross-source
+# share ppm — high cross-source duplication means mirrored/scraped
+# content that per-source dedup would miss entirely (the argument
+# for GLOBAL dedup at 100 TB).  Rides the star-contraction
+# components; only cluster members join to the source column.
+@register(
+    "dedup_cross_source_rate",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    per AS (
+      SELECT c.cluster_id,
+             COUNT(*) AS n_members,
+             COUNT(DISTINCT d.source) AS n_sources
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+      GROUP BY c.cluster_id
+    )
+    SELECT COUNT(*) AS n_clusters,
+           CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cross_source,
+           CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // COUNT(*) AS cross_source_ppm,
+           CAST(MAX(n_sources) AS BIGINT) AS max_sources_in_cluster,
+           CAST(MAX(n_members) AS BIGINT) AS max_cluster_size
+    FROM per
+    """,
+)
+def dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of dup clusters spanning >= 2 sources: components from
+    star contraction, one member->source join, single-row verdict —
+    the measured case for global (not per-source) dedup."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    clusters = duplicate_clusters(spark, sf_dir)
+    per = (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.when(F.col("n_sources") >= 2, 1).otherwise(0)).alias(
+            "n_cross_source"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END)"
+            " AS BIGINT) * 1000000 div COUNT(*)"
+        ).alias("cross_source_ppm"),
+        F.max("n_sources").alias("max_sources_in_cluster"),
+        F.max("n_members").alias("max_cluster_size"),
+    )

@@ -203,6 +203,8 @@ PROBE = [
     "weekend_value_ztest",
     # per-part weekly lag-1 deviation sums + final sqrt
     "part_demand_persistence_screen",
+    # component membership x source cardinality
+    "dedup_cross_source_rate",
 ]
 
 

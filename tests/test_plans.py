@@ -241,7 +241,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # shape)
                   "price_qty_dependence_grid",
                   # 1-row peak-total crossJoin (scalar-subquery shape)
-                  "user_peak_hour_profile"}
+                  "user_peak_hour_profile",
+                  # 1-row size-count crossJoin (scalar-subquery shape)
+                  "assortment_gap_grid"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
