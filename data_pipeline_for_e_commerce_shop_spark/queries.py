@@ -21569,3 +21569,222 @@ def dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_sources").alias("max_sources_in_cluster"),
         F.max("n_members").alias("max_cluster_size"),
     )
+
+
+# --------------------------- procurement savings counterfactual
+
+# "What if every part were bought at its cheapest supplier's unit
+# price?"  Per category: actual spend vs the counterfactual
+# (quantity x cheapest observed unit price per part), potential
+# savings in exact cents and ppm — the number that prioritizes the
+# price_consistency worklist.  Cheapest unit price per part by
+# tie-broken window; counterfactual re-join is part-keyed.
+@register(
+    "procurement_savings_potential",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS spend_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cheapest AS (
+      SELECT l_partkey, unit_cents FROM (
+        SELECT l_partkey, spend_cents // qty AS unit_cents,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                 ORDER BY spend_cents // qty, l_suppkey) AS rn
+        FROM ps
+      ) WHERE rn = 1
+    ),
+    per_part AS (
+      SELECT p.l_partkey,
+             CAST(SUM(p.spend_cents) AS BIGINT) AS spend_cents,
+             CAST(SUM(p.qty) AS BIGINT) * c.unit_cents
+               AS counterfactual_cents
+      FROM ps p JOIN cheapest c ON p.l_partkey = c.l_partkey
+      GROUP BY p.l_partkey, c.unit_cents
+    )
+    SELECT pa.p_type AS category,
+           CAST(SUM(pp.spend_cents) AS BIGINT) AS spend_cents,
+           CAST(SUM(pp.counterfactual_cents) AS BIGINT)
+             AS counterfactual_cents,
+           CAST(SUM(pp.spend_cents - pp.counterfactual_cents)
+             AS BIGINT) AS savings_cents,
+           CAST(SUM(pp.spend_cents - pp.counterfactual_cents)
+             AS BIGINT) * 1000000
+             // CAST(SUM(pp.spend_cents) AS BIGINT) AS savings_ppm
+    FROM per_part pp JOIN part pa ON pp.l_partkey = pa.p_partkey
+    GROUP BY pa.p_type
+    ORDER BY category
+    """,
+)
+def procurement_savings_potential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Category-level savings if every part bought at its cheapest
+    supplier's floored unit price: per-(part, supplier) spend/qty,
+    tie-broken cheapest pick, part-keyed counterfactual join,
+    broadcast dim rollup, exact cents/ppm."""
+    from pyspark.sql import Window
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("spend_cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+        .localCheckpoint(eager=False)  # feeds cheapest + rollup
+    )
+    cheapest = (
+        ps.select(
+            "l_partkey",
+            F.expr("spend_cents div qty").alias("unit_cents"),
+            F.row_number()
+            .over(
+                Window.partitionBy("l_partkey").orderBy(
+                    F.expr("spend_cents div qty"), "l_suppkey"
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("l_partkey", "unit_cents")
+    )
+    per_part = (
+        ps.join(cheapest, "l_partkey")
+        .groupBy("l_partkey", "unit_cents")
+        .agg(
+            F.sum("spend_cents").alias("spend_cents"),
+            F.sum("qty").alias("qty"),
+        )
+        .select(
+            "l_partkey",
+            "spend_cents",
+            (F.col("qty") * F.col("unit_cents")).alias(
+                "counterfactual_cents"
+            ),
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    return (
+        per_part.join(F.broadcast(part), "l_partkey")
+        .groupBy("category")
+        .agg(
+            F.sum("spend_cents").alias("spend_cents"),
+            F.sum("counterfactual_cents").alias("counterfactual_cents"),
+        )
+        .select(
+            "category",
+            "spend_cents",
+            "counterfactual_cents",
+            (F.col("spend_cents") - F.col("counterfactual_cents")).alias(
+                "savings_cents"
+            ),
+            F.expr(
+                "(spend_cents - counterfactual_cents) * 1000000"
+                " div spend_cents"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("category")
+    )
+
+
+# --------------------------- length-quality dependence grid
+
+# Does the quality score just proxy for length?  The confound check
+# for every length-independent quality gate: documents cut into
+# positional quintiles of n_chars and of the canonical quality score
+# (identical formula to text_quality), 5x5 counts with independence
+# lift ppm.  High diagonal lift = the gate is secretly a length
+# filter.  Same recipe as price_qty_dependence_grid, aimed at the
+# corpus.
+@register(
+    "doc_length_quality_grid",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_chars,
+             ((len(list_distinct(toks)) / len(toks)) * 0.5 +
+              (len(list_filter(toks,
+                 x -> list_contains(['the','a','and','of','to'], x)))
+               / len(toks)) * 0.25 + 0.25) AS q
+      FROM t
+    ),
+    binned AS (
+      SELECT NTILE(5) OVER (ORDER BY n_chars, doc_id) AS len_q,
+             NTILE(5) OVER (ORDER BY q, doc_id) AS qual_q
+      FROM scored
+    ),
+    cells AS (
+      SELECT len_q, qual_q, COUNT(*) AS o FROM binned GROUP BY 1, 2
+    ),
+    mr AS (SELECT len_q, CAST(SUM(o) AS BIGINT) AS r FROM cells
+           GROUP BY len_q),
+    mc AS (SELECT qual_q, CAST(SUM(o) AS BIGINT) AS c FROM cells
+           GROUP BY qual_q),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT ce.len_q, ce.qual_q, ce.o AS n_docs,
+           ce.o * n.n * 1000000 // (mr.r * mc.c) AS lift_ppm
+    FROM cells ce
+    JOIN mr ON ce.len_q = mr.len_q
+    JOIN mc ON ce.qual_q = mc.qual_q
+    CROSS JOIN n
+    ORDER BY ce.len_q, ce.qual_q
+    """,
+)
+def doc_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5x5 (length, quality) positional-quintile grid with exact
+    independence lift — the length-confound audit for quality
+    gates."""
+    from pyspark.sql import Window
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.length("text").alias("n_chars"),
+    )
+    scored = t.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "(size(array_distinct(toks)) / size(toks)) * 0.5 +"
+            " (size(filter(toks, x -> array_contains("
+            " array('the','a','and','of','to'), x))) / size(toks))"
+            " * 0.25 + 0.25"
+        ).alias("q"),
+    )
+    binned = scored.select(
+        F.ntile(5)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("len_q"),
+        F.ntile(5).over(Window.orderBy("q", "doc_id")).alias("qual_q"),
+    )
+    cells = binned.groupBy("len_q", "qual_q").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    mr = cells.groupBy("len_q").agg(F.sum("o").alias("r"))
+    mc = cells.groupBy("qual_q").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    return (
+        cells.join(F.broadcast(mr), "len_q")
+        .join(F.broadcast(mc), "qual_q")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "len_q",
+            "qual_q",
+            F.col("o").alias("n_docs"),
+            F.expr("o * n * 1000000 div (r * c)").alias("lift_ppm"),
+        )
+        .orderBy("len_q", "qual_q")
+    )

@@ -205,6 +205,10 @@ PROBE = [
     "part_demand_persistence_screen",
     # component membership x source cardinality
     "dedup_cross_source_rate",
+    # tie-broken cheapest picks + counterfactual sums
+    "procurement_savings_potential",
+    # tie-broken ntile bins over double scores
+    "doc_length_quality_grid",
 ]
 
 

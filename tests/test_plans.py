@@ -243,7 +243,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row peak-total crossJoin (scalar-subquery shape)
                   "user_peak_hour_profile",
                   # 1-row size-count crossJoin (scalar-subquery shape)
-                  "assortment_gap_grid"}
+                  "assortment_gap_grid",
+                  # 1-row grand-total crossJoin (scalar-subquery
+                  # shape)
+                  "doc_length_quality_grid"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
