@@ -21788,3 +21788,83 @@ def doc_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_q", "qual_q")
     )
+
+
+# --------------------------- balance-vs-spend mismatch
+
+# Credit-risk screen: customers whose ACCOUNT BALANCE decile and
+# actual SPEND decile disagree most — low balance + high spend is
+# exposure, high balance + no spend is dormant capital.  Both decile
+# axes are positional (ntile over exact cents, tie-broken by key);
+# output the top-20 largest |mismatch| with full tie-break.
+BALMISMATCH_TOPK = 20
+
+
+@register(
+    "balance_spend_mismatch",
+    f"""
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+             COALESCE(CAST(SUM(CAST(floor(o.o_totalprice * 100)
+               AS BIGINT)) AS BIGINT), 0) AS spend_cents
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    deciled AS (
+      SELECT c_custkey, bal_cents, spend_cents,
+             NTILE(10) OVER (ORDER BY bal_cents, c_custkey) AS bal_d,
+             NTILE(10) OVER (ORDER BY spend_cents, c_custkey)
+               AS spend_d
+      FROM spend
+    )
+    SELECT c_custkey, bal_cents, spend_cents, bal_d, spend_d,
+           spend_d - bal_d AS mismatch
+    FROM deciled
+    ORDER BY ABS(spend_d - bal_d) DESC, c_custkey
+    LIMIT {BALMISMATCH_TOPK}
+    """,
+)
+def balance_spend_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 largest balance-decile vs spend-decile disagreements
+    (positional ntiles over exact cents, key tie-broken)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias(
+            "bal_cents"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    spend = (
+        cust.join(orders, "c_custkey", "left")
+        .groupBy("c_custkey", "bal_cents")
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0).cast("long")).alias(
+                "spend_cents"
+            )
+        )
+    )
+    deciled = spend.select(
+        "c_custkey",
+        "bal_cents",
+        "spend_cents",
+        F.ntile(10)
+        .over(Window.orderBy("bal_cents", "c_custkey"))
+        .alias("bal_d"),
+        F.ntile(10)
+        .over(Window.orderBy("spend_cents", "c_custkey"))
+        .alias("spend_d"),
+    )
+    return (
+        deciled.select(
+            "*", (F.col("spend_d") - F.col("bal_d")).alias("mismatch")
+        )
+        .orderBy(F.abs(F.col("mismatch")).desc(), "c_custkey")
+        .limit(BALMISMATCH_TOPK)
+    )

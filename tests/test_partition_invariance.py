@@ -209,6 +209,8 @@ PROBE = [
     "procurement_savings_potential",
     # tie-broken ntile bins over double scores
     "doc_length_quality_grid",
+    # dual positional deciles + mismatch ranking
+    "balance_spend_mismatch",
 ]
 
 
