@@ -21868,3 +21868,411 @@ def balance_spend_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("mismatch")).desc(), "c_custkey")
         .limit(BALMISMATCH_TOPK)
     )
+
+
+# --------------------------- nonparametric time-series randomness
+
+# Wald-Wolfowitz runs test: is the sequence of daily revenues above/
+# below the overall mean RANDOM, or does it cluster (momentum /
+# regime-switching)?  Above-mean is decided by exact integer
+# cross-multiplication (cents * n_days > total_cents; ties count as
+# below), the run count is an exact integer from a lag window, and
+# only the final z rides deterministic doubles (weekend_value_ztest
+# precedent, frozen 1.96 critical value).
+@register(
+    "revenue_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM daily
+    ),
+    signed AS (
+      SELECT d, CASE WHEN cents * n > s THEN 1 ELSE 0 END AS above
+      FROM daily CROSS JOIN tot
+    ),
+    runs AS (
+      SELECT above,
+             CASE WHEN LAG(above) OVER (ORDER BY d) IS NULL
+                    OR LAG(above) OVER (ORDER BY d) <> above
+                  THEN 1 ELSE 0 END AS brk
+      FROM signed
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(above) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(above) AS BIGINT) AS n0,
+             CAST(SUM(brk) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT n AS n_days, n1 AS n_above, n0 AS n_below, r AS n_runs,
+           CAST(floor((1.0 + 2.0 * n1 * n0 / n) * 1000) AS BIGINT)
+             AS expected_runs_e3,
+           CAST(floor(
+             (r - (1.0 + 2.0 * n1 * n0 / n))
+             / sqrt((2.0 * n1 * n0 * (2.0 * n1 * n0 - n))
+                    / (1.0 * n * n * (n - 1))) * 1000) AS BIGINT)
+             AS z_e3,
+           CASE WHEN ABS(
+             (r - (1.0 + 2.0 * n1 * n0 / n))
+             / sqrt((2.0 * n1 * n0 * (2.0 * n1 * n0 - n))
+                    / (1.0 * n * n * (n - 1)))) > 1.959964
+                THEN 1 ELSE 0 END AS nonrandom
+    FROM m
+    """,
+)
+def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test on the daily-revenue sign sequence.  Plan: one
+    daily groupBy, a 1-row totals crossJoin (scalar-subquery shape),
+    one lag window over the ~2.5k-row daily series (post-aggregation,
+    size-bounded — same single-partition contract as revenue_acf),
+    one global fold."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    signed = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.when(F.col("cents") * F.col("n") > F.col("s"), 1)
+        .otherwise(0)
+        .alias("above"),
+    )
+    lagged = signed.select(
+        "above",
+        F.when(
+            F.lag("above").over(Window.orderBy("d")).isNull()
+            | (F.lag("above").over(Window.orderBy("d")) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    m = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("above").cast("long").alias("n1"),
+        (F.count("*") - F.sum("above")).cast("long").alias("n0"),
+        F.sum("brk").cast("long").alias("r"),
+    )
+    zexpr = (
+        "(r - (1.0 + 2.0 * n1 * n0 / n))"
+        " / sqrt((2.0 * n1 * n0 * (2.0 * n1 * n0 - n))"
+        "        / (1.0 * n * n * (n - 1)))"
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.expr(
+            "CAST(floor((1.0 + 2.0 * n1 * n0 / n) * 1000) AS BIGINT)"
+        ).alias("expected_runs_e3"),
+        F.expr(f"CAST(floor(({zexpr}) * 1000) AS BIGINT)").alias("z_e3"),
+        F.expr(
+            f"CASE WHEN ABS({zexpr}) > 1.959964 THEN 1 ELSE 0 END"
+        ).alias("nonrandom"),
+    )
+
+
+# --------------------------- Mann-Kendall monotonic-trend screen
+
+# Which brands have a STATISTICALLY MONOTONIC revenue trend?  The
+# Mann-Kendall S statistic is a pure integer (sum of pairwise revenue
+# sign comparisons across months), its tie-corrected variance is the
+# integer var18/18, and the continuity-corrected z decides the +1/0/-1
+# trend flag — the nonparametric complement to revenue_trend_robust's
+# Theil-Sen slope (this screens SIGNIFICANCE, that estimates
+# magnitude).
+@register(
+    "brand_mann_kendall",
+    """
+    WITH monthly AS (
+      SELECT p_brand,
+             DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS mo,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.p_brand,
+             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s
+      FROM monthly a
+      JOIN monthly b ON b.p_brand = a.p_brand AND b.mo > a.mo
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM monthly
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT p_brand,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT p_brand, cents, CAST(COUNT(*) AS BIGINT) AS t
+            FROM monthly GROUP BY 1, 2) g
+      WHERE t > 1
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT nn.p_brand, nn.n, p.s,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                  - COALESCE(ties.tie_term, 0) AS BIGINT) AS var18
+      FROM nn
+      JOIN pairs p ON p.p_brand = nn.p_brand
+      LEFT JOIN ties ON ties.p_brand = nn.p_brand
+    )
+    SELECT p_brand, n AS n_months, s AS s_stat, var18,
+           CAST(floor(
+             (CASE WHEN s > 0 THEN s - 1.0
+                   WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+             / sqrt(var18 / 18.0) * 1000) AS BIGINT) AS z_e3,
+           CASE WHEN (CASE WHEN s > 0 THEN s - 1.0
+                           WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+                     / sqrt(var18 / 18.0) > 1.959964 THEN 1
+                WHEN (CASE WHEN s > 0 THEN s - 1.0
+                           WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+                     / sqrt(var18 / 18.0) < -1.959964 THEN -1
+                ELSE 0 END AS trend
+    FROM stats
+    ORDER BY p_brand
+    """,
+)
+def brand_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Kendall trend test per brand over monthly
+    revenue.  Plan: fact x broadcast-part join, monthly groupBy, then
+    every pair stage runs on the 25x83-row AGGREGATE (a broadcast
+    self-join with a range residual — the quadratic blowup is on
+    months-per-brand, not on rows, so it survives any fact-table
+    scale).  The monthly aggregate feeds four consumers (pair sides,
+    n, ties); Catalyst does not reuse the exchange across them, so it
+    is localCheckpoint'ed once — ONE fact scan instead of four (the
+    dedup_clusters / part_pagerank multi-consumer pattern)."""
+    monthly = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy(
+            "p_brand",
+            F.trunc(F.col("l_shipdate").cast("date"), "MM").alias("mo"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+        .localCheckpoint()
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.p_brand") == F.col("a.p_brand"))
+            & (F.col("b.mo") > F.col("a.mo")),
+        )
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = monthly.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ties = (
+        monthly.groupBy("p_brand", "cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    stats = (
+        nn.join(pairs, "p_brand")
+        .join(ties, "p_brand", "left")
+        .select(
+            "p_brand",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    zexpr = (
+        "(CASE WHEN s > 0 THEN s - 1.0 WHEN s < 0 THEN s + 1.0"
+        " ELSE 0.0 END) / sqrt(var18 / 18.0)"
+    )
+    return stats.select(
+        "p_brand",
+        F.col("n").alias("n_months"),
+        F.col("s").alias("s_stat"),
+        "var18",
+        F.expr(f"CAST(floor(({zexpr}) * 1000) AS BIGINT)").alias("z_e3"),
+        F.expr(
+            f"CASE WHEN {zexpr} > 1.959964 THEN 1"
+            f" WHEN {zexpr} < -1.959964 THEN -1 ELSE 0 END"
+        ).alias("trend"),
+    ).orderBy("p_brand")
+
+
+# --------------------------- Spearman rank correlation per nation
+
+# Does a customer's account balance PREDICT lifetime spend within a
+# nation?  Spearman's rho on (balance, spend) ranks — computed on
+# DOUBLED average ranks (2*(rank-1) + tie_count + 1), which are exact
+# integers even under ties (the 2x factors cancel in rho), so every
+# moment entering the final formula is an exact int64 and only the
+# last division rides deterministic doubles.  Degenerate (zero rank
+# variance) nations report rho_e6 = 0 by exact integer comparison.
+@register(
+    "nation_spearman_bal_spend",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal,
+             CAST(COALESCE(SUM(
+               CAST(floor(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS sp
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT c_nationkey,
+             CAST(2 * (RANK() OVER (PARTITION BY c_nationkey
+                                    ORDER BY bal) - 1)
+                  + COUNT(*) OVER (PARTITION BY c_nationkey, bal) + 1
+               AS BIGINT) AS rx,
+             CAST(2 * (RANK() OVER (PARTITION BY c_nationkey
+                                    ORDER BY sp) - 1)
+                  + COUNT(*) OVER (PARTITION BY c_nationkey, sp) + 1
+               AS BIGINT) AS ry
+      FROM spend
+    ),
+    m AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+             CAST(SUM(rx) AS BIGINT) AS sx,
+             CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy
+      FROM ranked GROUP BY 1
+    )
+    SELECT c_nationkey, n AS n_customers,
+           CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 0
+                ELSE CAST(floor(
+                  (n * sxy - sx * sy)
+                  / sqrt((1.0 * n * sxx - 1.0 * sx * sx)
+                         * (1.0 * n * syy - 1.0 * sy * sy))
+                  * 1000000) AS BIGINT) END AS rho_e6
+    FROM m ORDER BY c_nationkey
+    """,
+)
+def nation_spearman_bal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rho between account balance and lifetime
+    spend via doubled average ranks.  Plan: customer x orders
+    pre-aggregated join, two rank windows partitioned by nation (holds
+    while |nation| partitions stay executor-sized; at extreme per-key
+    cardinality the rank would move to a range-partitioned two-pass
+    rank — documented, not needed at any TPC-H scale), one grouped
+    moment fold."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("bal"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    spend = (
+        cust.join(orders, "c_custkey", "left")
+        .groupBy("c_custkey", "c_nationkey", "bal")
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0).cast("long")).alias("sp")
+        )
+    )
+    w_bal = Window.partitionBy("c_nationkey").orderBy("bal")
+    w_sp = Window.partitionBy("c_nationkey").orderBy("sp")
+    ranked = spend.select(
+        "c_nationkey",
+        (
+            2 * (F.rank().over(w_bal) - 1)
+            + F.count("*").over(
+                Window.partitionBy("c_nationkey", "bal")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("rx"),
+        (
+            2 * (F.rank().over(w_sp) - 1)
+            + F.count("*").over(
+                Window.partitionBy("c_nationkey", "sp")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("ry"),
+    )
+    m = ranked.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    return m.select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        F.expr(
+            "CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 0"
+            " ELSE CAST(floor((n * sxy - sx * sy)"
+            " / sqrt((1.0 * n * sxx - 1.0 * sx * sx)"
+            "        * (1.0 * n * syy - 1.0 * sy * sy))"
+            " * 1000000) AS BIGINT) END"
+        ).alias("rho_e6"),
+    ).orderBy("c_nationkey")

@@ -211,6 +211,12 @@ PROBE = [
     "doc_length_quality_grid",
     # dual positional deciles + mismatch ranking
     "balance_spend_mismatch",
+    # sign sequence + lag-window run count over the daily series
+    "revenue_runs_test",
+    # integer pairwise S + tie-corrected variance per brand
+    "brand_mann_kendall",
+    # doubled average ranks under ties -> exact int64 moments
+    "nation_spearman_bal_spend",
 ]
 
 

@@ -73,6 +73,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "cms_join_size",
                   # 1-row total crossJoin (scalar-subquery shape)
                   "benford_digit_audit",
+                  # 1-row (n_days, total) crossJoin onto the daily
+                  # series (scalar-subquery shape)
+                  "revenue_runs_test",
                   # two 1-row scalars (horizon, cohort total) ride as
                   # broadcast crossJoins
                   "survival_km",
