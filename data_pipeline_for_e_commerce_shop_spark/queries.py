@@ -22276,3 +22276,317 @@ def nation_spearman_bal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT) END"
         ).alias("rho_e6"),
     ).orderBy("c_nationkey")
+
+
+# --------------------------- Ljung-Box portmanteau test
+
+# Is the daily-revenue series white noise OVERALL?  revenue_acf reads
+# individual lags; the Ljung-Box Q statistic pools lags 1..7 into one
+# portmanteau decision against a frozen chi-square(7) critical value.
+# Textbook form: ONE global floored-integer mean, one exact int64
+# denominator, exact int64 per-lag cross sums — the only doubles are
+# the seven r_k^2/(n-k) terms, summed in EXPLICIT lag order on both
+# engines (the anova_nation_priority key-ordered-fold rule: a plain
+# SUM over doubles is placement-dependent).
+LJUNG_BOX_LAGS = 7
+LJUNG_BOX_CHI2_95 = "14.067140"  # chi-square(7) 0.95 quantile, frozen
+
+
+@register(
+    "revenue_ljung_box",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS de,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS BIGINT) // COUNT(*) AS mu
+      FROM daily
+    ),
+    dev AS (
+      SELECT de, rev - mu AS d, n FROM daily CROSS JOIN g
+    ),
+    den AS (
+      SELECT CAST(SUM(d * d) AS BIGINT) AS s0,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM dev
+    ),
+    lags AS (SELECT CAST(u.k AS BIGINT) AS lag
+             FROM UNNEST(range(1, {LJUNG_BOX_LAGS} + 1)) AS u(k)),
+    num AS (
+      SELECT l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS sk
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.de = a.de + l.lag
+      GROUP BY 1
+    ),
+    folded AS (
+      SELECT MAX(n) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(sk AS DOUBLE) / s0)
+                    * (CAST(sk AS DOUBLE) / s0) / (n - lag)
+                    ORDER BY lag)),
+             (a, b) -> a + b) AS v
+      FROM num CROSS JOIN den
+    )
+    SELECT n AS n_days,
+           CAST({LJUNG_BOX_LAGS} AS BIGINT) AS n_lags,
+           CAST(floor(n * (n + 2.0) * v * 1000) AS BIGINT) AS q_e3,
+           CASE WHEN n * (n + 2.0) * v > {LJUNG_BOX_CHI2_95}
+                THEN 1 ELSE 0 END AS autocorrelated
+    FROM folded
+    """,
+)
+def revenue_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over lags 1..7 of daily order revenue.  Plan: one
+    daily rollup, 1-row mean/denominator crossJoins (scalar-subquery
+    shape), the 7-lag spine broadcast against the calendar-aligned
+    self-join, then a sort_array+aggregate fold so the 7 double terms
+    add in lag order under any placement.  The daily series and the
+    deviation table each feed 2-3 consumers with no Catalyst exchange
+    reuse, so both are localCheckpoint'ed (~2.4k rows) — ONE fact
+    scan instead of six (brand_mann_kendall pattern)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("de")
+        )
+        .agg(F.sum(F.floor("o_totalprice").cast("bigint")).alias("rev"))
+        .localCheckpoint()
+    )
+    g = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(rev) AS BIGINT) div COUNT(*)").alias("mu"),
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(g))
+        .select("de", (F.col("rev") - F.col("mu")).alias("d"), "n")
+        .localCheckpoint()
+    )
+    den = dev.agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s0"),
+        F.max("n").cast("long").alias("n"),
+    )
+    lags = spark.range(1, LJUNG_BOX_LAGS + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = dev.select("de", F.col("d").alias("da"))
+    b = dev.select(F.col("de").alias("de_b"), F.col("d").alias("db"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("de_b") == F.col("de") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("da") * F.col("db")).cast("long").alias("sk"))
+    )
+    terms = num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n",
+        F.expr(
+            "(CAST(sk AS DOUBLE) / s0) * (CAST(sk AS DOUBLE) / s0)"
+            " / (n - lag)"
+        ).alias("term"),
+    )
+    folded = terms.groupBy().agg(
+        F.max("n").alias("n"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(lag, term))), x -> x.term),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("v"),
+    )
+    return folded.select(
+        F.col("n").alias("n_days"),
+        F.lit(LJUNG_BOX_LAGS).cast("long").alias("n_lags"),
+        F.expr(
+            "CAST(floor(n * (n + 2.0) * v * 1000) AS BIGINT)"
+        ).alias("q_e3"),
+        F.expr(
+            f"CASE WHEN n * (n + 2.0) * v > {LJUNG_BOX_CHI2_95}"
+            " THEN 1 ELSE 0 END"
+        ).alias("autocorrelated"),
+    )
+
+
+# --------------------------- EOQ replenishment policy
+
+# Classic economic-order-quantity policy per part, computed EXACTLY:
+# EOQ = sqrt(2*K*D/h) realized as a floor-integer square root (float
+# sqrt + a one-step correction, valid for radicands < 2^52 — both
+# engines land on the identical integer), so policy outputs carry no
+# float drift at any scale factor.  K/h are module constants
+# interpolated into the oracle (HLL_ROLLING_DAYS drift-proofing
+# pattern).
+EOQ_ORDER_COST_CENTS = 5000
+EOQ_HOLDING_CENTS_PER_UNIT = 250
+
+
+@register(
+    "part_eoq_policy",
+    f"""
+    WITH demand AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS d
+      FROM lineitem GROUP BY 1
+    ),
+    raw AS (
+      SELECT l_partkey, d,
+             CAST(2 * {EOQ_ORDER_COST_CENTS} * d
+                  // {EOQ_HOLDING_CENTS_PER_UNIT} AS BIGINT) AS x
+      FROM demand
+    ),
+    guess AS (
+      SELECT l_partkey, d, x,
+             CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS q0
+      FROM raw
+    ),
+    fixed AS (
+      SELECT l_partkey, d,
+             CASE WHEN (q0 + 1) * (q0 + 1) <= x THEN q0 + 1
+                  WHEN q0 * q0 > x THEN q0 - 1
+                  ELSE q0 END AS eoq
+      FROM guess
+    )
+    SELECT l_partkey, d AS demand_units, eoq AS eoq_units,
+           CAST((d + eoq - 1) // eoq AS BIGINT) AS n_orders
+    FROM fixed ORDER BY l_partkey
+    """,
+)
+def part_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EOQ per part (isqrt of 2KD/h via corrected floor
+    sqrt) plus the implied order count.  Plan: one fact-sized demand
+    rollup; everything after is |parts|-sized scalar arithmetic."""
+    demand = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("d"))
+    )
+    raw = demand.select(
+        "l_partkey",
+        "d",
+        F.expr(
+            f"CAST(2 * {EOQ_ORDER_COST_CENTS} * d"
+            f" div {EOQ_HOLDING_CENTS_PER_UNIT} AS BIGINT)"
+        ).alias("x"),
+    )
+    guess = raw.select(
+        "*",
+        F.expr("CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)").alias(
+            "q0"
+        ),
+    )
+    fixed = guess.select(
+        "l_partkey",
+        "d",
+        F.expr(
+            "CASE WHEN (q0 + 1) * (q0 + 1) <= x THEN q0 + 1"
+            " WHEN q0 * q0 > x THEN q0 - 1 ELSE q0 END"
+        ).alias("eoq"),
+    )
+    return fixed.select(
+        "l_partkey",
+        F.col("d").alias("demand_units"),
+        F.col("eoq").alias("eoq_units"),
+        F.expr("CAST((d + eoq - 1) div eoq AS BIGINT)").alias(
+            "n_orders"
+        ),
+    ).orderBy("l_partkey")
+
+
+# --------------------------- order backlog timeline
+
+# Event-sourced open-order backlog: +1 when an order is placed, -1 in
+# the month its LAST line ships; the running sum is the month-end
+# backlog — the operations "how far behind are we" series that aging
+# buckets (a point-in-time snapshot) cannot show.  Pure integers end
+# to end.
+@register(
+    "orders_backlog_timeline",
+    """
+    WITH per_order AS (
+      SELECT o_orderkey,
+             DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS om,
+             DATE_TRUNC('month', MAX(CAST(l_shipdate AS DATE))) AS cm
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT om AS mo, 1 AS opened, 0 AS closed FROM per_order
+      UNION ALL
+      SELECT cm, 0, 1 FROM per_order
+    ),
+    monthly AS (
+      SELECT CAST(mo AS DATE) AS mo,
+             CAST(SUM(opened) AS BIGINT) AS opened,
+             CAST(SUM(closed) AS BIGINT) AS closed
+      FROM deltas GROUP BY 1
+    )
+    SELECT mo AS month, opened, closed,
+           CAST(SUM(opened - closed) OVER (ORDER BY mo) AS BIGINT)
+             AS backlog_eom
+    FROM monthly ORDER BY mo
+    """,
+)
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end open-order backlog from +-1 delta events and one
+    running sum.  Plan: one fact-sized per-order completion rollup;
+    the delta union, monthly groupBy, and the ~90-row running-sum
+    window are all aggregate-sized (same post-aggregation single-
+    partition contract as revenue_acf).  Orders with no lineitems are
+    out of scope by the inner join (they never enter the backlog).
+    The +-1 deltas come from ONE pass: each per-order row explodes a
+    2-element delta array (a UNION of two selects would recompute the
+    fact join per branch — no Catalyst exchange reuse)."""
+    from pyspark.sql import Window
+
+    per_order = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("om"))
+        .join(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.col("l_shipdate").cast("date").alias("sd"),
+            ),
+            "o_orderkey",
+        )
+        .groupBy("o_orderkey", "om")
+        .agg(F.trunc(F.max("sd"), "MM").alias("cm"))
+    )
+    deltas = per_order.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("om").alias("mo"),
+                    F.lit(1).alias("opened"),
+                    F.lit(0).alias("closed"),
+                ),
+                F.struct(
+                    F.col("cm").alias("mo"),
+                    F.lit(0).alias("opened"),
+                    F.lit(1).alias("closed"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.mo", "e.opened", "e.closed")
+    monthly = deltas.groupBy(F.col("mo").cast("date").alias("mo")).agg(
+        F.sum("opened").cast("long").alias("opened"),
+        F.sum("closed").cast("long").alias("closed"),
+    )
+    return (
+        monthly.select(
+            F.col("mo").alias("month"),
+            "opened",
+            "closed",
+            F.sum(F.col("opened") - F.col("closed"))
+            .over(Window.orderBy("mo"))
+            .cast("long")
+            .alias("backlog_eom"),
+        )
+        .orderBy("month")
+    )

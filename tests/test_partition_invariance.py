@@ -217,6 +217,12 @@ PROBE = [
     "brand_mann_kendall",
     # doubled average ranks under ties -> exact int64 moments
     "nation_spearman_bal_spend",
+    # lag-ordered double fold of the 7 portmanteau terms
+    "revenue_ljung_box",
+    # corrected floor-sqrt must land on the identical integer
+    "part_eoq_policy",
+    # running-sum window over the exploded delta events
+    "orders_backlog_timeline",
 ]
 
 

@@ -76,6 +76,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row (n_days, total) crossJoin onto the daily
                   # series (scalar-subquery shape)
                   "revenue_runs_test",
+                  # 1-row mean/denominator crossJoins + 7-row lag
+                  # spine onto the daily series (revenue_acf shape)
+                  "revenue_ljung_box",
                   # two 1-row scalars (horizon, cohort total) ride as
                   # broadcast crossJoins
                   "survival_km",
