@@ -21912,17 +21912,17 @@ def balance_spend_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM runs
     )
     SELECT n AS n_days, n1 AS n_above, n0 AS n_below, r AS n_runs,
-           CAST(floor((1.0 + 2.0 * n1 * n0 / n) * 1000) AS BIGINT)
+           CAST(floor((1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n) * 1000) AS BIGINT)
              AS expected_runs_e3,
            CAST(floor(
-             (r - (1.0 + 2.0 * n1 * n0 / n))
-             / sqrt((2.0 * n1 * n0 * (2.0 * n1 * n0 - n))
-                    / (1.0 * n * n * (n - 1))) * 1000) AS BIGINT)
+             (r - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n))
+             / sqrt((2.0 * CAST(n1 AS DOUBLE) * n0 * (2.0 * CAST(n1 AS DOUBLE) * n0 - n))
+                    / (CAST(n AS DOUBLE) * n * (n - 1))) * 1000) AS BIGINT)
              AS z_e3,
            CASE WHEN ABS(
-             (r - (1.0 + 2.0 * n1 * n0 / n))
-             / sqrt((2.0 * n1 * n0 * (2.0 * n1 * n0 - n))
-                    / (1.0 * n * n * (n - 1)))) > 1.959964
+             (r - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n))
+             / sqrt((2.0 * CAST(n1 AS DOUBLE) * n0 * (2.0 * CAST(n1 AS DOUBLE) * n0 - n))
+                    / (CAST(n AS DOUBLE) * n * (n - 1)))) > 1.959964
                 THEN 1 ELSE 0 END AS nonrandom
     FROM m
     """,
@@ -21971,9 +21971,9 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("brk").cast("long").alias("r"),
     )
     zexpr = (
-        "(r - (1.0 + 2.0 * n1 * n0 / n))"
-        " / sqrt((2.0 * n1 * n0 * (2.0 * n1 * n0 - n))"
-        "        / (1.0 * n * n * (n - 1)))"
+        "(r - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n))"
+        " / sqrt((2.0 * CAST(n1 AS DOUBLE) * n0 * (2.0 * CAST(n1 AS DOUBLE) * n0 - n))"
+        "        / (CAST(n AS DOUBLE) * n * (n - 1)))"
     )
     return m.select(
         F.col("n").alias("n_days"),
@@ -21981,7 +21981,7 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").alias("n_below"),
         F.col("r").alias("n_runs"),
         F.expr(
-            "CAST(floor((1.0 + 2.0 * n1 * n0 / n) * 1000) AS BIGINT)"
+            "CAST(floor((1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n) * 1000) AS BIGINT)"
         ).alias("expected_runs_e3"),
         F.expr(f"CAST(floor(({zexpr}) * 1000) AS BIGINT)").alias("z_e3"),
         F.expr(
@@ -22041,15 +22041,15 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_brand, n AS n_months, s AS s_stat, var18,
            CAST(floor(
-             (CASE WHEN s > 0 THEN s - 1.0
-                   WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
-             / sqrt(var18 / 18.0) * 1000) AS BIGINT) AS z_e3,
-           CASE WHEN (CASE WHEN s > 0 THEN s - 1.0
-                           WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
-                     / sqrt(var18 / 18.0) > 1.959964 THEN 1
-                WHEN (CASE WHEN s > 0 THEN s - 1.0
-                           WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
-                     / sqrt(var18 / 18.0) < -1.959964 THEN -1
+             (CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1
+                   WHEN s < 0 THEN CAST(s AS DOUBLE) + 1 ELSE 0.0 END)
+             / sqrt(CAST(var18 AS DOUBLE) / 18) * 1000) AS BIGINT) AS z_e3,
+           CASE WHEN (CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1
+                           WHEN s < 0 THEN CAST(s AS DOUBLE) + 1 ELSE 0.0 END)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18) > 1.959964 THEN 1
+                WHEN (CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1
+                           WHEN s < 0 THEN CAST(s AS DOUBLE) + 1 ELSE 0.0 END)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18) < -1.959964 THEN -1
                 ELSE 0 END AS trend
     FROM stats
     ORDER BY p_brand
@@ -22137,8 +22137,9 @@ def brand_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     zexpr = (
-        "(CASE WHEN s > 0 THEN s - 1.0 WHEN s < 0 THEN s + 1.0"
-        " ELSE 0.0 END) / sqrt(var18 / 18.0)"
+        "(CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1"
+        " WHEN s < 0 THEN CAST(s AS DOUBLE) + 1"
+        " ELSE 0.0 END) / sqrt(CAST(var18 AS DOUBLE) / 18)"
     )
     return stats.select(
         "p_brand",
@@ -22200,8 +22201,8 @@ def brand_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 0
                 ELSE CAST(floor(
                   (n * sxy - sx * sy)
-                  / sqrt((1.0 * n * sxx - 1.0 * sx * sx)
-                         * (1.0 * n * syy - 1.0 * sy * sy))
+                  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
                   * 1000000) AS BIGINT) END AS rho_e6
     FROM m ORDER BY c_nationkey
     """,
@@ -22271,8 +22272,8 @@ def nation_spearman_bal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 0"
             " ELSE CAST(floor((n * sxy - sx * sy)"
-            " / sqrt((1.0 * n * sxx - 1.0 * sx * sx)"
-            "        * (1.0 * n * syy - 1.0 * sy * sy))"
+            " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            "        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
             " * 1000000) AS BIGINT) END"
         ).alias("rho_e6"),
     ).orderBy("c_nationkey")
@@ -22334,8 +22335,8 @@ LJUNG_BOX_CHI2_95 = "14.067140"  # chi-square(7) 0.95 quantile, frozen
     )
     SELECT n AS n_days,
            CAST({LJUNG_BOX_LAGS} AS BIGINT) AS n_lags,
-           CAST(floor(n * (n + 2.0) * v * 1000) AS BIGINT) AS q_e3,
-           CASE WHEN n * (n + 2.0) * v > {LJUNG_BOX_CHI2_95}
+           CAST(floor(CAST(n AS DOUBLE) * (n + 2) * v * 1000) AS BIGINT) AS q_e3,
+           CASE WHEN CAST(n AS DOUBLE) * (n + 2) * v > {LJUNG_BOX_CHI2_95}
                 THEN 1 ELSE 0 END AS autocorrelated
     FROM folded
     """,
@@ -22404,10 +22405,10 @@ def revenue_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.lit(LJUNG_BOX_LAGS).cast("long").alias("n_lags"),
         F.expr(
-            "CAST(floor(n * (n + 2.0) * v * 1000) AS BIGINT)"
+            "CAST(floor(CAST(n AS DOUBLE) * (n + 2) * v * 1000) AS BIGINT)"
         ).alias("q_e3"),
         F.expr(
-            f"CASE WHEN n * (n + 2.0) * v > {LJUNG_BOX_CHI2_95}"
+            f"CASE WHEN CAST(n AS DOUBLE) * (n + 2) * v > {LJUNG_BOX_CHI2_95}"
             " THEN 1 ELSE 0 END"
         ).alias("autocorrelated"),
     )
@@ -22590,3 +22591,343 @@ def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------- difference-in-differences
+
+# Did high-discount parts actually move MORE UNITS after the mid-
+# history policy shift?  Difference-in-differences over a frozen
+# calendar boundary: treatment = parts whose PRE-period mean discount
+# is at or above the global pre mean (assigned by exact integer
+# cross-multiplication, no ratio floats), outcome = mean units per
+# line.  Four conditional-moment cells in one pass; the DID estimate
+# and its z ride deterministic doubles from exact int64 moments
+# (weekend_value_ztest precedent).
+DID_SPLIT_DATE = "1995-06-01"
+
+
+@register(
+    "discount_did_revenue",
+    f"""
+    WITH lines AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(l_shipdate AS DATE) >=
+                       DATE '{DID_SPLIT_DATE}' THEN 1 ELSE 0 END
+               AS post,
+             CAST(floor(l_discount * 1000000) AS BIGINT) AS disc_ppm,
+             CAST(floor(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    pre_part AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p,
+             CAST(SUM(disc_ppm) AS BIGINT) AS sd_p
+      FROM lines WHERE post = 0 GROUP BY 1
+    ),
+    pre_glob AS (
+      SELECT CAST(SUM(n_p) AS BIGINT) AS n_g,
+             CAST(SUM(sd_p) AS BIGINT) AS sd_g
+      FROM pre_part
+    ),
+    assign AS (
+      SELECT l_partkey,
+             CASE WHEN sd_p * n_g >= sd_g * n_p THEN 1 ELSE 0 END
+               AS treated
+      FROM pre_part CROSS JOIN pre_glob
+    ),
+    cells AS (
+      SELECT a.treated, l.post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(l.qty) AS BIGINT) AS s,
+             CAST(SUM(l.qty * l.qty) AS BIGINT) AS q
+      FROM lines l JOIN assign a ON a.l_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_t0,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_t1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_c0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_c1,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN q END) AS q_t0,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN q END) AS q_t1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN q END) AS q_c0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN q END) AS q_c1
+      FROM cells
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           CAST(floor(
+             ((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0)
+              - (CAST(s_c1 AS DOUBLE) / n_c1
+                 - CAST(s_c0 AS DOUBLE) / n_c0)) * 1000) AS BIGINT)
+             AS did_e3,
+           CAST(floor(
+             ((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0)
+              - (CAST(s_c1 AS DOUBLE) / n_c1
+                 - CAST(s_c0 AS DOUBLE) / n_c0))
+             / sqrt(
+               (CAST(q_t1 AS DOUBLE) / n_t1
+                - (CAST(s_t1 AS DOUBLE) / n_t1)
+                  * (CAST(s_t1 AS DOUBLE) / n_t1)) / n_t1
+               + (CAST(q_t0 AS DOUBLE) / n_t0
+                  - (CAST(s_t0 AS DOUBLE) / n_t0)
+                    * (CAST(s_t0 AS DOUBLE) / n_t0)) / n_t0
+               + (CAST(q_c1 AS DOUBLE) / n_c1
+                  - (CAST(s_c1 AS DOUBLE) / n_c1)
+                    * (CAST(s_c1 AS DOUBLE) / n_c1)) / n_c1
+               + (CAST(q_c0 AS DOUBLE) / n_c0
+                  - (CAST(s_c0 AS DOUBLE) / n_c0)
+                    * (CAST(s_c0 AS DOUBLE) / n_c0)) / n_c0)
+             * 1000) AS BIGINT) AS z_e3
+    FROM wide
+    """,
+)
+def discount_did_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences of units-per-line around the frozen
+    split date, treatment assigned from pre-period discounts by exact
+    integer cross-multiplication.  Plan: one fact pass builds the
+    |parts|-sized pre table (1-row global crossJoin, scalar-subquery
+    shape), the assignment broadcasts back onto the fact scan, four
+    moment cells reduce to one row.  The lines projection feeds both
+    the assignment build and the cell pass — two fact scans by
+    design (the second is filtered to pre by Catalyst; checkpointing
+    a fact-sized projection would cost more than the rescan)."""
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(
+            F.col("l_shipdate").cast("date")
+            >= F.lit(DID_SPLIT_DATE).cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.expr("CAST(floor(l_discount * 1000000) AS BIGINT)").alias(
+            "disc_ppm"
+        ),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    pre_part = (
+        lines.where(F.col("post") == 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_p"),
+            F.sum("disc_ppm").cast("long").alias("sd_p"),
+        )
+        # |parts|-sized, feeds both the global totals and the
+        # assignment — checkpoint so the pre-filtered fact scan
+        # runs once (brand_mann_kendall pattern)
+        .localCheckpoint()
+    )
+    pre_glob = pre_part.agg(
+        F.sum("n_p").cast("long").alias("n_g"),
+        F.sum("sd_p").cast("long").alias("sd_g"),
+    )
+    assign = pre_part.crossJoin(F.broadcast(pre_glob)).select(
+        "l_partkey",
+        F.when(
+            F.col("sd_p") * F.col("n_g") >= F.col("sd_g") * F.col("n_p"),
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+    )
+    cells = (
+        lines.join(assign, "l_partkey")
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("qty").cast("long").alias("s"),
+            F.sum(F.col("qty") * F.col("qty")).cast("long").alias("q"),
+        )
+    )
+    aggs = []
+    for m in ("n", "s", "q"):
+        for t, p, suf in ((1, 0, "t0"), (1, 1, "t1"), (0, 0, "c0"), (0, 1, "c1")):
+            aggs.append(
+                F.max(
+                    F.when(
+                        (F.col("treated") == t) & (F.col("post") == p),
+                        F.col(m),
+                    )
+                ).alias(f"{m}_{suf}")
+            )
+    wide = cells.agg(*aggs)
+    did = (
+        "((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0)"
+        " - (CAST(s_c1 AS DOUBLE) / n_c1"
+        "    - CAST(s_c0 AS DOUBLE) / n_c0))"
+    )
+    se = (
+        "sqrt((CAST(q_t1 AS DOUBLE) / n_t1"
+        " - (CAST(s_t1 AS DOUBLE) / n_t1)"
+        "   * (CAST(s_t1 AS DOUBLE) / n_t1)) / n_t1"
+        " + (CAST(q_t0 AS DOUBLE) / n_t0"
+        "    - (CAST(s_t0 AS DOUBLE) / n_t0)"
+        "      * (CAST(s_t0 AS DOUBLE) / n_t0)) / n_t0"
+        " + (CAST(q_c1 AS DOUBLE) / n_c1"
+        "    - (CAST(s_c1 AS DOUBLE) / n_c1)"
+        "      * (CAST(s_c1 AS DOUBLE) / n_c1)) / n_c1"
+        " + (CAST(q_c0 AS DOUBLE) / n_c0"
+        "    - (CAST(s_c0 AS DOUBLE) / n_c0)"
+        "      * (CAST(s_c0 AS DOUBLE) / n_c0)) / n_c0)"
+    )
+    return wide.select(
+        "n_t0",
+        "n_t1",
+        "n_c0",
+        "n_c1",
+        F.expr(f"CAST(floor({did} * 1000) AS BIGINT)").alias("did_e3"),
+        F.expr(f"CAST(floor({did} / {se} * 1000) AS BIGINT)").alias(
+            "z_e3"
+        ),
+    )
+
+
+# --------------------------- bullwhip-effect screen
+
+# Does order-signal variability AMPLIFY relative to shipment demand
+# per brand (the bullwhip effect)?  The same joined fact rows are
+# keyed TWICE in one pass — by order month and by ship month — via a
+# 2-element kind explode (no union rescan), then CV^2 per (brand,
+# kind) comes from exact int64 moments and only the final
+# CV^2_ordered / CV^2_shipped ratio rides deterministic doubles (the
+# integer cross product would overflow int64 at sf0.1).
+@register(
+    "brand_bullwhip_ratio",
+    """
+    WITH keyed AS (
+      SELECT p_brand, kind,
+             CASE WHEN kind = 'ordered'
+                  THEN DATE_TRUNC('month', CAST(o_orderdate AS DATE))
+                  ELSE DATE_TRUNC('month', CAST(l_shipdate AS DATE))
+             END AS mo,
+             CAST(floor(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      CROSS JOIN (SELECT 'ordered' AS kind UNION ALL
+                  SELECT 'shipped') k
+    ),
+    monthly AS (
+      SELECT p_brand, kind, mo, CAST(SUM(qty) AS BIGINT) AS m
+      FROM keyed GROUP BY 1, 2, 3
+    ),
+    moments AS (
+      SELECT p_brand, kind, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS s,
+             CAST(SUM(m * m) AS BIGINT) AS q
+      FROM monthly GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT p_brand,
+             MAX(CASE WHEN kind = 'ordered' THEN n END) AS n_o,
+             MAX(CASE WHEN kind = 'ordered' THEN s END) AS s_o,
+             MAX(CASE WHEN kind = 'ordered' THEN q END) AS q_o,
+             MAX(CASE WHEN kind = 'shipped' THEN n END) AS n_s,
+             MAX(CASE WHEN kind = 'shipped' THEN s END) AS s_s,
+             MAX(CASE WHEN kind = 'shipped' THEN q END) AS q_s
+      FROM moments GROUP BY 1
+    )
+    SELECT p_brand, n_o AS n_months_ordered, n_s AS n_months_shipped,
+           CAST(floor((CAST(n_o AS DOUBLE) * q_o - CAST(s_o AS DOUBLE) * s_o)
+                      / (CAST(s_o AS DOUBLE) * s_o) * 1000000) AS BIGINT)
+             AS cv2_ordered_e6,
+           CAST(floor((CAST(n_s AS DOUBLE) * q_s - CAST(s_s AS DOUBLE) * s_s)
+                      / (CAST(s_s AS DOUBLE) * s_s) * 1000000) AS BIGINT)
+             AS cv2_shipped_e6,
+           CAST(floor(((CAST(n_o AS DOUBLE) * q_o - CAST(s_o AS DOUBLE) * s_o)
+                       / (CAST(s_o AS DOUBLE) * s_o))
+                      / ((CAST(n_s AS DOUBLE) * q_s - CAST(s_s AS DOUBLE) * s_s)
+                         / (CAST(s_s AS DOUBLE) * s_s)) * 1000) AS BIGINT)
+             AS bullwhip_e3,
+           CASE WHEN (CAST(n_o AS DOUBLE) * q_o - CAST(s_o AS DOUBLE) * s_o)
+                     / (CAST(s_o AS DOUBLE) * s_o)
+                   > (CAST(n_s AS DOUBLE) * q_s - CAST(s_s AS DOUBLE) * s_s)
+                     / (CAST(s_s AS DOUBLE) * s_s)
+                THEN 1 ELSE 0 END AS amplified
+    FROM wide ORDER BY p_brand
+    """,
+)
+def brand_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip screen per brand: CV^2 of monthly ordered vs shipped
+    quantity from one fact pass (2-element kind explode instead of a
+    UNION rescan), dims broadcast, moments exact int64."""
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("sd"),
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderdate").cast("date").alias("od"),
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+    )
+    keyed = fact.select(
+        "p_brand",
+        "qty",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ordered").alias("kind"),
+                    F.trunc("od", "MM").alias("mo"),
+                ),
+                F.struct(
+                    F.lit("shipped").alias("kind"),
+                    F.trunc("sd", "MM").alias("mo"),
+                ),
+            )
+        ).alias("e"),
+    ).select("p_brand", F.col("e.kind").alias("kind"), F.col("e.mo").alias("mo"), "qty")
+    monthly = keyed.groupBy("p_brand", "kind", "mo").agg(
+        F.sum("qty").cast("long").alias("m")
+    )
+    moments = monthly.groupBy("p_brand", "kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("q"),
+    )
+    wide = moments.groupBy("p_brand").agg(
+        *[
+            F.max(
+                F.when(F.col("kind") == kind, F.col(m))
+            ).alias(f"{m}_{suf}")
+            for m in ("n", "s", "q")
+            for kind, suf in (("ordered", "o"), ("shipped", "s"))
+        ]
+    )
+    cv_o = "(CAST(n_o AS DOUBLE) * q_o - CAST(s_o AS DOUBLE) * s_o) / (CAST(s_o AS DOUBLE) * s_o)"
+    cv_s = "(CAST(n_s AS DOUBLE) * q_s - CAST(s_s AS DOUBLE) * s_s) / (CAST(s_s AS DOUBLE) * s_s)"
+    return wide.select(
+        "p_brand",
+        F.col("n_o").alias("n_months_ordered"),
+        F.col("n_s").alias("n_months_shipped"),
+        F.expr(f"CAST(floor({cv_o} * 1000000) AS BIGINT)").alias(
+            "cv2_ordered_e6"
+        ),
+        F.expr(f"CAST(floor({cv_s} * 1000000) AS BIGINT)").alias(
+            "cv2_shipped_e6"
+        ),
+        F.expr(
+            f"CAST(floor(({cv_o}) / ({cv_s}) * 1000) AS BIGINT)"
+        ).alias("bullwhip_e3"),
+        F.expr(
+            f"CASE WHEN {cv_o} > {cv_s} THEN 1 ELSE 0 END"
+        ).alias("amplified"),
+    ).orderBy("p_brand")

@@ -223,6 +223,10 @@ PROBE = [
     "part_eoq_policy",
     # running-sum window over the exploded delta events
     "orders_backlog_timeline",
+    # cross-multiplied treatment assignment + 4-cell double formula
+    "discount_did_revenue",
+    # CV^2 ratios from exact int64 moments via explicit double casts
+    "brand_bullwhip_ratio",
 ]
 
 

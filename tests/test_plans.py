@@ -79,6 +79,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row mean/denominator crossJoins + 7-row lag
                   # spine onto the daily series (revenue_acf shape)
                   "revenue_ljung_box",
+                  # 1-row pre-period totals crossJoin onto the
+                  # |parts|-sized pre table (scalar-subquery shape)
+                  "discount_did_revenue",
                   # two 1-row scalars (horizon, cohort total) ride as
                   # broadcast crossJoins
                   "survival_km",
