@@ -22931,3 +22931,259 @@ def brand_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {cv_o} > {cv_s} THEN 1 ELSE 0 END"
         ).alias("amplified"),
     ).orderBy("p_brand")
+
+
+# --------------------------- source distributional distinctiveness
+
+# Which sources are DISTRIBUTIONALLY DISTINCTIVE — i.e. sampling them
+# up or down changes the corpus most?  Jensen-Shannon divergence of
+# each source's unigram distribution against the rest of the corpus.
+# Exact-parity recipe: all counts are int64; per-term contributions
+# are deterministic doubles folded in term order (the anova key-
+# ordered-fold rule); terms ABSENT from the source close in closed
+# form (their p=0 mass contributes ln(2) * (1 - sum q_present)), so
+# only |source vocabulary| rows ever materialize per source.
+# Requires >=2 sources (B > 0), which the documents table guarantees.
+@register(
+    "text_js_source_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+      FROM tok GROUP BY 1, 2
+    ),
+    gterm AS (
+      SELECT term, CAST(SUM(a) AS BIGINT) AS g FROM counts GROUP BY 1
+    ),
+    stot AS (
+      SELECT source, CAST(SUM(a) AS BIGINT) AS ta FROM counts
+      GROUP BY 1
+    ),
+    gtot AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM counts),
+    r AS (
+      SELECT c.source, c.term, c.a, g.g - c.a AS b, s.ta,
+             t.t - s.ta AS tb
+      FROM counts c
+      JOIN gterm g USING (term)
+      JOIN stot s USING (source)
+      CROSS JOIN gtot t
+    ),
+    contrib AS (
+      SELECT source, term, b, ta, tb,
+             (CAST(a AS DOUBLE) / ta)
+               * ln(2 * (CAST(a AS DOUBLE) / ta)
+                    / ((CAST(a AS DOUBLE) / ta)
+                       + (CAST(b AS DOUBLE) / tb)))
+             + CASE WHEN b > 0 THEN
+                 (CAST(b AS DOUBLE) / tb)
+                   * ln(2 * (CAST(b AS DOUBLE) / tb)
+                        / ((CAST(a AS DOUBLE) / ta)
+                           + (CAST(b AS DOUBLE) / tb)))
+               ELSE 0.0 END AS c
+      FROM r
+    ),
+    folded AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(MAX(ta) AS BIGINT) AS n_tokens,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(MAX(tb) AS BIGINT) AS tb,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c ORDER BY term)), (x, y) -> x + y) AS own
+      FROM contrib GROUP BY source
+    )
+    SELECT source, n_tokens, n_terms,
+           round(0.5 * (own + ln(2)
+                        * (1 - CAST(sum_b AS DOUBLE) / tb)), 9)
+             AS js_nats
+    FROM folded ORDER BY source
+    """,
+)
+def text_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source JS divergence vs the rest of the corpus over
+    whitespace unigrams.  Plan: one token pass to the (source, term)
+    aggregate (localCheckpoint'ed — it feeds four consumers), then
+    everything is vocabulary-sized: broadcast totals, a 1-row corpus
+    total crossJoin (scalar-subquery shape), term-ordered double
+    folds per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("a"))
+        .localCheckpoint()
+    )
+    gterm = counts.groupBy("term").agg(
+        F.sum("a").cast("long").alias("g")
+    )
+    stot = counts.groupBy("source").agg(
+        F.sum("a").cast("long").alias("ta")
+    )
+    gtot = counts.agg(F.sum("a").cast("long").alias("t"))
+    r = (
+        counts.join(gterm, "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("g") - F.col("a")).alias("b"),
+            "ta",
+            (F.col("t") - F.col("ta")).alias("tb"),
+        )
+    )
+    cexpr = (
+        "(CAST(a AS DOUBLE) / ta)"
+        " * ln(2 * (CAST(a AS DOUBLE) / ta)"
+        "      / ((CAST(a AS DOUBLE) / ta)"
+        "         + (CAST(b AS DOUBLE) / tb)))"
+        " + CASE WHEN b > 0 THEN"
+        "     (CAST(b AS DOUBLE) / tb)"
+        "       * ln(2 * (CAST(b AS DOUBLE) / tb)"
+        "            / ((CAST(a AS DOUBLE) / ta)"
+        "               + (CAST(b AS DOUBLE) / tb)))"
+        "   ELSE 0.0 END"
+    )
+    contrib = r.select(
+        "source", "term", "b", "ta", "tb", F.expr(cexpr).alias("c")
+    )
+    folded = contrib.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.max("ta").cast("long").alias("n_tokens"),
+        F.sum("b").cast("long").alias("sum_b"),
+        F.max("tb").cast("long").alias("tb"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(term, c))), x -> x.c),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("own"),
+    )
+    return folded.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        F.expr(
+            "round(0.5 * (own + ln(2)"
+            " * (1 - CAST(sum_b AS DOUBLE) / tb)), 9)"
+        ).alias("js_nats"),
+    ).orderBy("source")
+
+
+# --------------------------- held-out n-gram novelty
+
+# How much of the held-out half's 3-gram inventory is NOVEL — never
+# seen in the training half?  The memorization-vs-generalization
+# screen for a pretraining corpus: a language whose novelty rate
+# collapses is template/boilerplate-heavy; one near 100% gives the
+# model no repeated structure to learn.  Deterministic interleaved
+# split on doc_id parity; distinct-gram inventories per (lang, half);
+# anti-join for novelty.  Pure integers end to end.
+@register(
+    "text_ngram_novelty",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks,
+             doc_id % 2 AS half
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT lang, half, shingle
+      FROM (
+        SELECT lang, half,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i + 1],
+                                toks[i + 2]))) AS shingle
+        FROM d WHERE len(toks) >= 3
+      )
+    ),
+    novel AS (
+      SELECT te.lang, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM (SELECT lang, shingle FROM grams WHERE half = 1) te
+      LEFT JOIN (SELECT lang, shingle FROM grams WHERE half = 0) tr
+        ON tr.lang = te.lang AND tr.shingle = te.shingle
+      WHERE tr.shingle IS NULL
+      GROUP BY 1
+    ),
+    sizes AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_test
+      FROM grams GROUP BY 1
+    )
+    SELECT s.lang, s.n_train AS n_train_grams,
+           s.n_test AS n_test_grams,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel_grams,
+           CAST(COALESCE(n.n_novel, 0) * 1000000 // s.n_test
+             AS BIGINT) AS novel_ppm
+    FROM sizes s LEFT JOIN novel n ON n.lang = s.lang
+    WHERE s.n_test > 0
+    ORDER BY s.lang
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out 3-gram novelty per language (doc_id-parity split,
+    distinct inventories, anti-join).  Plan: one token pass to the
+    distinct (lang, half, shingle) inventory (localCheckpoint'ed —
+    three consumers), then inventory-sized joins only; the novelty
+    anti-join is equi-keyed on (lang, shingle) and survives any
+    corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.split("text", " ").alias("toks"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    grams = (
+        d.where(F.size("toks") >= 3)
+        .select(
+            "lang",
+            "half",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    te = grams.where(F.col("half") == 1).select("lang", "shingle")
+    tr = grams.where(F.col("half") == 0).select("lang", "shingle")
+    novel = (
+        te.join(tr, ["lang", "shingle"], "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    sizes = grams.groupBy("lang").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    return (
+        sizes.join(novel, "lang", "left")
+        .where(F.col("n_test") > 0)
+        .select(
+            "lang",
+            F.col("n_train").alias("n_train_grams"),
+            F.col("n_test").alias("n_test_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel_grams"
+            ),
+            F.expr(
+                "CAST(COALESCE(n_novel, 0) * 1000000 div n_test"
+                " AS BIGINT)"
+            ).alias("novel_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -227,6 +227,10 @@ PROBE = [
     "discount_did_revenue",
     # CV^2 ratios from exact int64 moments via explicit double casts
     "brand_bullwhip_ratio",
+    # term-ordered double folds + closed-form absent-mass remainder
+    "text_js_source_divergence",
+    # parity split + distinct-inventory anti-join
+    "text_ngram_novelty",
 ]
 
 

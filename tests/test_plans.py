@@ -82,6 +82,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row pre-period totals crossJoin onto the
                   # |parts|-sized pre table (scalar-subquery shape)
                   "discount_did_revenue",
+                  # 1-row corpus-total crossJoin onto the vocabulary
+                  # table (tfidf shape)
+                  "text_js_source_divergence",
                   # two 1-row scalars (horizon, cohort total) ride as
                   # broadcast crossJoins
                   "survival_km",
