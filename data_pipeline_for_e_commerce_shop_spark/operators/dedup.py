@@ -722,6 +722,116 @@ def embedding_near_duplicates(
 SEMDEDUP_TAU = 0.4
 
 
+# Threshold grid for the sweep variant, in integer percent so the
+# oracle SQL interpolates exactly (drift-proofing pattern).  Brackets
+# the calibrated SEMDEDUP_TAU.
+SEMDEDUP_SWEEP_TAU_PCTS = (30, 40, 50)
+
+
+def semantic_pair_scan(
+    spark: SparkSession, sf_dir: str, assign: DataFrame | None = None
+) -> DataFrame:
+    """Within-cluster candidate pairs for SemDeDup-style dedup:
+    (vec_a, vec_b, dist_a, dist_b, cosine) for EVERY pair sharing a
+    k-means cluster, cosine un-thresholded (callers filter).  Pair
+    work is blocked by cluster — one vectorized int64 numpy matmul
+    per Arrow group, O(n²/k) spread over hash partitions, never an
+    all-pairs join (see semantic_dedup for the 100-TB notes)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    if assign is None:
+        assign = kmeans_lloyd(spark, sf_dir)
+    micro = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("micro"),
+    )
+    pts = assign.join(micro, "vec_id")
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "dist_a": pd.Series(dtype="int64"),
+                    "dist_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        m = np.stack(pdf["micro"].to_numpy()).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        dist = pdf["sq_dist"].to_numpy()
+        dots = m @ m.T  # exact int64 (components <= 1e6, dim 64)
+        n = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+        cos = dots.astype(np.float64) / (n[:, None] * n[None, :])
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu],
+                "vec_b": ids[ju],
+                "dist_a": dist[iu],
+                "dist_b": dist[ju],
+                "cosine": cos[iu, ju],
+            }
+        )
+
+    return pts.groupBy("cluster_id").applyInPandas(
+        cluster_pairs,
+        "vec_a LONG, vec_b LONG, dist_a LONG, dist_b LONG,"
+        " cosine DOUBLE",
+    )
+
+
+def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How aggressive would semantic dedup be at each threshold?  One
+    un-thresholded within-cluster pair scan (localCheckpoint'ed — it
+    feeds every grid row), then per tau_pct in
+    ``SEMDEDUP_SWEEP_TAU_PCTS``: surviving candidate pairs, distinct
+    losers under the sq_dist-asc/vec_id-asc priority, and the corpus
+    removal rate ppm — the dial chart an operator reads before
+    committing a threshold.  The grid reuses the pair scan, so cost
+    is ONE clustering + ONE pair pass regardless of grid size."""
+    pairs = semantic_pair_scan(spark, sf_dir).localCheckpoint()
+    n_vecs = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id").count()
+    )
+    loser = F.when(
+        (F.col("dist_a") < F.col("dist_b"))
+        | (
+            (F.col("dist_a") == F.col("dist_b"))
+            & (F.col("vec_a") < F.col("vec_b"))
+        ),
+        F.col("vec_b"),
+    ).otherwise(F.col("vec_a"))
+    out = None
+    for tau_pct in SEMDEDUP_SWEEP_TAU_PCTS:
+        hit = pairs.where(
+            F.round("cosine", 9) >= F.expr(f"CAST({tau_pct} AS DOUBLE) / 100")
+        )
+        row = (
+            hit.select(loser.alias("vec_id"))
+            .agg(
+                F.lit(tau_pct).cast("long").alias("tau_pct"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.countDistinct("vec_id").cast("long").alias("n_removed"),
+                F.expr(
+                    f"CAST(COUNT(DISTINCT vec_id) * 1000000"
+                    f" div {n_vecs} AS BIGINT)"
+                ).alias("removed_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tau_pct")
+
+
 def semantic_dedup(
     spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
 ) -> DataFrame:
@@ -750,54 +860,17 @@ def semantic_dedup(
     HIGHER-PRIORITY doc in its cluster is within tau — the greedy
     priority sweep, evaluated set-wise (no sequential scan).
     """
-    import numpy as np
-    import pandas as pd
-
     from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
         kmeans_lloyd,
     )
 
     assign = kmeans_lloyd(spark, sf_dir)
-    micro = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
-            " x -> CAST(floor(x * 1000000) AS BIGINT))"
-        ).alias("micro"),
-    )
-    pts = assign.join(micro, "vec_id")
-
-    def cluster_losers(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
-        m = np.stack(pdf["micro"].to_numpy()).astype(np.int64)
-        ids = pdf["vec_id"].to_numpy()
-        dist = pdf["sq_dist"].to_numpy()
-        dots = m @ m.T  # exact int64 (components <= 1e6, dim 64)
-        n = np.sqrt((m * m).sum(axis=1).astype(np.float64))
-        cos = dots.astype(np.float64) / (n[:, None] * n[None, :])
-        # JVM/DuckDB-parity rounding happens on the Spark side after
-        # return; here only candidate GENERATION (upper triangle) —
-        # emit both ends + cosine, decide the loser set-wise below.
-        iu, ju = np.triu_indices(len(pdf), k=1)
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu],
-                "vec_b": ids[ju],
-                "dist_a": dist[iu],
-                "dist_b": dist[ju],
-                "cosine": cos[iu, ju],
-            }
-        )
-
-    pairs = (
-        pts.groupBy("cluster_id")
-        .applyInPandas(
-            cluster_losers,
-            "vec_a LONG, vec_b LONG, dist_a LONG, dist_b LONG,"
-            " cosine DOUBLE",
-        )
-        .where(F.round("cosine", 9) >= tau)
+    # Candidate generation (upper triangle per cluster) lives in
+    # semantic_pair_scan (sharing this assignment — one clustering);
+    # JVM/DuckDB-parity rounding happens here on the Spark side, and
+    # the loser is decided set-wise below.
+    pairs = semantic_pair_scan(spark, sf_dir, assign=assign).where(
+        F.round("cosine", 9) >= tau
     )
     # Priority (sq_dist asc, vec_id asc): the closer-to-centroid end
     # wins; the other end is dropped.

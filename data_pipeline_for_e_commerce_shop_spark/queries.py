@@ -23187,3 +23187,56 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------- semantic-dedup threshold sweep
+
+# The dial chart an operator reads BEFORE committing a semantic-dedup
+# threshold: per cosine cut (30/40/50%), how many within-cluster
+# candidate pairs survive, how many distinct docs get dropped under
+# the sq_dist-asc/vec_id-asc priority, and the corpus removal rate.
+# One clustering + ONE un-thresholded pair scan serve the whole grid
+# (the scan is localCheckpoint'ed in the operator); grid constants
+# are interpolated into the oracle so the two sides cannot drift.
+register(
+    "dedup_semantic_sweep",
+    _kmeans_oracle(as_cte=True)
+    + f""",
+    spts AS (
+      SELECT a.vec_id, a.cluster_id, a.sq_dist, q.v
+      FROM asg_final a JOIN q USING (vec_id)
+    ),
+    sprs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             a.sq_dist AS da, b.sq_dist AS db,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
+      FROM spts a JOIN spts b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spts),
+    taus AS (
+      SELECT CAST(u.t AS BIGINT) AS tau_pct
+      FROM UNNEST([{", ".join(str(t) for t in dedup.SEMDEDUP_SWEEP_TAU_PCTS)}])
+        AS u(t)
+    ),
+    hits AS (
+      SELECT t.tau_pct, p.va,
+             CASE WHEN (p.da < p.db) OR (p.da = p.db AND p.va < p.vb)
+                  THEN p.vb ELSE p.va END AS loser
+      FROM taus t JOIN sprs p
+        ON p.cosine >= CAST(t.tau_pct AS DOUBLE) / 100
+    )
+    SELECT t.tau_pct,
+           CAST(COUNT(h.va) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT h.loser) AS BIGINT) AS n_removed,
+           CAST(COUNT(DISTINCT h.loser) * 1000000 // MAX(nv.n)
+             AS BIGINT) AS removed_ppm
+    FROM taus t
+    LEFT JOIN hits h ON h.tau_pct = t.tau_pct
+    CROSS JOIN nv
+    GROUP BY t.tau_pct
+    ORDER BY t.tau_pct
+    """,
+)(dedup.semantic_threshold_sweep)

@@ -231,6 +231,8 @@ PROBE = [
     "text_js_source_divergence",
     # parity split + distinct-inventory anti-join
     "text_ngram_novelty",
+    # cluster-blocked numpy cosine grid + priority loser picks per tau
+    "dedup_semantic_sweep",
 ]
 
 
