@@ -23240,3 +23240,208 @@ register(
     ORDER BY t.tau_pct
     """,
 )(dedup.semantic_threshold_sweep)
+
+
+# --------------------------- Markov-chain CLV projection
+
+# Expected 3-quarter customer value BY ACTIVITY STATE: customers move
+# through quarterly states (0 orders / 1 order / 2+), the state
+# transition matrix is estimated in exact integer ppm, and the
+# discounted value recursion v = R + y*P*R + y^2*P^2*R runs as ppm
+# matrix-vector compositions with floor truncation (the
+# events_transition_3step quantization, y = 9/10 exact).  The churn
+# state ('0') is real: the customer x quarter grid includes inactive
+# quarters, which is what makes the chain a retention model instead
+# of a survivor-only average.
+CLV_GAMMA_NUM = 9
+CLV_GAMMA_DEN = 10
+
+
+@register(
+    "segment_markov_clv",
+    f"""
+    WITH qs AS (
+      SELECT DISTINCT DATE_TRUNC('quarter', CAST(o_orderdate AS DATE))
+        AS q
+      FROM orders
+    ),
+    grid AS (SELECT c.c_custkey, qs.q FROM customer c CROSS JOIN qs),
+    oq AS (
+      SELECT o_custkey,
+             DATE_TRUNC('quarter', CAST(o_orderdate AS DATE)) AS q,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    sq AS (
+      SELECT g.c_custkey, g.q,
+             CASE WHEN o.n IS NULL THEN '0'
+                  WHEN o.n = 1 THEN '1' ELSE '2+' END AS state,
+             COALESCE(o.cents, 0) AS cents
+      FROM grid g
+      LEFT JOIN oq o ON o.o_custkey = g.c_custkey AND o.q = g.q
+    ),
+    r AS (
+      SELECT state, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(cents) AS BIGINT) // COUNT(*) AS r_cents
+      FROM sq GROUP BY 1
+    ),
+    seq AS (
+      SELECT state AS src,
+             LEAD(state) OVER (PARTITION BY c_custkey ORDER BY q)
+               AS dst
+      FROM sq
+    ),
+    cnt AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM cnt
+            GROUP BY 1),
+    p1 AS (
+      SELECT c.src, c.dst, c.n * 1000000 // t.t AS p
+      FROM cnt c JOIN tot t ON c.src = t.src
+    ),
+    p2 AS (
+      SELECT a.src, b.dst,
+             CAST(SUM(a.p * b.p) // 1000000 AS BIGINT) AS p
+      FROM p1 a JOIN p1 b ON a.dst = b.src GROUP BY 1, 2
+    ),
+    pr1 AS (
+      SELECT p1.src,
+             CAST(SUM(p1.p * r.r_cents) // 1000000 AS BIGINT) AS x
+      FROM p1 JOIN r ON r.state = p1.dst GROUP BY 1
+    ),
+    pr2 AS (
+      SELECT p2.src,
+             CAST(SUM(p2.p * r.r_cents) // 1000000 AS BIGINT) AS x
+      FROM p2 JOIN r ON r.state = p2.dst GROUP BY 1
+    )
+    SELECT r.state, r.n_obs, CAST(r.r_cents AS BIGINT) AS r_cents,
+           CAST(COALESCE(pr1.x, 0) AS BIGINT) AS pr1_cents,
+           CAST(COALESCE(pr2.x, 0) AS BIGINT) AS pr2_cents,
+           CAST(r.r_cents
+                + COALESCE(pr1.x, 0) * {CLV_GAMMA_NUM}
+                  // {CLV_GAMMA_DEN}
+                + COALESCE(pr2.x, 0)
+                  * {CLV_GAMMA_NUM * CLV_GAMMA_NUM}
+                  // {CLV_GAMMA_DEN * CLV_GAMMA_DEN}
+             AS BIGINT) AS clv3_cents
+    FROM r
+    LEFT JOIN pr1 ON pr1.src = r.state
+    LEFT JOIN pr2 ON pr2.src = r.state
+    ORDER BY r.state
+    """,
+)
+def segment_markov_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted 3-quarter CLV per activity state via exact-ppm
+    Markov compositions.  Plan: one orders rollup, the customer x
+    28-row quarter spine grid (broadcast crossJoin — linear output,
+    events_gap_fill shape), localCheckpoint'ed state grid feeding
+    both the reward table and the LEAD transition pass (two consumers,
+    no exchange reuse), then everything is 3x3-sized."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    qs = orders.select(
+        F.trunc(F.col("o_orderdate").cast("date"), "quarter").alias("q")
+    ).distinct()
+    grid = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(qs))
+    )
+    oq = orders.groupBy(
+        F.col("o_custkey").alias("c_custkey"),
+        F.trunc(F.col("o_orderdate").cast("date"), "quarter").alias("q"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("cents"),
+    )
+    sq = (
+        grid.join(oq, ["c_custkey", "q"], "left")
+        .select(
+            "c_custkey",
+            "q",
+            F.when(F.col("n").isNull(), "0")
+            .when(F.col("n") == 1, "1")
+            .otherwise("2+")
+            .alias("state"),
+            F.coalesce(F.col("cents"), F.lit(0).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .localCheckpoint()
+    )
+    r = sq.groupBy("state").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.expr("CAST(SUM(cents) AS BIGINT) div COUNT(*)").alias(
+            "r_cents"
+        ),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("q")
+    seq = sq.select(
+        F.col("state").alias("src"),
+        F.lead("state").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cnt.groupBy("src").agg(F.sum("n").cast("long").alias("t"))
+    p1 = cnt.join(F.broadcast(tot), "src").select(
+        "src", "dst", F.expr("n * 1000000 div t").alias("p")
+    )
+    a = p1.select(F.col("src"), F.col("dst").alias("mid"), F.col("p").alias("pa"))
+    b = p1.select(F.col("src").alias("mid"), "dst", F.col("p").alias("pb"))
+    p2 = (
+        a.join(F.broadcast(b), "mid")
+        .groupBy("src", "dst")
+        .agg(
+            F.expr("CAST(SUM(pa * pb) div 1000000 AS BIGINT)").alias("p")
+        )
+    )
+    rd = r.select(F.col("state").alias("dst"), "r_cents")
+    pr1 = (
+        p1.join(F.broadcast(rd), "dst")
+        .groupBy("src")
+        .agg(
+            F.expr(
+                "CAST(SUM(p * r_cents) div 1000000 AS BIGINT)"
+            ).alias("x1")
+        )
+    )
+    pr2 = (
+        p2.join(F.broadcast(rd), "dst")
+        .groupBy("src")
+        .agg(
+            F.expr(
+                "CAST(SUM(p * r_cents) div 1000000 AS BIGINT)"
+            ).alias("x2")
+        )
+    )
+    g2 = CLV_GAMMA_NUM * CLV_GAMMA_NUM
+    d2 = CLV_GAMMA_DEN * CLV_GAMMA_DEN
+    return (
+        r.join(pr1.withColumnRenamed("src", "state"), "state", "left")
+        .join(pr2.withColumnRenamed("src", "state"), "state", "left")
+        .select(
+            "state",
+            "n_obs",
+            F.col("r_cents").cast("long").alias("r_cents"),
+            F.coalesce(F.col("x1"), F.lit(0).cast("long")).alias(
+                "pr1_cents"
+            ),
+            F.coalesce(F.col("x2"), F.lit(0).cast("long")).alias(
+                "pr2_cents"
+            ),
+            F.expr(
+                f"CAST(r_cents + COALESCE(x1, 0) * {CLV_GAMMA_NUM}"
+                f" div {CLV_GAMMA_DEN}"
+                f" + COALESCE(x2, 0) * {g2} div {d2} AS BIGINT)"
+            ).alias("clv3_cents"),
+        )
+        .orderBy("state")
+    )

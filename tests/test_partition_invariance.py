@@ -233,6 +233,8 @@ PROBE = [
     "text_ngram_novelty",
     # cluster-blocked numpy cosine grid + priority loser picks per tau
     "dedup_semantic_sweep",
+    # ppm matrix compositions with floor truncation per step
+    "segment_markov_clv",
 ]
 
 
