@@ -23445,3 +23445,162 @@ def segment_markov_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------- supplier lead-time SLA scorecard
+
+# Per-supplier order-to-ship lead time: discrete p50/p90 (actual data
+# values, no interpolation) and the share of lines breaching the
+# frozen SLA — the procurement escalation worklist.  The global
+# sibling is fulfillment_lag; this is the per-entity scorecard that
+# names WHO to call.
+SLA_LEAD_DAYS = 90
+
+
+@register(
+    "supplier_lead_time_sla",
+    f"""
+    WITH lag AS (
+      SELECT l_suppkey,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days,
+           CAST(SUM(CASE WHEN days > {SLA_LEAD_DAYS} THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS breach_ppm
+    FROM lag GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def supplier_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier lead-time scorecard: one fact-fact equi-join, one
+    supplier-keyed aggregate with discrete percentiles (integer day
+    values on both engines) and an exact breach-share ppm."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("sd"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    lag = li.join(orders, "l_orderkey").select(
+        "l_suppkey", F.datediff("sd", "od").alias("days")
+    )
+    return (
+        lag.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY days) AS BIGINT)"
+            ).alias("p50_days"),
+            F.expr(
+                "CAST(percentile_disc(0.9) WITHIN GROUP"
+                " (ORDER BY days) AS BIGINT)"
+            ).alias("p90_days"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN days > {SLA_LEAD_DAYS} THEN 1"
+                " ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("breach_ppm"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# --------------------------- quantity-weighted median price
+
+# The price the MEDIAN UNIT actually traded at, per category — a
+# volume-weighted centre immune to a flood of tiny cheap lines that
+# drags the unweighted median (category_quantile_bands' blind spot).
+# Weighted median = smallest price with cumulative quantity covering
+# half the total, realized as one price-ordered running sum over the
+# (category, price) aggregate — positional, tie-free, pure integers.
+@register(
+    "category_weighted_median_price",
+    """
+    WITH u AS (
+      SELECT p_type AS category,
+             CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)
+               AS price_c,
+             CAST(floor(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    agg AS (
+      SELECT category, price_c, CAST(SUM(qty) AS BIGINT) AS w
+      FROM u GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT category, price_c, w,
+             CAST(SUM(w) OVER (PARTITION BY category
+                               ORDER BY price_c) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY category) AS BIGINT) AS tw
+      FROM agg
+    )
+    SELECT category,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_c END)
+             AS BIGINT) AS wmedian_price_c,
+           CAST(MAX(tw) AS BIGINT) AS total_qty
+    FROM cum GROUP BY category ORDER BY category
+    """,
+)
+def category_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median unit price per category.  Plan: fact
+    x broadcast-part join, (category, price) pre-aggregate, then the
+    running-sum window runs over the AGGREGATE (|categories| x
+    |distinct prices| rows), never the fact table."""
+    from pyspark.sql import Window
+
+    u = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    F.col("p_partkey").alias("l_partkey"),
+                    F.col("p_type").alias("category"),
+                )
+            ),
+            "l_partkey",
+        )
+        .select(
+            "category",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 / l_quantity)"
+                " AS BIGINT)"
+            ).alias("price_c"),
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        )
+    )
+    agg = u.groupBy("category", "price_c").agg(
+        F.sum("qty").cast("long").alias("w")
+    )
+    cum = agg.select(
+        "category",
+        "price_c",
+        F.sum("w")
+        .over(Window.partitionBy("category").orderBy("price_c"))
+        .cast("long")
+        .alias("cw"),
+        F.sum("w")
+        .over(Window.partitionBy("category"))
+        .cast("long")
+        .alias("tw"),
+    )
+    return (
+        cum.groupBy("category")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+            )
+            .cast("long")
+            .alias("wmedian_price_c"),
+            F.max("tw").cast("long").alias("total_qty"),
+        )
+        .orderBy("category")
+    )

@@ -235,6 +235,10 @@ PROBE = [
     "dedup_semantic_sweep",
     # ppm matrix compositions with floor truncation per step
     "segment_markov_clv",
+    # per-group discrete percentile picks + breach shares
+    "supplier_lead_time_sla",
+    # price-ordered cumulative-weight crossing pick
+    "category_weighted_median_price",
 ]
 
 
