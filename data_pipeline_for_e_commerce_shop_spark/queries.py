@@ -23604,3 +23604,203 @@ def category_weighted_median_price(
         )
         .orderBy("category")
     )
+
+
+# --------------------------- repurchase hazard life table
+
+# When do customers come back?  Discrete-time life table over
+# consecutive-order gaps (30-day buckets, 12 = "a year or more"):
+# hazard h(k) = gaps ending in bucket k / gaps reaching k, survival
+# S(k) = gaps longer than k / all gaps.  No censoring (every observed
+# gap is complete), so BOTH columns are direct exact ratios — no
+# cumulative-product truncation ladder.  The churn-timing curve that
+# prices win-back campaigns.
+@register(
+    "customer_next_order_hazard",
+    """
+    WITH gaps AS (
+      SELECT LEAST(datediff('day', od,
+               LEAD(od) OVER (PARTITION BY o_custkey
+                              ORDER BY od, o_orderkey)) // 30 + 1,
+             12) AS k
+      FROM (SELECT o_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS od FROM orders)
+    ),
+    g AS (SELECT k FROM gaps WHERE k IS NOT NULL),
+    buckets AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS d FROM g GROUP BY k
+    ),
+    life AS (
+      SELECT k, d,
+             CAST(SUM(d) OVER () AS BIGINT) AS n,
+             CAST(SUM(d) OVER () - COALESCE(SUM(d) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+      FROM buckets
+    )
+    SELECT k AS gap_months, n_at_risk, d AS n_ended,
+           CAST(d * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm,
+           CAST((n_at_risk - d) * 1000000 // n AS BIGINT)
+             AS survival_ppm
+    FROM life ORDER BY k
+    """,
+)
+def customer_next_order_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete repurchase hazard/survival per 30-day gap bucket.
+    Plan: ONE customer-partitioned LEAD pass builds the gaps; the
+    total and the running at-risk count both come from windows over
+    the 12-row bucket aggregate itself (no second fact pass, no
+    crossJoin)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = orders.select(
+        F.least(
+            F.floor(
+                F.datediff(F.lead("od").over(w), F.col("od")) / 30
+            ).cast("long")
+            + 1,
+            F.lit(12).cast("long"),
+        ).alias("k")
+    ).where(F.col("k").isNotNull())
+    buckets = gaps.groupBy("k").agg(F.count("*").cast("long").alias("d"))
+    wk = (
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy()
+    life = buckets.select(
+        "k",
+        "d",
+        F.sum("d").over(wall).cast("long").alias("n"),
+        (
+            F.sum("d").over(wall)
+            - F.coalesce(F.sum("d").over(wk), F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    return life.select(
+        F.col("k").alias("gap_months"),
+        "n_at_risk",
+        F.col("d").alias("n_ended"),
+        F.expr("CAST(d * 1000000 div n_at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+        F.expr(
+            "CAST((n_at_risk - d) * 1000000 div n AS BIGINT)"
+        ).alias("survival_ppm"),
+    ).orderBy("gap_months")
+
+
+# --------------------------- classical seasonality indices
+
+# Ratio-to-moving-average seasonal indices per category: each month's
+# revenue over its centered 12-month window sum (x12, ppm — pure
+# integer floor division), averaged per month-of-year across years —
+# the classical decomposition's seasonal component, exact end to end.
+# Edge months without a full 12-month window are excluded (cnt = 12
+# guard), the textbook treatment.
+@register(
+    "category_seasonality_index",
+    """
+    WITH monthly AS (
+      SELECT p_type AS category,
+             CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 12
+                  + EXTRACT(month FROM CAST(l_shipdate AS DATE))
+               AS BIGINT) AS mi,
+             CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE))
+               AS BIGINT) AS moy,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    ),
+    win AS (
+      SELECT category, moy, cents,
+             CAST(SUM(cents) OVER (PARTITION BY category ORDER BY mi
+               ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+               AS BIGINT) AS sum12,
+             COUNT(*) OVER (PARTITION BY category ORDER BY mi
+               ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS cnt
+      FROM monthly
+    ),
+    ratios AS (
+      SELECT category, moy,
+             cents * 12 * 1000000 // sum12 AS r_ppm
+      FROM win WHERE cnt = 12
+    )
+    SELECT category, moy AS month_of_year,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           CAST(SUM(r_ppm) AS BIGINT) // COUNT(*) AS index_ppm
+    FROM ratios GROUP BY 1, 2
+    ORDER BY category, moy
+    """,
+)
+def category_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-MA seasonal indices per (category, month-of-year).
+    Plan: fact x broadcast-part join, monthly rollup, then the
+    centered 12-row window and the index averaging both run over the
+    |categories| x |months| AGGREGATE."""
+    from pyspark.sql import Window
+
+    monthly = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    F.col("p_partkey").alias("l_partkey"),
+                    F.col("p_type").alias("category"),
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy(
+            "category",
+            (
+                F.year(F.col("l_shipdate").cast("date")) * 12
+                + F.month(F.col("l_shipdate").cast("date"))
+            )
+            .cast("long")
+            .alias("mi"),
+            F.month(F.col("l_shipdate").cast("date"))
+            .cast("long")
+            .alias("moy"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    w12 = (
+        Window.partitionBy("category").orderBy("mi").rowsBetween(-5, 6)
+    )
+    win = monthly.select(
+        "category",
+        "moy",
+        "cents",
+        F.sum("cents").over(w12).cast("long").alias("sum12"),
+        F.count("*").over(w12).alias("cnt"),
+    )
+    ratios = win.where(F.col("cnt") == 12).select(
+        "category",
+        "moy",
+        F.expr("cents * 12 * 1000000 div sum12").alias("r_ppm"),
+    )
+    return (
+        ratios.groupBy(
+            "category", F.col("moy").alias("month_of_year")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_years"),
+            F.expr(
+                "CAST(SUM(r_ppm) AS BIGINT) div COUNT(*)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("category", "month_of_year")
+    )

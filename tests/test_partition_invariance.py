@@ -239,6 +239,10 @@ PROBE = [
     "supplier_lead_time_sla",
     # price-ordered cumulative-weight crossing pick
     "category_weighted_median_price",
+    # LEAD gap buckets + running at-risk counts
+    "customer_next_order_hazard",
+    # centered 12-row window ratios + per-moy integer averaging
+    "category_seasonality_index",
 ]
 
 
