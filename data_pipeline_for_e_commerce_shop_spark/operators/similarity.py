@@ -1096,3 +1096,108 @@ def matryoshka_recall(
         )
         .orderBy("query_id", "dim")
     )
+
+
+# Maximal-marginal-relevance diversified retrieval: pool, result size,
+# and the query vector are module constants interpolated into the
+# registered oracle (drift-proofing pattern).  Lambda is fixed at 1/2,
+# so the x2-scaled MMR score is simply relevance - redundancy.
+MMR_QUERY_ID = 0
+MMR_POOL_N = 20
+MMR_K = 5
+
+
+def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k: brute top-``MMR_POOL_N`` relevance pool
+    for the query vector, then the greedy re-rank picks ``MMR_K``
+    results maximizing relevance - max-similarity-to-selected (the
+    lambda=1/2 MMR score, x2).  The search-result diversifier every
+    RAG retriever bolts onto ANN.
+
+    Determinism: every cosine (query-pool and pool-pool) is computed
+    and round-9'ed ENGINE-side; the greedy loop runs on the collected
+    pool (2 model-sized collects, <= pool + pool^2 rows) comparing
+    those engine doubles only — subtraction of identical doubles is
+    identical, so the trajectory replays bit-for-bit in the unrolled
+    SQL oracle.  Tie-break: score desc, vec_id asc.
+
+    Scale shape: the pool stage is the brute/LSH/IVF top-k (swap in
+    either bucketed variant at scale); the greedy stage is O(k * pool)
+    on pool-sized data — constant work regardless of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == MMR_QUERY_ID).select(
+        as_double("embedding").alias("q_emb")
+    ).withColumn("q_norm", norm("q_emb"))
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        as_double("embedding").alias("c_emb"),
+    ).withColumn("c_norm", norm("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .where(F.col("corpus_id") != MMR_QUERY_ID)
+        .select(
+            "corpus_id",
+            F.round(
+                dot("q_emb", "c_emb")
+                / (F.col("q_norm") * F.col("c_norm")),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    pool_rows = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MMR_POOL_N)
+        .select("corpus_id", "cosine")
+        .collect()
+    )
+    rel = {r["corpus_id"]: r["cosine"] for r in pool_rows}
+    ids = sorted(rel)
+    pool_vecs = emb.where(F.col("vec_id").isin(ids)).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", norm("v"))
+    a = pool_vecs.select(
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = pool_vecs.select(
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pp_rows = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                dot("va", "vb") / (F.col("na") * F.col("nb")), 9
+            ).alias("cos"),
+        )
+        .collect()
+    )
+    pp = {(r["a"], r["b"]): r["cos"] for r in pp_rows}
+
+    chosen: list[int] = []
+    out = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid in ids:
+            if vid in chosen:
+                continue
+            red = max((pp[(vid, c)] for c in chosen), default=0.0)
+            score = rel[vid] - red
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, red, score)
+        _, vid, red, score = best
+        chosen.append(vid)
+        out.append((rank, vid, rel[vid], red, score))
+    return spark.createDataFrame(
+        out,
+        "rank LONG, vec_id LONG, rel_cosine DOUBLE,"
+        " redundancy DOUBLE, mmr_x2 DOUBLE",
+    ).orderBy("rank")

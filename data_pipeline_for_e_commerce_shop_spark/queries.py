@@ -23804,3 +23804,74 @@ def category_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", "month_of_year")
     )
+
+
+# --------------------------- MMR diversified retrieval
+
+# Greedy maximal-marginal-relevance re-rank of the brute top-20 pool
+# (lambda = 1/2, so the x2 score is relevance - redundancy).  The
+# oracle unrolls the k greedy steps as CTEs over the same round-9
+# engine cosines, so the full trajectory (picks, redundancy values,
+# scores) is hash-checked, not just the final id set.
+def _mmr_oracle() -> str:
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL_N,
+        MMR_QUERY_ID,
+    )
+
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {MMR_QUERY_ID}),
+    pool AS (
+      SELECT e.vec_id,
+             round(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 9)
+               AS cosine,
+             e.v
+      FROM e CROSS JOIN q WHERE e.vec_id != {MMR_QUERY_ID}
+      ORDER BY cosine DESC, vec_id LIMIT {MMR_POOL_N}
+    ),
+    pp AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cos
+      FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+    ),
+    s1 AS (
+      SELECT 1 AS rank, vec_id, cosine, CAST(0.0 AS DOUBLE) AS red
+      FROM pool ORDER BY cosine DESC, vec_id LIMIT 1
+    )"""
+    steps, prev = [], ["s1"]
+    for i in range(2, MMR_K + 1):
+        chosen = " UNION ALL ".join(
+            f"SELECT vec_id FROM {p}" for p in prev
+        )
+        steps.append(f""",
+    c{i} AS (
+      SELECT p.vec_id, p.cosine,
+             (SELECT MAX(pp.cos) FROM pp
+              WHERE pp.a = p.vec_id
+                AND pp.b IN ({chosen})) AS red
+      FROM pool p WHERE p.vec_id NOT IN ({chosen})
+    ),
+    s{i} AS (
+      SELECT {i} AS rank, vec_id, cosine, red FROM c{i}
+      ORDER BY cosine - red DESC, vec_id LIMIT 1
+    )""")
+        prev.append(f"s{i}")
+    final = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    return head + "".join(steps) + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, cosine AS rel_cosine,
+           red AS redundancy, cosine - red AS mmr_x2
+    FROM ({final}) ORDER BY rank
+    """
+
+
+register("embedding_mmr_topk", _mmr_oracle())(similarity.mmr_topk)

@@ -243,6 +243,8 @@ PROBE = [
     "customer_next_order_hazard",
     # centered 12-row window ratios + per-moy integer averaging
     "category_seasonality_index",
+    # greedy trajectory over collected round-9 engine cosines
+    "embedding_mmr_topk",
 ]
 
 

@@ -85,6 +85,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row corpus-total crossJoin onto the vocabulary
                   # table (tfidf shape)
                   "text_js_source_divergence",
+                  # brute pool scan (ann_brute shape) + pool-sized
+                  # (20x20) pairwise re-rank join
+                  "embedding_mmr_topk",
                   # two 1-row scalars (horizon, cohort total) ride as
                   # broadcast crossJoins
                   "survival_km",
