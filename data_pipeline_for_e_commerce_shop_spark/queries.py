@@ -23875,3 +23875,303 @@ def _mmr_oracle() -> str:
 
 
 register("embedding_mmr_topk", _mmr_oracle())(similarity.mmr_topk)
+
+
+# --------------------------- cannibalization screen
+
+# Which two HIGH-VOLUME parts in a brand trade demand against each
+# other?  For each brand's top-10 parts by total quantity, the most
+# negative MONTHLY-demand correlation pair (exact deviation sums
+# with floored means over common months — the part_demand_persistence
+# recipe, crossed; weekly alignment is too sparse for top parts even
+# at sf0.1, max 12 common weeks) — the assortment-rationalization
+# shortlist.
+CANNIBAL_TOP_PARTS = 10
+CANNIBAL_MIN_PERIODS = 8
+
+
+@register(
+    "brand_cannibalization_screen",
+    f"""
+    WITH monthly AS (
+      SELECT p_brand, l_partkey,
+             DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS mo,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    ),
+    vol AS (
+      SELECT p_brand, l_partkey,
+             CAST(SUM(q) AS BIGINT) AS total_q,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY SUM(q) DESC, l_partkey) AS rk
+      FROM monthly GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT p_brand, l_partkey FROM vol
+      WHERE rk <= {CANNIBAL_TOP_PARTS}
+    ),
+    tw AS (
+      SELECT w.p_brand, w.l_partkey, w.mo, w.q
+      FROM monthly w JOIN top t
+        ON t.p_brand = w.p_brand AND t.l_partkey = w.l_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand, a.l_partkey AS pa, b.l_partkey AS pb,
+             a.q AS x, b.q AS y
+      FROM tw a JOIN tw b
+        ON b.p_brand = a.p_brand AND b.mo = a.mo
+       AND b.l_partkey > a.l_partkey
+    ),
+    m AS (
+      SELECT p_brand, pa, pb, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+             CAST(SUM(y) AS BIGINT) // COUNT(*) AS my
+      FROM pairs GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= {CANNIBAL_MIN_PERIODS}
+    ),
+    r AS (
+      SELECT p.p_brand, p.pa, p.pb, m.n,
+             CAST(SUM((p.x - m.mx) * (p.y - m.my)) AS BIGINT) AS sxy,
+             CAST(SUM((p.x - m.mx) * (p.x - m.mx)) AS BIGINT) AS sxx,
+             CAST(SUM((p.y - m.my) * (p.y - m.my)) AS BIGINT) AS syy
+      FROM pairs p
+      JOIN m ON m.p_brand = p.p_brand AND m.pa = p.pa AND m.pb = p.pb
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT p_brand, pa, pb, n,
+             CAST(floor(CAST(sxy AS DOUBLE) * 1000000
+               / (sqrt(CAST(sxx AS DOUBLE))
+                  * sqrt(CAST(syy AS DOUBLE)))) AS BIGINT) AS r_ppm
+      FROM r WHERE sxx > 0 AND syy > 0
+    )
+    SELECT p_brand, pa AS part_a, pb AS part_b, n AS n_months, r_ppm
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY r_ppm, pa, pb) AS pick
+      FROM scored
+    ) WHERE pick = 1
+    ORDER BY p_brand
+    """,
+)
+def brand_cannibalization_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most negative monthly-demand correlation pair per brand among
+    its top-10 parts.  Plan: one fact x broadcast-part rollup to the
+    monthly aggregate (localCheckpoint'ed — it feeds the volume rank
+    and both pair sides), then every pair stage runs on top-10-parts
+    x months aggregates; the quadratic blowup is 45 pairs per brand,
+    never fact-sized."""
+    from pyspark.sql import Window
+
+    monthly = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy(
+            "p_brand",
+            "l_partkey",
+            F.trunc(F.col("l_shipdate").cast("date"), "MM").alias(
+                "mo"
+            ),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)")).alias("q")
+        )
+        .localCheckpoint()
+    )
+    top = (
+        monthly.groupBy("p_brand", "l_partkey")
+        .agg(F.sum("q").alias("total_q"))
+        .select(
+            "p_brand",
+            "l_partkey",
+            F.row_number()
+            .over(
+                Window.partitionBy("p_brand").orderBy(
+                    F.col("total_q").desc(), F.col("l_partkey")
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= CANNIBAL_TOP_PARTS)
+        .select("p_brand", "l_partkey")
+    )
+    tw = monthly.join(top, ["p_brand", "l_partkey"])
+    a = tw.select(
+        "p_brand", F.col("l_partkey").alias("pa"), "mo", F.col("q").alias("x")
+    )
+    b = tw.select(
+        "p_brand", F.col("l_partkey").alias("pb"), "mo", F.col("q").alias("y")
+    )
+    pairs = a.join(
+        b,
+        (a["p_brand"] == b["p_brand"])
+        & (a["mo"] == b["mo"])
+        & (b["pb"] > a["pa"]),
+    ).select(a["p_brand"], "pa", "pb", "x", "y")
+    m = (
+        pairs.groupBy("p_brand", "pa", "pb")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(SUM(x) AS BIGINT) div COUNT(*)").alias("mx"),
+            F.expr("CAST(SUM(y) AS BIGINT) div COUNT(*)").alias("my"),
+        )
+        .where(F.col("n") >= CANNIBAL_MIN_PERIODS)
+    )
+    r = (
+        pairs.join(m, ["p_brand", "pa", "pb"])
+        .groupBy("p_brand", "pa", "pb", "n")
+        .agg(
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))).alias("sxy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias("sxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias("syy"),
+        )
+    )
+    scored = r.where((F.col("sxx") > 0) & (F.col("syy") > 0)).select(
+        "p_brand",
+        "pa",
+        "pb",
+        "n",
+        F.expr(
+            "CAST(floor(CAST(sxy AS DOUBLE) * 1000000"
+            " / (sqrt(CAST(sxx AS DOUBLE))"
+            "    * sqrt(CAST(syy AS DOUBLE)))) AS BIGINT)"
+        ).alias("r_ppm"),
+    )
+    wpick = Window.partitionBy("p_brand").orderBy("r_ppm", "pa", "pb")
+    return (
+        scored.withColumn("pick", F.row_number().over(wpick))
+        .where(F.col("pick") == 1)
+        .select(
+            "p_brand",
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n").alias("n_months"),
+            "r_ppm",
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------- arc price elasticity
+
+# Demand elasticity per category from ADJACENT discount bands: the
+# arc (midpoint) elasticity ((q2-q1)/(q2+q1)) / ((p2-p1)/(p2+p1))
+# over per-band average unit price (cents) and average quantity
+# (milli-units) — both floored integer ratios, the elasticity itself
+# a double of exact integer cross products (negative values forbid
+# integer floor-division: DuckDB floors, Spark truncates).
+@register(
+    "category_arc_elasticity",
+    """
+    WITH lines AS (
+      SELECT p_type AS category,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS band,
+             CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)
+               AS price_c,
+             CAST(floor(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    bands AS (
+      SELECT category, band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(price_c) AS BIGINT) // COUNT(*) AS p,
+             CAST(SUM(qty) AS BIGINT) * 1000 // COUNT(*) AS q
+      FROM lines GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT category, band, n, p, q,
+             LEAD(band) OVER w AS band2,
+             LEAD(n) OVER w AS n2,
+             LEAD(p) OVER w AS p2,
+             LEAD(q) OVER w AS q2
+      FROM bands
+      WINDOW w AS (PARTITION BY category ORDER BY band)
+    )
+    SELECT category, band AS band_lo, band2 AS band_hi,
+           n AS n_lo, n2 AS n_hi,
+           p AS price_lo_c, p2 AS price_hi_c,
+           q AS qty_lo_milli, q2 AS qty_hi_milli,
+           CAST(floor(
+             CAST((q2 - q) * (p2 + p) AS DOUBLE) * 1000
+             / ((p2 - p) * (q2 + q))) AS BIGINT) AS elasticity_e3
+    FROM adj
+    WHERE band2 IS NOT NULL AND p2 <> p
+    ORDER BY category, band
+    """,
+)
+def category_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc elasticity between adjacent discount bands per category.
+    Plan: fact x broadcast-part join, one (category, band) rollup,
+    then a LEAD window over the ~|categories| x 11-band aggregate."""
+    from pyspark.sql import Window
+
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    F.col("p_partkey").alias("l_partkey"),
+                    F.col("p_type").alias("category"),
+                )
+            ),
+            "l_partkey",
+        )
+        .select(
+            "category",
+            F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+                "band"
+            ),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 / l_quantity)"
+                " AS BIGINT)"
+            ).alias("price_c"),
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        )
+    )
+    bands = lines.groupBy("category", "band").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(price_c) AS BIGINT) div COUNT(*)").alias("p"),
+        F.expr("CAST(SUM(qty) AS BIGINT) * 1000 div COUNT(*)").alias(
+            "q"
+        ),
+    )
+    w = Window.partitionBy("category").orderBy("band")
+    adj = bands.select(
+        "category",
+        "band",
+        "n",
+        "p",
+        "q",
+        F.lead("band").over(w).alias("band2"),
+        F.lead("n").over(w).alias("n2"),
+        F.lead("p").over(w).alias("p2"),
+        F.lead("q").over(w).alias("q2"),
+    )
+    return (
+        adj.where(F.col("band2").isNotNull() & (F.col("p2") != F.col("p")))
+        .select(
+            "category",
+            F.col("band").alias("band_lo"),
+            F.col("band2").alias("band_hi"),
+            F.col("n").alias("n_lo"),
+            F.col("n2").alias("n_hi"),
+            F.col("p").alias("price_lo_c"),
+            F.col("p2").alias("price_hi_c"),
+            F.col("q").alias("qty_lo_milli"),
+            F.col("q2").alias("qty_hi_milli"),
+            F.expr(
+                "CAST(floor(CAST((q2 - q) * (p2 + p) AS DOUBLE) * 1000"
+                " / ((p2 - p) * (q2 + q))) AS BIGINT)"
+            ).alias("elasticity_e3"),
+        )
+        .orderBy("category", "band_lo")
+    )

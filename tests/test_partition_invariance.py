@@ -245,6 +245,10 @@ PROBE = [
     "category_seasonality_index",
     # greedy trajectory over collected round-9 engine cosines
     "embedding_mmr_topk",
+    # per-pair deviation sums + min-r argmin picks
+    "brand_cannibalization_screen",
+    # banded integer ratios + cross-product elasticity doubles
+    "category_arc_elasticity",
 ]
 
 
