@@ -24175,3 +24175,235 @@ def category_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", "band_lo")
     )
+
+
+# --------------------------- transition entropy per source state
+
+# How PREDICTABLE is each event type's successor?  Shannon entropy of
+# every row of the first-order transition matrix (natural log,
+# dst-ordered double folds per the anova rule) with the effective
+# branching factor exp(H) — low-entropy states are funnels, high-
+# entropy states are browsing.
+@register(
+    "events_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.src, c.dst, t.t,
+             -(CAST(c.n AS DOUBLE) / t.t)
+               * ln(CAST(c.n AS DOUBLE) / t.t) AS h
+      FROM counts c JOIN tot t ON t.src = c.src
+    ),
+    folded AS (
+      SELECT src, CAST(MAX(t) AS BIGINT) AS n_transitions,
+             CAST(COUNT(*) AS BIGINT) AS n_dst,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(h ORDER BY dst)), (a, b) -> a + b) AS hsum
+      FROM terms GROUP BY src
+    )
+    SELECT src, n_transitions, n_dst,
+           round(hsum, 9) AS entropy_nats,
+           CAST(floor(exp(hsum) * 1000) AS BIGINT) AS branching_e3
+    FROM folded ORDER BY src
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row entropy of the event-type transition matrix.  Plan: one
+    user-partitioned LEAD pass to |types|^2 counts; entropy terms
+    fold in dst order (placement-independent doubles)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("src"),
+        F.col("next_type").alias("dst"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = counts.groupBy("src").agg(F.sum("n").cast("long").alias("t"))
+    terms = counts.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "t",
+        F.expr(
+            "-(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)"
+        ).alias("h"),
+    )
+    folded = terms.groupBy("src").agg(
+        F.max("t").cast("long").alias("n_transitions"),
+        F.count("*").cast("long").alias("n_dst"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(dst, h))), x -> x.h),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("hsum"),
+    )
+    return folded.select(
+        "src",
+        "n_transitions",
+        "n_dst",
+        F.round("hsum", 9).alias("entropy_nats"),
+        F.expr("CAST(floor(exp(hsum) * 1000) AS BIGINT)").alias(
+            "branching_e3"
+        ),
+    ).orderBy("src")
+
+
+# --------------------------- Mann-Whitney priority test
+
+# Do URGENT orders actually ship faster than LOW ones?  Mann-Whitney
+# U on per-line lead days between the two priority extremes — the
+# rank test that needs no normality assumption, computed WITHOUT a
+# row-level rank: lead days take ~130 distinct values, so doubled
+# average ranks come from the VALUE HISTOGRAM's cumulative counts
+# (2*#less + #equal + 1) and every moment is an exact int64; the
+# tie-corrected z alone rides explicit-cast doubles.
+MW_GROUP_HI = "1-URGENT"
+MW_GROUP_LO = "5-LOW"
+
+
+@register(
+    "priority_mannwhitney_leadtime",
+    f"""
+    WITH lines AS (
+      SELECT CASE WHEN o_orderpriority = '{MW_GROUP_HI}' THEN 1
+                  ELSE 0 END AS grp,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('{MW_GROUP_HI}', '{MW_GROUP_LO}')
+    ),
+    hist AS (
+      SELECT days, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(grp) AS BIGINT) AS t1
+      FROM lines GROUP BY days
+    ),
+    ranked AS (
+      SELECT days, t, t1,
+             CAST(2 * COALESCE(SUM(t) OVER (ORDER BY days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS BIGINT) AS r2
+      FROM hist
+    ),
+    m AS (
+      SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+             CAST(SUM(t - t1) AS BIGINT) AS n2,
+             CAST(SUM(t1 * r2) AS BIGINT) AS r1_2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM ranked
+    )
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+           CAST(floor(
+             (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * n2)
+             / (2 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                 * ((n1 + n2 + 1)
+                    - CAST(tie_sum AS DOUBLE)
+                      / ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1)))))
+             * 1000) AS BIGINT) AS z_e3,
+           CASE WHEN ABS(
+             (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * n2)
+             / (2 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                 * ((n1 + n2 + 1)
+                    - CAST(tie_sum AS DOUBLE)
+                      / ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1)))))
+             ) > 1.959964 THEN 1 ELSE 0 END AS significant
+    FROM m
+    """,
+)
+def priority_mannwhitney_leadtime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U between URGENT and LOW lead times via
+    histogram-derived doubled average ranks.  Plan: fact-fact join,
+    one ~130-row value histogram, a running sum over it, one moment
+    fold — no row-level global sort ever."""
+    from pyspark.sql import Window
+
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+        )
+        .join(
+            load_table(spark, sf_dir, "orders")
+            .where(
+                F.col("o_orderpriority").isin(MW_GROUP_HI, MW_GROUP_LO)
+            )
+            .select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderdate").cast("date").alias("od"),
+                F.when(F.col("o_orderpriority") == MW_GROUP_HI, 1)
+                .otherwise(0)
+                .alias("grp"),
+            ),
+            "l_orderkey",
+        )
+        .select("grp", F.datediff("sd", "od").alias("days"))
+    )
+    hist = lines.groupBy("days").agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum("grp").cast("long").alias("t1"),
+    )
+    wd = Window.orderBy("days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "days",
+        "t",
+        "t1",
+        (
+            2 * F.coalesce(F.sum("t").over(wd), F.lit(0).cast("long"))
+            + F.col("t")
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    m = ranked.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * F.col("r2")).cast("long").alias("r1_2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie_sum"),
+    )
+    zexpr = (
+        "(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)"
+        " - CAST(n1 AS DOUBLE) * n2)"
+        " / (2 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12)"
+        "     * ((n1 + n2 + 1)"
+        "        - CAST(tie_sum AS DOUBLE)"
+        "          / ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1)))))"
+    )
+    return m.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        F.expr("CAST(r1_2 - n1 * (n1 + 1) AS BIGINT)").alias("u_x2"),
+        F.expr(f"CAST(floor(({zexpr}) * 1000) AS BIGINT)").alias(
+            "z_e3"
+        ),
+        F.expr(
+            f"CASE WHEN ABS({zexpr}) > 1.959964 THEN 1 ELSE 0 END"
+        ).alias("significant"),
+    )

@@ -249,6 +249,10 @@ PROBE = [
     "brand_cannibalization_screen",
     # banded integer ratios + cross-product elasticity doubles
     "category_arc_elasticity",
+    # dst-ordered entropy folds over exact transition counts
+    "events_transition_entropy",
+    # histogram-derived doubled ranks + tie-corrected z
+    "priority_mannwhitney_leadtime",
 ]
 
 
