@@ -24407,3 +24407,275 @@ def priority_mannwhitney_leadtime(
             f"CASE WHEN ABS({zexpr}) > 1.959964 THEN 1 ELSE 0 END"
         ).alias("significant"),
     )
+
+
+# --------------------------- Croston intermittent-demand forecast
+
+# Forecasting the LONG TAIL: most parts sell in a minority of months,
+# where ordinary EWMA under-forecasts between demands.  Croston's
+# method keeps two floor-EWMAs (alpha = 1/4) — nonzero demand size z
+# and inter-demand interval p — updated only on arrival months, and
+# forecasts z/p units per month.  The recursion folds over the
+# month-ordered arrival sequence with a PACKED integer accumulator
+# (z*1e10 + p*1e6 + month_index; DuckDB list_reduce mis-folds struct
+# accumulators — the part_inventory_replay packing rule).  Init:
+# z = first demand, p = 1.  Floor-EWMA quantization is the
+# documented, deterministic arithmetic; valid while monthly demand
+# stays under ~1e8 units (any TPC-H scale).
+@register(
+    "part_croston_forecast",
+    """
+    WITH monthly AS (
+      SELECT l_partkey,
+             CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 12
+                  + EXTRACT(month FROM CAST(l_shipdate AS DATE))
+               AS BIGINT) AS mi,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS d
+      FROM lineitem GROUP BY 1, 2
+    ),
+    seqs AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+             list(d * 1000000 + mi ORDER BY mi) AS arr
+      FROM monthly GROUP BY l_partkey
+    ),
+    folded AS (
+      SELECT l_partkey, n_arrivals,
+             list_reduce(
+               list_prepend(
+                 (arr[1] // 1000000) * 10000000000
+                   + 1 * 1000000 + (arr[1] % 1000000),
+                 arr[2:]),
+               (a, e) ->
+                 ((3 * (a // 10000000000) + (e // 1000000)) // 4)
+                   * 10000000000
+                 + ((3 * ((a % 10000000000) // 1000000)
+                     + ((e % 1000000) - (a % 1000000))) // 4)
+                   * 1000000
+                 + (e % 1000000)) AS st
+      FROM seqs
+    )
+    SELECT l_partkey,
+           n_arrivals,
+           CAST(st // 10000000000 AS BIGINT) AS z_units,
+           CAST((st % 10000000000) // 1000000 AS BIGINT) AS p_months,
+           CAST((st // 10000000000) * 1000000
+                // ((st % 10000000000) // 1000000) AS BIGINT)
+             AS croston_rate_ppm
+    FROM folded ORDER BY l_partkey
+    """,
+)
+def part_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston size/interval floor-EWMAs per part over arrival months
+    only (no dense spine — intervals come from successive month
+    indexes).  Plan: one fact rollup, one per-part collect of the
+    arrival array, one integer HOF fold."""
+    monthly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            (
+                F.year(F.col("l_shipdate").cast("date")) * 12
+                + F.month(F.col("l_shipdate").cast("date"))
+            )
+            .cast("long")
+            .alias("mi"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)")).alias("d")
+        )
+    )
+    seqs = monthly.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_arrivals"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(mi, d))),"
+            " x -> x.d * 1000000 + x.mi)"
+        ).alias("arr"),
+    )
+    fold = (
+        # NB: Spark [] indexing is 0-based (DuckDB's is 1-based) —
+        # element_at is 1-based on both engines' semantics.
+        "aggregate(slice(arr, 2, size(arr) - 1),"
+        " (element_at(arr, 1) div 1000000) * 10000000000"
+        "   + 1 * 1000000 + (element_at(arr, 1) % 1000000),"
+        " (a, e) ->"
+        "   ((3 * (a div 10000000000) + (e div 1000000)) div 4)"
+        "     * 10000000000"
+        "   + ((3 * ((a % 10000000000) div 1000000)"
+        "       + ((e % 1000000) - (a % 1000000))) div 4)"
+        "     * 1000000"
+        "   + (e % 1000000))"
+    )
+    folded = seqs.select(
+        "l_partkey", "n_arrivals", F.expr(fold).alias("st")
+    )
+    return folded.select(
+        "l_partkey",
+        "n_arrivals",
+        F.expr("CAST(st div 10000000000 AS BIGINT)").alias("z_units"),
+        F.expr(
+            "CAST((st % 10000000000) div 1000000 AS BIGINT)"
+        ).alias("p_months"),
+        F.expr(
+            "CAST((st div 10000000000) * 1000000"
+            " div ((st % 10000000000) div 1000000) AS BIGINT)"
+        ).alias("croston_rate_ppm"),
+    ).orderBy("l_partkey")
+
+
+# --------------------------- Burrows' Delta stylometry
+
+# Which sources WRITE alike?  Burrows' Delta — the standard
+# authorship-attribution distance — over the corpus's top-30 terms:
+# per-source relative frequencies (exact ppm), per-term z-scores
+# across sources (deterministic doubles from int64 moments,
+# zero-variance terms excluded by exact integer comparison), and the
+# pairwise mean |z_a - z_b| folded in term order.  Near-zero Delta
+# pairs are candidates for the same upstream generator — a
+# contamination / dataset-collapse signal the dedup family can't see
+# (no shared strings required).
+BD_TOP_TERMS = 30
+
+
+@register(
+    "text_burrows_delta",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    stot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1
+    ),
+    topt AS (
+      SELECT term FROM (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS g FROM cnt GROUP BY 1
+        ORDER BY g DESC, term LIMIT {BD_TOP_TERMS})
+    ),
+    grid AS (
+      SELECT s.source, t.term, s.tot FROM stot s CROSS JOIN topt t
+    ),
+    f AS (
+      SELECT g.source, g.term,
+             CAST(COALESCE(c.c, 0) * 1000000 // g.tot AS BIGINT) AS f
+      FROM grid g
+      LEFT JOIN cnt c ON c.source = g.source AND c.term = g.term
+    ),
+    mstat AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(f) AS BIGINT) AS sx,
+             CAST(SUM(f * f) AS BIGINT) AS sxx
+      FROM f GROUP BY term
+    ),
+    z AS (
+      SELECT f.source, f.term,
+             (CAST(f.f AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.ns)
+             / sqrt(CAST(m.sxx AS DOUBLE) / m.ns
+                    - (CAST(m.sx AS DOUBLE) / m.ns)
+                      * (CAST(m.sx AS DOUBLE) / m.ns)) AS z
+      FROM f JOIN mstat m USING (term)
+      WHERE m.ns * m.sxx > m.sx * m.sx
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.term,
+             ABS(a.z - b.z) AS dterm
+      FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+    ),
+    folded AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(dterm ORDER BY term)), (x, y) -> x + y) AS dsum
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b, k AS n_terms,
+           round(dsum / k, 9) AS delta
+    FROM folded ORDER BY sa, sb
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Burrows' Delta between sources over the top-30 corpus
+    terms.  Plan: one token pass to the (source, term) aggregate
+    (localCheckpoint'ed — three consumers), then everything is
+    |sources| x 30 sized: broadcast grid, z-scores, a 190-pair join
+    with term-ordered folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    stot = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    topt = (
+        cnt.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("g"))
+        .orderBy(F.col("g").desc(), "term")
+        .limit(BD_TOP_TERMS)
+        .select("term")
+    )
+    grid = stot.crossJoin(F.broadcast(topt))
+    f = grid.join(cnt, ["source", "term"], "left").select(
+        "source",
+        "term",
+        F.expr(
+            "CAST(COALESCE(c, 0) * 1000000 div tot AS BIGINT)"
+        ).alias("f"),
+    )
+    mstat = f.groupBy("term").agg(
+        F.count("*").cast("long").alias("ns"),
+        F.sum("f").cast("long").alias("sx"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sxx"),
+    )
+    z = (
+        f.join(F.broadcast(mstat), "term")
+        .where(
+            F.col("ns") * F.col("sxx") > F.col("sx") * F.col("sx")
+        )
+        .select(
+            "source",
+            "term",
+            F.expr(
+                "(CAST(f AS DOUBLE) - CAST(sx AS DOUBLE) / ns)"
+                " / sqrt(CAST(sxx AS DOUBLE) / ns"
+                "        - (CAST(sx AS DOUBLE) / ns)"
+                "          * (CAST(sx AS DOUBLE) / ns))"
+            ).alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("sa"), "term", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("sb"),
+        F.col("term").alias("term_b"),
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("term") == F.col("term_b")) & (F.col("sa") < F.col("sb")),
+    ).select(
+        "sa", "sb", "term", F.abs(F.col("za") - F.col("zb")).alias("dterm")
+    )
+    folded = pairs.groupBy("sa", "sb").agg(
+        F.count("*").cast("long").alias("k"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(term, dterm))), x -> x.dterm),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("dsum"),
+    )
+    return folded.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("k").alias("n_terms"),
+        F.expr("round(dsum / k, 9)").alias("delta"),
+    ).orderBy("source_a", "source_b")

@@ -253,6 +253,10 @@ PROBE = [
     "events_transition_entropy",
     # histogram-derived doubled ranks + tie-corrected z
     "priority_mannwhitney_leadtime",
+    # packed-scalar floor-EWMA fold over month-ordered arrivals
+    "part_croston_forecast",
+    # term-ordered |z| folds over exact ppm moments
+    "text_burrows_delta",
 ]
 
 

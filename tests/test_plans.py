@@ -88,6 +88,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # brute pool scan (ann_brute shape) + pool-sized
                   # (20x20) pairwise re-rank join
                   "embedding_mmr_topk",
+                  # |sources| x 30-term grid + 190-pair z join — all
+                  # operands aggregate-reduced (gap_fill grid shape)
+                  "text_burrows_delta",
                   # two 1-row scalars (horizon, cohort total) ride as
                   # broadcast crossJoins
                   "survival_km",
