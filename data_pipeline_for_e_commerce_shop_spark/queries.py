@@ -24679,3 +24679,18 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_terms"),
         F.expr("round(dsum / k, 9)").alias("delta"),
     ).orderBy("source_a", "source_b")
+
+
+# --------------------------- streaming value-moments dual
+
+# The same per-type moment table computed by a REAL streaming query
+# (complete-mode power-sum state, availableNow drain) and held to the
+# BATCH oracle byte-for-byte — integer power sums make stream/batch
+# duality exact, so the driver hash-checks it like any batch query.
+from data_pipeline_for_e_commerce_shop_spark.streaming import (  # noqa: E402
+    windowed as _windowed,
+)
+
+register("events_stream_value_moments", ORACLES["events_value_moments"])(
+    _windowed.stream_value_moments
+)

@@ -475,3 +475,69 @@ def stream_hourly_topk(
     out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def stream_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value moments computed by a REAL streaming query: the
+    integer power sums (n, Σx..Σx⁴) accumulate in a complete-mode
+    streaming aggregation (no watermark — a global per-key state that
+    only grows by addition, the canonical always-correct streaming
+    agg), and the moment expansion runs batch-side on the drained
+    |types|-row state.  Held to the SAME DuckDB oracle as the batch
+    dual (queries.events_value_moments) — stream/batch duality is
+    hash-checked, not asserted.
+    """
+    src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = _canon_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(src)),
+        schema,
+    )
+    v = stream.select(
+        "event_type", F.expr("CAST(floor(value) AS BIGINT)").alias("x")
+    )
+    agg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias(
+            "s4"
+        ),
+    )
+    sink = "stream_moments_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain_to_memory(spark, agg, sink, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    m = spark.table(sink)
+    mu = "(CAST(s1 AS DOUBLE) / n)"
+    m2 = f"(CAST(s2 AS DOUBLE) / n - {mu} * {mu})"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / n - 3 * {mu} * (CAST(s2 AS DOUBLE) / n)"
+        f" + 2 * {mu} * {mu} * {mu})"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / n - 4 * {mu} * (CAST(s3 AS DOUBLE) / n)"
+        f" + 6 * {mu} * {mu} * (CAST(s2 AS DOUBLE) / n)"
+        f" - 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    out = m.select(
+        "event_type",
+        "n",
+        F.expr("s1 div n").alias("mean_dollars"),
+        F.expr(f"CAST(floor({m2} * 1000) AS BIGINT)").alias("var_e3"),
+        F.expr(
+            f"CAST(floor({m3} / pow({m2}, 1.5) * 1000000) AS BIGINT)"
+        ).alias("skew_ppm"),
+        F.expr(
+            f"CAST(floor(({m4} / ({m2} * {m2}) - 3) * 1000000)"
+            " AS BIGINT)"
+        ).alias("excess_kurtosis_ppm"),
+    ).orderBy("event_type")
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
