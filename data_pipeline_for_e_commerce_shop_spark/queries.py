@@ -24694,3 +24694,270 @@ from data_pipeline_for_e_commerce_shop_spark.streaming import (  # noqa: E402
 register("events_stream_value_moments", ORACLES["events_value_moments"])(
     _windowed.stream_value_moments
 )
+
+
+# --------------------------- Markov removal-effect attribution
+
+# The OTHER standard multi-touch attribution (beside position, time-
+# decay, and Shapley, all implemented above): model journeys as a
+# first-order Markov chain start -> channels -> conv/null, estimate
+# P(conversion) by K rounds of floor-ppm value iteration, and credit
+# each channel by its REMOVAL EFFECT — how much conversion drops when
+# that channel's value is pinned to zero.  Every transition and every
+# iteration is integer ppm with floor truncation, so the 5-variant
+# trajectory replays exactly in the unrolled oracle (the pagerank
+# unroll pattern); truncation at K=12 is shared by both sides.
+MARKOV_ATTR_ITERS = 12
+MARKOV_ATTR_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_attr_oracle() -> str:
+    variants = "', '".join(("none",) + MARKOV_ATTR_CHANNELS)
+    head = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS rn
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, MIN(rn) AS prn FROM seq
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS MATERIALIZED (
+      SELECT s.user_id, s.rn,
+             CASE WHEN s.event_type = 'purchase' THEN 'conv'
+                  ELSE s.event_type END AS state
+      FROM seq s LEFT JOIN firstp f ON f.user_id = s.user_id
+      WHERE f.prn IS NULL OR s.rn <= f.prn
+    ),
+    trans AS (
+      SELECT state AS src,
+             LEAD(state) OVER (PARTITION BY user_id ORDER BY rn)
+               AS dst
+      FROM j
+    ),
+    raw_edges AS MATERIALIZED (
+      SELECT 'start' AS src, state AS dst FROM j WHERE rn = 1
+      UNION ALL
+      SELECT src, COALESCE(dst, 'null') FROM trans
+      WHERE src <> 'conv'
+    ),
+    cnt AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM raw_edges GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM cnt
+            GROUP BY 1),
+    p1 AS (
+      SELECT c.src, c.dst, c.n * 1000000 // t.t AS p
+      FROM cnt c JOIN tot t ON t.src = c.src
+    ),
+    edges2 AS MATERIALIZED (
+      SELECT src, dst, p FROM p1
+      UNION ALL SELECT 'conv', 'conv', CAST(1000000 AS BIGINT)
+      UNION ALL SELECT 'null', 'null', CAST(1000000 AS BIGINT)
+    ),
+    states AS (
+      SELECT DISTINCT src AS state FROM edges2
+    ),
+    variants AS (SELECT unnest(['{variants}']) AS removed),
+    it0 AS (
+      SELECT v.removed, s.state,
+             CAST(CASE WHEN s.state = 'conv' THEN 1000000 ELSE 0 END
+               AS BIGINT) AS val
+      FROM states s CROSS JOIN variants v
+    )"""
+    its = []
+    for k in range(1, MARKOV_ATTR_ITERS + 1):
+        its.append(f""",
+    it{k} AS (
+      SELECT i.removed, e.src AS state,
+             CAST(COALESCE(SUM(e.p * CASE WHEN i.state = i.removed
+                                          THEN 0 ELSE i.val END), 0)
+                  // 1000000 AS BIGINT) AS val
+      FROM it{k - 1} i JOIN edges2 e ON e.dst = i.state
+      GROUP BY 1, 2
+    )""")
+    K = MARKOV_ATTR_ITERS
+    return head + "".join(its) + f""",
+    base AS (
+      SELECT val FROM it{K} WHERE removed = 'none' AND state = 'start'
+    ),
+    rem AS (
+      SELECT removed AS channel, val FROM it{K}
+      WHERE removed <> 'none' AND state = 'start'
+    ),
+    teff AS (
+      SELECT CAST(SUM(b.val - r.val) AS BIGINT) AS tot
+      FROM rem r CROSS JOIN base b
+    )
+    SELECT r.channel,
+           CAST(b.val AS BIGINT) AS base_conv_ppm,
+           CAST(r.val AS BIGINT) AS removed_conv_ppm,
+           CAST(b.val - r.val AS BIGINT) AS effect_ppm,
+           CAST(CASE WHEN t.tot > 0
+                THEN (b.val - r.val) * 1000000 // t.tot
+                ELSE 0 END AS BIGINT) AS share_ppm
+    FROM rem r CROSS JOIN base b CROSS JOIN teff t
+    ORDER BY r.channel
+    """
+
+
+@register("events_markov_attribution", _markov_attr_oracle())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over the journey Markov chain.
+    Plan: the transition model builds distributed (one user-
+    partitioned window pass to |states|^2 ppm edges); the 5-variant
+    K=12 value iteration runs on the COLLECTED ~40-row edge table in
+    Python with oracle-identical integer ops (model-sized state, the
+    embedding_top_pc collect rule), then returns as a local frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    firstp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = (
+        seq.join(firstp, "user_id", "left")
+        .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    trans = j.select(
+        F.col("state").alias("src"),
+        F.lead("state").over(wj).alias("dst"),
+    )
+    raw_edges = (
+        j.where(F.col("rn") == 1)
+        .select(F.lit("start").alias("src"), F.col("state").alias("dst"))
+        .unionByName(
+            trans.where(F.col("src") != "conv").select(
+                "src", F.coalesce("dst", F.lit("null")).alias("dst")
+            )
+        )
+    )
+    cnt = raw_edges.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cnt.groupBy("src").agg(F.sum("n").cast("long").alias("t"))
+    p1 = (
+        cnt.join(F.broadcast(tot), "src")
+        .select("src", "dst", F.expr("n * 1000000 div t").alias("p"))
+        .collect()
+    )
+    edges = [(r["src"], r["dst"], r["p"]) for r in p1]
+    edges += [("conv", "conv", 1000000), ("null", "null", 1000000)]
+    states = sorted({s for s, _, _ in edges})
+    out_rows = []
+    vals_by_variant = {}
+    for removed in ("none",) + MARKOV_ATTR_CHANNELS:
+        val = {s: (1000000 if s == "conv" else 0) for s in states}
+        for _ in range(MARKOV_ATTR_ITERS):
+            nxt = {}
+            for s in states:
+                acc = 0
+                for src, dst, p in edges:
+                    if src != s:
+                        continue
+                    v = 0 if dst == removed else val.get(dst, 0)
+                    acc += p * v
+                nxt[s] = acc // 1000000
+            val = nxt
+        vals_by_variant[removed] = val["start"]
+    base = vals_by_variant["none"]
+    total_eff = sum(
+        base - vals_by_variant[c] for c in MARKOV_ATTR_CHANNELS
+    )
+    for c in MARKOV_ATTR_CHANNELS:
+        eff = base - vals_by_variant[c]
+        share = eff * 1000000 // total_eff if total_eff > 0 else 0
+        out_rows.append((c, base, vals_by_variant[c], eff, share))
+    return spark.createDataFrame(
+        out_rows,
+        "channel STRING, base_conv_ppm LONG, removed_conv_ppm LONG,"
+        " effect_ppm LONG, share_ppm LONG",
+    ).orderBy("channel")
+
+
+# --------------------------- supplier OTIF rate
+
+# On-Time-In-Full at ORDER granularity: a (supplier, order) pairing
+# counts only if EVERY line that supplier contributed shipped within
+# the shared SLA — one late line fails the whole delivery, which is
+# how procurement actually scores it (line-level rates overstate
+# performance; see supplier_lead_time_sla for the line view).
+@register(
+    "supplier_otif",
+    f"""
+    WITH per AS (
+      SELECT l_suppkey, l_orderkey,
+             MAX(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE))
+                      > {SLA_LEAD_DAYS} THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(1 - late) AS BIGINT) AS n_otif,
+           CAST(SUM(1 - late) * 1000000 // COUNT(*) AS BIGINT)
+             AS otif_ppm
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level OTIF per supplier (all-lines-within-SLA).  Plan:
+    one fact-fact join, a (supplier, order) max-late rollup, a
+    supplier rollup."""
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.col("l_shipdate").cast("date").alias("sd"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderdate").cast("date").alias("od"),
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey", "l_orderkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff("sd", "od") > SLA_LEAD_DAYS, 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    return (
+        per.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(1 - F.col("late")).cast("long").alias("n_otif"),
+            F.expr(
+                "CAST(SUM(1 - late) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("otif_ppm"),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -257,6 +257,8 @@ PROBE = [
     "part_croston_forecast",
     # term-ordered |z| folds over exact ppm moments
     "text_burrows_delta",
+    # floor-ppm value-iteration trajectory over collected edges
+    "events_markov_attribution",
 ]
 
 
