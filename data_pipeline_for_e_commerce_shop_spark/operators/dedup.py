@@ -1324,3 +1324,70 @@ def containment_pairs(
             F.expr("n_inter * 1000000 div n_b").alias("containment_b_ppm"),
         )
     )
+
+
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard verify on the LSH candidate pairs: rare
+    shingles count for more (weight floor(ln(N/df)*1000)), so two
+    docs sharing only boilerplate score LOW while docs sharing rare
+    content score HIGH — the weighting plain Jaccard
+    (near_duplicates_jaccard) cannot express.  Returns both the plain
+    and weighted similarity ppm per candidate pair.
+
+    Scale shape: candidates come from banded LSH (never all pairs);
+    the per-pair set algebra is a union of two equi-joins keyed on
+    doc_id + a (pair, shingle) rollup — no IN-list join (that would
+    plan as a nested loop).  Degenerate pairs whose every shared
+    shingle has idf 0 (df = N) report weighted 0 by exact comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint()
+    cand = _pairs_from_bands(_band_rows(_signatures(docs))).localCheckpoint()
+    n_docs = docs.count()
+    dfreq = sh.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    idf = dfreq.select(
+        "shingle",
+        F.expr(
+            f"CAST(floor(ln(CAST({n_docs} AS DOUBLE) / df) * 1000)"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    a_side = cand.join(
+        sh.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    ).select("doc_a", "doc_b", "shingle", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+    b_side = cand.join(
+        sh.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+    ).select("doc_a", "doc_b", "shingle", F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+    sides = (
+        a_side.unionByName(b_side)
+        .groupBy("doc_a", "doc_b", "shingle")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    sums = (
+        sides.join(idf, "shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when((F.col("ina") == 1) & (F.col("inb") == 1), F.col("w")).otherwise(0)
+            ).cast("long").alias("w_shared"),
+            F.sum("w").cast("long").alias("w_union"),
+            F.sum(F.col("ina") * F.col("inb")).cast("long").alias("n_shared"),
+            F.count("*").cast("long").alias("n_union"),
+        )
+    )
+    return sums.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_union",
+        F.expr("CAST(n_shared * 1000000 div n_union AS BIGINT)").alias(
+            "jaccard_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN w_union > 0"
+            " THEN w_shared * 1000000 div w_union ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("wjaccard_ppm"),
+    ).orderBy("doc_a", "doc_b")

@@ -24961,3 +24961,191 @@ def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+# --------------------------- ABC class migration
+
+# Is the ABC classification STABLE enough to set inventory policy on?
+# Classify each part independently in the pre and post halves of the
+# calendar (same integer boundary rule as part_abc_classes, same
+# frozen split date as the DID screen), then cross-tabulate — heavy
+# off-diagonal mass means annual reclassification cadence is too
+# slow.  Parts absent from a half class as '-' (no demand).
+@register(
+    "part_abc_migration",
+    f"""
+    WITH halves AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(l_shipdate AS DATE) >=
+                       DATE '{DID_SPLIT_DATE}' THEN 1 ELSE 0 END
+               AS post,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT post, CAST(SUM(cents) AS BIGINT) AS total
+      FROM halves GROUP BY 1
+    ),
+    classed AS (
+      SELECT h.l_partkey, h.post,
+             CASE WHEN SUM(h.cents) OVER (PARTITION BY h.post
+                    ORDER BY h.cents DESC, h.l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 100 <= t.total * 80 THEN 'A'
+                  WHEN SUM(h.cents) OVER (PARTITION BY h.post
+                    ORDER BY h.cents DESC, h.l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 100 <= t.total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM halves h JOIN tot t ON t.post = h.post
+    ),
+    wide AS (
+      SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey,
+             COALESCE(a.abc, '-') AS abc_pre,
+             COALESCE(b.abc, '-') AS abc_post
+      FROM (SELECT l_partkey, abc FROM classed WHERE post = 0) a
+      FULL OUTER JOIN
+           (SELECT l_partkey, abc FROM classed WHERE post = 1) b
+        ON b.l_partkey = a.l_partkey
+    )
+    SELECT abc_pre, abc_post, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER
+                (PARTITION BY abc_pre) AS BIGINT) AS row_share_ppm
+    FROM wide GROUP BY 1, 2
+    ORDER BY abc_pre, abc_post
+    """,
+)
+def part_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post ABC cross-tab with exact integer class boundaries.
+    Plan: one fact rollup to (part, half), per-half ranking windows
+    on the key-reduced table, one full-outer self-align, a 4x4-at-
+    most rollup."""
+    from pyspark.sql import Window
+
+    halves = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.when(
+                F.col("l_shipdate").cast("date")
+                >= F.lit(DID_SPLIT_DATE).cast("date"),
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+        .localCheckpoint()
+    )
+    tot = halves.groupBy("post").agg(
+        F.sum("cents").cast("long").alias("total")
+    )
+    wcum = (
+        Window.partitionBy("post")
+        .orderBy(F.col("cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    classed = (
+        halves.join(F.broadcast(tot), "post")
+        .select(
+            "l_partkey",
+            "post",
+            F.when(
+                F.sum("cents").over(wcum) * 100 <= F.col("total") * 80,
+                "A",
+            )
+            .when(
+                F.sum("cents").over(wcum) * 100 <= F.col("total") * 95,
+                "B",
+            )
+            .otherwise("C")
+            .alias("abc"),
+        )
+    )
+    a = classed.where(F.col("post") == 0).select(
+        "l_partkey", F.col("abc").alias("abc_pre")
+    )
+    b = classed.where(F.col("post") == 1).select(
+        F.col("l_partkey").alias("pk_b"), F.col("abc").alias("abc_post")
+    )
+    wide = a.join(
+        b, a["l_partkey"] == b["pk_b"], "full_outer"
+    ).select(
+        F.coalesce(F.col("abc_pre"), F.lit("-")).alias("abc_pre"),
+        F.coalesce(F.col("abc_post"), F.lit("-")).alias("abc_post"),
+    )
+    wrow = Window.partitionBy("abc_pre")
+    return (
+        wide.groupBy("abc_pre", "abc_post")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .select(
+            "abc_pre",
+            "abc_post",
+            "n_parts",
+            F.expr(
+                "CAST(n_parts * 1000000 div SUM(n_parts) OVER"
+                " (PARTITION BY abc_pre) AS BIGINT)"
+            ).alias("row_share_ppm"),
+        )
+        .orderBy("abc_pre", "abc_post")
+    )
+
+
+# --------------------------- IDF-weighted Jaccard verify
+
+# Plain Jaccard scores boilerplate overlap and rare-content overlap
+# identically; the IDF-weighted variant discounts shingles every doc
+# has (w = floor(ln(N/df)*1000), exact integer sums), separating
+# "shares a template" from "shares content" on the SAME LSH
+# candidates.  N rides the oracle as a CTE (operator interpolates its
+# own count — both are the exact document count, no drift).
+register(
+    "dedup_weighted_jaccard",
+    _SHINGLE_CTE
+    + """
+    , dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh
+      GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    idf AS (
+      SELECT shingle,
+             CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000) AS BIGINT)
+               AS w
+      FROM dfreq CROSS JOIN nd
+    ),
+    sides AS (
+      SELECT doc_a, doc_b, shingle,
+             MAX(ina) AS ina, MAX(inb) AS inb
+      FROM (
+        SELECT c.doc_a, c.doc_b, s.shingle, 1 AS ina, 0 AS inb
+        FROM cand c JOIN sh s ON s.doc_id = c.doc_a
+        UNION ALL
+        SELECT c.doc_a, c.doc_b, s.shingle, 0, 1
+        FROM cand c JOIN sh s ON s.doc_id = c.doc_b
+      ) GROUP BY 1, 2, 3
+    ),
+    sums AS (
+      SELECT doc_a, doc_b,
+             CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN w ELSE 0 END)
+               AS BIGINT) AS w_shared,
+             CAST(SUM(w) AS BIGINT) AS w_union,
+             CAST(SUM(ina * inb) AS BIGINT) AS n_shared,
+             CAST(COUNT(*) AS BIGINT) AS n_union
+      FROM sides JOIN idf USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, n_union,
+           CAST(n_shared * 1000000 // n_union AS BIGINT)
+             AS jaccard_ppm,
+           CAST(CASE WHEN w_union > 0
+                THEN w_shared * 1000000 // w_union ELSE 0 END
+             AS BIGINT) AS wjaccard_ppm
+    FROM sums ORDER BY doc_a, doc_b
+    """,
+)(dedup.weighted_jaccard_pairs)

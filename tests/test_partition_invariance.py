@@ -259,6 +259,10 @@ PROBE = [
     "text_burrows_delta",
     # floor-ppm value-iteration trajectory over collected edges
     "events_markov_attribution",
+    # per-half cumulative-share class boundaries + full-outer align
+    "part_abc_migration",
+    # idf-weighted set sums over LSH candidates
+    "dedup_weighted_jaccard",
 ]
 
 
