@@ -25149,3 +25149,305 @@ register(
     FROM sums ORDER BY doc_a, doc_b
     """,
 )(dedup.weighted_jaccard_pairs)
+
+
+# --------------------------- Kruskal-Wallis lead-time test
+
+# Does fulfillment lead time differ across ALL FIVE order priorities,
+# not just the URGENT-vs-LOW pair priority_mannwhitney_leadtime
+# tests?  Kruskal-Wallis H is the k-sample generalisation of
+# Mann-Whitney: rank every lead time jointly (histogram-derived
+# doubled average ranks, never a row-level global sort), sum ranks
+# per priority, and compare to the uniform-rank expectation with the
+# tie correction.  Integer bounds: doubled rank sums r2g <= 2N^2 and
+# per-bin tie terms t^3 stay inside int64 for N < ~2e9 rows and bins
+# < ~2e6 rows (sf0.1 is ~6e5 / ~5e3); the 5-term H fold is a
+# key-ordered aggregate (the ANOVA lesson), never a bare SUM.
+KW_CHI2_CRIT_DF4 = "9.487729"  # chi2 0.95 quantile, df = k-1 = 4
+
+_KW_HPRIME = (
+    "(12 * s / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))"
+    " - 3 * (CAST(n AS DOUBLE) + 1))"
+    " / (1 - CAST(tie_sum AS DOUBLE)"
+    "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "        - CAST(n AS DOUBLE)))"
+)
+
+
+@register(
+    "priority_kruskal_wallis",
+    f"""
+    WITH lines AS (
+      SELECT o_orderpriority AS grp,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    cells AS (
+      SELECT grp, days, CAST(COUNT(*) AS BIGINT) AS tg
+      FROM lines GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT days, CAST(SUM(tg) AS BIGINT) AS t FROM cells GROUP BY 1
+    ),
+    ranked AS (
+      SELECT days, t,
+             CAST(2 * COALESCE(SUM(t) OVER (ORDER BY days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS BIGINT) AS r2
+      FROM hist
+    ),
+    per_grp AS (
+      SELECT c.grp, CAST(SUM(c.tg) AS BIGINT) AS ng,
+             CAST(SUM(c.tg * r.r2) AS BIGINT) AS r2g
+      FROM cells c JOIN ranked r ON c.days = r.days
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM hist
+    ),
+    folded AS (
+      SELECT t.n, t.tie_sum,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM per_grp) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               (SELECT list((CAST(r2g AS DOUBLE) / 2)
+                            * (CAST(r2g AS DOUBLE) / 2) / ng
+                       ORDER BY grp) FROM per_grp)),
+               (a, b) -> a + b) AS s
+      FROM tot t
+    ),
+    fin AS (
+      SELECT n, k, {_KW_HPRIME} AS hprime FROM folded
+    )
+    SELECT n, k,
+           CAST(floor(hprime * 1000) AS BIGINT) AS h_e3,
+           CAST(floor((hprime - CAST(k AS DOUBLE) + 1)
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * 1000000)
+             AS BIGINT) AS epsilon_sq_e6,
+           CASE WHEN hprime > {KW_CHI2_CRIT_DF4} THEN 1 ELSE 0 END
+             AS significant
+    FROM fin
+    """,
+)
+def priority_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five order priorities on
+    fulfillment lead time (days order->ship): fact-fact equi join,
+    one (priority x days) rollup, a ~130-row value histogram with a
+    window cumsum for doubled average ranks, a 5-row per-group rank
+    sum, and a key-ordered 5-term fold for H — the k-sample
+    complement to priority_mannwhitney_leadtime (reference batch
+    stats scope: scripts/transformation.py aggregations).  Tie
+    correction exact from integer bin counts; epsilon-squared effect
+    size and the frozen df=4 critical value ride along."""
+    from pyspark.sql import Window
+
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderdate").cast("date").alias("od"),
+                F.col("o_orderpriority").alias("grp"),
+            ),
+            "l_orderkey",
+        )
+        .select("grp", F.datediff("sd", "od").alias("days"))
+    )
+    cells = lines.groupBy("grp", "days").agg(
+        F.count(F.lit(1)).cast("long").alias("tg")
+    )
+    hist = cells.groupBy("days").agg(F.sum("tg").cast("long").alias("t"))
+    wd = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "days",
+        "t",
+        (
+            2 * F.coalesce(F.sum("t").over(wd), F.lit(0).cast("long"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    per_grp = (
+        cells.join(F.broadcast(ranked.select("days", "r2")), "days")
+        .groupBy("grp")
+        .agg(
+            F.sum("tg").cast("long").alias("ng"),
+            F.sum(F.col("tg") * F.col("r2")).cast("long").alias("r2g"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    folded = per_grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            " 'key', grp,"
+            " 'v', (CAST(r2g AS DOUBLE) / 2) * (CAST(r2g AS DOUBLE) / 2)"
+            "      / ng))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)"
+        ).alias("s"),
+    )
+    fin = folded.crossJoin(F.broadcast(tot)).select(
+        "n", "k", F.expr(f"{_KW_HPRIME}").alias("hprime")
+    )
+    return fin.select(
+        "n",
+        "k",
+        F.expr("CAST(floor(hprime * 1000) AS BIGINT)").alias("h_e3"),
+        F.expr(
+            "CAST(floor((hprime - CAST(k AS DOUBLE) + 1)"
+            " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("epsilon_sq_e6"),
+        F.expr(
+            f"CASE WHEN hprime > {KW_CHI2_CRIT_DF4} THEN 1 ELSE 0 END"
+        ).alias("significant"),
+    )
+
+
+# --------------------------- Cramer's V nation-segment association
+
+# discount_tax_independence reports a raw chi-square, which grows
+# with N even for a fixed (tiny) association — useless for comparing
+# tables of different sizes.  Cramer's V normalises it to [0, 1], and
+# the Bergsma bias-corrected V additionally removes the positive bias
+# that makes V > 0 on pure noise.  Tested on the (nation x market
+# segment) customer contingency table, where independence SHOULD hold
+# by construction — V near 0 is the expected reading.
+@register(
+    "nation_segment_cramers_v",
+    """
+    WITH cells AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM customer GROUP BY 1, 2
+    ),
+    mr AS (SELECT nk, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    mc AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT nk) AS BIGINT) AS nr,
+                  CAST(COUNT(DISTINCT seg) AS BIGINT) AS nc
+           FROM cells),
+    terms AS (
+      SELECT ce.nk, ce.seg,
+             (CAST(ce.o AS DOUBLE) - CAST(mr.r AS DOUBLE) * mc.c / nn.n)
+             * (CAST(ce.o AS DOUBLE) - CAST(mr.r AS DOUBLE) * mc.c / nn.n)
+             / (CAST(mr.r AS DOUBLE) * mc.c / nn.n) AS t
+      FROM cells ce JOIN mr ON ce.nk = mr.nk
+      JOIN mc ON ce.seg = mc.seg CROSS JOIN nn
+    ),
+    chi AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               (SELECT list(t ORDER BY nk, seg) FROM terms)),
+               (a, b) -> a + b) AS chi2
+    ),
+    fin AS (
+      SELECT nn.n, nn.nr, nn.nc, chi.chi2,
+             chi.chi2 / nn.n AS phi2,
+             GREATEST(chi.chi2 / nn.n
+               - CAST((nn.nr - 1) * (nn.nc - 1) AS DOUBLE) / (nn.n - 1),
+               CAST(0 AS DOUBLE)) AS phi2c,
+             CAST(nn.nr AS DOUBLE)
+               - CAST((nn.nr - 1) * (nn.nr - 1) AS DOUBLE) / (nn.n - 1)
+               AS rc,
+             CAST(nn.nc AS DOUBLE)
+               - CAST((nn.nc - 1) * (nn.nc - 1) AS DOUBLE) / (nn.n - 1)
+               AS cc
+      FROM nn CROSS JOIN chi
+    )
+    SELECT n, nr AS n_nations, nc AS n_segments,
+           CAST(floor(chi2 * 1000) AS BIGINT) AS chi2_e3,
+           CAST(floor(sqrt(phi2 / (LEAST(nr, nc) - 1)) * 1000000)
+             AS BIGINT) AS v_e6,
+           CAST(floor(sqrt(phi2c / LEAST(rc - 1, cc - 1)) * 1000000)
+             AS BIGINT) AS v_corr_e6
+    FROM fin
+    """,
+)
+def nation_segment_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V (plain and Bergsma bias-corrected) for the
+    (nation, market segment) customer contingency table: one dim-table
+    rollup to the 25x5 grid, broadcast margins, per-cell chi-square
+    terms from exact integer counts, key-ordered fold (the ANOVA
+    lesson), then the V normalisations in doubles.  Everything after
+    the first rollup is vocabulary-sized."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cells = cust.groupBy("nk", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    mr = cells.groupBy("nk").agg(F.sum("o").cast("long").alias("r"))
+    mc = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("nk").cast("long").alias("nr"),
+        F.countDistinct("seg").cast("long").alias("nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(mr), "nk")
+        .join(F.broadcast(mc), "seg")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "nk",
+            "seg",
+            "n",
+            "nr",
+            "nc",
+            F.expr(
+                "(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)"
+                " * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)"
+                " / (CAST(r AS DOUBLE) * c / n)"
+            ).alias("t"),
+        )
+    )
+    fin = terms.groupBy("n", "nr", "nc").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list("
+            " named_struct('k1', nk, 'k2', seg, 'v', t))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)"
+        ).alias("chi2")
+    ).select(
+        "n",
+        "nr",
+        "nc",
+        "chi2",
+        F.expr("chi2 / n").alias("phi2"),
+        F.expr(
+            "GREATEST(chi2 / n"
+            " - CAST((nr - 1) * (nc - 1) AS DOUBLE) / (n - 1),"
+            " CAST(0 AS DOUBLE))"
+        ).alias("phi2c"),
+        F.expr(
+            "CAST(nr AS DOUBLE)"
+            " - CAST((nr - 1) * (nr - 1) AS DOUBLE) / (n - 1)"
+        ).alias("rc"),
+        F.expr(
+            "CAST(nc AS DOUBLE)"
+            " - CAST((nc - 1) * (nc - 1) AS DOUBLE) / (n - 1)"
+        ).alias("cc"),
+    )
+    return fin.select(
+        "n",
+        F.col("nr").alias("n_nations"),
+        F.col("nc").alias("n_segments"),
+        F.expr("CAST(floor(chi2 * 1000) AS BIGINT)").alias("chi2_e3"),
+        F.expr(
+            "CAST(floor(sqrt(phi2 / (LEAST(nr, nc) - 1)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("v_e6"),
+        F.expr(
+            "CAST(floor(sqrt(phi2c / LEAST(rc - 1, cc - 1)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("v_corr_e6"),
+    )

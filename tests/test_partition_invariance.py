@@ -263,6 +263,10 @@ PROBE = [
     "part_abc_migration",
     # idf-weighted set sums over LSH candidates
     "dedup_weighted_jaccard",
+    # histogram ranks + key-ordered 5-term H fold
+    "priority_kruskal_wallis",
+    # key-ordered chi-square fold over the contingency grid
+    "nation_segment_cramers_v",
 ]
 
 

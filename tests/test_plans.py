@@ -231,6 +231,12 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row grand-total crossJoin (scalar-subquery
                   # shape)
                   "discount_tax_independence",
+                  # 1-row (N, tie_sum) totals crossJoin onto the 1-row
+                  # H fold (scalar-subquery shape)
+                  "priority_kruskal_wallis",
+                  # 1-row (n, nr, nc) totals crossJoin onto the 125-cell
+                  # contingency grid (scalar-subquery shape)
+                  "nation_segment_cramers_v",
                   # 1-row horizon crossJoin (scalar-subquery shape)
                   "customer_overdue_alarm",
                   # 1-row means crossJoin (scalar-subquery shape)
