@@ -191,3 +191,75 @@ def triangle_count(
     return nodes.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def clustering_coefficient(
+    spark: SparkSession, sf_dir: str, min_support: int = MIN_SUPPORT
+) -> DataFrame:
+    """Local clustering coefficient per node of the support-pruned
+    co-purchase graph: cc = 2·T(v) / (deg(v)·(deg(v)−1)) as an exact
+    ppm integer — how much of each part's neighborhood buys TOGETHER
+    (a dense ego-net means a coherent accessory cluster; a star means
+    an unrelated hub).  Complements triangle_count, which omits the
+    deg normalisation and drops triangle-free nodes entirely.
+
+    Scale shape: ONE edge materialisation (localCheckpoint — degree,
+    wedge, and closing join all reuse it without re-expanding the
+    basket aggregation); ordered-edge triangle enumeration exactly as
+    triangle_count (each triangle once, wedge volume bounded by
+    sum(deg²) of the PRUNED graph); degrees are a map-side-combined
+    explode-groupBy.  Nodes with deg ≥ 2 and zero triangles stay in
+    the result via the left join (cc = 0), because a 0 coefficient is
+    signal, not absence.
+    """
+    e = (
+        copurchase_edges(spark, sf_dir, min_support)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("wa"),
+            F.col("e1.b").alias("wb"),
+            F.col("e2.b").alias("wc"),
+        )
+    )
+    tri = (
+        wedge.join(
+            e.alias("e3"),
+            (F.col("wa") == F.col("e3.a"))
+            & (F.col("wc") == F.col("e3.b")),
+        )
+        .select(F.explode(F.array("wa", "wb", "wc")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "part_id", "left")
+        .select(
+            "part_id",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+        .select(
+            "part_id",
+            "deg",
+            "n_triangles",
+            F.expr(
+                "CAST(2 * n_triangles * 1000000"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+        .orderBy("part_id")
+    )

@@ -83,7 +83,52 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_ids: list[str],
+    sensitive: str,
+    l_min: int = 3,
+) -> DataFrame:
+    """l-diversity audit: k-anonymity's necessary complement — a class
+    can be large (k-safe) yet have every member share ONE sensitive
+    value, so membership alone discloses it.  Reports, per equivalence
+    class, distinct-l (count of distinct sensitive values) and entropy
+    l-diversity (floor-micro of ln N − (Σ nᵢ·ln nᵢ)/N, which must be
+    ≥ ln l for entropy-l safety), flagged below `l_min`.
+
+    Two stacked groupBys (class×value, then class) — map-side
+    combined, no windows; the entropy fold is key-ordered over the
+    per-class value list (a bare double SUM is placement-dependent at
+    floor boundaries).
+    """
+    vals = df.groupBy(*quasi_ids, sensitive).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    per_class = vals.groupBy(*quasi_ids).agg(
+        F.sum("n_i").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(named_struct("
+            f" 'key', {sensitive}, 'v',"
+            f" CAST(n_i AS DOUBLE) * ln(CAST(n_i AS DOUBLE))))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)"
+        ).alias("sum_nlnn"),
+    )
+    return per_class.select(
+        *quasi_ids,
+        "class_size",
+        "l_distinct",
+        F.expr(
+            "CAST(floor((ln(CAST(class_size AS DOUBLE))"
+            " - sum_nlnn / CAST(class_size AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("entropy_me6"),
+        (F.col("l_distinct") < l_min).alias("below_l"),
+    )
+
+
 def erase_user(
+
     spark,
     table_path: str,
     key_col: str,

@@ -25451,3 +25451,115 @@ def nation_segment_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("v_corr_e6"),
     )
+
+
+# --------------------------- local clustering coefficient
+
+# part_triangles counts triangle participation but a raw count can't
+# separate a coherent accessory cluster (small dense ego-net) from a
+# big hub that happens to touch many triangles.  The local clustering
+# coefficient normalises by the wedge capacity deg·(deg−1)/2; zero-
+# triangle nodes with deg >= 2 stay in the result because cc = 0 is
+# signal.  Exact ppm integers end to end.
+register(
+    "graph_clustering_coeff",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {graph.MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT part_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS part_id FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcount AS (
+      SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS part_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.part_id, d.deg,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(t.n_triangles, 0) * 1000000
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN tcount t ON d.part_id = t.part_id
+    WHERE d.deg >= 2
+    ORDER BY d.part_id
+    """,
+)(graph.clustering_coefficient)
+
+
+# --------------------------- l-diversity release audit
+
+# k-anonymity (customer_k_anonymity) is NECESSARY but not sufficient:
+# a 1000-row equivalence class whose members all share one account-
+# balance band still discloses the band to anyone who knows the
+# quasi-identifiers.  l-diversity audits the sensitive-value spread
+# per class — distinct-l plus entropy l-diversity, flagged below the
+# release floor.  The generic operator lives in quality/privacy.py
+# beside k_anonymity; interpolating L_DIV_MIN keeps operator and
+# oracle in lockstep (reference privacy scope: the validation gates
+# of lambda/s3_validation.py applied to a release review).
+L_DIV_MIN = 3
+
+
+@register(
+    "customer_l_diversity",
+    f"""
+    WITH vals AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+               AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    per_class AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(SUM(n_i) AS BIGINT) AS class_size,
+             CAST(COUNT(*) AS BIGINT) AS l_distinct,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(n_i AS DOUBLE) * ln(CAST(n_i AS DOUBLE))
+                    ORDER BY bal_band)),
+               (a, b) -> a + b) AS sum_nlnn
+      FROM vals GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+           CAST(floor((ln(CAST(class_size AS DOUBLE))
+             - sum_nlnn / CAST(class_size AS DOUBLE)) * 1000000)
+             AS BIGINT) AS entropy_me6,
+           l_distinct < {L_DIV_MIN} AS below_l
+    FROM per_class
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of customer over the (nation, segment)
+    quasi-identifiers with the account-balance thousand-band as the
+    sensitive attribute: distinct-l and entropy l-diversity per
+    equivalence class via quality.privacy.l_diversity (two stacked
+    map-side-combined groupBys; key-ordered entropy fold)."""
+    from data_pipeline_for_e_commerce_shop_spark.quality.privacy import (
+        l_diversity,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)"
+        ).alias("bal_band"),
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", L_DIV_MIN
+    )

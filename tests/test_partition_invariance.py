@@ -267,6 +267,10 @@ PROBE = [
     "priority_kruskal_wallis",
     # key-ordered chi-square fold over the contingency grid
     "nation_segment_cramers_v",
+    # checkpointed edge list feeding degree + wedge + closing join
+    "graph_clustering_coeff",
+    # key-ordered per-class entropy fold
+    "customer_l_diversity",
 ]
 
 
