@@ -25563,3 +25563,202 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(
         cust, ["c_nationkey", "c_mktsegment"], "bal_band", L_DIV_MIN
     )
+
+
+# --------------------------- DP sensitivity / contribution-bound audit
+
+# Before a per-category revenue release can be differentially
+# privatized (or before user data feeds a training corpus with
+# per-user contribution caps), you need the USER-LEVEL SENSITIVITY:
+# how much can one customer move each released aggregate?  Reports,
+# per category, the max single-user contribution, its share of the
+# total, and the p99 contribution — the clipping threshold a
+# bounded-contribution release would use (clip at p99, pay the max
+# share as bias).  Everything is exact integer cents.
+@register(
+    "category_dp_sensitivity",
+    """
+    WITH uc AS (
+      SELECT p_type AS category, o_custkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_user_cents,
+           CAST(MAX(cents) * 1000000 // SUM(cents) AS BIGINT)
+             AS max_share_ppm,
+           CAST(quantile_disc(cents, 0.99) AS BIGINT) AS clip_p99_cents
+    FROM uc GROUP BY 1 ORDER BY 1
+    """,
+)
+def category_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level sensitivity audit of the per-category revenue
+    aggregate: one (customer x category) rollup (the natural key
+    distribution — map-side combined), then a category rollup carrying
+    max, share, and the exact p99 clipping threshold
+    (percentile_disc).  Fact-fact join equi-keyed on orderkey; part is
+    dim-sized and broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents1"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    uc = (
+        li.join(orders, "l_orderkey")
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("category", "o_custkey")
+        .agg(F.sum("cents1").cast("long").alias("cents"))
+    )
+    return (
+        uc.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.max("cents").cast("long").alias("max_user_cents"),
+            F.expr(
+                "percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)"
+            ).cast("long").alias("clip_p99_cents"),
+        )
+        .select(
+            "category",
+            "n_users",
+            "total_cents",
+            "max_user_cents",
+            F.expr(
+                "CAST(max_user_cents * 1000000 div total_cents"
+                " AS BIGINT)"
+            ).alias("max_share_ppm"),
+            "clip_p99_cents",
+        )
+        .orderBy("category")
+    )
+
+
+# --------------------------- Fisher ideal price index
+
+# category_price_index is Laspeyres-only (base-period basket), which
+# overstates inflation when buyers substitute away from price rises;
+# Paasche (current basket) understates it.  The Fisher ideal index is
+# their geometric mean and the standard the statistical agencies
+# publish.  Two frozen periods (first vs last calendar half), matched
+# parts only, unit prices as exact integer cents-per-unit.
+@register(
+    "category_fisher_index",
+    f"""
+    WITH pm AS (
+      SELECT p_type AS category, l_partkey,
+             CASE WHEN CAST(l_shipdate AS DATE) >=
+                       DATE '{DID_SPLIT_DATE}' THEN 1 ELSE 0 END AS per,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    ),
+    matched AS (
+      SELECT b.category, b.l_partkey,
+             b.cents // b.qty AS p0, b.qty AS q0,
+             c.cents // c.qty AS p1, c.qty AS q1
+      FROM pm b JOIN pm c ON b.category = c.category
+                         AND b.l_partkey = c.l_partkey
+      WHERE b.per = 0 AND c.per = 1
+    ),
+    sums AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(p1 * q0) AS BIGINT) AS l_num,
+             CAST(SUM(p0 * q0) AS BIGINT) AS l_den,
+             CAST(SUM(p1 * q1) AS BIGINT) AS p_num,
+             CAST(SUM(p0 * q1) AS BIGINT) AS p_den
+      FROM matched GROUP BY 1
+    )
+    SELECT category, n_parts,
+           CAST(l_num * 1000000 // l_den AS BIGINT) AS laspeyres_ppm,
+           CAST(p_num * 1000000 // p_den AS BIGINT) AS paasche_ppm,
+           CAST(floor(sqrt((CAST(l_num AS DOUBLE) / l_den)
+                           * (CAST(p_num AS DOUBLE) / p_den)) * 1000000)
+             AS BIGINT) AS fisher_ppm
+    FROM sums ORDER BY category
+    """,
+)
+def category_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher ideal price index per category between the frozen
+    pre/post halves (same split date as the DID screen): one
+    (category, part, period) rollup, a matched-parts self-join
+    equi-keyed on (category, part) — period-0 rows against period-1
+    rows, never a blowup — then Laspeyres/Paasche exact-ppm ratios and
+    their geometric mean in doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            f"CASE WHEN CAST(l_shipdate AS DATE) >="
+            f" DATE '{DID_SPLIT_DATE}' THEN 1 ELSE 0 END"
+        ).alias("per"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents1"
+        ),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty1"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    pm = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("category", "l_partkey", "per")
+        .agg(
+            F.sum("cents1").cast("long").alias("cents"),
+            F.sum("qty1").cast("long").alias("qty"),
+        )
+    )
+    b = pm.where(F.col("per") == 0).select(
+        "category",
+        "l_partkey",
+        F.expr("cents div qty").alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    c = pm.where(F.col("per") == 1).select(
+        "category",
+        "l_partkey",
+        F.expr("cents div qty").alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    sums = (
+        b.join(c, ["category", "l_partkey"])
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.col("p1") * F.col("q0")).cast("long").alias("l_num"),
+            F.sum(F.col("p0") * F.col("q0")).cast("long").alias("l_den"),
+            F.sum(F.col("p1") * F.col("q1")).cast("long").alias("p_num"),
+            F.sum(F.col("p0") * F.col("q1")).cast("long").alias("p_den"),
+        )
+    )
+    return sums.select(
+        "category",
+        "n_parts",
+        F.expr("CAST(l_num * 1000000 div l_den AS BIGINT)").alias(
+            "laspeyres_ppm"
+        ),
+        F.expr("CAST(p_num * 1000000 div p_den AS BIGINT)").alias(
+            "paasche_ppm"
+        ),
+        F.expr(
+            "CAST(floor(sqrt((CAST(l_num AS DOUBLE) / l_den)"
+            " * (CAST(p_num AS DOUBLE) / p_den)) * 1000000) AS BIGINT)"
+        ).alias("fisher_ppm"),
+    ).orderBy("category")

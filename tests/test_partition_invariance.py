@@ -271,6 +271,10 @@ PROBE = [
     "graph_clustering_coeff",
     # key-ordered per-class entropy fold
     "customer_l_diversity",
+    # exact p99 percentile_disc + max-share ratios
+    "category_dp_sensitivity",
+    # matched-parts period self-join + integer index ratios
+    "category_fisher_index",
 ]
 
 
