@@ -1391,3 +1391,58 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("wjaccard_ppm"),
     ).orderBy("doc_a", "doc_b")
+
+
+# Prefix length for the edit-distance verify; interpolated into the
+# registered oracle SQL (queries.py) so operator and oracle cannot
+# drift.  Bounds the DP cost at O(256^2) per candidate pair.
+EDIT_PREFIX_CHARS = 256
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verify on the LSH candidate pairs: the
+    character-level complement to the token-level Jaccard rungs —
+    catches near-dups that differ by in-token edits (typos, number
+    substitutions) which shingle-set similarity dilutes.  Distance is
+    computed JVM-side (built-in levenshtein) on the first
+    EDIT_PREFIX_CHARS characters, keeping per-pair cost constant; the
+    similarity is (maxlen − d) / maxlen as an exact ppm integer.
+
+    Scale shape: candidates come from banded LSH (never all pairs);
+    texts arrive via two equi-joins on doc_id; the verify is a
+    per-row expression — no shuffle beyond the joins.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(text, 1, {EDIT_PREFIX_CHARS})").alias("t"),
+    )
+    cand = _pairs_from_bands(_band_rows(_signatures(
+        load_table(spark, sf_dir, "documents")
+    )))
+    return (
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(levenshtein(ta, tb) AS BIGINT)").alias(
+                "edit_distance"
+            ),
+            F.expr(
+                "CAST((GREATEST(length(ta), length(tb))"
+                " - levenshtein(ta, tb)) * 1000000"
+                " div GREATEST(length(ta), length(tb)) AS BIGINT)"
+            ).alias("edit_sim_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

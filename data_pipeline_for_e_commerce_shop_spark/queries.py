@@ -25762,3 +25762,147 @@ def category_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(p_num AS DOUBLE) / p_den)) * 1000000) AS BIGINT)"
         ).alias("fisher_ppm"),
     ).orderBy("category")
+
+
+# --------------------------- edit-distance dedup verify
+
+# Character-level rung of the dedup verify ladder: token-level Jaccard
+# dilutes near-dups that differ by IN-token edits (typos, number
+# swaps); Levenshtein on a frozen prefix catches them.  Both engines
+# run their built-in levenshtein on identical prefixes, so the
+# integer distances agree exactly.
+register(
+    "dedup_edit_distance",
+    _SHINGLE_CTE
+    + f"""
+    , pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             substr(da.text, 1, {dedup.EDIT_PREFIX_CHARS}) AS ta,
+             substr(db.text, 1, {dedup.EDIT_PREFIX_CHARS}) AS tb
+      FROM cand c
+      JOIN documents da ON c.doc_a = da.doc_id
+      JOIN documents db ON c.doc_b = db.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance,
+           CAST((GREATEST(len(ta), len(tb)) - levenshtein(ta, tb))
+                * 1000000 // GREATEST(len(ta), len(tb)) AS BIGINT)
+             AS edit_sim_ppm
+    FROM pairs ORDER BY doc_a, doc_b
+    """,
+)(dedup.edit_distance_pairs)
+
+
+# --------------------------- Theil inequality decomposition
+
+# revenue_gini gives ONE inequality number; the Theil T index is the
+# one that DECOMPOSES exactly: total = between-nations + revenue-share-
+# weighted within-nation terms, so you can say how much of customer
+# revenue inequality is geography vs within-market spread.  Per-nation
+# within-Theil folds in customer-key order (the ANOVA lesson); the
+# between term needs only the 25-row nation rollup.
+@register(
+    "nation_theil_inequality",
+    """
+    WITH cx AS (
+      SELECT c_nationkey AS nk, o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(x) AS BIGINT) AS xg
+      FROM cx GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS xt,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM cx
+    ),
+    w AS (
+      SELECT c.nk, g.ng, g.xg,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(c.x AS DOUBLE) / g.xg)
+                    * ln(CAST(c.x AS DOUBLE) * g.ng / g.xg)
+                    ORDER BY c.o_custkey)),
+               (a, b) -> a + b) AS tg
+      FROM cx c JOIN g ON c.nk = g.nk
+      GROUP BY 1, 2, 3
+    )
+    SELECT w.nk AS c_nationkey, w.ng AS n_cust, w.xg AS cents,
+           CAST(w.xg * 1000000 // t.xt AS BIGINT) AS share_ppm,
+           CAST(floor(w.tg * 1000000) AS BIGINT) AS theil_within_me6,
+           CAST(floor((CAST(w.xg AS DOUBLE) / t.xt)
+             * ln(CAST(w.xg AS DOUBLE) * t.nt
+                  / (CAST(t.xt AS DOUBLE) * w.ng))
+             * 1000000) AS BIGINT) AS between_term_me6
+    FROM w CROSS JOIN tot t
+    ORDER BY 1
+    """,
+)
+def nation_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T decomposition of customer revenue inequality by nation:
+    one (nation, customer) exact-cents rollup, a 25-row nation rollup
+    broadcast back for the within-nation Theil folds (customer-key
+    order), and a 1-row grand-total crossJoin for shares and the
+    between-nation terms.  total_theil = Σ between_term +
+    Σ share·theil_within, exactly."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "cents1"
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    cx = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("nk", "o_custkey")
+        .agg(F.sum("cents1").cast("long").alias("x"))
+    )
+    g = cx.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("xg"),
+    )
+    tot = cx.agg(
+        F.sum("x").cast("long").alias("xt"),
+        F.count(F.lit(1)).cast("long").alias("nt"),
+    )
+    w = (
+        cx.join(F.broadcast(g), "nk")
+        .groupBy("nk", "ng", "xg")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(named_struct("
+                " 'key', o_custkey,"
+                " 'v', (CAST(x AS DOUBLE) / xg)"
+                "      * ln(CAST(x AS DOUBLE) * ng / xg)))),"
+                " CAST(0.0 AS DOUBLE), (a, q) -> a + q.v)"
+            ).alias("tg")
+        )
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nk").alias("c_nationkey"),
+            F.col("ng").alias("n_cust"),
+            F.col("xg").alias("cents"),
+            F.expr("CAST(xg * 1000000 div xt AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST(floor(tg * 1000000) AS BIGINT)").alias(
+                "theil_within_me6"
+            ),
+            F.expr(
+                "CAST(floor((CAST(xg AS DOUBLE) / xt)"
+                " * ln(CAST(xg AS DOUBLE) * nt"
+                "      / (CAST(xt AS DOUBLE) * ng))"
+                " * 1000000) AS BIGINT)"
+            ).alias("between_term_me6"),
+        )
+        .orderBy("c_nationkey")
+    )

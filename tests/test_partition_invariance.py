@@ -275,6 +275,10 @@ PROBE = [
     "category_dp_sensitivity",
     # matched-parts period self-join + integer index ratios
     "category_fisher_index",
+    # JVM levenshtein on frozen prefixes over LSH candidates
+    "dedup_edit_distance",
+    # per-nation key-ordered Theil folds + 1-row grand total
+    "nation_theil_inequality",
 ]
 
 

@@ -237,6 +237,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row (n, nr, nc) totals crossJoin onto the 125-cell
                   # contingency grid (scalar-subquery shape)
                   "nation_segment_cramers_v",
+                  # 1-row grand-total crossJoin onto the 25-row nation
+                  # rollup (scalar-subquery shape)
+                  "nation_theil_inequality",
                   # 1-row horizon crossJoin (scalar-subquery shape)
                   "customer_overdue_alarm",
                   # 1-row means crossJoin (scalar-subquery shape)
