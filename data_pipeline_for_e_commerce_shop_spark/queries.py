@@ -25906,3 +25906,254 @@ def nation_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------- sequential A/B monitoring (SPRT)
+
+# The fixed-horizon tests (ab_test_report, events_power_analysis)
+# require committing to a sample size up front; Wald's SPRT is the
+# sequential complement — monitor the treatment arm's conversion
+# stream daily and stop the moment the evidence crosses a boundary.
+# Design constants are frozen percents interpolated into BOTH sides;
+# the log-likelihood coefficients and the ln(19) boundaries
+# (alpha = beta = 0.05) are computed in-engine from exact integer
+# ratios, so the doubles agree bit-for-bit.
+SPRT_P0_PCT = 25  # H0 conversion rate (percent)
+SPRT_P1_PCT = 30  # H1 conversion rate (percent)
+
+
+@register(
+    "ab_sequential_sprt",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS day,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events
+      WHERE CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) % 2 = 1
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM u GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n_users, n_conv,
+             SUM(n_conv * ln(CAST({SPRT_P1_PCT} AS DOUBLE)
+                             / {SPRT_P0_PCT})
+                 + (n_users - n_conv)
+                   * ln(CAST({100 - SPRT_P1_PCT} AS DOUBLE)
+                        / {100 - SPRT_P0_PCT}))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_llr
+      FROM d
+    )
+    SELECT day, n_users, n_conv,
+           CAST(floor(cum_llr * 1000000) AS BIGINT) AS cum_llr_e6,
+           CASE WHEN cum_llr >= ln(CAST(19 AS DOUBLE)) THEN 'accept_h1'
+                WHEN cum_llr <= -ln(CAST(19 AS DOUBLE)) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c ORDER BY day
+    """,
+)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitor over the treatment arm (same md5 hash
+    assignment and conversion rule as ab_test_report): per-user
+    arrival day + converted flag, a day rollup, one window cumsum of
+    the exact-coefficient log-likelihood ratio, and the boundary
+    classification per day.  One user-key shuffle, one ~90-row window
+    — the daily dashboard a sequential experiment runs on."""
+    from pyspark.sql import Window
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(portable_hash32(F.col("user_id"), prefix="ab-") % 2 == 1)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("day"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    d = u.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr = F.expr(
+        f"n_conv * ln(CAST({SPRT_P1_PCT} AS DOUBLE) / {SPRT_P0_PCT})"
+        f" + (n_users - n_conv)"
+        f"   * ln(CAST({100 - SPRT_P1_PCT} AS DOUBLE)"
+        f"        / {100 - SPRT_P0_PCT})"
+    )
+    c = d.select(
+        "day", "n_users", "n_conv", F.sum(llr).over(wd).alias("cum_llr")
+    )
+    return c.select(
+        "day",
+        "n_users",
+        "n_conv",
+        F.expr("CAST(floor(cum_llr * 1000000) AS BIGINT)").alias(
+            "cum_llr_e6"
+        ),
+        F.expr(
+            "CASE WHEN cum_llr >= ln(CAST(19 AS DOUBLE))"
+            " THEN 'accept_h1'"
+            " WHEN cum_llr <= -ln(CAST(19 AS DOUBLE))"
+            " THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    ).orderBy("day")
+
+
+# --------------------------- Fellegi-Sunter record linkage
+
+# The classic probabilistic record-linkage shape every entity-
+# resolution pipeline runs: block, compare fields, sum frozen
+# log-ratio agreement weights, classify by thresholds.  The "dirty"
+# side is derived deterministically (md5-gated truncations /
+# perturbations of name, balance, segment), so ground truth is known
+# and the decision table doubles as the linkage quality report.
+# The score expression is ONE shared string — Spark and the oracle
+# cannot drift.  Blocking on (nation, balance thousand-band) keeps
+# candidate pairs ~linear in rows; the +100000 shift keeps the band
+# division on positive integers (negative integer division floors in
+# DuckDB but truncates in Spark).
+_RL_SCORE = (
+    "(CASE WHEN d_name = c_name THEN 450 ELSE -120 END"
+    " + CASE WHEN d_cents = c_cents THEN 380 ELSE -140 END"
+    " + CASE WHEN d_seg = c_mktsegment THEN 120 ELSE -80 END)"
+)
+
+
+@register(
+    "customer_record_linkage",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS c_cents,
+             CAST(('0x' || substr(md5('rl-'
+                   || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM customer
+    ),
+    dirty AS (
+      SELECT c_custkey AS d_key, c_nationkey AS nk,
+             CASE WHEN h % 10 < 3
+                  THEN substr(c_name, 1, length(c_name) - 1)
+                  ELSE c_name END AS d_name,
+             CASE WHEN h % 7 < 2 THEN c_cents + 1
+                  ELSE c_cents END AS d_cents,
+             CASE WHEN h % 13 < 2 THEN 'UNKNOWN'
+                  ELSE c_mktsegment END AS d_seg
+      FROM base
+    ),
+    pairs AS (
+      SELECT d.d_key, b.c_custkey AS c_key, d.d_name, b.c_name,
+             d.d_cents, b.c_cents, d.d_seg, b.c_mktsegment,
+             {_RL_SCORE} AS score
+      FROM dirty d JOIN base b
+        ON d.nk = b.c_nationkey
+       AND (d.d_cents + 100000) // 100000
+           = (b.c_cents + 100000) // 100000
+    ),
+    classed AS (
+      SELECT d_key, c_key, score,
+             CASE WHEN score >= 600 THEN 'match'
+                  WHEN score >= 200 THEN 'possible'
+                  ELSE 'non_match' END AS decision,
+             CASE WHEN d_key = c_key THEN 1 ELSE 0 END AS is_true
+      FROM pairs
+    )
+    SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_true) AS BIGINT) AS n_true,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage of a deterministically-dirtied customer
+    copy back to the clean table: (nation, balance-band) blocking
+    keeps candidate pairs ~linear in rows (the all-pairs killer at
+    100 TB), per-field exact comparisons sum frozen agreement weights
+    (shared expression string), and the match/possible/non_match
+    decision table carries ground-truth counts because the dirty side
+    derives from known keys."""
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("c_cents"),
+        portable_hash32(F.col("c_custkey"), prefix="rl-").alias("h"),
+    )
+    dirty = base.select(
+        F.col("c_custkey").alias("d_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr(
+            "CASE WHEN h % 10 < 3"
+            " THEN substr(c_name, 1, length(c_name) - 1)"
+            " ELSE c_name END"
+        ).alias("d_name"),
+        F.expr(
+            "CASE WHEN h % 7 < 2 THEN c_cents + 1 ELSE c_cents END"
+        ).alias("d_cents"),
+        F.expr(
+            "CASE WHEN h % 13 < 2 THEN 'UNKNOWN'"
+            " ELSE c_mktsegment END"
+        ).alias("d_seg"),
+    )
+    pairs = dirty.withColumn(
+        "blk", F.expr("(d_cents + 100000) div 100000")
+    ).join(
+        base.select(
+            F.col("c_custkey").alias("c_key"),
+            "c_name",
+            "c_mktsegment",
+            "c_cents",
+            F.col("c_nationkey").alias("nk"),
+            F.expr("(c_cents + 100000) div 100000").alias("blk"),
+        ),
+        ["nk", "blk"],
+    )
+    classed = pairs.select(
+        "d_key",
+        "c_key",
+        F.expr(_RL_SCORE).alias("score"),
+    ).select(
+        "d_key",
+        "c_key",
+        "score",
+        F.expr(
+            "CASE WHEN score >= 600 THEN 'match'"
+            " WHEN score >= 200 THEN 'possible'"
+            " ELSE 'non_match' END"
+        ).alias("decision"),
+        F.expr("CASE WHEN d_key = c_key THEN 1 ELSE 0 END").alias(
+            "is_true"
+        ),
+    )
+    return (
+        classed.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .orderBy("decision")
+    )

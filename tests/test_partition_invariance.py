@@ -279,6 +279,10 @@ PROBE = [
     "dedup_edit_distance",
     # per-nation key-ordered Theil folds + 1-row grand total
     "nation_theil_inequality",
+    # window cumsum of exact-coefficient LLR over the day spine
+    "ab_sequential_sprt",
+    # md5-gated dirty derivation + block join + frozen weights
+    "customer_record_linkage",
 ]
 
 
