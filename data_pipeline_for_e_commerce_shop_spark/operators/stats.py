@@ -235,3 +235,67 @@ def ab_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("sums.v"))
         ).alias("z_logrank"),
     )
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    view→purchase conversion times as km_survival: H(t) = Σ d_i/n_i
+    and its variance Σ d_i/n_i² as running window sums over the
+    event-time spine.  Hazard-scale readings ADD across strata (the
+    property the KM product lacks), which is what makes this the
+    estimator you aggregate across shards at 100 TB; no exp/ln — only
+    exact-ratio doubles, so both engines agree bit-for-bit.
+
+    Same shape as km_survival up to the at-risk table (one user
+    shuffle, one window pass, 1-row broadcast total); the cumsum
+    replaces the product fold.
+    """
+    timed = _conversion_times(spark, sf_dir).select("t", "is_event")
+    risk = timed.groupBy("t").agg(
+        F.sum("is_event").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = risk.agg(F.sum("leaving").alias("total"))
+    at_risk = (
+        risk.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("total")
+                - (F.sum("leaving").over(w) - F.col("leaving"))
+            ).cast("long").alias("n_at_risk"),
+        )
+        .where(F.col("d") > 0)
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    na = at_risk.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.sum(
+            F.expr("CAST(d AS DOUBLE) / n_at_risk")
+        ).over(wt).alias("ch"),
+        F.sum(
+            F.expr(
+                "CAST(d AS DOUBLE)"
+                " / (CAST(n_at_risk AS DOUBLE) * n_at_risk)"
+            )
+        ).over(wt).alias("vh"),
+    )
+    return na.select(
+        F.col("t").alias("t_days"),
+        F.col("d").cast("long").alias("n_events"),
+        "n_at_risk",
+        F.expr("CAST(floor(ch * 1000000) AS BIGINT)").alias(
+            "cum_hazard_e6"
+        ),
+        F.expr("CAST(floor(vh * 1000000000000) AS BIGINT)").alias(
+            "var_e12"
+        ),
+    ).orderBy("t_days")

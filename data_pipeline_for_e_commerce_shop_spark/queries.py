@@ -26157,3 +26157,175 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decision")
     )
+
+
+# --------------------------- Nelson-Aalen cumulative hazard
+
+# Hazard-scale twin of survival_km: H(t) = sum d_i/n_i adds across
+# strata (the property the KM product lacks), so per-shard hazard
+# tables can be AGGREGATED at 100 TB instead of re-ranked.  Same
+# cohort, same at-risk windowing; the running cumsum replaces the
+# product fold.  No exp/ln — exact-ratio doubles only.
+register(
+    "survival_nelson_aalen",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END) AS tv,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END) AS tp,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_seen
+      FROM events GROUP BY user_id
+    ),
+    cohort AS (SELECT * FROM per_user WHERE tv IS NOT NULL),
+    h AS (SELECT MAX(last_seen) AS horizon FROM cohort),
+    timed AS (
+      SELECT COALESCE(CASE WHEN tp IS NOT NULL AND tp >= tv
+                           THEN tp - tv END,
+                      horizon - tv) AS t,
+             CASE WHEN tp IS NOT NULL AND tp >= tv THEN 1 ELSE 0 END
+               AS is_event
+      FROM cohort CROSS JOIN h
+    ),
+    risk AS (
+      SELECT t, CAST(SUM(is_event) AS BIGINT) AS d,
+             COUNT(*) AS leaving
+      FROM timed GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(leaving) AS BIGINT) AS total FROM risk),
+    ar AS (
+      SELECT t, d,
+             CAST(total - (SUM(leaving) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - leaving)
+                  AS BIGINT) AS n_at_risk
+      FROM risk CROSS JOIN tot
+    ),
+    ev AS (SELECT t, d, n_at_risk FROM ar WHERE d > 0),
+    na AS (
+      SELECT t, d, n_at_risk,
+             SUM(CAST(d AS DOUBLE) / n_at_risk)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS ch,
+             SUM(CAST(d AS DOUBLE)
+                 / (CAST(n_at_risk AS DOUBLE) * n_at_risk))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS vh
+      FROM ev
+    )
+    SELECT t AS t_days, d AS n_events, n_at_risk,
+           CAST(floor(ch * 1000000) AS BIGINT) AS cum_hazard_e6,
+           CAST(floor(vh * 1000000000000) AS BIGINT) AS var_e12
+    FROM na ORDER BY t_days
+    """,
+)(stats.nelson_aalen_hazard)
+
+
+# --------------------------- language-ID margin calibration
+
+# Is the lang-ID scorer's CONFIDENCE meaningful?  Bin the held
+# integer score margin (top score − runner-up) and measure accuracy
+# per bin — a flat curve means the margin is noise, a rising curve
+# means it is a usable quality gate threshold.  All-integer scores,
+# one scan; the shared CASE strings keep Spark and oracle argmax /
+# runner-up logic identical.
+_LANG_PRED_CASE = """
+      CASE
+        WHEN score_de >= score_en AND score_de >= score_es
+             AND score_de >= score_fr THEN 'de'
+        WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+        WHEN score_es >= score_fr THEN 'es'
+        ELSE 'fr'
+      END
+"""
+_LANG_RUNNERUP_CASE = """
+      CASE
+        WHEN score_de >= score_en AND score_de >= score_es
+             AND score_de >= score_fr
+          THEN GREATEST(score_en, score_es, score_fr)
+        WHEN score_en >= score_es AND score_en >= score_fr
+          THEN GREATEST(score_de, score_es, score_fr)
+        WHEN score_es >= score_fr
+          THEN GREATEST(score_de, score_en, score_fr)
+        ELSE GREATEST(score_de, score_en, score_es)
+      END
+"""
+
+
+@register(
+    "lang_margin_calibration",
+    f"""
+    WITH scores AS (
+      SELECT lang AS true_lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','fast','order','key'], t))) AS score_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['data','merge','window','batch'], t))) AS score_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['join','filter','row','table'], t))) AS score_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['spark','query','stream','vector'], t))) AS score_fr
+      FROM documents
+    ),
+    scored AS (
+      SELECT true_lang,
+             {_LANG_PRED_CASE} AS pred_lang,
+             GREATEST(score_de, score_en, score_es, score_fr)
+               - ({_LANG_RUNNERUP_CASE}) AS margin
+      FROM scores
+    )
+    SELECT CAST(LEAST(margin, 5) AS BIGINT) AS margin_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def lang_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-vs-margin calibration curve for the lang-ID scorer:
+    project the four integer lexicon scores once, argmax + runner-up
+    via the shared CASE strings, cap the margin at 5, and roll up
+    accuracy per margin bin.  One scan + one vocabulary-sized
+    groupBy; complements lang_confusion_matrix (which classes) with
+    WHEN to trust the classifier."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        lang_score_cols,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        F.col("lang").alias("true_lang"), *lang_score_cols()
+    )
+    scored = scores.select(
+        "true_lang",
+        F.expr(_LANG_PRED_CASE).alias("pred_lang"),
+        (
+            F.greatest("score_de", "score_en", "score_es", "score_fr")
+            - F.expr(_LANG_RUNNERUP_CASE)
+        ).alias("margin"),
+    )
+    return (
+        scored.groupBy(
+            F.expr("CAST(LEAST(margin, 5) AS BIGINT)").alias("margin_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("pred_lang") == F.col("true_lang"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            "margin_bin",
+            "n_docs",
+            "n_correct",
+            F.expr(
+                "CAST(n_correct * 1000000 div n_docs AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("margin_bin")
+    )

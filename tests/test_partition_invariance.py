@@ -283,6 +283,10 @@ PROBE = [
     "ab_sequential_sprt",
     # md5-gated dirty derivation + block join + frozen weights
     "customer_record_linkage",
+    # at-risk windowing + running hazard cumsums
+    "survival_nelson_aalen",
+    # shared argmax/runner-up CASE over integer lexicon scores
+    "lang_margin_calibration",
 ]
 
 

@@ -96,6 +96,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "survival_km",
                   # same shape (horizon + arm totals 1-row scalars)
                   "ab_logrank",
+                  # same shape (horizon + cohort total 1-row scalars)
+                  "survival_nelson_aalen",
                   # pooled totals 1-row crossJoin
                   "events_drift_chi2",
                   # bounds + totals 1-row crossJoins
