@@ -26329,3 +26329,235 @@ def lang_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("margin_bin")
     )
+
+
+# --------------------------- mutual information feature screen
+
+# Which event types carry INFORMATION about conversion?  Correlation
+# screens (error_purchase_correlation) measure linear association;
+# mutual information catches any dependence and is the standard
+# feature-selection score.  Per event type: the 2x2 (exposed,
+# converted) user contingency table in exact integers, then
+# MI = sum p_ij ln(p_ij N / (r_i c_j)) over the four cells in one
+# FIXED-ORDER expression (zero cells contribute 0 by the CASE guard).
+_MI_TERM = (
+    "(CASE WHEN {n} > 0 THEN (CAST({n} AS DOUBLE) / nu)"
+    " * ln(CAST({n} AS DOUBLE) * nu"
+    "      / (CAST({r} AS DOUBLE) * ({c}))) ELSE 0 END)"
+)
+_MI_EXPR = (
+    _MI_TERM.format(n="n11", r="n_exp", c="n_conv")
+    + " + " + _MI_TERM.format(n="n10", r="n_exp", c="nu - n_conv")
+    + " + " + _MI_TERM.format(n="n01", r="nu - n_exp", c="n_conv")
+    + " + " + _MI_TERM.format(n="n00", r="nu - n_exp", c="nu - n_conv")
+)
+
+
+@register(
+    "events_mutual_information",
+    f"""
+    WITH conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM conv
+    ),
+    exposure AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type != 'purchase'
+    ),
+    cells AS (
+      SELECT e.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_exp,
+             CAST(SUM(c.converted) AS BIGINT) AS n11
+      FROM exposure e JOIN conv c ON e.user_id = c.user_id
+      GROUP BY 1
+    ),
+    full_ AS (
+      SELECT event_type, nu, n_conv, n_exp, n11,
+             n_exp - n11 AS n10,
+             n_conv - n11 AS n01,
+             nu - n_exp - (n_conv - n11) AS n00
+      FROM cells CROSS JOIN tot
+    )
+    SELECT event_type, n_exp AS n_exposed, n11, n10, n01, n00,
+           CAST(floor(({_MI_EXPR}) * 1000000) AS BIGINT) AS mi_me6
+    FROM full_ ORDER BY event_type
+    """,
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between per-user event-type exposure and
+    conversion: one user rollup for the outcome, one DISTINCT
+    exposure-pair rollup, a per-type cell count, and the 4-term
+    fixed-order MI expression from the shared string.  Totals ride
+    as a 1-row broadcast crossJoin; everything is |event types|
+    rows after two user-keyed shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    tot = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    exposure = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    cells = exposure.join(conv, "user_id").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exp"),
+        F.sum("converted").cast("long").alias("n11"),
+    )
+    full_ = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "nu",
+        "n_conv",
+        "n_exp",
+        "n11",
+        (F.col("n_exp") - F.col("n11")).alias("n10"),
+        (F.col("n_conv") - F.col("n11")).alias("n01"),
+        (
+            F.col("nu") - F.col("n_exp") - (F.col("n_conv") - F.col("n11"))
+        ).alias("n00"),
+    )
+    return full_.select(
+        "event_type",
+        F.col("n_exp").alias("n_exposed"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            f"CAST(floor(({_MI_EXPR}) * 1000000) AS BIGINT)"
+        ).alias("mi_me6"),
+    ).orderBy("event_type")
+
+
+# --------------------------- Apriori frequent triples
+
+# basket_pairs stops at 2-itemsets; the Apriori step to 3-itemsets is
+# where naive mining explodes and where the LEVEL-WISE PRUNE is the
+# whole scale story: a triple can only be frequent if all three of
+# its pairs are, so candidates come from joining the (tiny) frequent-
+# pair table with itself and semi-checking the third edge — never
+# from expanding 3-combinations of raw baskets.  Support counting
+# then touches only candidate triples via equi-joins.
+@register(
+    "basket_triples_apriori",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    obp AS (
+      SELECT a.l_orderkey, a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+    ),
+    fp AS (
+      SELECT a, b FROM obp GROUP BY 1, 2
+      HAVING COUNT(*) >= {graph.MIN_SUPPORT}
+    ),
+    cand AS (
+      SELECT p1.a, p1.b, p2.b AS c
+      FROM fp p1
+      JOIN fp p2 ON p1.a = p2.a AND p1.b < p2.b
+      JOIN fp p3 ON p3.a = p1.b AND p3.b = p2.b
+    ),
+    sup AS (
+      SELECT cd.a, cd.b, cd.c, CAST(COUNT(*) AS BIGINT) AS support
+      FROM cand cd
+      JOIN obp ON obp.a = cd.a AND obp.b = cd.b
+      JOIN li ON li.l_orderkey = obp.l_orderkey
+             AND li.l_partkey = cd.c
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= {graph.MIN_SUPPORT}
+    )
+    SELECT a AS part_a, b AS part_b, c AS part_c, support
+    FROM sup ORDER BY 1, 2, 3
+    """,
+)
+def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets via the Apriori candidate join: frequent
+    pairs self-join on the shared first item, the third edge is
+    verified against the pair table (all-pairs-frequent pruning),
+    and support counts run only over candidates through equi-joins
+    on (order, part).  The raw 3-combination expansion never
+    happens — that is the plan that dies at 100 TB."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    obp = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_orderkey").alias("l_orderkey"),
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from data_pipeline_for_e_commerce_shop_spark.operators.graph import (
+        MIN_SUPPORT,
+    )
+
+    fp = (
+        obp.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= MIN_SUPPORT)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        fp.alias("p1")
+        .join(
+            fp.alias("p2"),
+            (F.col("p1.a") == F.col("p2.a"))
+            & (F.col("p1.b") < F.col("p2.b")),
+        )
+        .select(
+            F.col("p1.a").alias("a"),
+            F.col("p1.b").alias("b"),
+            F.col("p2.b").alias("c"),
+        )
+        .alias("t12")
+        .join(
+            fp.alias("p3"),
+            (F.col("p3.a") == F.col("t12.b"))
+            & (F.col("p3.b") == F.col("t12.c")),
+        )
+        .select("t12.a", "t12.b", "t12.c")
+    )
+    sup = (
+        cand.join(obp, ["a", "b"])
+        .join(
+            li.select(
+                F.col("l_orderkey"), F.col("l_partkey").alias("c")
+            ),
+            ["l_orderkey", "c"],
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= MIN_SUPPORT)
+    )
+    return sup.select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        F.col("c").alias("part_c"),
+        "support",
+    ).orderBy("part_a", "part_b", "part_c")

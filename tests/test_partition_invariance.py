@@ -287,6 +287,10 @@ PROBE = [
     "survival_nelson_aalen",
     # shared argmax/runner-up CASE over integer lexicon scores
     "lang_margin_calibration",
+    # 4-term fixed-order MI expression over exact cells
+    "events_mutual_information",
+    # level-wise candidate joins + support equi-joins
+    "basket_triples_apriori",
 ]
 
 

@@ -98,6 +98,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "ab_logrank",
                   # same shape (horizon + cohort total 1-row scalars)
                   "survival_nelson_aalen",
+                  # 1-row (n_users, n_conv) totals crossJoin
+                  # (scalar-subquery shape)
+                  "events_mutual_information",
                   # pooled totals 1-row crossJoin
                   "events_drift_chi2",
                   # bounds + totals 1-row crossJoins
