@@ -26561,3 +26561,114 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("part_c"),
         "support",
     ).orderBy("part_a", "part_b", "part_c")
+
+
+# --------------------------- Flesch-style readability
+
+# Corpus-quality gate the length/punct ratios (text_quality) cannot
+# express: READABILITY.  Words, sentences (period splits, floor 1),
+# and vowel-group syllables (one regexp) feed the Flesch reading-ease
+# formula with integer-scaled coefficients (206.835, 1.015, 84.6
+# become 206835/1015/84600 over doubles — no decimal literals, whose
+# arithmetic Spark types as DECIMAL and rounds differently).
+@register(
+    "text_readability",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(string_split(text, '.')) - 1, 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(floor(206835
+             - 1015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84600 * (CAST(n_syllables AS DOUBLE) / n_words))
+             AS BIGINT) AS flesch_e3
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document from three JVM-side counters
+    (word split, period split floored at one sentence, vowel-group
+    regexp) and the integer-scaled formula — one scan, zero joins,
+    zero UDFs; the readability rung of the text-quality ladder."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "CAST(GREATEST(size(split(text, '[.]')) - 1, 1) AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " AS BIGINT)"
+        ).alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST(floor(206835"
+            " - 1015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+            " - 84600 * (CAST(n_syllables AS DOUBLE) / n_words))"
+            " AS BIGINT)"
+        ).alias("flesch_e3"),
+    ).orderBy("doc_id")
+
+
+# --------------------------- TPC-H Q6: discount-elimination uplift
+
+# The classic "how much more revenue if these promotional discounts
+# were dropped" forecast (TPC-H Q6 shape): a single highly-selective
+# scan-aggregate whose three range predicates must ALL reach the
+# parquet reader — this query exists in the registry precisely to
+# pin the pushdown contract on a conjunctive-range filter (the plan
+# test asserts the scan carries PushedFilters).  Revenue term is
+# exact integer cents x discount-percent units.
+@register(
+    "tpch_q6_discount_uplift",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * CAST(floor(l_discount * 100) AS BIGINT))
+             AS BIGINT) AS uplift_cents_pct
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND CAST(l_quantity AS BIGINT) < 24
+    """,
+)
+def tpch_q6_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped discount-elimination forecast: one scan, all
+    three predicates pushable, one global aggregate of exact integer
+    products (cents x discount-percent) — the pushdown-contract
+    showcase.  Reference scope: scripts/transformation.py filtered
+    aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+            & (
+                F.expr("CAST(floor(l_discount * 100) AS BIGINT)")
+                .between(5, 7)
+            )
+            & (F.expr("CAST(l_quantity AS BIGINT)") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                    " * CAST(floor(l_discount * 100) AS BIGINT)"
+                )
+            ).cast("long").alias("uplift_cents_pct"),
+        )
+    )

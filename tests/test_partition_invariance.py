@@ -291,6 +291,10 @@ PROBE = [
     "events_mutual_information",
     # level-wise candidate joins + support equi-joins
     "basket_triples_apriori",
+    # scan-local counters + integer-scaled formula
+    "text_readability",
+    # selective conjunctive-range scan-aggregate
+    "tpch_q6_discount_uplift",
 ]
 
 

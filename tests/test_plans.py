@@ -314,6 +314,16 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "event_type" in pushed, physical_plan(df)
 
 
+def test_q6_conjunctive_ranges_reach_scan(spark):
+    """tpch_q6_discount_uplift exists to pin the pushdown contract on
+    a conjunctive-range filter: the shipdate bounds must appear in the
+    lineitem scan's PushedFilters (the floor()-derived discount and
+    quantity predicates stay post-scan — expressions don't push)."""
+    df = Q.QUERIES["tpch_q6_discount_uplift"](spark, SF)
+    pushed = " ".join(scan_pushed_filters(df))
+    assert "l_shipdate" in pushed, physical_plan(df)
+
+
 def test_regional_revenue_broadcasts_all_dims(spark):
     """The 6-table chain must broadcast all four dimension tables
     (customer, supplier, nation, region); only the lineitem⋈orders
