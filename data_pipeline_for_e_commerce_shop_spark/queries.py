@@ -26672,3 +26672,174 @@ def tpch_q6_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("uplift_cents_pct"),
         )
     )
+
+
+# --------------------------- TPC-H Q19: disjunctive bracket revenue
+
+# The OR-of-conjunctions predicate (TPC-H Q19 shape, p_size standing
+# in for the absent p_container): three (brand, size-range,
+# quantity-range) brackets whose revenue is summed per bracket.  The
+# disjunction cannot push as a single range, but the per-branch brand
+# IN-list does — and the join stays a broadcast of the dim side with
+# the residual evaluated post-join, which is the right 100 TB plan
+# (never three scans unioned).  Brackets are brand-disjoint, so the
+# CASE labels deterministically.
+@register(
+    "tpch_q19_bracket_revenue",
+    """
+    WITH hit AS (
+      SELECT CASE
+               WHEN p_brand = 'Brand#1' THEN 1
+               WHEN p_brand = 'Brand#2' THEN 2
+               ELSE 3 END AS bracket,
+             CAST(floor(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100) AS BIGINT))
+               AS cents_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)
+    )
+    SELECT bracket, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(cents_pct) AS BIGINT) AS revenue_cents_pct
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive bracket revenue: broadcast the
+    part dim, evaluate the OR-of-conjunctions once post-join, label
+    brackets by the (disjoint) brand, and aggregate exact
+    cents x (100 - discount-pct) units per bracket."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+        ).alias("cents_pct"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
+    )
+    hit = (
+        li.join(F.broadcast(part), "l_partkey")
+        .where(
+            (
+                (F.col("p_brand") == "Brand#1")
+                & F.col("p_size").between(1, 15)
+                & F.col("qty").between(1, 11)
+            )
+            | (
+                (F.col("p_brand") == "Brand#2")
+                & F.col("p_size").between(10, 30)
+                & F.col("qty").between(10, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#3")
+                & F.col("p_size").between(20, 50)
+                & F.col("qty").between(20, 30)
+            )
+        )
+        .select(
+            F.expr(
+                "CASE WHEN p_brand = 'Brand#1' THEN 1"
+                " WHEN p_brand = 'Brand#2' THEN 2 ELSE 3 END"
+            ).alias("bracket"),
+            "cents_pct",
+        )
+    )
+    return (
+        hit.groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents_pct").cast("long").alias("revenue_cents_pct"),
+        )
+        .orderBy("bracket")
+    )
+
+
+# --------------------------- dormant-capital screen (Q22 shape)
+
+# TPC-H Q22 re-expressed on the available columns: per nation, the
+# customers holding ABOVE-AVERAGE positive balances who placed no
+# order in the final observed year — parked capital sales should
+# chase.  The threshold comparison is cents*n > total (exact
+# integers, no division); recency exclusion is an anti join.
+DORMANT_CUTOFF = "2001-01-01"
+
+
+@register(
+    "dormant_capital_screen",
+    f"""
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT))
+               AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '{DORMANT_CUTOFF}'
+    ),
+    dormant AS (
+      SELECT c.c_nationkey,
+             CAST(floor(c.c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer c
+      CROSS JOIN thresh t
+      LEFT JOIN recent r ON c.c_custkey = r.o_custkey
+      WHERE r.o_custkey IS NULL
+        AND CAST(floor(c.c_acctbal * 100) AS BIGINT) * t.n > t.s
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+    FROM dormant GROUP BY 1 ORDER BY 1
+    """,
+)
+def dormant_capital_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped dormant-capital screen: 1-row positive-balance
+    threshold rides as a broadcast crossJoin (integer cross-multiply,
+    no division), the final-year actives anti-join out, and the
+    25-row nation rollup reports parked capital."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    thresh = cust.where(F.col("bal") > 0).agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").cast("date") >= F.lit(DORMANT_CUTOFF)
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    dormant = (
+        cust.crossJoin(F.broadcast(thresh))
+        .join(recent, "c_custkey", "left_anti")
+        .where(F.col("cents") * F.col("n") > F.col("s"))
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "c_nationkey",
+            "n_custs",
+            "total_cents",
+            F.expr("CAST(total_cents div n_custs AS BIGINT)").alias(
+                "avg_cents"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

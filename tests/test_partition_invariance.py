@@ -295,6 +295,10 @@ PROBE = [
     "text_readability",
     # selective conjunctive-range scan-aggregate
     "tpch_q6_discount_uplift",
+    # disjunctive bracket predicate post-broadcast-join
+    "tpch_q19_bracket_revenue",
+    # integer cross-multiply threshold + anti join
+    "dormant_capital_screen",
 ]
 
 

@@ -101,6 +101,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
+                  # 1-row balance-threshold crossJoin (scalar-subquery
+                  # shape)
+                  "dormant_capital_screen",
                   # pooled totals 1-row crossJoin
                   "events_drift_chi2",
                   # bounds + totals 1-row crossJoins
