@@ -26843,3 +26843,190 @@ def dormant_capital_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------- quantile treatment effects
+
+# The mean uplift (ab_test_report) hides WHERE in the distribution a
+# treatment acts; quantile treatment effects compare exact discrete
+# quantiles of per-user order value between arms — a tail-only effect
+# shows up at p75/p90 with a flat median.  percentile_disc picks real
+# data values, so both engines agree bit-for-bit on the doubles.
+@register(
+    "ab_quantile_effects",
+    """
+    WITH u AS (
+      SELECT o_custkey AS user_key,
+             CAST(('0x' || substr(md5('ab-' || CAST(o_custkey AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             quantile_disc(cents, 0.25) AS p25,
+             quantile_disc(cents, 0.50) AS p50,
+             quantile_disc(cents, 0.75) AS p75,
+             quantile_disc(cents, 0.90) AS p90
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n_control,
+             MAX(CASE WHEN arm = 1 THEN n_users END) AS n_treat,
+             MAX(CASE WHEN arm = 0 THEN p25 END) AS c25,
+             MAX(CASE WHEN arm = 1 THEN p25 END) AS t25,
+             MAX(CASE WHEN arm = 0 THEN p50 END) AS c50,
+             MAX(CASE WHEN arm = 1 THEN p50 END) AS t50,
+             MAX(CASE WHEN arm = 0 THEN p75 END) AS c75,
+             MAX(CASE WHEN arm = 1 THEN p75 END) AS t75,
+             MAX(CASE WHEN arm = 0 THEN p90 END) AS c90,
+             MAX(CASE WHEN arm = 1 THEN p90 END) AS t90
+      FROM q
+    )
+    SELECT n_control, n_treat,
+           CAST(t25 - c25 AS BIGINT) AS qte_p25_cents,
+           CAST(t50 - c50 AS BIGINT) AS qte_p50_cents,
+           CAST(t75 - c75 AS BIGINT) AS qte_p75_cents,
+           CAST(t90 - c90 AS BIGINT) AS qte_p90_cents
+    FROM w
+    """,
+)
+def ab_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects on per-user spend between the
+    hash-assigned arms: one user rollup (exact integer cents), exact
+    percentile_disc per arm, and the four QTE differences pivoted to
+    one row.  Same assignment hash as every other A/B query."""
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("cents")
+        )
+        .select(
+            (portable_hash32(F.col("o_custkey"), prefix="ab-") % 2).alias(
+                "arm"
+            ),
+            "cents",
+        )
+    )
+    q = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)"
+        ).alias("p75"),
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)"
+        ).alias("p90"),
+    )
+    w = q.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias(
+            "n_control"
+        ),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias(
+            "n_treat"
+        ),
+        *[
+            F.max(
+                F.when(F.col("arm") == a, F.col(f"p{p}"))
+            ).alias(f"{'c' if a == 0 else 't'}{p}")
+            for p in (25, 50, 75, 90)
+            for a in (0, 1)
+        ],
+    )
+    return w.select(
+        "n_control",
+        "n_treat",
+        *[
+            F.expr(f"CAST(t{p} - c{p} AS BIGINT)").alias(
+                f"qte_p{p}_cents"
+            )
+            for p in (25, 50, 75, 90)
+        ],
+    )
+
+
+# --------------------------- monthly priority-mix stability
+
+# Is the order-priority mix drifting month to month?  Total-variation
+# distance between each month's priority mix and the global mix, in
+# exact ppm integers (TV = half the sum of absolute ppm-share
+# deltas) — the category-mix analogue of the chi-square drift gates,
+# but in the interpretable "share points moved" unit.
+@register(
+    "orders_priority_mix_stability",
+    """
+    WITH cells AS (
+      SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS month,
+             o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    mtot AS (
+      SELECT month, CAST(SUM(n) AS BIGINT) AS nm FROM cells GROUP BY 1
+    ),
+    gtot AS (
+      SELECT pri, CAST(SUM(n) AS BIGINT) AS ng FROM cells GROUP BY 1
+    ),
+    alltot AS (SELECT CAST(SUM(n) AS BIGINT) AS na FROM cells),
+    deltas AS (
+      SELECT c.month,
+             ABS(c.n * 1000000 // m.nm - g.ng * 1000000 // a.na)
+               AS adelta
+      FROM cells c
+      JOIN mtot m ON c.month = m.month
+      JOIN gtot g ON c.pri = g.pri
+      CROSS JOIN alltot a
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(SUM(adelta) // 2 AS BIGINT) AS tv_ppm
+    FROM deltas GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_priority_mix_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly total-variation distance of the order-priority mix vs
+    the global mix: one (month, priority) rollup, broadcast margins,
+    exact ppm share deltas — drift in interpretable share points,
+    beside the chi-square gates."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+            "month"
+        ),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cells = orders.groupBy("month", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mtot = cells.groupBy("month").agg(F.sum("n").cast("long").alias("nm"))
+    gtot = cells.groupBy("pri").agg(F.sum("n").cast("long").alias("ng"))
+    alltot = cells.agg(F.sum("n").cast("long").alias("na"))
+    deltas = (
+        cells.join(F.broadcast(mtot), "month")
+        .join(F.broadcast(gtot), "pri")
+        .crossJoin(F.broadcast(alltot))
+        .select(
+            "month",
+            F.expr(
+                "ABS(n * 1000000 div nm - ng * 1000000 div na)"
+            ).alias("adelta"),
+        )
+    )
+    return (
+        deltas.groupBy("month")
+        .agg(F.expr("CAST(SUM(adelta) div 2 AS BIGINT)").alias("tv_ppm"))
+        .select(F.col("month").cast("date").alias("month"), "tv_ppm")
+        .orderBy("month")
+    )

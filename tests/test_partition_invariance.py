@@ -299,6 +299,10 @@ PROBE = [
     "tpch_q19_bracket_revenue",
     # integer cross-multiply threshold + anti join
     "dormant_capital_screen",
+    # exact per-arm percentile_disc pivot
+    "ab_quantile_effects",
+    # exact ppm share deltas vs broadcast margins
+    "orders_priority_mix_stability",
 ]
 
 
