@@ -1201,3 +1201,59 @@ def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank LONG, vec_id LONG, rel_cosine DOUBLE,"
         " redundancy DOUBLE, mmr_x2 DOUBLE",
     ).orderBy("rank")
+
+
+IVF_CURVE_PROBES = (1, 2, 4)  # interpolated into the oracle SQL
+
+
+def ivf_nprobe_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: tuple = IVF_CURVE_PROBES,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k as a function of n_probe for the IVF index — the
+    accuracy-vs-cost tuning curve every IVF deployment reads before
+    fixing its probe count (the dedup_lsh_tuning_curve counterpart on
+    the ANN side).  Per probe setting: IVF top-k against the brute
+    ground truth, hits counted per query, zero-hit queries kept by
+    the left join.
+
+    Scale shape: each probe setting re-scores only n_probe/n_centroid
+    of the corpus (the IVF invariant); the brute baseline is the
+    deliberate broadcast-NL ground-truth pass shared with ann_recall.
+    """
+    brute = brute_force_topk(spark, sf_dir, k=k).select(
+        "query_id", "corpus_id"
+    ).localCheckpoint(eager=False)
+    qids = brute.select("query_id").distinct()
+    outs = []
+    for p in probes:
+        ivf = ivf_topk(spark, sf_dir, k=k, n_probe=p).select(
+            "query_id", "corpus_id"
+        )
+        hits = (
+            brute.join(ivf, ["query_id", "corpus_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        )
+        outs.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "query_id",
+                F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias(
+                    "hits"
+                ),
+            )
+        )
+    cur = outs[0]
+    for o in outs[1:]:
+        cur = cur.unionByName(o)
+    return cur.select(
+        "n_probe",
+        "query_id",
+        "hits",
+        F.expr(f"CAST(hits * 1000000 div {k} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    ).orderBy("n_probe", "query_id")

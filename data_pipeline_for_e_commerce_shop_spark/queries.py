@@ -27030,3 +27030,40 @@ def orders_priority_mix_stability(
         .select(F.col("month").cast("date").alias("month"), "tv_ppm")
         .orderBy("month")
     )
+
+
+# --------------------------- IVF n_probe tuning curve
+
+# The accuracy-vs-cost dial of the IVF index: recall@5 per n_probe in
+# {1, 2, 4} against the brute ground truth — the ANN-side counterpart
+# of dedup_lsh_tuning_curve.  The oracle re-parameterises the shared
+# IVF SQL (query probe depth is the only difference) and composes the
+# brute oracle, so every point on the curve is value-hash-checked.
+def _ivf_probe_sql(p: int) -> str:
+    return _IVF_TOPK_ORACLE.replace("WHERE pr <= 2", f"WHERE pr <= {p}")
+
+
+register(
+    "ann_ivf_nprobe_curve",
+    f"""
+    WITH brute AS ({_COSINE_TOPK_ORACLE}),
+    qids AS (SELECT DISTINCT query_id FROM brute),
+    {", ".join(
+        f"ivf{p} AS ({_ivf_probe_sql(p)}),"
+        f" h{p} AS (SELECT b.query_id,"
+        f" CAST(COUNT(v.corpus_id) AS BIGINT) AS hits"
+        f" FROM brute b LEFT JOIN ivf{p} v USING (query_id, corpus_id)"
+        f" GROUP BY 1)"
+        for p in similarity.IVF_CURVE_PROBES
+    )}
+    {" UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS n_probe, q.query_id,"
+        f" COALESCE(h{p}.hits, 0) AS hits,"
+        f" CAST(COALESCE(h{p}.hits, 0) * 1000000 // 5 AS BIGINT)"
+        f" AS recall_ppm"
+        f" FROM qids q LEFT JOIN h{p} ON q.query_id = h{p}.query_id"
+        for p in similarity.IVF_CURVE_PROBES
+    )}
+    ORDER BY n_probe, query_id
+    """,
+)(similarity.ivf_nprobe_curve)

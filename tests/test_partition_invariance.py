@@ -303,6 +303,8 @@ PROBE = [
     "ab_quantile_effects",
     # exact ppm share deltas vs broadcast margins
     "orders_priority_mix_stability",
+    # three probe depths vs brute ground truth
+    "ann_ivf_nprobe_curve",
 ]
 
 

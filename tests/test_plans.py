@@ -33,6 +33,9 @@ SF = "/root/testdata/sf0.001"
 NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # composes all three top-k pipelines, including brute
                   "ann_recall",
+                  # composes brute + three IVF probe depths (brute +
+                  # centroid-model crossJoins, both declared shapes)
+                  "ann_ivf_nprobe_curve",
                   # brute-force at several prefix widths: broadcast-NL
                   # of the query rows is the intended plan (like brute)
                   "ann_matryoshka_recall",
