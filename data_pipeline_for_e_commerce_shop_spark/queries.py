@@ -27067,3 +27067,241 @@ register(
     ORDER BY n_probe, query_id
     """,
 )(similarity.ivf_nprobe_curve)
+
+
+# --------------------------- weekend effect size (Cohen's d)
+
+# weekend_value_ztest says WHETHER weekend order values differ;
+# Cohen's d / Hedges' g say BY HOW MUCH in pooled-SD units — the
+# number a prioritization meeting actually needs.  Per category:
+# exact integer (n, sum, sum-of-squares) conditional sums, means and
+# variances in doubles via CAST-first products (s*s would overflow
+# int64; CAST(s AS DOUBLE)*s cannot), pooled SD, and the small-sample
+# Hedges correction.  Int64 bound: ss = sum cents^2 stays exact to
+# ~9e18 (sf0.1 is ~6e17; document, don't widen).
+@register(
+    "category_weekend_effect_size",
+    """
+    WITH x AS (
+      SELECT p_type AS category,
+             CASE WHEN dayofweek(CAST(l_shipdate AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS wk,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    m AS (
+      SELECT category,
+        CAST(SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN wk = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN wk = 1 THEN c * c ELSE 0 END) AS BIGINT)
+          AS ss1,
+        CAST(SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN wk = 0 THEN c ELSE 0 END) AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN wk = 0 THEN c * c ELSE 0 END) AS BIGINT)
+          AS ss0
+      FROM x GROUP BY 1
+    ),
+    d AS (
+      SELECT category, n1, n0,
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt((
+                 (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                 + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+               ) / (n1 + n0 - 2)) AS cohens_d
+      FROM m
+    )
+    SELECT category, n1 AS n_weekend, n0 AS n_weekday,
+           CAST(floor(cohens_d * 1000000) AS BIGINT) AS d_me6,
+           CAST(floor(cohens_d
+             * (1 - CAST(3 AS DOUBLE) / (4 * (n1 + n0) - 9))
+             * 1000000) AS BIGINT) AS g_me6
+    FROM d ORDER BY category
+    """,
+)
+def category_weekend_effect_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's d + Hedges' g of weekend vs weekday line revenue per
+    category: one broadcast dim join, one conditional-sum rollup to
+    |categories| rows, then pooled-SD doubles from exact integer
+    moments (CAST-first products keep int64 safe)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(
+            (F.dayofweek(F.col("l_shipdate").cast("date")) - 1).isin(0, 6),
+            1,
+        ).otherwise(0).alias("wk"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("c"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("category"),
+    )
+    m = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("wk") == 1, 1).otherwise(0))
+            .cast("long").alias("n1"),
+            F.sum(F.when(F.col("wk") == 1, F.col("c")).otherwise(0))
+            .cast("long").alias("s1"),
+            F.sum(
+                F.when(F.col("wk") == 1, F.col("c") * F.col("c"))
+                .otherwise(0)
+            ).cast("long").alias("ss1"),
+            F.sum(F.when(F.col("wk") == 0, 1).otherwise(0))
+            .cast("long").alias("n0"),
+            F.sum(F.when(F.col("wk") == 0, F.col("c")).otherwise(0))
+            .cast("long").alias("s0"),
+            F.sum(
+                F.when(F.col("wk") == 0, F.col("c") * F.col("c"))
+                .otherwise(0)
+            ).cast("long").alias("ss0"),
+        )
+    )
+    d = m.select(
+        "category",
+        "n1",
+        "n0",
+        F.expr(
+            "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+            " / sqrt(("
+            "   (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+            "   + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)"
+            " ) / (n1 + n0 - 2))"
+        ).alias("cohens_d"),
+    )
+    return d.select(
+        "category",
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.expr("CAST(floor(cohens_d * 1000000) AS BIGINT)").alias("d_me6"),
+        F.expr(
+            "CAST(floor(cohens_d"
+            " * (1 - CAST(3 AS DOUBLE) / (4 * (n1 + n0) - 9))"
+            " * 1000000) AS BIGINT)"
+        ).alias("g_me6"),
+    ).orderBy("category")
+
+
+# --------------------------- Kendall tau-b across nations
+
+# nation_spearman_bal_spend ranks; Kendall tau-b counts concordant vs
+# discordant pairs and is the more robust small-n association — and
+# here it is DIVISION-FREE: per-capita comparisons are exact integer
+# cross-multiplications (s_i·n_j vs s_j·n_i), so ties are exact, not
+# float artifacts.  The 25-row nation aggregate self-joins into 300
+# pairs — an aggregate-reduced grid, never a fact-level blowup.
+_KT_SIGN = (
+    "(CASE WHEN {a} > {b} THEN 1 WHEN {a} < {b} THEN -1 ELSE 0 END)"
+)
+
+
+@register(
+    "nation_kendall_tau",
+    f"""
+    WITH bal AS (
+      SELECT c_nationkey AS nk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT))
+               AS BIGINT) AS sb
+      FROM customer GROUP BY 1
+    ),
+    spend AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS sp
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT bal.nk, bal.n, bal.sb, spend.sp
+      FROM bal JOIN spend ON bal.nk = spend.nk
+    ),
+    pairs AS (
+      SELECT {_KT_SIGN.format(a="a.sb * b.n", b="b.sb * a.n")} AS sx,
+             {_KT_SIGN.format(a="a.sp * b.n", b="b.sp * a.n")} AS sy
+      FROM g a JOIN g b ON a.nk < b.nk
+    ),
+    cnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS disc,
+             CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ties_x,
+             CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ties_y
+      FROM pairs
+    )
+    SELECT n_pairs, conc, disc, ties_x, ties_y,
+           CAST(floor((CAST(conc AS DOUBLE) - disc)
+             / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                    * (n_pairs - ties_y)) * 1000000) AS BIGINT)
+             AS tau_b_me6
+    FROM cnt
+    """,
+)
+def nation_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between per-capita balance (customer rollup)
+    and per-capita spend (orders rollup) across nations: two 25-row
+    aggregates joined, a 300-pair grid self-join on nk<nk
+    (aggregate-reduced), exact integer cross-multiplied comparisons
+    (no division anywhere before the final tau), shared sign CASE
+    string on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("bal"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("spend"),
+    )
+    bal = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal").cast("long").alias("sb"),
+    )
+    spend = (
+        cust.join(orders, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.sum("spend").cast("long").alias("sp"))
+    )
+    g = bal.join(spend, "c_nationkey").select(
+        F.col("c_nationkey").alias("nk"), "n", "sb", "sp"
+    )
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), F.col("a.nk") < F.col("b.nk"))
+        .select(
+            F.expr(
+                _KT_SIGN.format(a="a.sb * b.n", b="b.sb * a.n")
+            ).alias("sx"),
+            F.expr(
+                _KT_SIGN.format(a="a.sp * b.n", b="b.sp * a.n")
+            ).alias("sy"),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0))
+        .cast("long").alias("conc"),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0))
+        .cast("long").alias("disc"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0))
+        .cast("long").alias("ties_x"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0))
+        .cast("long").alias("ties_y"),
+    ).select(
+        "n_pairs",
+        "conc",
+        "disc",
+        "ties_x",
+        "ties_y",
+        F.expr(
+            "CAST(floor((CAST(conc AS DOUBLE) - disc)"
+            " / sqrt(CAST(n_pairs - ties_x AS DOUBLE)"
+            "        * (n_pairs - ties_y)) * 1000000) AS BIGINT)"
+        ).alias("tau_b_me6"),
+    )

@@ -305,6 +305,10 @@ PROBE = [
     "orders_priority_mix_stability",
     # three probe depths vs brute ground truth
     "ann_ivf_nprobe_curve",
+    # pooled-SD doubles from exact conditional moments
+    "category_weekend_effect_size",
+    # integer cross-multiplied concordance over the 300-pair grid
+    "nation_kendall_tau",
 ]
 
 
