@@ -27305,3 +27305,165 @@ def nation_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * (n_pairs - ties_y)) * 1000000) AS BIGINT)"
         ).alias("tau_b_me6"),
     )
+
+
+# --------------------------- G-test of lang x source independence
+
+# The likelihood-ratio counterpart to the Pearson chi-square gates:
+# G = 2 Σ O·ln(O·N / (R·C)) is additive across partitions of the
+# table (the property Pearson lacks), which is why corpus monitors
+# prefer it — per-shard G values sum exactly.  Cells of the
+# (lang, source) grid are exact integers; the fold is key-ordered.
+@register(
+    "doc_lang_source_gtest",
+    """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    mr AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    mc AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+                  CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
+           FROM cells),
+    terms AS (
+      SELECT ce.lang, ce.source,
+             2 * CAST(ce.o AS DOUBLE)
+               * ln(CAST(ce.o AS DOUBLE) * nn.n
+                    / (CAST(mr.r AS DOUBLE) * mc.c)) AS t
+      FROM cells ce JOIN mr ON ce.lang = mr.lang
+      JOIN mc ON ce.source = mc.source
+      CROSS JOIN nn
+    )
+    SELECT (SELECT nr FROM nn) AS n_langs,
+           (SELECT nc FROM nn) AS n_sources,
+           ((SELECT nr FROM nn) - 1) * ((SELECT nc FROM nn) - 1) AS df,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             (SELECT list(t ORDER BY lang, source) FROM terms)),
+             (a, b) -> a + b) * 1000) AS BIGINT) AS g_e3
+    """,
+)
+def doc_lang_source_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test of (lang, source) independence on the
+    documents table: one rollup to the ~20-cell grid, broadcast
+    margins, per-cell 2·O·ln(O·N/RC) terms, key-ordered fold — the
+    shard-ADDITIVE independence statistic beside the Pearson gates."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    mr = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    mc = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("nr"),
+        F.countDistinct("source").cast("long").alias("nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(mr), "lang")
+        .join(F.broadcast(mc), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            "source",
+            "nr",
+            "nc",
+            F.expr(
+                "2 * CAST(o AS DOUBLE)"
+                " * ln(CAST(o AS DOUBLE) * n"
+                "      / (CAST(r AS DOUBLE) * c))"
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("nr", "nc").agg(
+        F.expr(
+            "CAST(floor(aggregate(array_sort(collect_list("
+            " named_struct('k1', lang, 'k2', source, 'v', t))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.v) * 1000)"
+            " AS BIGINT)"
+        ).alias("g_e3")
+    ).select(
+        F.col("nr").alias("n_langs"),
+        F.col("nc").alias("n_sources"),
+        F.expr("(nr - 1) * (nc - 1)").alias("df"),
+        "g_e3",
+    )
+
+
+# --------------------------- Cochran-Armitage return trend
+
+# Does return probability RISE with discount depth?  A per-band
+# chi-square would ignore the ordering; the Cochran-Armitage trend
+# test scores the ordered discount bands (s_i = band index) and
+# tests the linear trend in proportions — one scan, exact integer
+# moments (Σsr, Σsn, Σs²n, R, N), one closed-form z.
+@register(
+    "discount_return_trend",
+    """
+    WITH b AS (
+      SELECT CAST(floor(l_discount * 100) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ret) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS n_bands,
+             CAST(SUM(s * ret) AS BIGINT) AS ssr,
+             CAST(SUM(s) AS BIGINT) AS ssn,
+             CAST(SUM(s * s) AS BIGINT) AS ss2n
+      FROM b
+    )
+    SELECT n AS n_lines, r AS n_returns, n_bands,
+           CAST(floor(
+             (CAST(ssr AS DOUBLE) - CAST(r AS DOUBLE) * ssn / n)
+             / sqrt((CAST(r AS DOUBLE) / n)
+                    * (1 - CAST(r AS DOUBLE) / n)
+                    * (CAST(ss2n AS DOUBLE)
+                       - CAST(ssn AS DOUBLE) * ssn / n))
+             * 1000) AS BIGINT) AS z_e3,
+           CASE WHEN ABS(
+             (CAST(ssr AS DOUBLE) - CAST(r AS DOUBLE) * ssn / n)
+             / sqrt((CAST(r AS DOUBLE) / n)
+                    * (1 - CAST(r AS DOUBLE) / n)
+                    * (CAST(ss2n AS DOUBLE)
+                       - CAST(ssn AS DOUBLE) * ssn / n))
+             ) > 1.959964 THEN 1 ELSE 0 END AS significant
+    FROM m
+    """,
+)
+def discount_return_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test of return rate across ordered
+    discount bands: one scan to five exact integer moments, one
+    closed-form z in doubles (same frozen 1.96 critical value as the
+    other z gates) — ordering-aware where the chi-square gates are
+    not."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_discount * 100) AS BIGINT)").alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ret").cast("long").alias("r"),
+        F.countDistinct("s").cast("long").alias("n_bands"),
+        F.sum(F.col("s") * F.col("ret")).cast("long").alias("ssr"),
+        F.sum("s").cast("long").alias("ssn"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss2n"),
+    )
+    zexpr = (
+        "(CAST(ssr AS DOUBLE) - CAST(r AS DOUBLE) * ssn / n)"
+        " / sqrt((CAST(r AS DOUBLE) / n)"
+        "        * (1 - CAST(r AS DOUBLE) / n)"
+        "        * (CAST(ss2n AS DOUBLE)"
+        "           - CAST(ssn AS DOUBLE) * ssn / n))"
+    )
+    return m.select(
+        F.col("n").alias("n_lines"),
+        F.col("r").alias("n_returns"),
+        "n_bands",
+        F.expr(f"CAST(floor(({zexpr}) * 1000) AS BIGINT)").alias("z_e3"),
+        F.expr(
+            f"CASE WHEN ABS({zexpr}) > 1.959964 THEN 1 ELSE 0 END"
+        ).alias("significant"),
+    )

@@ -309,6 +309,10 @@ PROBE = [
     "category_weekend_effect_size",
     # integer cross-multiplied concordance over the 300-pair grid
     "nation_kendall_tau",
+    # key-ordered G-term fold over the lang x source grid
+    "doc_lang_source_gtest",
+    # one-scan integer moments + closed-form trend z
+    "discount_return_trend",
 ]
 
 

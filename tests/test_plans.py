@@ -109,6 +109,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "dormant_capital_screen",
                   # 1-row grand-total crossJoin (scalar-subquery shape)
                   "orders_priority_mix_stability",
+                  # 1-row grand-total crossJoin (scalar-subquery shape)
+                  "doc_lang_source_gtest",
                   # pooled totals 1-row crossJoin
                   "events_drift_chi2",
                   # bounds + totals 1-row crossJoins
