@@ -941,6 +941,18 @@ NB_TEST_MOD = 5  # doc_id % MOD == 0 is the held-out evaluation split
 
 
 def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix of the NB classifier — the per-doc
+    predictions come from nb_doc_predictions (shared with the McNemar
+    paired comparison); see its docstring for the full plan story."""
+    pred = nb_doc_predictions(spark, sf_dir)
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def nb_doc_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained AND
     evaluated inside the engine: add-1-smoothed per-language token
     log-probabilities fit on the train split (doc_id % NB_TEST_MOD
@@ -1044,11 +1056,7 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
     )
-    return (
-        pred.groupBy("true_lang", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("true_lang", "pred_lang")
-    )
+    return pred
 
 
 BIGRAM_CE_MAX = 3.2  # keep threshold (nats)

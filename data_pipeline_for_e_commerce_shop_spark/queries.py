@@ -6819,9 +6819,7 @@ register(
 # doc_id % mod != 0 split, held-out confusion matrix.  Smoothing,
 # split selector, and the sequential score fold mirror the operator;
 # the fold is the unigram-CE float-parity device.
-register(
-    "text_nb_classifier",
-    f"""
+_NB_PRED_CTES = f"""
     WITH tr AS (
       SELECT doc_id, lang, text FROM documents
       WHERE doc_id % {text.NB_TEST_MOD} != 0
@@ -6875,6 +6873,11 @@ register(
         FROM folded
       ) WHERE rk = 1
     )
+"""
+
+register(
+    "text_nb_classifier",
+    _NB_PRED_CTES + """
     SELECT true_lang, pred_lang, COUNT(*) AS n_docs
     FROM pred GROUP BY 1, 2
     ORDER BY 1, 2
@@ -27465,5 +27468,119 @@ def discount_return_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor(({zexpr}) * 1000) AS BIGINT)").alias("z_e3"),
         F.expr(
             f"CASE WHEN ABS({zexpr}) > 1.959964 THEN 1 ELSE 0 END"
+        ).alias("significant"),
+    )
+
+
+# --------------------------- McNemar paired classifier comparison
+
+# "Is the trained NB actually better than the lexicon heuristic?"
+# Accuracy deltas on overlapping test sets need the PAIRED test:
+# McNemar uses only the disagreement cells (NB-right/heuristic-wrong
+# vs the reverse) on the SAME held-out docs.  Fully integer — the
+# statistic and the chi-square(df=1) significance gate are exact
+# cross-multiplications, no doubles anywhere.
+@register(
+    "mcnemar_lang_classifiers",
+    _NB_PRED_CTES
+    + f"""
+    , heur AS (
+      SELECT doc_id, lang AS true_lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','fast','order','key'], t))) AS score_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['data','merge','window','batch'], t))) AS score_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['join','filter','row','table'], t))) AS score_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['spark','query','stream','vector'], t))) AS score_fr
+      FROM documents WHERE doc_id % {text.NB_TEST_MOD} = 0
+    ),
+    hp AS (
+      SELECT doc_id, true_lang, {_LANG_PRED_CASE} AS h_pred FROM heur
+    ),
+    paired AS (
+      SELECT CASE WHEN p.pred_lang = p.true_lang THEN 1 ELSE 0 END
+               AS nb_ok,
+             CASE WHEN h.h_pred = h.true_lang THEN 1 ELSE 0 END AS h_ok
+      FROM pred p JOIN hp h ON p.doc_id = h.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nb_ok * h_ok) AS BIGINT) AS both_right,
+             CAST(SUM(nb_ok * (1 - h_ok)) AS BIGINT) AS nb_only,
+             CAST(SUM((1 - nb_ok) * h_ok) AS BIGINT) AS heur_only,
+             CAST(SUM((1 - nb_ok) * (1 - h_ok)) AS BIGINT) AS both_wrong
+      FROM paired
+    )
+    SELECT n_docs, both_right, nb_only, heur_only, both_wrong,
+           CAST(CASE WHEN nb_only + heur_only > 0
+                THEN (nb_only - heur_only) * (nb_only - heur_only)
+                     * 1000 // (nb_only + heur_only)
+                ELSE 0 END AS BIGINT) AS mcnemar_e3,
+           CASE WHEN (nb_only - heur_only) * (nb_only - heur_only)
+                     * 1000000 > 3841459 * (nb_only + heur_only)
+                THEN 1 ELSE 0 END AS significant
+    FROM agg
+    """,
+)
+def mcnemar_lang_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test of the NB classifier vs the lexicon
+    heuristic on the shared held-out split: per-doc NB predictions
+    (text.nb_doc_predictions — shared with the confusion matrix),
+    heuristic argmax via the shared CASE string, one doc_id equi-join,
+    and a fully-integer disagreement-cell statistic with an exact
+    cross-multiplied chi-square(df=1, 3.841459) gate."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.text import (
+        NB_TEST_MOD,
+        lang_score_cols,
+        nb_doc_predictions,
+    )
+
+    nb = nb_doc_predictions(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END"
+        ).alias("nb_ok"),
+    )
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % NB_TEST_MOD == 0
+    )
+    hp = docs.select(
+        "doc_id", F.col("lang").alias("true_lang"), *lang_score_cols()
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN ({_LANG_PRED_CASE}) = true_lang"
+            " THEN 1 ELSE 0 END"
+        ).alias("h_ok"),
+    )
+    agg = nb.join(hp, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("nb_ok") * F.col("h_ok"))
+        .cast("long").alias("both_right"),
+        F.sum(F.col("nb_ok") * (1 - F.col("h_ok")))
+        .cast("long").alias("nb_only"),
+        F.sum((1 - F.col("nb_ok")) * F.col("h_ok"))
+        .cast("long").alias("heur_only"),
+        F.sum((1 - F.col("nb_ok")) * (1 - F.col("h_ok")))
+        .cast("long").alias("both_wrong"),
+    )
+    return agg.select(
+        "n_docs",
+        "both_right",
+        "nb_only",
+        "heur_only",
+        "both_wrong",
+        F.expr(
+            "CAST(CASE WHEN nb_only + heur_only > 0"
+            " THEN (nb_only - heur_only) * (nb_only - heur_only)"
+            "      * 1000 div (nb_only + heur_only)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("mcnemar_e3"),
+        F.expr(
+            "CASE WHEN (nb_only - heur_only) * (nb_only - heur_only)"
+            " * 1000000 > 3841459 * (nb_only + heur_only)"
+            " THEN 1 ELSE 0 END"
         ).alias("significant"),
     )

@@ -313,6 +313,8 @@ PROBE = [
     "doc_lang_source_gtest",
     # one-scan integer moments + closed-form trend z
     "discount_return_trend",
+    # paired disagreement cells over shared NB + heuristic preds
+    "mcnemar_lang_classifiers",
 ]
 
 

@@ -62,6 +62,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # |langs|-row stats + 1-row vocab-size ride the token
                   # stream as broadcast crossJoins (model-scoring shape)
                   "text_nb_classifier",
+                  # same NB model-scoring shape (shared per-doc preds)
+                  "mcnemar_lang_classifiers",
                   # hour-spine x type-vocabulary grid: both sides are
                   # aggregate-reduced (|hours|, |types| rows) — the
                   # cross product is the OUTPUT size, not a pair scan
