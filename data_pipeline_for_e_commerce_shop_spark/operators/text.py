@@ -1133,3 +1133,102 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ce.alias("ce_nats"),
         (ce <= BIGRAM_CE_MAX).alias("keep"),
     )
+
+
+TEXTRANK_ITER = 2
+TEXTRANK_TOPK = 20
+TEXTRANK_MIN_W = 2
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords: damped integer PageRank over
+    the adjacent-token co-occurrence graph (stopwords dropped, edge
+    weight = corpus-wide adjacency count pruned at TEXTRANK_MIN_W) —
+    the graph-centrality keyword extractor beside RAKE's
+    degree/frequency heuristic.  Same integer-exact transfer device
+    as graph.part_pagerank (floor pr·w DIV outw, 85/100 damping), so
+    the unrolled oracle replays the identical trajectory.
+
+    Scale: one tokenize pass to adjacent pairs (posexplode +
+    self-join on position+1 — shuffle keyed on (doc, pos)); the word
+    graph is vocabulary-sized, so each iteration's edges⋈scores join
+    broadcasts the score table.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.operators.graph import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_SCALE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).where(~F.col("w").isin(STOPWORDS))
+    pairs = (
+        toks.alias("x")
+        .join(
+            toks.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.pos") + 1 == F.col("y.pos")),
+        )
+        .where(F.col("x.w") != F.col("y.w"))
+        .select(
+            F.least(F.col("x.w"), F.col("y.w")).alias("wa"),
+            F.greatest(F.col("x.w"), F.col("y.w")).alias("wb"),
+        )
+    )
+    und = (
+        pairs.groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .where(F.col("w") >= TEXTRANK_MIN_W)
+    )
+    edges = (
+        und.select(F.col("wa").alias("src"), F.col("wb").alias("dst"), "w")
+        .unionByName(
+            und.select(
+                F.col("wb").alias("src"), F.col("wa").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    nodes = outw.select(F.col("src").alias("word"))
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    pr = nodes.select(
+        "word", F.lit(PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(TEXTRANK_ITER):
+        contrib = (
+            edges.join(
+                F.broadcast(pr.select(F.col("word").alias("src"), "pr")),
+                "src",
+            )
+            .join(F.broadcast(outw), "src")
+            .select("dst", F.expr("pr * w div outw").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        pr = nodes.join(
+            F.broadcast(
+                contrib.select(F.col("dst").alias("word"), "inflow")
+            ),
+            "word",
+            "left",
+        ).select(
+            "word",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"{PR_D_NUM} * coalesce(inflow, 0) div {PR_D_DEN}"
+                )
+            ).cast("long").alias("pr"),
+        )
+    from pyspark.sql import Window
+
+    wn = Window.orderBy(F.col("pr").desc(), F.col("word").asc())
+    return (
+        pr.withColumn("rank", F.row_number().over(wn))
+        .where(F.col("rank") <= TEXTRANK_TOPK)
+        .select("rank", "word", "pr")
+        .orderBy("rank")
+    )

@@ -27584,3 +27584,77 @@ def mcnemar_lang_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("significant"),
     )
+
+
+# --------------------------- TextRank keywords
+
+def _textrank_oracle() -> str:
+    """Unrolled TextRank trajectory: positional tokenize (the
+    no-WITH-ORDINALITY device), adjacency edges, then the same
+    integer-exact damped transfer rounds as _pagerank_oracle over the
+    word graph."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.graph import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_SCALE,
+    )
+
+    stop = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    parts = [
+        f"""
+    WITH tk AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      CROSS JOIN UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    ft AS (SELECT doc_id, pos, w FROM tk WHERE w NOT IN ({stop})),
+    pairs AS (
+      SELECT LEAST(x.w, y.w) AS wa, GREATEST(x.w, y.w) AS wb
+      FROM ft x JOIN ft y ON x.doc_id = y.doc_id AND x.pos + 1 = y.pos
+      WHERE x.w != y.w
+    ),
+    und AS (
+      SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS w FROM pairs
+      GROUP BY 1, 2 HAVING COUNT(*) >= {text.TEXTRANK_MIN_W}
+    ),
+    edges AS (
+      SELECT wa AS src, wb AS dst, w FROM und
+      UNION ALL SELECT wb, wa, w FROM und
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+             FROM edges GROUP BY 1),
+    e AS (SELECT edges.src, dst, w, outw FROM edges JOIN outw USING (src)),
+    pr0 AS (SELECT src AS word, CAST({PR_SCALE} AS BIGINT) AS pr
+            FROM outw)"""
+    ]
+    for t in range(1, text.TEXTRANK_ITER + 1):
+        parts.append(
+            f""",
+    c{t} AS (
+      SELECT dst, SUM((pr * w) // outw) AS inflow
+      FROM e JOIN pr{t - 1} p ON e.src = p.word
+      GROUP BY dst
+    ),
+    pr{t} AS (
+      SELECT n.word,
+             CAST({base} + ({PR_D_NUM} * COALESCE(c.inflow, 0))
+                  // {PR_D_DEN} AS BIGINT) AS pr
+      FROM pr0 n LEFT JOIN c{t} c ON n.word = c.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT rank, word, pr FROM (
+      SELECT word, pr,
+             row_number() OVER (ORDER BY pr DESC, word ASC) AS rank
+      FROM pr{text.TEXTRANK_ITER}
+    ) WHERE rank <= {text.TEXTRANK_TOPK} ORDER BY rank
+    """
+    )
+    return "".join(parts)
+
+
+register("text_textrank_keywords", _textrank_oracle())(
+    text.textrank_keywords
+)

@@ -315,6 +315,8 @@ PROBE = [
     "discount_return_trend",
     # paired disagreement cells over shared NB + heuristic preds
     "mcnemar_lang_classifiers",
+    # integer pagerank transfers over the word adjacency graph
+    "text_textrank_keywords",
 ]
 
 
