@@ -299,3 +299,38 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_e12"
         ),
     ).orderBy("t_days")
+
+
+def km_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time: the area under the KM step
+    curve up to the last event time — "expected days to convert,
+    capped at the horizon", the single number the KM curve is usually
+    summarised to.  Composes km_survival's rows; each step's area is
+    (t_i − t_{i−1})·S_{i−1} (first step height 1), summed in a
+    t-ordered fold (double addition is not associative).
+    """
+    km = km_survival(spark, sf_dir).select("t_days", "survival")
+    w = Window.orderBy("t_days")
+    lagd = km.select(
+        "t_days",
+        "survival",
+        F.lag("t_days").over(w).alias("pt"),
+        F.lag("survival").over(w).alias("ps"),
+    )
+    terms = lagd.select(
+        "t_days",
+        F.expr(
+            "CASE WHEN pt IS NULL THEN CAST(t_days AS DOUBLE)"
+            " ELSE (t_days - pt) * ps END"
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.max("t_days").cast("long").alias("horizon_days"),
+        F.expr(
+            "CAST(floor(aggregate(array_sort(collect_list("
+            " named_struct('key', t_days, 'v', term))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.v) * 1000000)"
+            " AS BIGINT)"
+        ).alias("rmst_e6"),
+    )

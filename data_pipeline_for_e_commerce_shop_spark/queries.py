@@ -27658,3 +27658,121 @@ def _textrank_oracle() -> str:
 register("text_textrank_keywords", _textrank_oracle())(
     text.textrank_keywords
 )
+
+
+# --------------------------- restricted mean survival time
+
+# The KM curve summarised to the one number a planning meeting needs:
+# expected days-to-convert capped at the last event time (area under
+# the step curve).  The oracle wraps the registered KM oracle as a
+# CTE, so the two can never drift; the step areas sum in a t-ordered
+# fold.
+register(
+    "survival_rmst",
+    "WITH km AS (" + ORACLES["survival_km"] + """),
+    lagd AS (
+      SELECT t_days, survival,
+             LAG(t_days) OVER (ORDER BY t_days) AS pt,
+             LAG(survival) OVER (ORDER BY t_days) AS ps
+      FROM km
+    ),
+    terms AS (
+      SELECT t_days,
+             CASE WHEN pt IS NULL THEN CAST(t_days AS DOUBLE)
+                  ELSE (t_days - pt) * ps END AS term
+      FROM lagd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           CAST(MAX(t_days) AS BIGINT) AS horizon_days,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY t_days)), (a, b) -> a + b) * 1000000)
+             AS BIGINT) AS rmst_e6
+    FROM terms
+    """,
+)(stats.km_rmst)
+
+
+# --------------------------- deterministic k-fold assignment
+
+# Cross-validation folds must be REPRODUCIBLE (re-runs and backfills
+# agree) and class-balanced; this is the k-fold counterpart of
+# corpus_shuffle_split's single split.  md5 fold assignment plus a
+# per-(fold, lang) balance audit: each fold's language share vs the
+# corpus share, in exact ppm — a skewed fold invalidates the CV
+# estimate before any model runs.
+KFOLD_K = 5
+
+
+@register(
+    "corpus_kfold_assign",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('kf-' || CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % {KFOLD_K} AS fold
+      FROM documents
+    ),
+    cells AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned GROUP BY 1, 2
+    ),
+    ftot AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS nf
+             FROM cells GROUP BY 1),
+    ltot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl
+             FROM cells GROUP BY 1),
+    atot AS (SELECT CAST(SUM(n) AS BIGINT) AS na FROM cells)
+    SELECT c.fold, c.lang, c.n,
+           CAST(c.n * 1000000 // f.nf AS BIGINT) AS fold_share_ppm,
+           CAST(l.nl * 1000000 // a.na AS BIGINT) AS corpus_share_ppm,
+           CAST(c.n * 1000000 // f.nf
+                - l.nl * 1000000 // a.na AS BIGINT) AS skew_ppm
+    FROM cells c
+    JOIN ftot f ON c.fold = f.fold
+    JOIN ltot l ON c.lang = l.lang
+    CROSS JOIN atot a
+    ORDER BY c.fold, c.lang
+    """,
+)
+def corpus_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 k-fold assignment with a per-(fold, lang)
+    class-balance audit in exact ppm (fold share vs corpus share):
+    one scan, one grid rollup, broadcast margins — the reproducible
+    CV splitter beside the single shuffle-split."""
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (portable_hash32(F.col("doc_id"), prefix="kf-") % KFOLD_K).alias(
+            "fold"
+        ),
+    )
+    cells = docs.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ftot = cells.groupBy("fold").agg(F.sum("n").cast("long").alias("nf"))
+    ltot = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    atot = cells.agg(F.sum("n").cast("long").alias("na"))
+    return (
+        cells.join(F.broadcast(ftot), "fold")
+        .join(F.broadcast(ltot), "lang")
+        .crossJoin(F.broadcast(atot))
+        .select(
+            "fold",
+            "lang",
+            "n",
+            F.expr("CAST(n * 1000000 div nf AS BIGINT)").alias(
+                "fold_share_ppm"
+            ),
+            F.expr("CAST(nl * 1000000 div na AS BIGINT)").alias(
+                "corpus_share_ppm"
+            ),
+            F.expr(
+                "CAST(n * 1000000 div nf - nl * 1000000 div na"
+                " AS BIGINT)"
+            ).alias("skew_ppm"),
+        )
+        .orderBy("fold", "lang")
+    )

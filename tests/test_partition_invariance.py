@@ -317,6 +317,10 @@ PROBE = [
     "mcnemar_lang_classifiers",
     # integer pagerank transfers over the word adjacency graph
     "text_textrank_keywords",
+    # t-ordered step-area fold over the KM curve
+    "survival_rmst",
+    # md5 folds + exact ppm balance grid
+    "corpus_kfold_assign",
 ]
 
 

@@ -103,6 +103,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "ab_logrank",
                   # same shape (horizon + cohort total 1-row scalars)
                   "survival_nelson_aalen",
+                  # composes the KM curve (same 1-row scalars)
+                  "survival_rmst",
+                  # 1-row corpus-total crossJoin (scalar-subquery shape)
+                  "corpus_kfold_assign",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
