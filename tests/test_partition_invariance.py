@@ -321,6 +321,10 @@ PROBE = [
     "survival_rmst",
     # md5 folds + exact ppm balance grid
     "corpus_kfold_assign",
+    # exact e6-quantized integer moment sums per dim
+    "embedding_dim_profile",
+    # five key-ordered OLS folds over the pair grid
+    "trade_gravity_fit",
 ]
 
 
