@@ -325,6 +325,8 @@ PROBE = [
     "embedding_dim_profile",
     # five key-ordered OLS folds over the pair grid
     "trade_gravity_fit",
+    # integer power-iteration floor transfers
+    "events_markov_stationary",
 ]
 
 

@@ -107,6 +107,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "survival_rmst",
                   # 1-row corpus-total crossJoin (scalar-subquery shape)
                   "corpus_kfold_assign",
+                  # 1-row mass-total crossJoin (scalar-subquery shape)
+                  "events_markov_stationary",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
