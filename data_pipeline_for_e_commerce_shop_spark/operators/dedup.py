@@ -1446,3 +1446,61 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def capture_recapture_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lincoln-Petersen estimate of the LSH candidate-pair universe
+    from two independent band samples: bands {0,1} are capture A,
+    bands {2,3} are recapture B, and N̂ = |A|·|B| DIV |A∩B|.  At
+    100 TB you cannot afford to materialise every band's candidates
+    just to SIZE the dedup job — two cheap band subsets estimate the
+    workload (est vs actual error is the sampling-quality gauge; at
+    small SF the samples overlap heavily, so expect est ≈ actual).
+    All integers; guard on zero overlap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _band_rows(_signatures(docs)).localCheckpoint(eager=False)
+    a = _pairs_from_bands(bands.where(F.col("band_no") < 2))
+    b = _pairs_from_bands(bands.where(F.col("band_no") >= 2))
+    both = a.join(b, ["doc_a", "doc_b"], "left_semi")
+    union = a.unionByName(b).distinct()
+    counts = (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                both.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_both")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                union.agg(
+                    F.count(F.lit(1)).cast("long").alias("actual_pairs")
+                )
+            )
+        )
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        F.expr(
+            "CAST(CASE WHEN n_both > 0 THEN n_a * n_b div n_both"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("est_pairs"),
+        "actual_pairs",
+        F.expr(
+            "CAST(CASE WHEN n_both > 0 AND actual_pairs > 0"
+            " THEN (n_a * n_b div n_both - actual_pairs) * 1000000"
+            "      div actual_pairs"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("err_ppm"),
+    )

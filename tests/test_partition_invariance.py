@@ -327,6 +327,10 @@ PROBE = [
     "trade_gravity_fit",
     # integer power-iteration floor transfers
     "events_markov_stationary",
+    # two band-sample candidate sets + integer LP estimate
+    "dedup_capture_recapture",
+    # exact order-size moments vs broadcast global rate
+    "order_return_clustering",
 ]
 
 

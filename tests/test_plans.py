@@ -109,6 +109,12 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "corpus_kfold_assign",
                   # 1-row mass-total crossJoin (scalar-subquery shape)
                   "events_markov_stationary",
+                  # four 1-row capture/recapture counts assembled via
+                  # crossJoins (scalar-subquery shape)
+                  "dedup_capture_recapture",
+                  # 1-row global return-rate crossJoin (scalar-subquery
+                  # shape)
+                  "order_return_clustering",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
