@@ -331,6 +331,10 @@ PROBE = [
     "dedup_capture_recapture",
     # exact order-size moments vs broadcast global rate
     "order_return_clustering",
+    # capped exposure buckets + Wilson bounds from exact counts
+    "exposure_response_curve",
+    # per-customer CV2 classes from exact gap moments
+    "customer_regularity_classes",
 ]
 
 
