@@ -335,6 +335,10 @@ PROBE = [
     "exposure_response_curve",
     # per-customer CV2 classes from exact gap moments
     "customer_regularity_classes",
+    # window first-order split + span-bucket deciles
+    "first_order_ltv_signal",
+    # (brand, customer) distinct-order rollup + ppm census
+    "brand_loyalty_rate",
 ]
 
 

@@ -115,6 +115,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row global return-rate crossJoin (scalar-subquery
                   # shape)
                   "order_return_clustering",
+                  # 1-row first-order span crossJoin (scalar-subquery
+                  # shape)
+                  "first_order_ltv_signal",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
