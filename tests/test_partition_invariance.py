@@ -339,6 +339,10 @@ PROBE = [
     "first_order_ltv_signal",
     # (brand, customer) distinct-order rollup + ppm census
     "brand_loyalty_rate",
+    # frozen second-digit expectations + per-digit chi terms
+    "orders_benford_second_digit",
+    # one-rollup first-event days + single-row ppm census
+    "signup_activation_rates",
 ]
 
 

@@ -118,6 +118,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row first-order span crossJoin (scalar-subquery
                   # shape)
                   "first_order_ltv_signal",
+                  # 1-row digit-total crossJoin (scalar-subquery shape)
+                  "orders_benford_second_digit",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
