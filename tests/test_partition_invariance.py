@@ -343,6 +343,10 @@ PROBE = [
     "orders_benford_second_digit",
     # one-rollup first-event days + single-row ppm census
     "signup_activation_rates",
+    # closed-form weekday prefix function over epoch days
+    "priority_business_day_leadtime",
+    # (customer, day) rollup + capped census
+    "same_day_multiorder",
 ]
 
 
