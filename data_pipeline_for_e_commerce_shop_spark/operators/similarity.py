@@ -1257,3 +1257,118 @@ def ivf_nprobe_curve(
             "recall_ppm"
         ),
     ).orderBy("n_probe", "query_id")
+
+
+PRF_K = 5
+PRF_QUERIES = 5
+
+
+def prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio) retrieval: brute top-k per
+    query, integer centroid of the k neighbor vectors (e6-quantized
+    sums, floor-div through doubles — portable for negative dims),
+    one re-search with the centroid, and an in_original flag marking
+    which PRF hits the raw query already found.  The classic one-round
+    query-expansion loop every retrieval stack ships.
+
+    Scale shape: the dot products run as dim-keyed joins (sparse
+    matmul's distribution pattern); centroids are k-row reductions;
+    the expensive passes touch only PRF_QUERIES query rows against
+    the corpus, exactly like the brute baseline they extend.  Exact
+    integer dots (1e6-quantized dims x 64 stays under int64).
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    qd = emb.where(F.col("vec_id") < PRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("q").alias("dim", "qv"),
+    )
+    cd = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.posexplode("q").alias("dim", "cv"),
+    )
+    cnorm = cd.groupBy("corpus_id").agg(
+        F.expr("sqrt(CAST(SUM(cv * cv) AS DOUBLE))").alias("cn")
+    )
+    qnorm = qd.groupBy("query_id").agg(
+        F.expr("sqrt(CAST(SUM(qv * qv) AS DOUBLE))").alias("qn")
+    )
+    dots = (
+        qd.join(cd, "dim")
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum(F.col("qv") * F.col("cv")).cast("long").alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    brute = (
+        dots.where(F.col("query_id") != F.col("corpus_id"))
+        .join(F.broadcast(qnorm), "query_id")
+        .join(cnorm, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.expr("round(CAST(d AS DOUBLE) / (qn * cn), 9)").alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PRF_K)
+        .select("query_id", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
+    cent = (
+        brute.join(cd, "corpus_id")
+        .groupBy("query_id", "dim")
+        .agg(
+            F.expr(
+                "CAST(floor(CAST(SUM(cv) AS DOUBLE)"
+                f" / {PRF_K}) AS BIGINT)"
+            ).alias("gv")
+        )
+    )
+    gnorm = cent.groupBy("query_id").agg(
+        F.expr("sqrt(CAST(SUM(gv * gv) AS DOUBLE))").alias("gn")
+    )
+    prf_dots = (
+        cent.join(cd, "dim")
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum(F.col("gv") * F.col("cv")).cast("long").alias("d"))
+    )
+    prf = (
+        prf_dots.where(F.col("query_id") != F.col("corpus_id"))
+        .join(F.broadcast(gnorm), "query_id")
+        .join(cnorm, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.expr("round(CAST(d AS DOUBLE) / (gn * cn), 9)").alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PRF_K)
+    )
+    return (
+        prf.join(
+            brute.withColumn("in_original", F.lit(1).cast("long")),
+            ["query_id", "corpus_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "rank",
+            "corpus_id",
+            F.coalesce(F.col("in_original"), F.lit(0).cast("long")).alias(
+                "in_original"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -347,6 +347,8 @@ PROBE = [
     "priority_business_day_leadtime",
     # (customer, day) rollup + capped census
     "same_day_multiorder",
+    # dim-keyed integer dots + centroid re-search
+    "ann_prf_topk",
 ]
 
 
