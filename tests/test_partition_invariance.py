@@ -349,6 +349,8 @@ PROBE = [
     "same_day_multiorder",
     # dim-keyed integer dots + centroid re-search
     "ann_prf_topk",
+    # per-order key-ordered entropy folds + frozen thresholds
+    "basket_mission_classes",
 ]
 
 
