@@ -541,3 +541,65 @@ def stream_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def stream_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample event-type drift chi-square computed by a REAL
+    streaming query: the per-(type, half) counts accumulate in a
+    complete-mode streaming aggregation (purely additive state — the
+    always-correct streaming agg), and the chi-square expansion runs
+    batch-side on the drained |types|-row state with the same
+    category-ordered fold as the batch dual.  Held to the SAME DuckDB
+    oracle as queries.events_drift_chi2 — the feature-monitoring gate
+    proven stream/batch-dual by hash, not assertion.
+    """
+    src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = _canon_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(src)),
+        schema,
+    )
+    lab = stream.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+    )
+    agg = lab.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+    )
+    sink = "stream_drift_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain_to_memory(spark, agg, sink, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    c = spark.table(sink)
+    t = c.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    joined = c.crossJoin(F.broadcast(t))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    tot = d("t0") + d("t1")
+    row_n = d("n0") + d("n1")
+    e1 = row_n * d("t1") / tot
+    e0 = row_n * d("t0") / tot
+    term = (d("n1") - e1) * (d("n1") - e1) / e1 + (
+        d("n0") - e0
+    ) * (d("n0") - e0) / e0
+    packed = joined.select(
+        F.struct(F.col("event_type"), term.alias("x")).alias("row")
+    ).agg(
+        F.sort_array(F.collect_list("row")).alias("arr"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    out = packed.select(
+        "n_categories",
+        F.expr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x.x)"
+        ).alias("chi2"),
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
