@@ -351,6 +351,8 @@ PROBE = [
     "ann_prf_topk",
     # per-order key-ordered entropy folds + frozen thresholds
     "basket_mission_classes",
+    # exact per-category percentile_disc over customer maxima
+    "category_wtp_quantiles",
 ]
 
 
