@@ -353,6 +353,8 @@ PROBE = [
     "basket_mission_classes",
     # exact per-category percentile_disc over customer maxima
     "category_wtp_quantiles",
+    # cohort-quarter rollup + broadcast age-0 base ratios
+    "cohort_revenue_retention",
 ]
 
 
