@@ -355,6 +355,8 @@ PROBE = [
     "category_wtp_quantiles",
     # cohort-quarter rollup + broadcast age-0 base ratios
     "cohort_revenue_retention",
+    # key-ordered ln fold over the activity tail
+    "user_activity_hill_alpha",
 ]
 
 
