@@ -357,6 +357,8 @@ PROBE = [
     "cohort_revenue_retention",
     # key-ordered ln fold over the activity tail
     "user_activity_hill_alpha",
+    # RANGE-frame rolling counts over epoch days
+    "customer_order_velocity",
 ]
 
 
