@@ -359,6 +359,10 @@ PROBE = [
     "user_activity_hill_alpha",
     # RANGE-frame rolling counts over epoch days
     "customer_order_velocity",
+    # lag-spine equi-joins + integer sufficient statistics
+    "error_conversion_xcorr",
+    # capped order-size buckets of exact day sums
+    "basket_size_leadtime_curve",
 ]
 
 

@@ -120,6 +120,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "first_order_ltv_signal",
                   # 1-row digit-total crossJoin (scalar-subquery shape)
                   "orders_benford_second_digit",
+                  # 4-row lag spine crossJoin onto the day aggregate
+                  # (aggregate-reduced grid shape)
+                  "error_conversion_xcorr",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
