@@ -363,6 +363,8 @@ PROBE = [
     "error_conversion_xcorr",
     # capped order-size buckets of exact day sums
     "basket_size_leadtime_curve",
+    # rank-indexed frozen critical values + prefix-AND window
+    "category_weekend_holm",
 ]
 
 
