@@ -365,6 +365,8 @@ PROBE = [
     "basket_size_leadtime_curve",
     # rank-indexed frozen critical values + prefix-AND window
     "category_weekend_holm",
+    # wedge join + anti-join two-hop-only reach
+    "part_two_hop_reach",
 ]
 
 
