@@ -367,6 +367,8 @@ PROBE = [
     "category_weekend_holm",
     # wedge join + anti-join two-hop-only reach
     "part_two_hop_reach",
+    # per-month integer ranks + shifted self-join rho
+    "category_rank_stability",
 ]
 
 
