@@ -369,6 +369,8 @@ PROBE = [
     "part_two_hop_reach",
     # per-month integer ranks + shifted self-join rho
     "category_rank_stability",
+    # volume-weighted unit cents + multi-nation spread
+    "part_price_parity_by_nation",
 ]
 
 
