@@ -371,6 +371,8 @@ PROBE = [
     "category_rank_stability",
     # volume-weighted unit cents + multi-nation spread
     "part_price_parity_by_nation",
+    # first-sale rollup + capped age buckets
+    "part_age_revenue_mix",
 ]
 
 

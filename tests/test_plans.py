@@ -123,6 +123,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 4-row lag spine crossJoin onto the day aggregate
                   # (aggregate-reduced grid shape)
                   "error_conversion_xcorr",
+                  # 1-row revenue-total crossJoin (scalar-subquery
+                  # shape)
+                  "part_age_revenue_mix",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
