@@ -522,3 +522,88 @@ def hll_rolling_users(
         ).alias("hll_estimate"),
         "n_exact",
     )
+
+
+HLL_SWEEP_PS = (4, 7, 10)
+
+
+def hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-vs-memory tuning curve for the HLL register count:
+    the raw estimate at p ∈ HLL_SWEEP_PS (16 / 128 / 1024 registers)
+    against the exact distinct, per event type — the sketch-family
+    counterpart of the LSH/IVF tuning curves.  One hash pass is
+    shared; each p re-splits the SAME 32-bit hash into (bucket,
+    remainder), so the sweep costs |ps| small rollups, not |ps|
+    scans.  The asymptotic alpha is used at every p on BOTH engines
+    (documented simplification — parity over small-m bias tweaks).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    hashed = d.select(
+        "event_type", portable_hash32("user_id").alias("h")
+    ).localCheckpoint(eager=False)
+    exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    outs = []
+    for p in HLL_SWEEP_PS:
+        m = 1 << p
+        rem_bits = 32 - p
+        rho_max = rem_bits + 1
+        regs = (
+            hashed.select(
+                "event_type",
+                F.expr(f"h div {1 << rem_bits}").alias("bucket"),
+                F.expr(f"h % {1 << rem_bits}").alias("rem"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.max(
+                    F.when(F.col("rem") == 0, F.lit(rho_max)).otherwise(
+                        rho_max - F.length(F.bin("rem"))
+                    )
+                ).alias("m_reg")
+            )
+        )
+        per_type = regs.groupBy("event_type").agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {rho_max} - m_reg)"
+                )
+            ).alias("present_scaled"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        est = (
+            f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            f" + CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE))"
+            f" * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)"
+            f" * CAST({1 << rho_max} AS DOUBLE)"
+            f" / CAST(present_scaled + ({m} - n_buckets)"
+            f"        * {1 << rho_max} AS DOUBLE)"
+        )
+        outs.append(
+            per_type.select(
+                F.lit(p).cast("long").alias("p"),
+                "event_type",
+                F.expr(f"CAST(floor({est}) AS BIGINT)").alias(
+                    "hll_estimate"
+                ),
+            )
+        )
+    cur = outs[0]
+    for o in outs[1:]:
+        cur = cur.unionByName(o)
+    return (
+        cur.join(F.broadcast(exact), "event_type")
+        .select(
+            "p",
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            F.expr(
+                "CAST((hll_estimate - n_exact) * 1000000 div n_exact"
+                " AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("p", "event_type")
+    )

@@ -373,6 +373,8 @@ PROBE = [
     "part_price_parity_by_nation",
     # first-sale rollup + capped age buckets
     "part_age_revenue_mix",
+    # shared hash pass re-split at three register counts
+    "hll_precision_sweep",
 ]
 
 
