@@ -375,6 +375,8 @@ PROBE = [
     "part_age_revenue_mix",
     # shared hash pass re-split at three register counts
     "hll_precision_sweep",
+    # supplier-key-ordered ratio fold + closed-form ICC
+    "leadtime_variance_components",
 ]
 
 
