@@ -377,6 +377,8 @@ PROBE = [
     "hll_precision_sweep",
     # supplier-key-ordered ratio fold + closed-form ICC
     "leadtime_variance_components",
+    # scalar-accumulator Erlang recursion per hour row
+    "peak_hour_erlang_b",
 ]
 
 
