@@ -379,6 +379,8 @@ PROBE = [
     "leadtime_variance_components",
     # scalar-accumulator Erlang recursion per hour row
     "peak_hour_erlang_b",
+    # month-ordered OLS folds over the aligned brand series
+    "cross_price_elasticity_top2",
 ]
 
 
