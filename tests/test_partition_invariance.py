@@ -381,6 +381,8 @@ PROBE = [
     "peak_hour_erlang_b",
     # month-ordered OLS folds over the aligned brand series
     "cross_price_elasticity_top2",
+    # bounded month-sequence explode + exact overlap days
+    "orders_monthly_wip",
 ]
 
 
