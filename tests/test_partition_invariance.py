@@ -383,6 +383,8 @@ PROBE = [
     "cross_price_elasticity_top2",
     # bounded month-sequence explode + exact overlap days
     "orders_monthly_wip",
+    # sentence fingerprints + frequency join
+    "sentence_dedup_rate",
 ]
 
 
