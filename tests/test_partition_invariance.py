@@ -385,6 +385,8 @@ PROBE = [
     "orders_monthly_wip",
     # sentence fingerprints + frequency join
     "sentence_dedup_rate",
+    # per-part exact median + integer dip gate
+    "part_price_dip_events",
 ]
 
 
