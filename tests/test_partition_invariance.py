@@ -387,6 +387,8 @@ PROBE = [
     "sentence_dedup_rate",
     # per-part exact median + integer dip gate
     "part_price_dip_events",
+    # frozen trig tables + hour-ordered resultant folds
+    "events_hourly_rayleigh",
 ]
 
 
