@@ -389,6 +389,8 @@ PROBE = [
     "part_price_dip_events",
     # frozen trig tables + hour-ordered resultant folds
     "events_hourly_rayleigh",
+    # exact 5% quantile cut + tail integer means
+    "revenue_cvar",
 ]
 
 
