@@ -391,6 +391,8 @@ PROBE = [
     "events_hourly_rayleigh",
     # exact 5% quantile cut + tail integer means
     "revenue_cvar",
+    # shared frozen trig tables + per-type ordered folds
+    "event_type_circadian_concentration",
 ]
 
 
