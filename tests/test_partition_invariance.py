@@ -393,6 +393,8 @@ PROBE = [
     "revenue_cvar",
     # shared frozen trig tables + per-type ordered folds
     "event_type_circadian_concentration",
+    # staged-ppm RCA ratios vs broadcast margins
+    "nation_rca_matrix",
 ]
 
 

@@ -131,6 +131,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "peak_hour_erlang_b",
                   # 1-row VaR-cut crossJoin (scalar-subquery shape)
                   "revenue_cvar",
+                  # 1-row grand-total crossJoin (scalar-subquery shape)
+                  "nation_rca_matrix",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
