@@ -395,6 +395,8 @@ PROBE = [
     "event_type_circadian_concentration",
     # staged-ppm RCA ratios vs broadcast margins
     "nation_rca_matrix",
+    # digit-ordered deviation fold + frozen cutoffs
+    "benford_mad_conformity",
 ]
 
 

@@ -133,6 +133,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "revenue_cvar",
                   # 1-row grand-total crossJoin (scalar-subquery shape)
                   "nation_rca_matrix",
+                  # 1-row digit-total crossJoin (scalar-subquery shape)
+                  "benford_mad_conformity",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
