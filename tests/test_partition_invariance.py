@@ -397,6 +397,8 @@ PROBE = [
     "nation_rca_matrix",
     # digit-ordered deviation fold + frozen cutoffs
     "benford_mad_conformity",
+    # deterministic ranks + k-spine coverage sums
+    "token_coverage_curve",
 ]
 
 

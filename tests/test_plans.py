@@ -135,6 +135,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "nation_rca_matrix",
                   # 1-row digit-total crossJoin (scalar-subquery shape)
                   "benford_mad_conformity",
+                  # 3-row k spine rank-range join + 1-row totals
+                  # (aggregate-reduced grid shape)
+                  "token_coverage_curve",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
