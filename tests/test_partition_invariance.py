@@ -399,6 +399,8 @@ PROBE = [
     "benford_mad_conformity",
     # deterministic ranks + k-spine coverage sums
     "token_coverage_curve",
+    # global rank pass + integer rank-bound picks
+    "order_value_median_ci",
 ]
 
 

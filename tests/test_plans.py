@@ -138,6 +138,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 3-row k spine rank-range join + 1-row totals
                   # (aggregate-reduced grid shape)
                   "token_coverage_curve",
+                  # 1-row rank-bound crossJoin (scalar-subquery shape)
+                  "order_value_median_ci",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
