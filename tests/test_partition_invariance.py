@@ -401,6 +401,8 @@ PROBE = [
     "token_coverage_curve",
     # global rank pass + integer rank-bound picks
     "order_value_median_ci",
+    # explicit multiply folds for fitted geometric masses
+    "order_count_geometric_fit",
 ]
 
 

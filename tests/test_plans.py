@@ -140,6 +140,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "token_coverage_curve",
                   # 1-row rank-bound crossJoin (scalar-subquery shape)
                   "order_value_median_ci",
+                  # 1-row moment crossJoin (scalar-subquery shape)
+                  "order_count_geometric_fit",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
