@@ -403,6 +403,8 @@ PROBE = [
     "order_value_median_ci",
     # explicit multiply folds for fitted geometric masses
     "order_count_geometric_fit",
+    # frozen 7-entry trig tables + day-ordered folds
+    "orders_weekly_rayleigh",
 ]
 
 
