@@ -405,6 +405,8 @@ PROBE = [
     "order_count_geometric_fit",
     # frozen 7-entry trig tables + day-ordered folds
     "orders_weekly_rayleigh",
+    # pooled-month extremes + min-month argmax tie-break
+    "category_seasonal_amplitude",
 ]
 
 
