@@ -407,6 +407,8 @@ PROBE = [
     "orders_weekly_rayleigh",
     # pooled-month extremes + min-month argmax tie-break
     "category_seasonal_amplitude",
+    # composed connected components + lang purity rollup
+    "dedup_cluster_lang_purity",
 ]
 
 
