@@ -409,6 +409,8 @@ PROBE = [
     "category_seasonal_amplitude",
     # composed connected components + lang purity rollup
     "dedup_cluster_lang_purity",
+    # rank-1/rank-2 self-join gaps + exact quantiles
+    "second_purchase_latency",
 ]
 
 
