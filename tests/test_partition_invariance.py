@@ -411,6 +411,8 @@ PROBE = [
     "dedup_cluster_lang_purity",
     # rank-1/rank-2 self-join gaps + exact quantiles
     "second_purchase_latency",
+    # distinct-category rollup + breadth census
+    "customer_breadth_ltv",
 ]
 
 
