@@ -413,6 +413,8 @@ PROBE = [
     "second_purchase_latency",
     # distinct-category rollup + breadth census
     "customer_breadth_ltv",
+    # unioned per-table scan-aggregates
+    "key_uniqueness_audit",
 ]
 
 
