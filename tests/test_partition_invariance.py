@@ -415,6 +415,8 @@ PROBE = [
     "customer_breadth_ltv",
     # unioned per-table scan-aggregates
     "key_uniqueness_audit",
+    # 6-table broadcast chain + conditional cents sums
+    "region_trade_locality",
 ]
 
 
