@@ -417,6 +417,8 @@ PROBE = [
     "key_uniqueness_audit",
     # 6-table broadcast chain + conditional cents sums
     "region_trade_locality",
+    # one lag pass + three conditional break counts
+    "session_gap_sweep",
 ]
 
 

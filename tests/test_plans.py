@@ -142,6 +142,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "order_value_median_ci",
                   # 1-row moment crossJoin (scalar-subquery shape)
                   "order_count_geometric_fit",
+                  # 3-row threshold spine x 1-row break counts
+                  # (aggregate-reduced grid shape)
+                  "session_gap_sweep",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
