@@ -419,6 +419,8 @@ PROBE = [
     "region_trade_locality",
     # one lag pass + three conditional break counts
     "session_gap_sweep",
+    # window cumsum first-crossing + exact day quantiles
+    "customer_time_to_1k",
 ]
 
 

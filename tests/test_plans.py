@@ -145,6 +145,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 3-row threshold spine x 1-row break counts
                   # (aggregate-reduced grid shape)
                   "session_gap_sweep",
+                  # 1-row customer-total crossJoin (scalar-subquery
+                  # shape)
+                  "customer_time_to_1k",
                   # 1-row (n_users, n_conv) totals crossJoin
                   # (scalar-subquery shape)
                   "events_mutual_information",
