@@ -421,6 +421,8 @@ PROBE = [
     "session_gap_sweep",
     # window cumsum first-crossing + exact day quantiles
     "customer_time_to_1k",
+    # bidirectional rank picks + one-row disagreement census
+    "attribution_touch_disagreement",
 ]
 
 
