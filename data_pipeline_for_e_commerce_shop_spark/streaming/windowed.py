@@ -603,3 +603,76 @@ def stream_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL computed by a REAL streaming query: the
+    (type, bucket) -> max(rho) registers accumulate in a complete-mode
+    streaming aggregation — MAX over md5-derived rho is idempotent, so
+    the stream needs NO dedup pass and NO watermark, which is exactly
+    why register sketches are the canonical streaming distinct-count
+    state.  The closed-form estimate runs batch-side on the drained
+    register table and is value-hash-checked against the same register
+    law as the batch HLL family (operators/sketch.py).
+    """
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.operators.sketch import (
+        HLL_M,
+        HLL_REM_BITS,
+        HLL_RHO_MAX,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = _canon_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(src)),
+        schema,
+    )
+    hashed = stream.select(
+        "event_type", portable_hash32("user_id").alias("h")
+    ).select(
+        "event_type",
+        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
+        F.expr(f"h % {1 << HLL_REM_BITS}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        HLL_RHO_MAX - F.length(F.bin("rem"))
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("m_reg")
+    )
+    sink = "stream_hll_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain_to_memory(spark, regs, sink, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    per_type = spark.table(sink).groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")
+        ).alias("present_scaled"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    est = (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))"
+        f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
+        f" * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+        f" / CAST(present_scaled + ({HLL_M} - n_buckets)"
+        f"        * {1 << HLL_RHO_MAX} AS DOUBLE)"
+    )
+    out = per_type.select(
+        "event_type",
+        (
+            F.col("present_scaled")
+            + (HLL_M - F.col("n_buckets")) * (1 << HLL_RHO_MAX)
+        ).cast("long").alias("sum_scaled"),
+        F.expr(f"CAST(floor({est}) AS BIGINT)").alias("hll_estimate"),
+    ).orderBy("event_type")
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
