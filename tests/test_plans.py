@@ -208,6 +208,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 3-row policy-vocabulary broadcast crossJoin
                   # (model-scoring shape)
                   "offline_policy_ips",
+                  # same 3-row policy-vocabulary broadcast crossJoin
+                  "policy_snips",
                   # 1-row median-split-point crossJoin + 2x9 decile
                   # grid explode (scalar-subquery shape)
                   "order_value_qq_shift",
