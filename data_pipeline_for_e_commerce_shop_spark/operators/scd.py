@@ -319,3 +319,126 @@ def incremental_apply(
         F.col("n_rows").alias("n_orders"),
         "version",
     )
+
+
+# ----------------------------------------------------------- bitemporal
+
+# Bitemporal AS-OF: valid time (when the priority held in the world)
+# x transaction time (when the warehouse learned it).  The change log
+# gains a deterministic recorded_at = valid date + hash-lag days; the
+# operator rebuilds the SCD2 history twice — once from everything
+# (full knowledge) and once from only the changes recorded by the
+# AS-OF transaction date — and reports how many facts would have been
+# attributed to a DIFFERENT regime by the as-of snapshot.  This is the
+# restatement-risk audit a bitemporal warehouse runs before trusting
+# a backfilled report.  Constants are interpolated into the oracle.
+BITEMPORAL_TX_ASOF = "1997-06-01"
+BITEMPORAL_MAX_LAG_DAYS = 7
+
+
+def _priority_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (
+                portable_hash32(
+                    F.concat(
+                        F.lit("rec-"), F.col("o_orderkey").cast("string")
+                    )
+                )
+                % BITEMPORAL_MAX_LAG_DAYS
+            ).cast("int"),
+        ).alias("recorded_at"),
+    )
+
+
+def bitemporal_asof_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime-attribution drift between the full-knowledge SCD2 history
+    and the history AS OF transaction time BITEMPORAL_TX_ASOF: each
+    shipped line item PIT-joins both histories on its ship date, and
+    the (full_regime x asof_regime) census counts the disagreements
+    (NULL regimes surface as 'NONE' so the grid stays string-typed).
+
+    Plan: the change log is derived once; each history is the standard
+    two-window islands build partitioned by customer; both PIT joins
+    are equi on custkey with the interval predicate residual — two
+    key-shuffles over the fact, no cross product, no collect."""
+    log = _priority_change_log(spark, sf_dir)
+    hist_full = scd2_history(
+        log, key="o_custkey", attr="o_orderpriority",
+        order_by=["odate", "o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("regime"),
+        "valid_from",
+        "valid_to",
+    )
+    hist_asof = scd2_history(
+        log.where(F.col("recorded_at") <= F.lit(BITEMPORAL_TX_ASOF)),
+        key="o_custkey", attr="o_orderpriority",
+        order_by=["odate", "o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("regime"),
+        "valid_from",
+        "valid_to",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "ship_date"
+    )
+
+    def pit(facts_df: DataFrame, hist: DataFrame, out: str) -> DataFrame:
+        j = facts_df.join(
+            hist,
+            (facts_df.o_custkey == hist.custkey)
+            & (facts_df.ship_date >= hist.valid_from)
+            & (hist.valid_to.isNull() | (facts_df.ship_date < hist.valid_to)),
+            "left",
+        )
+        return j.select(
+            facts_df.o_custkey,
+            facts_df.ship_date,
+            F.coalesce(F.col("regime"), F.lit("NONE")).alias(out),
+        )
+
+    full = pit(facts, hist_full, "full_regime")
+    # the two PIT joins run over identical fact rows; joining their
+    # outputs back on (custkey, ship_date) would mis-pair duplicate
+    # facts, so the second PIT consumes the first's output directly
+    asof = (
+        full.join(
+            hist_asof,
+            (full.o_custkey == hist_asof.custkey)
+            & (full.ship_date >= hist_asof.valid_from)
+            & (
+                hist_asof.valid_to.isNull()
+                | (full.ship_date < hist_asof.valid_to)
+            ),
+            "left",
+        )
+        .select(
+            "full_regime",
+            F.coalesce(F.col("regime"), F.lit("NONE")).alias("asof_regime"),
+        )
+    )
+    return (
+        asof.groupBy("full_regime", "asof_regime")
+        .agg(F.count(F.lit(1)).alias("n_facts"))
+        .orderBy("full_regime", "asof_regime")
+    )

@@ -27,12 +27,17 @@ CMS_DEPTH = 4  # independent hash rows
 CMS_WIDTH = 1024  # counters per row
 
 
-def _cms_pos(row: Column, key: Column, width: int = CMS_WIDTH) -> Column:
-    """Counter index for (row, key): first 32 md5 bits mod width."""
+def _cms_hash(row: Column, key: Column) -> Column:
+    """Raw 32-bit counter hash for (row, key), before the width mod."""
     s = F.concat(
         F.lit("cms"), row.cast("string"), F.lit("-"), key.cast("string")
     )
-    return portable_hash32(s) % width
+    return portable_hash32(s)
+
+
+def _cms_pos(row: Column, key: Column, width: int = CMS_WIDTH) -> Column:
+    """Counter index for (row, key): first 32 md5 bits mod width."""
+    return _cms_hash(row, key) % width
 
 
 # Default top-k; interpolated into the registered oracle SQL
@@ -103,6 +108,98 @@ def cms_heavy_hitters(
         "exact_n",
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+    )
+
+
+# Width sweep for the accuracy/size tradeoff curve; interpolated into
+# the registered oracle (drift-proof constant pattern).
+CMS_SWEEP_WIDTHS = (256, 1024, 4096)
+
+
+def cms_width_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min accuracy vs width: build one 4-row sketch per width in
+    CMS_SWEEP_WIDTHS, probe each with the exact top-{CMS_TOPK} part
+    keys, and report the collision overestimate per width (total, max,
+    and ppm of the probed exact mass) — the curve that justifies a
+    width choice before shipping the sketch at scale.
+
+    Shape mirrors cms_heavy_hitters: counters build from the per-key
+    partial counts (cells are additive), so the fact table is scanned
+    ONCE for all widths and the groupBy reduces to at most
+    |widths| * d * max_width cells; probes ride a broadcast join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
+    widths = F.array(*[F.lit(w) for w in CMS_SWEEP_WIDTHS])
+    fan = exact.select(
+        "l_partkey",
+        "exact_n",
+        F.explode(widths).alias("w"),
+    ).select(
+        "l_partkey",
+        "exact_n",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+    )
+    counters = fan.groupBy(
+        "w",
+        "r",
+        (_cms_hash(F.col("r"), F.col("l_partkey")) % F.col("w"))
+        .alias("p"),
+    ).agg(F.sum("exact_n").alias("cnt"))
+    wk = Window.orderBy(F.desc("exact_n"), F.asc("l_partkey"))
+    topk = exact.withColumn("rk", F.row_number().over(wk)).where(
+        F.col("rk") <= CMS_TOPK
+    )
+    probes = (
+        topk.select(
+            "l_partkey",
+            "exact_n",
+            F.explode(widths).alias("w"),
+        )
+        .select(
+            "l_partkey",
+            "exact_n",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+            ).alias("r"),
+        )
+        .withColumn(
+            "p", _cms_hash(F.col("r"), F.col("l_partkey")) % F.col("w")
+        )
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["w", "r", "p"])
+        .groupBy("w", "l_partkey", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return (
+        est.groupBy(F.col("w").cast("long").alias("width"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("cms_n") - F.col("exact_n")).alias(
+                "total_overestimate"
+            ),
+            F.max(F.col("cms_n") - F.col("exact_n")).alias(
+                "max_overestimate"
+            ),
+            F.sum("exact_n").alias("_ex"),
+        )
+        .select(
+            "width",
+            "n_probed",
+            "total_overestimate",
+            "max_overestimate",
+            F.expr(
+                "CAST(total_overestimate * 1000000 div _ex AS BIGINT)"
+            ).alias("over_ppm"),
+        )
+        .orderBy("width")
     )
 
 
