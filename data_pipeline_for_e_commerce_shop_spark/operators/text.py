@@ -1232,3 +1232,92 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "word", "pr")
         .orderBy("rank")
     )
+
+
+# Kneser-Ney discount (x100, interpolated into the oracle so the two
+# sides cannot drift).  0.75 is the classic absolute-discount choice.
+KN_DISCOUNT_PCT = 75
+
+
+def kneser_ney_cross_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated Kneser-Ney bigram
+    LM — the smoothing that actually shipped in pre-neural LMs (and
+    still powers KenLM-style quality filters): the backoff mass goes
+    to the CONTINUATION unigram P_cont(w) = (N1+(.,w)+1)/(B+V)
+    (how many distinct contexts w follows, add-1 over bigram types B
+    plus vocab V), not the raw unigram — so frequent-but-burnt tokens
+    ("francisco") stop inflating backoff probability.
+
+    P(w|v) = (max(c(v,w) - D, 0) + D . N1+(v,.) . P_cont(w)) / c(v),
+    D = 0.75; doc-initial tokens score ln P_cont.  All counts are
+    exact integers from ONE tokenize pass; the per-doc sum is the
+    sequential position-ordered fold (float-parity device); the
+    scoring expression is the same literal on both engines.
+
+    Scale shape mirrors bigram_cross_entropy: vocabulary-sized count
+    tables, term-keyed scoring joins, no collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "cur"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("cur").over(wd)).localCheckpoint(
+        eager=False
+    )
+    bi = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)  # feeds 4 derived tables + join
+    )
+    ctx = bi.groupBy("prev").agg(
+        F.sum("cb").alias("cp"),
+        F.count(F.lit(1)).alias("n1p"),  # N1+(v, .)
+    )
+    cont = bi.groupBy("cur").agg(F.count(F.lit(1)).alias("cont"))
+    btot = bi.agg(F.count(F.lit(1)).alias("b_types"))
+    vtot = seq.agg(F.countDistinct("cur").alias("v_size"))
+    d = KN_DISCOUNT_PCT / 100.0
+    scored = (
+        seq.join(F.broadcast(cont), "cur", "left")
+        .join(bi, ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("prev").isNull(),
+                F.expr(
+                    "ln((CAST(coalesce(cont, 0) AS DOUBLE) + 1)"
+                    " / (b_types + v_size))"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    f"ln((greatest(CAST(cb AS DOUBLE) - {d}, 0.0)"
+                    f" + {d} * n1p"
+                    " * ((CAST(coalesce(cont, 0) AS DOUBLE) + 1)"
+                    " / (b_types + v_size))) / cp)"
+                )
+            )
+            .alias("lnp"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(pos, lnp))),"
+            " s -> s.lnp), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("s"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        F.round((-F.col("s")) / F.col("n_tokens"), 9).alias("kn_ce_nats"),
+    )

@@ -180,6 +180,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "text_unigram_ce",
                   # corpus-total 1-row crossJoin (same shape)
                   "text_bigram_ce",
+                  # bigram-type/vocab-size 1-row crossJoins (same shape)
+                  "text_kneser_ney_ce",
+                  # duration-side x timeline-side 1-row audit crossJoin
+                  "orders_little_law_audit",
                   # composes the CE gates, inheriting their 1-row
                   # corpus-total crossJoins
                   "corpus_gate_verdicts",
