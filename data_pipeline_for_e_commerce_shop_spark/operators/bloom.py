@@ -145,3 +145,108 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_pass") & ~F.col("is_member")).cast("long")
         ).alias("n_false_positive"),
     )
+
+
+def contamination_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen run THROUGH the Bloom filter: the
+    held-out benchmark slice's distinct 3-gram shingles build the
+    (<= 2048-word) filter, every candidate doc's shingles probe it in
+    the scan stage, and a doc is flagged when ANY shingle passes.  The
+    exact shingle semi-join then grades the filter per source: true
+    contaminated docs vs Bloom false positives — the cheap-first,
+    exact-second layering a 100 TB decontamination pass uses (the
+    exact join runs only where the filter fired; here it runs
+    everywhere to measure the false-positive rate honestly).
+
+    Same benchmark law as dedup.benchmark_contamination
+    (doc_id % 20 == 0) and the same shingling; same word-table probe
+    plan as bloom_prune_orders (k broadcast joins, no probe shuffle).
+    """
+    from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
+        _shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    is_bench = (F.col("doc_id") % 20) == 0
+    bench = sh.where(is_bench).select(F.col("shingle").alias("k")).distinct()
+    words = build_filter(bench, "k").localCheckpoint(eager=False)
+    cand = sh.where(~is_bench).localCheckpoint(
+        eager=False  # feeds the Bloom probe AND the exact truth join
+    )
+    probe = cand.select(
+        "doc_id", _probe_positions(F.col("shingle")).alias("ps")
+    )
+    checks = []
+    for i in range(N_PROBES):
+        wi = words.select(
+            F.col("word_idx").alias(f"wi{i}"),
+            F.col("word").alias(f"w{i}"),
+        )
+        probe = probe.withColumn(
+            f"p{i}", F.element_at("ps", i + 1)
+        ).join(
+            F.broadcast(wi),
+            F.expr(f"p{i} div {WORD_BITS}") == F.col(f"wi{i}"),
+            "left",
+        )
+        checks.append(
+            F.col(f"w{i}").isNotNull()
+            & (
+                F.col(f"w{i}").bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(p{i} % {WORD_BITS} AS INT))"
+                    )
+                )
+                != 0
+            )
+        )
+    shingle_hit = checks[0]
+    for c in checks[1:]:
+        shingle_hit = shingle_hit & c
+    flagged = (
+        probe.withColumn("hit", shingle_hit)
+        .groupBy("doc_id")
+        .agg(F.max("hit").alias("bloom_flag"))
+    )
+    truth = (
+        cand.join(
+            bench.withColumnRenamed("k", "shingle"), "shingle", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("true_hit", F.lit(True))
+    )
+    base = docs.where(~is_bench).select("doc_id", "source")
+    rep = (
+        base.join(flagged, "doc_id", "left")
+        .join(truth, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("bloom_flag", F.lit(False)).alias("bf"),
+            F.coalesce("true_hit", F.lit(False)).alias("th"),
+        )
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("bf").cast("long")).alias("n_flagged"),
+            F.sum(F.col("th").cast("long")).alias("n_contaminated"),
+            F.sum((F.col("bf") & ~F.col("th")).cast("long")).alias(
+                "n_false_pos"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "n_contaminated",
+            "n_false_pos",
+            F.expr(
+                "CAST(n_false_pos * 1000000 div n_docs AS BIGINT)"
+            ).alias("fp_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1372,3 +1372,73 @@ def prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# Diagonal-Mahalanobis OOD screen: variance-normalized distance to the
+# corpus mean.  Variance floor (micro^2 units) keeps constant dims
+# finite; interpolated into the oracle with the top-k.
+MAHA_TOPK = 25
+MAHA_VAR_FLOOR = 1.0
+
+
+def mahalanobis_ood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} out-of-distribution vectors by DIAGONAL Mahalanobis
+    distance: each dim standardized by the corpus's own per-dim
+    mean/variance, so a vector that is extreme in a LOW-variance dim
+    outranks one equally far in a high-variance dim — the standard
+    cheap OOD score (full-covariance needs a matrix inverse; the
+    diagonal form is what ships at scale).
+
+    Exactness: per-dim (n, Sx, Sxx) are exact int64 sums over
+    micro-scaled components; mean/variance and the per-vec fold are
+    doubles computed by the identical expression tree on both engines
+    (explicit d*d, never pow — libm pow is not cross-engine stable),
+    folded in fixed dim order; the score is floored to milli units
+    before hashing.  Plan: one 64x explode for the dim stats (the
+    only data-sized shuffle), stats collapse to ONE broadcast row of
+    two 64-element arrays, scoring is a per-row HOF fold — no second
+    shuffle, top-k via TakeOrdered."""
+    ve = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xs"),
+    )
+    dims = ve.select(
+        F.posexplode("xs").alias("dim", "v")
+    ).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    stats = dims.agg(
+        F.expr(
+            "array_sort(collect_list(struct(dim,"
+            " CAST(sx AS DOUBLE) / n AS mu,"
+            " (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " / (CAST(n AS DOUBLE) * n) AS var)))"
+        ).alias("st")
+    ).select(
+        F.expr("transform(st, s -> s.mu)").alias("mu"),
+        F.expr("transform(st, s -> s.var)").alias("vr"),
+    )
+    scored = ve.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"""
+            CAST(floor(aggregate(sequence(1, size(xs)),
+              CAST(0.0 AS DOUBLE),
+              (a, j) -> a
+                + (CAST(element_at(xs, j) AS DOUBLE)
+                   - element_at(mu, j))
+                * (CAST(element_at(xs, j) AS DOUBLE)
+                   - element_at(mu, j))
+                / (element_at(vr, j) + {MAHA_VAR_FLOOR})) * 1000)
+            AS BIGINT)
+            """
+        ).alias("m2_milli"),
+    )
+    return scored.orderBy(F.desc("m2_milli"), "vec_id").limit(MAHA_TOPK)

@@ -327,6 +327,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # broadcast panel vs corpus scan (brute shape) +
                   # 1-row median crossJoin
                   "embedding_twonn_ratio",
+                  # 1-row per-dim-stats crossJoin (scalar-subquery shape)
+                  "embedding_mahalanobis_ood",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "corpus_mix_tv_distance",
                   # 3-row percentile-cut spine crossJoin
