@@ -676,3 +676,75 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user frequency count-min sketch accumulated by a REAL
+    complete-mode streaming aggregation — counter cells are ADDITIVE
+    (a running SUM per (row, pos)), so like the HLL registers they
+    need no dedup and no watermark: this is the canonical streaming
+    heavy-hitters state.  The drained (<= d x w) counter table is then
+    probed batch-side by the exact top-20 users, and the estimate is
+    value-hash-checked against the identical counter law replayed by
+    the oracle (overestimate = collisions, never negative).
+    """
+    from data_pipeline_for_e_commerce_shop_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_TOPK,
+        _cms_pos,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = _canon_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(src)),
+        schema,
+    )
+    fan = stream.select("user_id").select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+    )
+    counters = fan.groupBy(
+        "r", _cms_pos(F.col("r"), F.col("user_id")).alias("p")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sink = "stream_cms_sink"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain_to_memory(spark, counters, sink, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from pyspark.sql import Window as _W
+
+    exact = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    wk = _W.orderBy(F.desc("exact_n"), F.asc("user_id"))
+    topk = exact.withColumn("rk", F.row_number().over(wk)).where(
+        F.col("rk") <= CMS_TOPK
+    )
+    probes = topk.select(
+        "user_id",
+        "exact_n",
+        "rk",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r"),
+    ).withColumn("p", _cms_pos(F.col("r"), F.col("user_id")))
+    words = F.broadcast(spark.table(sink))
+    est = (
+        probes.join(words, ["r", "p"])
+        .groupBy("user_id", "exact_n", "rk")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    out = est.select(
+        "user_id",
+        "rk",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+    ).orderBy("rk")
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
