@@ -329,6 +329,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "embedding_twonn_ratio",
                   # 1-row per-dim-stats crossJoin (scalar-subquery shape)
                   "embedding_mahalanobis_ood",
+                  # 1-row corpus-total crossJoin (scalar-subquery shape)
+                  "corpus_anneal_schedule",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "corpus_mix_tv_distance",
                   # 3-row percentile-cut spine crossJoin
