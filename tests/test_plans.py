@@ -335,6 +335,8 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "events_wasserstein_drift",
                   # 1-row global-range crossJoin (scalar-subquery shape)
                   "segment_quantile_sketch_audit",
+                  # 1-row anchor-day crossJoin (scalar-subquery shape)
+                  "user_activity_bitmaps",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "corpus_mix_tv_distance",
                   # 3-row percentile-cut spine crossJoin
