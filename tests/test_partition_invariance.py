@@ -423,6 +423,26 @@ PROBE = [
     "customer_time_to_1k",
     # bidirectional rank picks + one-row disagreement census
     "attribution_touch_disagreement",
+    # round-3 batch additions —
+    # ordered-fold KN scoring + continuation counts from one pass
+    "text_kneser_ney_ce",
+    # day-spine running sum vs duration sums — both sides must agree
+    # under any placement for the conservation identity to hold
+    "orders_little_law_audit",
+    # additive counter cells built from partials: placement-free
+    "cms_width_error_curve",
+    # two SCD2 island rebuilds + two interval joins
+    "scd2_bitemporal_drift",
+    # merged-support cumulative CDFs + support gaps
+    "events_wasserstein_drift",
+    # per-dim stats fold + milli-floored Mahalanobis scores
+    "embedding_mahalanobis_ood",
+    # residual rank quantile + held-out coverage counts
+    "order_value_conformal",
+    # bit_or bitmap assembly + shift-AND streak ladder
+    "user_activity_bitmaps",
+    # retraction/insertion partials merged into base partials
+    "kpi_retraction_refresh",
 ]
 
 
