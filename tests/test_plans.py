@@ -337,6 +337,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "segment_quantile_sketch_audit",
                   # 1-row anchor-day crossJoin (scalar-subquery shape)
                   "user_activity_bitmaps",
+                  # broadcast panel vs corpus scan (brute shape)
+                  "embedding_hubness",
+                  # 1-row test-total crossJoin (scalar-subquery shape)
+                  "conversion_calibration_ece",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "corpus_mix_tv_distance",
                   # 3-row percentile-cut spine crossJoin
