@@ -70,6 +70,12 @@ HEADLINE = [
     "table_fingerprints",
     "dedup_containment_pairs",
     "session_purchase_mrr",
+    # round-3 session-4 flagships
+    "text_kneser_ney_ce",
+    "contamination_bloom_screen",
+    "scd2_bitemporal_drift",
+    "events_wasserstein_drift",
+    "user_activity_bitmaps",
 ]
 
 
