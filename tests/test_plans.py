@@ -341,6 +341,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "embedding_hubness",
                   # 1-row test-total crossJoin (scalar-subquery shape)
                   "conversion_calibration_ece",
+                  # two 1-row MAD-fence crossJoins (scalar-subquery
+                  # shape)
+                  "daily_health_certificate",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "corpus_mix_tv_distance",
                   # 3-row percentile-cut spine crossJoin
