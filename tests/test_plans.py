@@ -358,7 +358,14 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "assortment_gap_grid",
                   # 1-row grand-total crossJoin (scalar-subquery
                   # shape)
-                  "doc_length_quality_grid"}
+                  "doc_length_quality_grid",
+                  # classes x band-vocabulary dense grid (both sides
+                  # aggregate-reduced — the EMD needs absent bands as
+                  # explicit zeros) + 1-row (N, m) totals crossJoin
+                  "customer_t_closeness",
+                  # 1-row seasonal-center crossJoin (scalar-subquery
+                  # shape)
+                  "revenue_classical_decomposition"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
