@@ -443,6 +443,10 @@ PROBE = [
     "user_activity_bitmaps",
     # retraction/insertion partials merged into base partials
     "kpi_retraction_refresh",
+    # dense-grid cumulative EMD + staged ppm multiplier per class
+    "customer_t_closeness",
+    # centered-MA window + floor-double seasonal means
+    "revenue_classical_decomposition",
 ]
 
 
