@@ -49,8 +49,8 @@ PROBE = [
     # bucket-pruned dominance: frontier membership must survive any
     # bucket/shuffle placement
     "part_skyline",
-    # Hamilton cent top-ups ride a per-line window — allocation must
-    # not depend on which partition a line's months land in
+    # per-row cumulative-quota cent diffs + monthly rollup — the
+    # telescoping conservation must not depend on placement
     "revenue_recognition",
     # theta/KMV estimates divide by a MAX-derived threshold — sketch
     # contents must be placement-independent
