@@ -447,6 +447,8 @@ PROBE = [
     "customer_t_closeness",
     # centered-MA window + floor-double seasonal means
     "revenue_classical_decomposition",
+    # md5-derived priorities + partial top-k + tau clamp
+    "corpus_priority_sample",
 ]
 
 

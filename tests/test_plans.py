@@ -365,7 +365,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "customer_t_closeness",
                   # 1-row seasonal-center crossJoin (scalar-subquery
                   # shape)
-                  "revenue_classical_decomposition"}
+                  "revenue_classical_decomposition",
+                  # 1-row tau-threshold crossJoin onto the k-row
+                  # sample (scalar-subquery shape)
+                  "corpus_priority_sample"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
