@@ -14,7 +14,7 @@ checks only the FIRST 50 keys of ``queries()``, so the dict is ordered
 as  sentinels (regression continuity + the two round-2 oracle-bug fixes)
 -> this round's never-checked block -> the remaining never-checked
 queries (queued for the round-4 rotation) -> everything already green
-in CORRECTNESS_r01/r02.  All registered oracles (480 of 482 queries
+in CORRECTNESS_r01/r02.  All registered oracles (481 of 483 queries
 as of round-3 close) are additionally validated locally by
 tests/driver_sim.py (pandas-typed compare, sf0.01) every round, so
 rotation only changes WHICH get the driver's hard signal, never

@@ -449,6 +449,8 @@ PROBE = [
     "revenue_classical_decomposition",
     # md5-derived priorities + partial top-k + tau clamp
     "corpus_priority_sample",
+    # key-ordered double fold of the tau-clamped weights
+    "corpus_priority_sample_audit",
 ]
 
 

@@ -368,7 +368,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "revenue_classical_decomposition",
                   # 1-row tau-threshold crossJoin onto the k-row
                   # sample (scalar-subquery shape)
-                  "corpus_priority_sample"}
+                  "corpus_priority_sample",
+                  # composes the sample + 1-row est x exact crossJoin
+                  "corpus_priority_sample_audit"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
