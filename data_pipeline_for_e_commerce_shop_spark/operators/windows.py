@@ -198,3 +198,94 @@ def segment_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return annotated.where(F.col("rk") <= 3)
+
+
+def positional_boundary_structs(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    ranks_expr: str,
+    bucket_scale: int,
+) -> DataFrame:
+    """The distributed replacement for a GLOBAL ntile/row_number sort:
+    the exact (value, *tiebreaks) tuples sitting at the given global
+    ranks, found WITHOUT a single-partition sort.
+
+    Same bucket-walk as revenue_trend_robust's positional median:
+    coarse-bucket the value, cumulative-count the (vocabulary-sized)
+    bucket table to locate each target rank's bucket and in-bucket
+    offset, then rank ONLY inside hit buckets with a partitioned
+    window.  Cost: one map-side-combined groupBy over the data plus
+    per-bucket local sorts — no stage ever sorts the full input on one
+    partition, so the plan survives a 100x scale-up where
+    ``Window.orderBy(...)`` (WindowExec, "No Partition Defined")
+    does not.
+
+    ``ranks_expr`` is a SQL expression over ``n`` (the total row
+    count) producing an ARRAY of target ranks, e.g. quintile
+    boundaries ``array(...)``.  Returns a 1-row DataFrame with column
+    ``bounds``: array<struct<value, *tiebreaks>> sorted by rank,
+    ready to broadcast-crossJoin onto the data for binning via struct
+    comparison.
+    """
+    from pyspark.sql import Window
+
+    cols = [value_col, *tiebreak_cols]
+    bucketed = df.select(
+        *cols,
+        F.expr(f"{value_col} div {bucket_scale}").alias("_bk"),
+    ).localCheckpoint(eager=False)  # feeds counts AND the rank picks
+    bcounts = bucketed.groupBy("_bk").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_cum = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bcounts.select(
+        "_bk",
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("n"),
+    )
+    # one row per (target rank x its bucket): rank r lands in the
+    # bucket where cum >= r and cum - cnt < r, at in-bucket offset
+    # r - (cum - cnt)
+    targets = (
+        cum.select(
+            "_bk",
+            "_cnt",
+            "_cum",
+            F.explode(F.expr(ranks_expr)).alias("_r"),
+        )
+        .where(
+            (F.col("_cum") >= F.col("_r"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_r"))
+        )
+        .select(
+            "_bk",
+            "_r",
+            (F.col("_r") - (F.col("_cum") - F.col("_cnt"))).alias("_off"),
+        )
+    )
+    struct_expr = "struct(" + ", ".join(cols) + ")"
+    picked = (
+        bucketed.join(F.broadcast(targets), "_bk")
+        .select(
+            "_r",
+            "_off",
+            *cols,
+            F.row_number()
+            .over(
+                Window.partitionBy("_bk", "_r").orderBy(*cols)
+            )
+            .alias("_rn"),
+        )
+        .where(F.col("_rn") == F.col("_off"))
+    )
+    return picked.agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            f" 'r', _r, 's', {struct_expr}))), x -> x.s)"
+        ).alias("bounds")
+    )
