@@ -138,3 +138,44 @@ def test_shrinkage_pulls_toward_prior(spark, sf_dir):
         lo, hi = sorted((r["raw_ppm"], g_ppm))
         # shrunk rate lies between raw and global (±1 for floor)
         assert lo - 1 <= r["shrunk_ppm"] <= hi + 1
+
+
+def test_positional_boundary_structs_match_ntile(spark, sf_dir):
+    """The bucket-walk boundary picks must reproduce F.ntile's exact
+    positional assignment (same key-tiebroken total order) — the
+    contract price_qty_dependence_grid's binning relies on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.operators.windows import (
+        positional_boundary_structs,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)"
+        ).alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranks = (
+        "transform(sequence(1, 4),"
+        " i -> i * (n div 5) + least(CAST(i AS BIGINT), n % 5))"
+    )
+    b = positional_boundary_structs(
+        pts, "v", ["l_orderkey", "l_linenumber"], ranks, 10000
+    )
+    got = pts.crossJoin(F.broadcast(b)).select(
+        "v",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "1 + size(filter(bounds, b ->"
+            " b < struct(v, l_orderkey, l_linenumber)))"
+        ).alias("q_walk"),
+        F.ntile(5)
+        .over(Window.orderBy("v", "l_orderkey", "l_linenumber"))
+        .alias("q_ntile"),
+    )
+    assert got.where(F.col("q_walk") != F.col("q_ntile")).count() == 0
