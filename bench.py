@@ -17,6 +17,7 @@ script.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -24,6 +25,30 @@ import sys
 import time
 
 N_RUNS = 3
+
+
+def _cpu_calibration_sec() -> float:
+    """Fixed single-thread CPU probe (sha256 over 512 MiB): a
+    box-speed yardstick recorded with every bench run so a future
+    round can separate environment drift from code regressions.
+    The round-3->4 investigation (BASELINE.md) found a ~3.5x
+    day-over-day shift on IDENTICAL code — without a recorded
+    yardstick that read as a code regression."""
+    blob = b"\x5a" * (1 << 20)
+    h = hashlib.sha256()
+    t0 = time.time()
+    for _ in range(512):
+        h.update(blob)
+    return round(time.time() - t0, 4)
+
+
+def _spark_calibration_sec(spark) -> float:
+    """Fixed Spark probe (agg over range(2e8)): JVM+scheduler speed
+    yardstick, same purpose as the CPU probe but covering codegen and
+    task dispatch."""
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("sum(id * 3 % 7)").collect()
+    return round(time.time() - t0, 4)
 
 # Headline queries for the final JSON line: one or two representatives
 # per operator family (KPIs, merge, sessionize/streaming, dedup ladder,
@@ -89,6 +114,23 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     queries = entry_mod.queries()
 
+    # Session-shape + box-speed record (VERDICT r3 item 7): enough
+    # context for round-over-round comparison without re-deriving it.
+    # Key facts the r3->r4 A/B established: (a) one warmed session
+    # over the full registry is FASTER per query than a fresh small
+    # session (JVM JIT dominates; ~1.4x at 70 queries), so single-
+    # session timing stands; (b) the box itself moved ~3.5x between
+    # round records — normalize cross-round ratios by calibration.
+    session_meta = {
+        "n_registered": len(queries),
+        "timing": f"median of {N_RUNS} back-to-back runs per query,"
+                  " single shared session, queries in sorted-name order",
+        "loadavg_start": list(os.getloadavg()),
+        "cpu_calibration_sec_start": _cpu_calibration_sec(),
+        "spark_calibration_sec": _spark_calibration_sec(spark),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
     # Untimed warm-up: absorb one-time session costs (executor spin-up,
     # first-job scheduling, shared codegen) so they don't land on
     # whichever query happens to run first.  Uses the first available
@@ -128,6 +170,8 @@ def main() -> int:
     n_fail = sum(1 for t in timings.values() if t < 0)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    session_meta["loadavg_end"] = list(os.getloadavg())
+    session_meta["cpu_calibration_sec_end"] = _cpu_calibration_sec()
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_detail.json")
     with open(detail_path, "w") as f:
@@ -140,6 +184,7 @@ def main() -> int:
                 "runs_per_query": N_RUNS,
                 "n_queries": len(timings),
                 "n_failed": n_fail,
+                "session": session_meta,
                 "queries": timings,
                 "spread": spread,
             },

@@ -142,7 +142,9 @@ def upsert_parquet_table(
       silently drops the faster one's rows (lost update), exactly the
       anomaly Delta's optimistic concurrency rejects with a conflict.
       Callers must serialize writers per table (the streaming runner's
-      single-flight FIFO claim, streaming/runner.py, is that lock).
+      single-flight FIFO claim, streaming/runner.py, is that lock) —
+      or use :func:`upsert_versioned_table`, which closes this hole
+      with the commit log's compare-and-swap and a loser-retries loop.
     - Readers during the swap window can catch the path between the
       two renames and see a missing directory; Delta readers never do.
 
@@ -179,3 +181,58 @@ def upsert_parquet_table(
             )
         merged.write.mode("overwrite").parquet(table_path)
     return spark.read.parquet(table_path)
+
+
+def upsert_versioned_table(
+    spark,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    provenance_col: str | None = "data_sources",
+    max_retries: int = 8,
+) -> int:
+    """MULTI-WRITER-SAFE merge: the Delta MERGE INTO shape (reference
+    scripts/helperfunction.py:110-208) on the versioned commit log
+    (sources/versioned.py) instead of ``upsert_parquet_table``'s
+    single-writer parquet swap.
+
+    Optimistic concurrency, Delta-style: read the current version,
+    merge, then commit with ``expected_current`` pinned to what was
+    read.  If another writer committed in between, the commit raises
+    ``ConcurrentWriteError`` WITHOUT publishing (exactly one writer
+    wins each version — the atomic ``os.link`` in the commit log is
+    the arbiter), and this writer re-reads the NEW current and
+    re-merges, so no committed row is ever lost — the lost-update
+    anomaly the plain-parquet emulation documents is closed here.
+    Returns the committed version number."""
+    from data_pipeline_for_e_commerce_shop_spark.sources import (
+        versioned as V,
+    )
+
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        cur = V.current_version(table_path)
+        if cur == 0:
+            merged = source
+            if provenance_col:
+                merged = merged.withColumn(
+                    provenance_col,
+                    F.array_sort(F.array_distinct(F.col(provenance_col))),
+                )
+        else:
+            target = V.read_versioned(spark, table_path)
+            merged = coalescing_merge(
+                target, source, keys, value_cols, provenance_col
+            )
+        try:
+            return V.write_versioned(
+                merged, table_path, expected_current=cur
+            )
+        except V.ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise RuntimeError(
+        f"{table_path}: upsert lost the commit race {max_retries}"
+        f" times; last: {last_err}"
+    )

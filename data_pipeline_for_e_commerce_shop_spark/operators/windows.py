@@ -200,6 +200,131 @@ def segment_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotated.where(F.col("rk") <= 3)
 
 
+def bucketed_global_rank(
+    df: DataFrame,
+    lead_expr: str,
+    order_cols: list,
+    out_col: str = "rn",
+    n_col: str | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` without
+    a single-partition sort (the WindowExec "No Partition Defined"
+    plan that dies at 100x).
+
+    ``lead_expr`` is a SQL expression for the LEADING integer sort key
+    (negate it for a descending lead, e.g. ``"-cents"``); the rest of
+    ``order_cols`` break ties so the ordering is total.  Strategy:
+    range-bucket the lead key adaptively into <= ``n_buckets`` buckets
+    (min/max come from a 1-row broadcast agg, so bucket count is bound
+    regardless of data scale), compute each bucket's exclusive prefix
+    count with a window over the BOUNDED bucket table (<= n_buckets
+    rows — the whitelisted bounded-window class), then rank inside
+    each bucket with a partitioned window and add the offset.  The
+    result is bit-identical to the global window because integer
+    division by a positive scale is monotone in the lead key.
+
+    Returns ``df`` plus ``out_col`` (long, 1-based global rank) and,
+    when ``n_col`` is given, the total row count as a column.
+    """
+    src = df.localCheckpoint(eager=False)  # feeds bounds AND bucketing
+    bounds = src.agg(
+        F.expr(f"min({lead_expr})").alias("_lo"),
+        F.expr(f"max({lead_expr})").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    bucketed = src.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bk",
+        F.expr(
+            f"(({lead_expr}) - _lo)"
+            f" div (((_hi - _lo) div {n_buckets}) + 1L)"
+        ),
+    )
+    bcounts = bucketed.groupBy("_bk").agg(F.count(F.lit(1)).alias("_cnt"))
+    # exclusive prefix over the <= n_buckets-row bucket table: bounded
+    # input, so the single-partition window here is safe by design
+    w_prev = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.select(
+        "_bk",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_boff"),
+    )
+    w_in = Window.partitionBy("_bk").orderBy(*order_cols)
+    ranked = bucketed.join(F.broadcast(offsets), "_bk").withColumn(
+        out_col,
+        (F.col("_boff") + F.row_number().over(w_in)).cast("long"),
+    )
+    keep = df.columns + [out_col] + ([n_col] if n_col else [])
+    if n_col:
+        ranked = ranked.withColumn(n_col, F.col("_n"))
+    return ranked.select(*keep)
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    sum_col: str,
+    lead_expr: str,
+    order_cols: list,
+    out_col: str = "cum",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exact inclusive running ``SUM(sum_col) OVER (ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` without a single-partition
+    sort — same adaptive range-bucketing as :func:`bucketed_global_rank`
+    (see there for the monotonicity argument): per-bucket totals give
+    each bucket's exclusive prefix sum via a window over the BOUNDED
+    bucket table, and the within-bucket running sum is a partitioned
+    window.  Integer sums only (the repo's exact-cents discipline), so
+    the split into prefix + local sum is associative and bit-exact."""
+    src = df.localCheckpoint(eager=False)
+    bounds = src.agg(
+        F.expr(f"min({lead_expr})").alias("_lo"),
+        F.expr(f"max({lead_expr})").alias("_hi"),
+    )
+    bucketed = src.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bk",
+        F.expr(
+            f"(({lead_expr}) - _lo)"
+            f" div (((_hi - _lo) div {n_buckets}) + 1L)"
+        ),
+    )
+    bsums = bucketed.groupBy("_bk").agg(F.sum(sum_col).alias("_bsum"))
+    w_prev = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bsums.select(
+        "_bk",
+        F.coalesce(F.sum("_bsum").over(w_prev), F.lit(0)).alias("_soff"),
+    )
+    w_in = (
+        Window.partitionBy("_bk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summed = bucketed.join(F.broadcast(offsets), "_bk").withColumn(
+        out_col, F.col("_soff") + F.sum(sum_col).over(w_in)
+    )
+    return summed.select(*(df.columns + [out_col]))
+
+
+def ntile_from_rank(rank_col: str, n_col: str, k: int):
+    """NTILE(k) recomputed from an exact global rank: the first
+    ``n % k`` tiles get ``n div k + 1`` rows, the rest ``n div k`` —
+    SQL-standard NTILE's exact assignment (the binning commit 94e7d6c
+    pinned).  Pure expression over (rank, n); pairs with
+    :func:`bucketed_global_rank` to replace a global-sort ntile.
+    Returns an int column matching ``F.ntile(k)``'s type."""
+    q = f"({n_col} div {k})"
+    m = f"({n_col} % {k})"
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {m} * ({q} + 1)"
+        f" THEN 1 + ({rank_col} - 1) div ({q} + 1)"
+        f" ELSE 1 + {m} + ({rank_col} - {m} * ({q} + 1) - 1) div {q}"
+        f" END AS INT)"
+    )
+
+
 def positional_boundary_structs(
     df: DataFrame,
     value_col: str,
@@ -250,13 +375,31 @@ def positional_boundary_structs(
     )
     # one row per (target rank x its bucket): rank r lands in the
     # bucket where cum >= r and cum - cnt < r, at in-bucket offset
-    # r - (cum - cnt)
+    # r - (cum - cnt).  Each target rank r is paired with its NEIGHBOR
+    # rank r+1 (tag 1): binning via strict struct comparison matches
+    # ntile ONLY when the tuple at r differs from the tuple at r+1 —
+    # a duplicate run straddling a boundary would silently bin the
+    # whole run below — so the neighbor's tuple is fetched in the same
+    # pass and equality raises loudly instead of diverging.
     targets = (
         cum.select(
             "_bk",
             "_cnt",
             "_cum",
-            F.explode(F.expr(ranks_expr)).alias("_r"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform({ranks_expr}, r -> array("
+                    "named_struct('rr', r, 'tg', 0),"
+                    "named_struct('rr', r + 1, 'tg', 1))))"
+                )
+            ).alias("_rt"),
+        )
+        .select(
+            "_bk",
+            "_cnt",
+            "_cum",
+            F.col("_rt.rr").alias("_r"),
+            F.col("_rt.tg").alias("_tg"),
         )
         .where(
             (F.col("_cum") >= F.col("_r"))
@@ -265,6 +408,7 @@ def positional_boundary_structs(
         .select(
             "_bk",
             "_r",
+            "_tg",
             (F.col("_r") - (F.col("_cum") - F.col("_cnt"))).alias("_off"),
         )
     )
@@ -273,19 +417,36 @@ def positional_boundary_structs(
         bucketed.join(F.broadcast(targets), "_bk")
         .select(
             "_r",
+            "_tg",
             "_off",
             *cols,
             F.row_number()
             .over(
-                Window.partitionBy("_bk", "_r").orderBy(*cols)
+                Window.partitionBy("_bk", "_r", "_tg").orderBy(*cols)
             )
             .alias("_rn"),
         )
         .where(F.col("_rn") == F.col("_off"))
     )
+    # neighbor entries re-keyed to their base rank (r-1) so the tie
+    # check is a per-rank struct comparison; a missing neighbor
+    # (boundary at rank n) simply doesn't appear and can't match.
     return picked.agg(
         F.expr(
-            "transform(array_sort(collect_list(named_struct("
-            f" 'r', _r, 's', {struct_expr}))), x -> x.s)"
+            "array_sort(collect_list(CASE WHEN _tg = 0 THEN"
+            f" named_struct('r', _r, 's', {struct_expr}) END))"
+        ).alias("_bmain"),
+        F.expr(
+            "array_sort(collect_list(CASE WHEN _tg = 1 THEN"
+            f" named_struct('r', _r - 1, 's', {struct_expr}) END))"
+        ).alias("_bnext"),
+    ).select(
+        F.expr(
+            "CASE WHEN exists(_bnext, nb -> exists(_bmain,"
+            " mb -> mb.r = nb.r AND mb.s = nb.s))"
+            " THEN raise_error('positional_boundary_structs: duplicate"
+            " (value, tiebreak) tuple straddles a boundary rank;"
+            " extend tiebreak_cols to a strict total order')"
+            " ELSE transform(_bmain, x -> x.s) END"
         ).alias("bounds")
     )

@@ -147,13 +147,16 @@ def test_upsert_crash_window_keeps_a_copy(spark, tmp_path, monkeypatch):
 
 
 def test_upsert_concurrent_writer_boundary(spark, tmp_path):
-    """Documents the emulation's declared limit (no commit log): two
-    interleaved read-modify-write upserts exhibit LOST UPDATE — the
-    second writer, having read before the first wrote, silently drops
-    the first writer's rows.  Delta's optimistic concurrency would
-    instead fail the second commit; until delta-spark is available,
-    callers must serialize writers per table (the streaming runner's
-    single-flight FIFO is that lock)."""
+    """Documents the PLAIN-PARQUET emulation's declared limit (no
+    commit log): two interleaved read-modify-write upserts exhibit
+    LOST UPDATE — the second writer, having read before the first
+    wrote, silently drops the first writer's rows.  Delta's optimistic
+    concurrency would instead fail the second commit.  That behavior
+    now exists: merge.upsert_versioned_table on the versioned commit
+    log rejects the stale commit and retries on the new current
+    (tests/test_round4_invariants.test_versioned_cas_two_writers_
+    exactly_one_wins); this test keeps asserting the plain path's
+    boundary so the difference stays documented."""
     from data_pipeline_for_e_commerce_shop_spark.operators.merge import (
         coalescing_merge,
         upsert_parquet_table,
