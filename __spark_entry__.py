@@ -9,16 +9,19 @@ Determinism contract: money aggregates go through exact integer cents
 computed column is aliased identically on both sides; ratios divide
 exact integers (same doubles on both engines).
 
-Ordering contract (round-3 rotation): the driver's CORRECTNESS gate
+Ordering contract (rotation, round 4): the driver's CORRECTNESS gate
 checks only the FIRST 50 keys of ``queries()``, so the dict is ordered
 as  sentinels (regression continuity + the two round-2 oracle-bug fixes)
--> this round's never-checked block -> the remaining never-checked
-queries (queued for the round-4 rotation) -> everything already green
-in CORRECTNESS_r01/r02.  All registered oracles (481 of 483 queries
-as of round-3 close) are additionally validated locally by
-tests/driver_sim.py (pandas-typed compare, sf0.01) every round, so
-rotation only changes WHICH get the driver's hard signal, never
-which are verified.
+-> this round's never-checked block (_ROTATION_R4: the seven queries
+whose plans were rewritten this round for scale — bucket-walk windows
+— plus the recursive-trajectory / stats / graph / SCM families VERDICT
+r3 prioritized) -> the remaining never-checked queries (queued for
+round 5) -> everything already green in CORRECTNESS_r01/r02/r03.
+All registered oracles are additionally validated locally by
+tests/driver_sim.py (pandas-typed compare, sf0.01) every round — and
+since round 4 any sim mismatch persists a typed row diff under
+SELFCHECK_diffs/ — so rotation only changes WHICH get the driver's
+hard signal, never which are verified.
 """
 
 from __future__ import annotations
@@ -45,10 +48,65 @@ _SENTINELS = [
     "events_stream_sessionize",
 ]
 
-# 43 queries never yet driver-checked (not in CORRECTNESS_r01/r02),
-# fronted for round 3: the two latent HUGEINT fixes first, then the
-# SCD2 / sketch / ANN-tail / dedup-tail / corpus / commerce / stats
-# families VERDICT r2 called out.
+# 43 queries never yet driver-checked, fronted for round 4: first the
+# seven whose plans changed this round (bucket-walk window rewrites +
+# the ADVICE zero-guard/overflow fixes), then the recursive-CTE
+# trajectory, stats, graph, and SCM families VERDICT r3 named as the
+# trickiest remaining determinism surface.
+_ROTATION_R4 = [
+    # changed this round — driver signal on the new plans
+    "price_qty_dependence_grid",
+    "part_abc_xyz_matrix",
+    "layout_zorder_pruning_audit",
+    "purchase_propensity_lift",
+    "revenue_concentration_curve",
+    "ab_hte_screen",
+    "policy_snips",
+    # recursive-CTE / iterative trajectories
+    "events_ema_recursive",
+    "events_holt_recursive",
+    "events_cusum_changepoint",
+    "category_demand_slope",
+    # stats suite
+    "revenue_bootstrap_ci",
+    "anova_nation_priority",
+    "brand_mann_kendall",
+    "nation_spearman_bal_spend",
+    "revenue_ljung_box",
+    "priority_mannwhitney_leadtime",
+    "priority_kruskal_wallis",
+    "nation_kendall_tau",
+    "orders_benford_second_digit",
+    "events_hourly_rayleigh",
+    "orders_weekly_rayleigh",
+    "benford_mad_conformity",
+    "events_wasserstein_drift",
+    "mcnemar_lang_classifiers",
+    # graph
+    "part_degree_profile",
+    "part_label_propagation",
+    "part_kcore",
+    "part_link_prediction",
+    "customer_record_linkage",
+    "part_two_hop_reach",
+    "leadtime_variance_components",
+    # SCM classics
+    "reorder_interval_profile",
+    "part_xyz_classes",
+    "part_newsvendor_stock",
+    "part_eoq_policy",
+    "brand_bullwhip_ratio",
+    "supplier_lead_time_sla",
+    "part_abc_migration",
+    "priority_business_day_leadtime",
+    "peak_hour_erlang_b",
+    "orders_monthly_wip",
+    # semantic-dedup tail
+    "dedup_semantic",
+]
+
+# Round-3 rotation (all 43 green in CORRECTNESS_r03) — kept for the
+# checked-set bookkeeping below.
 _ROTATION_R3 = [
     "cumulative_active_users",
     "survival_km",
@@ -124,16 +182,16 @@ _CHECKED_R1_R2 = frozenset(
 
 
 def _ordered_names() -> list[str]:
-    front = _SENTINELS + _ROTATION_R3
+    front = _SENTINELS + _ROTATION_R4
     missing = [n for n in front if n not in QUERIES]
     assert not missing, f"rotation names not in registry: {missing}"
     front_set = set(front)
+    checked = _CHECKED_R1_R2 | set(_ROTATION_R3)
     rest_unchecked = [
-        n for n in QUERIES
-        if n not in front_set and n not in _CHECKED_R1_R2
+        n for n in QUERIES if n not in front_set and n not in checked
     ]
     rest_checked = [
-        n for n in QUERIES if n not in front_set and n in _CHECKED_R1_R2
+        n for n in QUERIES if n not in front_set and n in checked
     ]
     order = front + rest_unchecked + rest_checked
     assert len(order) == len(QUERIES)

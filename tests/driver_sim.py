@@ -14,6 +14,7 @@ them to the driver.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -37,7 +38,23 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from data_pipeline_for_e_commerce_shop_spark.queries import ORACLES, QUERIES
-    from tests.oracle_utils import compare_query
+    from tests.oracle_utils import compare_query, diff_query
+
+    # VERDICT r3 item 5: on any mismatch, persist an inspectable
+    # spark-vs-oracle row diff — this sim is the only signal for the
+    # queries outside the driver's 50-per-round window, so its
+    # evidence must be reviewable, not just a one-line assert.
+    diff_dir = os.path.join(os.path.dirname(out) or ".", "SELFCHECK_diffs")
+
+    def _write_diff(name: str, fn) -> None:
+        try:
+            d = diff_query(spark, fn, ORACLES[name], sf_dir)
+            if d is not None:
+                os.makedirs(diff_dir, exist_ok=True)
+                with open(os.path.join(diff_dir, f"{name}.json"), "w") as f:
+                    json.dump(d, f, indent=1)
+        except Exception:  # noqa: BLE001 — diff capture is best-effort
+            traceback.print_exc()
 
     results: dict[str, dict] = {}
     t_all = time.time()
@@ -55,6 +72,7 @@ def main() -> int:
         except AssertionError as e:
             rec["ok"] = False
             rec["err"] = str(e)[:500]
+            _write_diff(name, fn)
         except Exception as e:  # noqa: BLE001 — audit must not abort
             rec["ok"] = False
             rec["err"] = f"{type(e).__name__}: {e}"[:500]

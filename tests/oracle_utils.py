@@ -138,3 +138,40 @@ def compare_query(spark, query_fn, oracle: str, sf_dir: str):
         (a, b) for a, b in zip(sn, on) if a != b
     ]
     assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
+
+
+def diff_query(spark, query_fn, oracle: str, sf_dir: str) -> dict | None:
+    """Inspectable spark-vs-oracle diff (VERDICT r3 item 5): the same
+    comparison as :func:`compare_query`, but instead of asserting it
+    returns None on match or a JSON-serializable dict with the sorted
+    column order and the first 20 differing normalized row pairs —
+    the evidence artifact driver_sim writes to SELFCHECK_diffs/."""
+    sdf = query_fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    o_cols, o_rows = run_oracle(oracle, sf_dir)
+    cols_sorted, sn = normalize(s_cols, s_rows)
+    o_sorted, on = normalize(o_cols, o_rows)
+    diff: dict = {
+        "spark_cols": sorted(s_cols),
+        "oracle_cols": sorted(o_cols),
+        "spark_rows": len(s_rows),
+        "oracle_rows": len(o_rows),
+    }
+    if sorted(s_cols) != sorted(o_cols):
+        diff["kind"] = "columns"
+        return diff
+    pairs = []
+    for i in range(max(len(sn), len(on))):
+        a = sn[i] if i < len(sn) else None
+        b = on[i] if i < len(on) else None
+        if a != b:
+            pairs.append({"row": i, "spark": repr(a), "oracle": repr(b)})
+        if len(pairs) >= 20:
+            break
+    if not pairs:
+        return None
+    diff["kind"] = "rows" if len(s_rows) != len(o_rows) else "values"
+    diff["columns_in_hash_order"] = cols_sorted
+    diff["first_mismatches"] = pairs
+    return diff

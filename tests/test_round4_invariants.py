@@ -247,3 +247,26 @@ def test_versioned_blind_writer_retries_next_version(
     assert V.write_versioned(df, path) == 2
     assert [e["v"] for e in V.versions(path)] == [1, 2]
     assert V.read_versioned(spark, path).count() == 3
+
+
+def test_diff_query_seeded_fault_produces_readable_diff(spark, sf_dir):
+    """VERDICT r3 item 5: mutating one oracle constant must yield an
+    inspectable typed row diff (and an unmutated oracle must yield
+    None) — the evidence driver_sim persists to SELFCHECK_diffs/."""
+    from data_pipeline_for_e_commerce_shop_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+    from tests.oracle_utils import diff_query
+
+    name = "revenue_gini"
+    assert diff_query(spark, QUERIES[name], ORACLES[name], sf_dir) is None
+
+    seeded = ORACLES[name].replace("CAST(2 AS DOUBLE)", "CAST(3 AS DOUBLE)")
+    assert seeded != ORACLES[name]
+    d = diff_query(spark, QUERIES[name], seeded, sf_dir)
+    assert d is not None and d["kind"] == "values"
+    assert d["spark_rows"] == d["oracle_rows"] == 1
+    assert len(d["first_mismatches"]) == 1
+    m = d["first_mismatches"][0]
+    assert m["spark"] != m["oracle"]  # both sides shown, typed reprs
