@@ -263,3 +263,100 @@ def clustering_coefficient(
         )
         .orderBy("part_id")
     )
+
+
+HYPERBALL_HOPS = 3  # interpolated into the registered oracle SQL
+
+
+def hyperball_reach(
+    spark: SparkSession, sf_dir: str, hops: int = HYPERBALL_HOPS
+) -> DataFrame:
+    """HyperBall (Boldi-Vigna) neighborhood function on the
+    co-purchase graph: per part, an HLL estimate of how many parts sit
+    within ``hops`` hops, computed by iterating MERGEABLE register
+    state over edges — never materializing any ball.
+
+    Registers are ROWS (node, bucket, m_reg), the same deterministic
+    md5 hash / bucket / rho law as operators/sketch (so the DuckDB
+    oracle replays the trajectory bit-exactly), and the HLL union is
+    literally ``groupBy(node, bucket).max(m_reg)``.  Each hop is one
+    edges⋈registers equi-join plus that groupBy — at 100 TB both sides
+    hash-partition on the node key and the map-side max collapses the
+    shuffle to one row per (partition, node, bucket); state is bounded
+    by 1024 registers/node however large the balls grow.  The EXACT
+    ball count rides along for the audit column (distinct (node,
+    member) expansion) — that branch is the O(sum-of-ball-sizes) cost
+    HyperBall exists to avoid, kept here because the whole suite
+    reports sketch error explicitly; at scale you drop it.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.operators.sketch import (
+        HLL_M,
+        HLL_REM_BITS,
+        HLL_RHO_MAX,
+        _hll_estimate_sql,
+    )
+
+    e = (
+        copurchase_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # reused every hop, both branches
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    hashed = nodes.select(
+        "node", portable_hash32("node", prefix="hb-").alias("h")
+    )
+    rho = F.when(
+        F.expr(f"h % {1 << HLL_REM_BITS}") == 0, F.lit(HLL_RHO_MAX)
+    ).otherwise(
+        HLL_RHO_MAX - F.length(F.bin(F.expr(f"h % {1 << HLL_REM_BITS}")))
+    )
+    regs = hashed.select(
+        "node",
+        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
+        rho.alias("m_reg"),
+    )
+    ball = nodes.select("node", F.col("node").alias("member"))
+    for _ in range(hops):
+        contrib = e.join(
+            regs, e.dst == regs.node
+        ).select(F.col("src").alias("node"), "bucket", "m_reg")
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("node", "bucket")
+            .agg(F.max("m_reg").alias("m_reg"))
+            .localCheckpoint(eager=False)
+        )
+        grow = e.join(ball, e.dst == ball.node).select(
+            F.col("src").alias("node"), "member"
+        )
+        ball = (
+            ball.unionByName(grow).distinct().localCheckpoint(eager=False)
+        )
+    exact = ball.groupBy("node").agg(
+        F.count(F.lit(1)).alias("exact_reach")
+    )
+    per_node = regs.groupBy("node").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")
+        ).alias("present_scaled"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    sum_expr = (
+        f"present_scaled + ({HLL_M} - n_buckets) * {1 << HLL_RHO_MAX}"
+    )
+    return (
+        per_node.join(exact, "node")
+        .select(
+            F.col("node").alias("part_id"),
+            "exact_reach",
+            (
+                F.col("present_scaled")
+                + (HLL_M - F.col("n_buckets")) * (1 << HLL_RHO_MAX)
+            ).alias("sum_scaled"),
+            F.expr(_hll_estimate_sql(sum_expr)).alias("hll_estimate"),
+        )
+        .orderBy("part_id")
+    )

@@ -352,6 +352,12 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row grand-total crossJoin (scalar-subquery
                   # shape)
                   "price_qty_dependence_grid",
+                  # three 1-row boundary-bounds crossJoins (bucket-walk
+                  # ntile binning — scalar-subquery shape)
+                  "customer_rfm",
+                  # 1-row adaptive-bucket-bounds crossJoin inside
+                  # bucketed_global_rank (scalar-subquery shape)
+                  "revenue_gini",
                   # 1-row peak-total crossJoin (scalar-subquery shape)
                   "user_peak_hour_profile",
                   # 1-row size-count crossJoin (scalar-subquery shape)
@@ -370,7 +376,13 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # sample (scalar-subquery shape)
                   "corpus_priority_sample",
                   # composes the sample + 1-row est x exact crossJoin
-                  "corpus_priority_sample_audit"}
+                  "corpus_priority_sample_audit",
+                  # days x 5-arm vocabulary crossJoin + 1-row best-arm
+                  # broadcast (scalar-subquery shape)
+                  "bandit_replay_egreedy",
+                  # O(B^3) minimax grid over the <= 16-row bucket
+                  # table: bounded-by-construction range joins
+                  "conversion_isotonic_curve"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
