@@ -104,3 +104,78 @@ def run_incremental_kpis(
         .start()
     )
     q.awaitTermination()
+
+
+def accumulate_into_versioned(
+    spark: SparkSession,
+    table_path: str,
+    partial: DataFrame,
+    max_retries: int = 8,
+) -> int:
+    """Fold one batch's partials into a VERSIONED serving table with
+    the round-4 compare-and-swap commit (sources/versioned.py) instead
+    of the plain-parquet overwrite: the additive merge re-reads the
+    table it will commit over, pins ``expected_current``, and re-folds
+    on ``ConcurrentWriteError`` — so a competing writer (another
+    pipeline, a manual backfill) can interleave without either side's
+    rows being lost, the multi-writer posture ``accumulate_into``
+    explicitly does not have.  The partial is checkpointed once so
+    retries re-merge the SAME batch data.  Returns the committed
+    version."""
+    from data_pipeline_for_e_commerce_shop_spark.sources import (
+        versioned as V,
+    )
+
+    part_ck = partial.localCheckpoint(eager=True)
+    last: Exception | None = None
+    for _ in range(max_retries):
+        cur = V.current_version(table_path)
+        if cur == 0:
+            merged = part_ck
+        else:
+            merged = additive_merge(
+                V.read_versioned(spark, table_path),
+                part_ck,
+                KEY_COLS,
+                SUM_COLS,
+                sketch_cols=SKETCH_COLS,
+            )
+        try:
+            return V.write_versioned(
+                merged, table_path, expected_current=cur
+            )
+        except V.ConcurrentWriteError as e:
+            last = e
+            continue
+    raise RuntimeError(
+        f"{table_path}: additive fold lost the commit race"
+        f" {max_retries} times; last: {last}"
+    )
+
+
+def run_incremental_kpis_versioned(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    table_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """``run_incremental_kpis`` on the CAS-versioned serving table:
+    availableNow drain where every micro-batch is a versioned commit —
+    exactly-once from the stream checkpoint (replayed files never
+    re-fold) AND lost-update-free under concurrent writers (the CAS
+    retry loop).  Each drain leaves a time-travelable version chain."""
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        accumulate_into_versioned(
+            spark, table_path, partial_category_kpis(batch)
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -451,6 +451,21 @@ PROBE = [
     "corpus_priority_sample",
     # key-ordered double fold of the tau-clamped weights
     "corpus_priority_sample_audit",
+    # round 4: bucket-walk positional ranks/prefix sums must be
+    # placement-independent (adaptive bucket bounds, offset joins)
+    "customer_rfm",
+    "revenue_gini",
+    "part_abc_classes",
+    # register-row merge trajectory (groupBy-max) + exact balls
+    "part_hyperball_reach",
+    # epsilon-greedy choice/regret trajectory from integer scores
+    "bandit_replay_egreedy",
+    # minimax PAVA doubles over exact prefix sums
+    "conversion_isotonic_curve",
+    # lower-median positional pick over pair-slope doubles
+    "revenue_theil_sen",
+    # VARIANT path extraction round-trip
+    "events_variant_json",
 ]
 
 

@@ -382,7 +382,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "bandit_replay_egreedy",
                   # O(B^3) minimax grid over the <= 16-row bucket
                   # table: bounded-by-construction range joins
-                  "conversion_isotonic_curve"}
+                  "conversion_isotonic_curve",
+                  # calendar-bounded day-pair spine (span^2 rows) +
+                  # 1-row n_days crossJoin (scalar-subquery shape)
+                  "revenue_theil_sen"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))

@@ -270,3 +270,76 @@ def test_diff_query_seeded_fault_produces_readable_diff(spark, sf_dir):
     assert len(d["first_mismatches"]) == 1
     m = d["first_mismatches"][0]
     assert m["spark"] != m["oracle"]  # both sides shown, typed reprs
+
+
+def test_versioned_incremental_fold_multi_writer(spark, tmp_path):
+    """Streaming additive folds through the CAS-versioned table: a
+    competing writer's commit between drains is NOT lost (the fold
+    re-reads the new current), the checkpoint still guarantees
+    exactly-once (a re-drain with no new files commits nothing), and
+    every state is time-travelable."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_pipeline_for_e_commerce_shop_spark.sources import (
+        versioned as V,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.streaming.incremental import (
+        accumulate_into_versioned,
+        partial_category_kpis,
+        run_incremental_kpis_versioned,
+    )
+
+    schema = StructType(
+        [
+            StructField("category", StringType()),
+            StructField("order_date", StringType()),
+            StructField("status", StringType()),
+            StructField("sale_price", DoubleType()),
+            StructField("user_id", StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+
+    def cents(version=None):
+        return {
+            (r["category"], r["order_date"]): r["revenue_cents"]
+            for r in V.read_versioned(spark, table, version).collect()
+        }
+
+    wave1 = [("toys", "2024-03-01", "delivered", 10.00, "u1")]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_incremental_kpis_versioned(spark, str(src), schema, table, ckpt)
+    assert V.current_version(table) == 1
+    assert cents()[("toys", "2024-03-01")] == 1000
+
+    # competing writer lands between drains
+    other = spark.createDataFrame(
+        [("toys", "2024-03-01", "delivered", 2.00, "u9")], schema
+    )
+    accumulate_into_versioned(spark, table, partial_category_kpis(other))
+    assert V.current_version(table) == 2
+
+    wave2 = [("toys", "2024-03-01", "delivered", 5.00, "u2")]
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_incremental_kpis_versioned(spark, str(src), schema, table, ckpt)
+    assert V.current_version(table) == 3
+    # wave1 + competing writer + wave2 all present — nothing lost
+    assert cents()[("toys", "2024-03-01")] == 1000 + 200 + 500
+
+    # exactly-once: re-drain with no new files commits nothing
+    run_incremental_kpis_versioned(spark, str(src), schema, table, ckpt)
+    assert V.current_version(table) == 3
+    # time travel still sees the pre-competing-writer state
+    assert cents(version=1)[("toys", "2024-03-01")] == 1000
