@@ -1,0 +1,119 @@
+"""Delta Lake TABLE READER over the open _delta_log protocol — no
+delta-spark needed.
+
+The reference's validated zone IS a Delta table (Delta 2.3.0 pinned in
+docker/dockerfile.validation:4,35; written by scripts/validation.py:
+121-129), so a user switching to this engine arrives with existing
+Delta directories.  The delta package is absent in this environment,
+but the transaction log is a PUBLIC protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): ordered
+JSON commits ``_delta_log/<20-digit version>.json`` whose ``add`` /
+``remove`` actions define each version's live file set.  This module
+replays that log — the file-set resolution Delta readers perform —
+and hands the live files to the stock parquet scan, with version
+pinning for time travel.
+
+Honest scope (documented, enforced loudly):
+
+- JSON commits only.  Tables with a parquet checkpoint
+  (``_last_checkpoint`` present) raise ``NotImplementedError`` rather
+  than silently reading a wrong file set — checkpoints replace early
+  JSON that may no longer exist.  The reference's daily pipeline
+  produces short logs; checkpoints appear every 10 commits, so this
+  covers young tables and all tests, and FAILS rather than lies on
+  older ones.
+- Reader-protocol gate: ``protocol.minReaderVersion`` > 1 (column
+  mapping, deletion vectors) also raises — those features change file
+  interpretation, and pretending otherwise would corrupt reads.
+- Scale: the log is metadata (KBs per commit); resolution is a
+  driver-side fold over it, exactly like Delta's own snapshot
+  construction.  The data scan is the ordinary distributed parquet
+  read of the resolved files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_COMMIT_RE = re.compile(r"(\d{20})\.json\Z")
+
+
+def delta_log_versions(table_path: str) -> list[int]:
+    """Commit versions present in the table's _delta_log."""
+    log = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+    out = []
+    for name in os.listdir(log):
+        m = _COMMIT_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _resolve_files(table_path: str, version: int | None) -> list[str]:
+    log = os.path.join(table_path, "_delta_log")
+    if os.path.exists(os.path.join(log, "_last_checkpoint")):
+        raise NotImplementedError(
+            f"{table_path}: log has a parquet checkpoint; this reader"
+            " replays JSON commits only (PROTOCOL.md checkpoints are"
+            " out of scope — use delta-spark for checkpointed tables)"
+        )
+    versions = delta_log_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"empty _delta_log at {table_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in Delta log {versions}"
+        )
+    # contiguity from 0: a gap means vacuumed JSON (checkpointed era)
+    expected = list(range(versions[0], version + 1))
+    if versions[0] != 0 or [v for v in versions if v <= version] != expected:
+        raise NotImplementedError(
+            f"{table_path}: non-contiguous JSON log (vacuumed commits);"
+            " checkpoint replay required"
+        )
+    live: set[str] = set()
+    for v in expected:
+        commit = os.path.join(log, f"{v:020d}.json")
+        with open(commit) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    mrv = action["protocol"].get("minReaderVersion", 1)
+                    if mrv > 1:
+                        raise NotImplementedError(
+                            f"{table_path}: minReaderVersion={mrv}"
+                            " (column mapping / deletion vectors);"
+                            " refusing a lossy read"
+                        )
+                elif "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+    return [os.path.join(table_path, p) for p in sorted(live)]
+
+
+def read_delta_table(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table at its latest (or a pinned) version by
+    replaying the JSON transaction log and scanning exactly the live
+    file set — removed files and uncommitted stragglers in the
+    directory are invisible, which a raw ``spark.read.parquet`` over
+    the same directory gets wrong."""
+    files = _resolve_files(table_path, version)
+    if not files:
+        raise FileNotFoundError(
+            f"{table_path}: version has an empty live file set"
+        )
+    return spark.read.parquet(*files)

@@ -76,12 +76,22 @@ def read_polymorphic(
 
     The reference falls back Delta->CSV via try/except
     (scripts/validation.py:51-64) — exception dispatch masks real read
-    errors.  We probe the physical layout: a parquet/Delta-style table
-    dir contains ``*.parquet`` (or ``_delta_log``); ``*.orc`` files
-    dispatch to the ORC reader; ``*.json``/``*.jsonl`` to the
-    JSON-lines reader (explicit schema — inference would scan twice
-    and type-drift); anything else is CSV.
+    errors.  We probe the physical layout: a dir with ``_delta_log``
+    is a DELTA table and goes through the log-replaying reader
+    (sources/delta_reader.py — a raw parquet scan of such a dir would
+    also read removed/uncommitted files); plain ``*.parquet`` dirs
+    scan directly; ``*.orc`` files dispatch to the ORC reader;
+    ``*.json``/``*.jsonl`` to the JSON-lines reader (explicit schema —
+    inference would scan twice and type-drift); anything else is CSV.
     """
+    if os.path.isdir(path) and os.path.isdir(
+        os.path.join(path, "_delta_log")
+    ):
+        from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+            read_delta_table,
+        )
+
+        return read_delta_table(spark, path)
     ext = _table_extension(path)
     if ext == "parquet":
         return spark.read.parquet(path)

@@ -343,3 +343,113 @@ def test_versioned_incremental_fold_multi_writer(spark, tmp_path):
     assert V.current_version(table) == 3
     # time travel still sees the pre-competing-writer state
     assert cents(version=1)[("toys", "2024-03-01")] == 1000
+
+
+def _stage_parquet_file(spark, df, dest: str) -> None:
+    """Write df as ONE parquet file at exactly `dest`."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.copy(part, dest)
+    shutil.rmtree(tmp)
+
+
+def _write_commit(table: str, version: int, actions: list[dict]) -> None:
+    import json as _json
+    import os as _os
+
+    log = _os.path.join(table, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    with open(_os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+
+
+def test_delta_log_reader_replays_adds_and_removes(spark, tmp_path):
+    """The open-protocol Delta reader must see exactly the log's live
+    file set: removed files and uncommitted stragglers in the
+    directory are invisible (a raw parquet scan of the same dir reads
+    all three — the wrong answer this reader exists to avoid), and
+    version pinning time-travels."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        delta_log_versions,
+        read_delta_table,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.sources.readers import (
+        read_polymorphic,
+    )
+
+    table = str(tmp_path / "dtable")
+    import os as _os
+
+    _os.makedirs(table)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id AS x")
+    _stage_parquet_file(spark, mk(0, 3), f"{table}/fileA.parquet")
+    _stage_parquet_file(spark, mk(10, 12), f"{table}/fileB.parquet")
+    _stage_parquet_file(spark, mk(100, 105), f"{table}/orphan.parquet")
+
+    _write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet"}}},
+        {"add": {"path": "fileA.parquet", "dataChange": True}},
+    ])
+    _write_commit(table, 1, [
+        {"remove": {"path": "fileA.parquet", "dataChange": True}},
+        {"add": {"path": "fileB.parquet", "dataChange": True}},
+    ])
+
+    assert delta_log_versions(table) == [0, 1]
+    latest = {r["x"] for r in read_delta_table(spark, table).collect()}
+    assert latest == {10, 11}  # fileB only
+    v0 = {r["x"] for r in read_delta_table(spark, table, 0).collect()}
+    assert v0 == {0, 1, 2}  # time travel to fileA
+    # raw directory scan reads removed + orphan files — 10 rows
+    assert spark.read.parquet(table).count() == 10
+    # polymorphic dispatch routes Delta dirs through the log
+    import pyspark.sql.types as T
+
+    poly = read_polymorphic(
+        spark, table, T.StructType([T.StructField("x", T.LongType())])
+    )
+    assert {r["x"] for r in poly.collect()} == {10, 11}
+
+
+def test_delta_log_reader_refuses_lossy_reads(spark, tmp_path):
+    """Checkpointed logs and reader-protocol features this reader
+    cannot honor must raise, never silently misread."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        read_delta_table,
+    )
+
+    table = str(tmp_path / "dt2")
+    _os.makedirs(table)
+    _stage_parquet_file(
+        spark, spark.range(3).selectExpr("id AS x"), f"{table}/f.parquet"
+    )
+    _write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"add": {"path": "f.parquet", "dataChange": True}},
+    ])
+    with _pytest.raises(NotImplementedError, match="minReaderVersion"):
+        read_delta_table(spark, table)
+
+    table2 = str(tmp_path / "dt3")
+    _os.makedirs(table2)
+    _stage_parquet_file(
+        spark, spark.range(3).selectExpr("id AS x"), f"{table2}/f.parquet"
+    )
+    _write_commit(table2, 0, [
+        {"add": {"path": "f.parquet", "dataChange": True}},
+    ])
+    with open(f"{table2}/_delta_log/_last_checkpoint", "w") as f:
+        f.write('{"version": 0, "size": 1}')
+    with _pytest.raises(NotImplementedError, match="checkpoint"):
+        read_delta_table(spark, table2)
