@@ -413,20 +413,35 @@ def positional_boundary_structs(
         )
     )
     struct_expr = "struct(" + ", ".join(cols) + ")"
+    # one join row per hit bucket (targets collected into an array),
+    # so the within-bucket ranking window is computed ONCE per bucket
+    # however many target ranks (and their tie-check neighbors) land
+    # in it — per-target join duplication would multiply the sort.
+    tgrp = targets.groupBy("_bk").agg(
+        F.expr(
+            "collect_list(named_struct('r', _r, 'tg', _tg, 'off', _off))"
+        ).alias("_tgs")
+    )
     picked = (
-        bucketed.join(F.broadcast(targets), "_bk")
+        bucketed.join(F.broadcast(tgrp), "_bk")
         .select(
-            "_r",
-            "_tg",
-            "_off",
+            "_tgs",
             *cols,
             F.row_number()
-            .over(
-                Window.partitionBy("_bk", "_r", "_tg").orderBy(*cols)
-            )
+            .over(Window.partitionBy("_bk").orderBy(*cols))
             .alias("_rn"),
         )
-        .where(F.col("_rn") == F.col("_off"))
+        .select(
+            F.explode(F.expr("filter(_tgs, t -> t.off = _rn)")).alias(
+                "_t"
+            ),
+            *cols,
+        )
+        .select(
+            F.col("_t.r").alias("_r"),
+            F.col("_t.tg").alias("_tg"),
+            *cols,
+        )
     )
     # neighbor entries re-keyed to their base rank (r-1) so the tie
     # check is a per-rank struct comparison; a missing neighbor
