@@ -80,6 +80,7 @@ def _resolve_files(table_path: str, version: int | None) -> list[str]:
             " checkpoint replay required"
         )
     live: set[str] = set()
+    partitioned = False
     for v in expected:
         commit = os.path.join(log, f"{v:020d}.json")
         with open(commit) as f:
@@ -98,9 +99,11 @@ def _resolve_files(table_path: str, version: int | None) -> list[str]:
                         )
                 elif "add" in action:
                     live.add(action["add"]["path"])
+                    if action["add"].get("partitionValues"):
+                        partitioned = True
                 elif "remove" in action:
                     live.discard(action["remove"]["path"])
-    return [os.path.join(table_path, p) for p in sorted(live)]
+    return [os.path.join(table_path, p) for p in sorted(live)], partitioned
 
 
 def read_delta_table(
@@ -110,10 +113,20 @@ def read_delta_table(
     replaying the JSON transaction log and scanning exactly the live
     file set — removed files and uncommitted stragglers in the
     directory are invisible, which a raw ``spark.read.parquet`` over
-    the same directory gets wrong."""
-    files = _resolve_files(table_path, version)
+    the same directory gets wrong.
+
+    Partitioned tables (non-empty ``add.partitionValues``): the
+    partition columns live in the DIRECTORY PATHS, not the parquet
+    files, so the scan sets ``basePath`` to the table root — Spark's
+    partition discovery then reconstructs the columns for exactly the
+    live files.  Without this, a multi-path scan would silently DROP
+    every partition column."""
+    files, partitioned = _resolve_files(table_path, version)
     if not files:
         raise FileNotFoundError(
             f"{table_path}: version has an empty live file set"
         )
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if partitioned:
+        reader = reader.option("basePath", table_path)
+    return reader.parquet(*files)

@@ -453,3 +453,42 @@ def test_delta_log_reader_refuses_lossy_reads(spark, tmp_path):
         f.write('{"version": 0, "size": 1}')
     with _pytest.raises(NotImplementedError, match="checkpoint"):
         read_delta_table(spark, table2)
+
+
+def test_delta_log_reader_partitioned_table(spark, tmp_path):
+    """Partitioned Delta tables keep their partition columns: the
+    values live in directory paths (add.partitionValues), so the
+    reader must basePath-scan — a plain multi-path read silently drops
+    the column."""
+    import os as _os
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        read_delta_table,
+    )
+
+    table = str(tmp_path / "dpt")
+    _os.makedirs(f"{table}/ds=2024-01-01")
+    _os.makedirs(f"{table}/ds=2024-01-02")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id AS x")
+    _stage_parquet_file(spark, mk(0, 2), f"{table}/ds=2024-01-01/f1.parquet")
+    _stage_parquet_file(spark, mk(5, 8), f"{table}/ds=2024-01-02/f2.parquet")
+    _write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "partitionColumns": ["ds"]}},
+        {"add": {"path": "ds=2024-01-01/f1.parquet", "dataChange": True,
+                 "partitionValues": {"ds": "2024-01-01"}}},
+        {"add": {"path": "ds=2024-01-02/f2.parquet", "dataChange": True,
+                 "partitionValues": {"ds": "2024-01-02"}}},
+    ])
+    _write_commit(table, 1, [
+        {"remove": {"path": "ds=2024-01-01/f1.parquet",
+                    "dataChange": True}},
+    ])
+    df = read_delta_table(spark, table)
+    assert set(df.columns) == {"x", "ds"}  # partition column present
+    rows = {(r["x"], str(r["ds"])) for r in df.collect()}
+    assert rows == {(5, "2024-01-02"), (6, "2024-01-02"),
+                    (7, "2024-01-02")}
+    both = read_delta_table(spark, table, 0)
+    assert both.count() == 5
+    assert both.select("ds").distinct().count() == 2
