@@ -91,18 +91,21 @@ _ROTATION_R4 = [
     "part_two_hop_reach",
     "leadtime_variance_components",
     # SCM classics
-    "reorder_interval_profile",
     "part_xyz_classes",
     "part_newsvendor_stock",
     "part_eoq_policy",
     "brand_bullwhip_ratio",
     "supplier_lead_time_sla",
     "part_abc_migration",
-    "priority_business_day_leadtime",
-    "peak_hour_erlang_b",
-    "orders_monthly_wip",
-    # semantic-dedup tail
-    "dedup_semantic",
+    # round-4 operators (brand-new plan machinery — HyperBall register
+    # iteration, deterministic policy replay, minimax PAVA, bucketed
+    # pair-spine median, VariantType) get the hard signal first; the
+    # displaced SCM/dedup names stay sim-verified and queue for r5
+    "part_hyperball_reach",
+    "bandit_replay_egreedy",
+    "conversion_isotonic_curve",
+    "revenue_theil_sen",
+    "events_variant_json",
 ]
 
 # Round-3 rotation (all 43 green in CORRECTNESS_r03) — kept for the
