@@ -101,6 +101,15 @@ HEADLINE = [
     "scd2_bitemporal_drift",
     "events_wasserstein_drift",
     "user_activity_bitmaps",
+    # round-4 flagships: bucket-walk window rewrites + new operators
+    "customer_rfm",
+    "price_qty_dependence_grid",
+    "layout_zorder_pruning_audit",
+    "part_hyperball_reach",
+    "bandit_replay_egreedy",
+    "conversion_isotonic_curve",
+    "revenue_theil_sen",
+    "events_variant_json",
 ]
 
 

@@ -87,24 +87,41 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family windows (SURVEY §2.5 extension): customers bucketed
     into spend quartiles with their exact percentile rank.
 
-    ntile/percent_rank need a total order over the whole frame — an
-    unavoidable global sort — so the grouped spend is computed first
-    (one shuffle on o_custkey), then a single range-partitioned sort of
-    the much smaller per-customer aggregate, never of the fact table.
-    Tie-break on o_custkey keeps both functions deterministic.
+    ntile/percent_rank need a total order over the whole frame; the
+    customer count is unbounded at 100x, so the rank comes from the
+    bucket-walk (:func:`bucketed_global_rank` on the integer cents
+    lead — monotone in the double total_spend) and both functions are
+    recomputed from it: ntile via :func:`ntile_from_rank`, and
+    percent_rank = (rn-1)/(n-1) (the ordering is total — custkey
+    tie-break — so rank == row_number and the formula is exact).
     """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         money_sum("o_totalprice").alias("total_spend"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "_cents"
+        ),
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
-    return spend.select(
+    ranked = bucketed_global_rank(
+        spend,
+        "-_cents",
+        [F.desc("_cents"), F.col("o_custkey").asc()],
+        out_col="_rn",
+        n_col="_n",
+    )
+    return ranked.select(
         "o_custkey",
         "total_spend",
         "n_orders",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        ntile_from_rank("_rn", "_n", 4).alias("quartile"),
+        F.round(
+            F.expr(
+                "CASE WHEN _n = 1 THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(_rn - 1 AS DOUBLE) / (_n - 1) END"
+            ),
+            9,
+        ).alias("pct_rank"),
     )
 
 
@@ -229,15 +246,15 @@ def bucketed_global_rank(
     """
     src = df.localCheckpoint(eager=False)  # feeds bounds AND bucketing
     bounds = src.agg(
-        F.expr(f"min({lead_expr})").alias("_lo"),
-        F.expr(f"max({lead_expr})").alias("_hi"),
-        F.count(F.lit(1)).alias("_n"),
+        F.expr(f"min({lead_expr})").alias("_bwlo"),
+        F.expr(f"max({lead_expr})").alias("_bwhi"),
+        F.count(F.lit(1)).alias("_bwn"),
     )
     bucketed = src.crossJoin(F.broadcast(bounds)).withColumn(
         "_bk",
         F.expr(
-            f"(({lead_expr}) - _lo)"
-            f" div (((_hi - _lo) div {n_buckets}) + 1L)"
+            f"(({lead_expr}) - _bwlo)"
+            f" div (((_bwhi - _bwlo) div {n_buckets}) + 1L)"
         ),
     )
     bcounts = bucketed.groupBy("_bk").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -257,7 +274,7 @@ def bucketed_global_rank(
     )
     keep = df.columns + [out_col] + ([n_col] if n_col else [])
     if n_col:
-        ranked = ranked.withColumn(n_col, F.col("_n"))
+        ranked = ranked.withColumn(n_col, F.col("_bwn"))
     return ranked.select(*keep)
 
 
@@ -279,14 +296,14 @@ def bucketed_running_sum(
     the split into prefix + local sum is associative and bit-exact."""
     src = df.localCheckpoint(eager=False)
     bounds = src.agg(
-        F.expr(f"min({lead_expr})").alias("_lo"),
-        F.expr(f"max({lead_expr})").alias("_hi"),
+        F.expr(f"min({lead_expr})").alias("_bwlo"),
+        F.expr(f"max({lead_expr})").alias("_bwhi"),
     )
     bucketed = src.crossJoin(F.broadcast(bounds)).withColumn(
         "_bk",
         F.expr(
-            f"(({lead_expr}) - _lo)"
-            f" div (((_hi - _lo) div {n_buckets}) + 1L)"
+            f"(({lead_expr}) - _bwlo)"
+            f" div (((_bwhi - _bwlo) div {n_buckets}) + 1L)"
         ),
     )
     bsums = bucketed.groupBy("_bk").agg(F.sum(sum_col).alias("_bsum"))
@@ -465,3 +482,70 @@ def positional_boundary_structs(
             " ELSE transform(_bmain, x -> x.s) END"
         ).alias("bounds")
     )
+
+
+def bucketed_rank_running_sum(
+    df: DataFrame,
+    sum_cols: list,
+    lead_expr: str,
+    order_cols: list,
+    rank_col: str = "rn",
+    cum_cols: list | None = None,
+    n_col: str | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """:func:`bucketed_global_rank` and :func:`bucketed_running_sum`
+    fused over ONE bucketing pass — for plans that need the exact
+    global position plus one or more exact inclusive running sums
+    under the same total order (Pareto/share-curve and prefix-moment
+    shapes).  Same adaptive range buckets, same bounded-bucket-table
+    prefix windows, one partitioned within-bucket window computing
+    row_number and every local running sum together."""
+    if isinstance(sum_cols, str):
+        sum_cols = [sum_cols]
+    cum_cols = cum_cols or [f"cum_{c}" for c in sum_cols]
+    assert len(cum_cols) == len(sum_cols)
+    src = df.localCheckpoint(eager=False)
+    bounds = src.agg(
+        F.expr(f"min({lead_expr})").alias("_bwlo"),
+        F.expr(f"max({lead_expr})").alias("_bwhi"),
+        F.count(F.lit(1)).alias("_bwn"),
+    )
+    bucketed = src.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bk",
+        F.expr(
+            f"(({lead_expr}) - _bwlo)"
+            f" div (((_bwhi - _bwlo) div {n_buckets}) + 1L)"
+        ),
+    )
+    bstats = bucketed.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_bsum{i}") for i, c in enumerate(sum_cols)],
+    )
+    w_prev = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bstats.select(
+        "_bk",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_boff"),
+        *[
+            F.coalesce(F.sum(f"_bsum{i}").over(w_prev), F.lit(0)).alias(
+                f"_soff{i}"
+            )
+            for i in range(len(sum_cols))
+        ],
+    )
+    w_in = Window.partitionBy("_bk").orderBy(*order_cols)
+    w_in_sum = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    out = bucketed.join(F.broadcast(offsets), "_bk").withColumn(
+        rank_col,
+        (F.col("_boff") + F.row_number().over(w_in)).cast("long"),
+    )
+    for i, (c, cc) in enumerate(zip(sum_cols, cum_cols)):
+        out = out.withColumn(
+            cc, F.col(f"_soff{i}") + F.sum(c).over(w_in_sum)
+        )
+    keep = df.columns + [rank_col, *cum_cols] + ([n_col] if n_col else [])
+    if n_col:
+        out = out.withColumn(n_col, F.col("_bwn"))
+    return out.select(*keep)

@@ -358,6 +358,14 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row adaptive-bucket-bounds crossJoin inside
                   # bucketed_global_rank (scalar-subquery shape)
                   "revenue_gini",
+                  # two chained bucket-walk ranks: 1-row bounds
+                  # crossJoins (scalar-subquery shape)
+                  "balance_spend_mismatch",
+                  # bucket-walk rank bounds crossJoin (same shape)
+                  "customer_spend_quartiles",
+                  # fused rank+prefix-moment walk bounds + 1-row totals
+                  # crossJoin (scalar-subquery shape)
+                  "order_value_bimodal_split",
                   # 1-row peak-total crossJoin (scalar-subquery shape)
                   "user_peak_hour_profile",
                   # 1-row size-count crossJoin (scalar-subquery shape)
@@ -385,7 +393,10 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "conversion_isotonic_curve",
                   # calendar-bounded day-pair spine (span^2 rows) +
                   # 1-row n_days crossJoin (scalar-subquery shape)
-                  "revenue_theil_sen"}
+                  "revenue_theil_sen",
+                  # 1-row decile-bounds crossJoin (bucket-walk ntile
+                  # binning — scalar-subquery shape)
+                  "ab_qini_curve"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))

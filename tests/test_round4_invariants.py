@@ -492,3 +492,58 @@ def test_delta_log_reader_partitioned_table(spark, tmp_path):
     both = read_delta_table(spark, table, 0)
     assert both.count() == 5
     assert both.select("ds").distinct().count() == 2
+
+
+def test_basket_lift_staged_multiplier_past_old_bound(spark):
+    """VERDICT r3 item 6: the staged lift expression must stay exact
+    10x past the old direct-product ceiling (n_ab*n_baskets <= 9.2e12)
+    where the unstaged form overflows int64 loudly (ANSI)."""
+    import pytest as _pytest
+
+    # 10x past the old bound: n_ab * n_baskets = 1e19 > int64 max
+    row = (
+        "SELECT CAST(1000000 AS BIGINT) AS n_ab,"
+        " CAST(2000000 AS BIGINT) AS n_ante,"
+        " CAST(500000 AS BIGINT) AS n_cons,"
+        " CAST(10000000000000 AS BIGINT) AS n_baskets"
+    )
+    staged = spark.sql(
+        f"SELECT (n_ab * 1000000 div n_ante) * n_baskets div n_cons"
+        f" AS lift FROM ({row})"
+    ).first()["lift"]
+    # exact reference in unbounded Python ints (same staged floors)
+    exp = (1000000 * 1000000 // 2000000) * 10000000000000 // 500000
+    assert staged == exp
+    # the OLD direct product overflows loudly, never silently
+    with _pytest.raises(Exception, match="(?i)overflow"):
+        spark.sql(
+            f"SELECT n_ab * n_baskets * 1000000"
+            f" div (n_ante * n_cons) AS lift FROM ({row})"
+        ).first()
+
+
+def test_policy_snips_ess_guard_raises_past_bound(spark):
+    """ADVICE r3: the ESS ppm expression must raise loudly (its own
+    raise_error, independent of ANSI) once Sum(w)/8 exceeds the
+    int64-exact bound, and stay exact just below it."""
+    import pytest as _pytest
+
+    guard = (
+        "CASE WHEN (den div 8) > 3000000L"
+        " THEN raise_error('policy_snips ess_ppm: overflow bound')"
+        " ELSE (den div 8) * (den div 8) * 1000000"
+        " div (n * (sww div 64)) END"
+    )
+    ok = spark.sql(
+        f"SELECT {guard} AS ess FROM (SELECT CAST(24000000 AS BIGINT)"
+        " AS den, CAST(1000 AS BIGINT) AS n,"
+        " CAST(576000000 AS BIGINT) AS sww)"
+    ).first()["ess"]
+    assert ok == (24000000 // 8) ** 2 * 1000000 // (1000 * (576000000 // 64))
+    with _pytest.raises(Exception, match="overflow bound"):
+        spark.sql(
+            f"SELECT {guard} AS ess FROM (SELECT"
+            " CAST(24000008 AS BIGINT) * 1001 AS den,"
+            " CAST(1000 AS BIGINT) AS n,"
+            " CAST(576000000 AS BIGINT) AS sww)"
+        ).first()
