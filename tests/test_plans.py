@@ -396,7 +396,14 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "revenue_theil_sen",
                   # 1-row decile-bounds crossJoin (bucket-walk ntile
                   # binning — scalar-subquery shape)
-                  "ab_qini_curve"}
+                  "ab_qini_curve",
+                  # 1-row global-max crossJoin onto the checkpointed
+                  # per-supplier revenue table (scalar-subquery shape)
+                  "tpch_q15_top_supplier",
+                  # 1-row (sum, count) balance stats crossJoin for the
+                  # exact above-average cross-multiply (scalar-subquery
+                  # shape)
+                  "tpch_q22_dormant_customers"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
@@ -440,6 +447,37 @@ def test_q6_conjunctive_ranges_reach_scan(spark):
     df = Q.QUERIES["tpch_q6_discount_uplift"](spark, SF)
     pushed = " ".join(scan_pushed_filters(df))
     assert "l_shipdate" in pushed, physical_plan(df)
+
+
+def test_tpch_topk_is_take_ordered(spark):
+    """Q3/Q10/Q18's ORDER BY + LIMIT must compile to
+    TakeOrderedAndProject — a global Sort materializing all groups
+    before the limit does not survive 100x."""
+    for name in (
+        "tpch_q3_unshipped_topk",
+        "tpch_q10_returned_items",
+        "tpch_q18_large_volume_customers",
+    ):
+        plan = physical_plan(Q.QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, f"{name}: global sort"
+
+
+def test_tpch_q1_scan_pruned_and_pushed(spark):
+    """Q1: the lineitem scan must read only the 7 used columns and
+    carry the shipdate bound in PushedFilters."""
+    df = Q.QUERIES["tpch_q1_pricing_summary"](spark, SF)
+    schemas = [s for s in scan_read_schemas(df) if "l_returnflag" in s]
+    assert schemas and "l_orderkey" not in schemas[0], schemas
+    assert "l_shipdate" in " ".join(scan_pushed_filters(df))
+
+
+def test_tpch_q5_broadcasts_reduced_nations(spark):
+    """Q5: the ASIA-reduced nation dim must ride as a broadcast; the
+    plan must stay nested-loop-free (the co-location predicate
+    c_nationkey = s_nationkey is an equi-key, not a residual NL)."""
+    df = Q.QUERIES["tpch_q5_local_supplier_volume"](spark, SF)
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+    assert not has_nested_loop_join(df)
 
 
 def test_regional_revenue_broadcasts_all_dims(spark):
