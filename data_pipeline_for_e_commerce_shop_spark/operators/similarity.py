@@ -1442,3 +1442,98 @@ def mahalanobis_ood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m2_milli"),
     )
     return scored.orderBy(F.desc("m2_milli"), "vec_id").limit(MAHA_TOPK)
+
+
+def embedding_covariance(
+    spark: SparkSession, sf_dir: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Exact population covariance matrix of the embedding corpus
+    (upper triangle), the whitening / feature-decorrelation prep step
+    of an embedding pipeline.
+
+    Determinism: components quantize to integers (floor(x * scale),
+    float32 -> float64 promotion is exact and floor matches DuckDB),
+    so the two moment tables are ORDER-FREE integer sums —
+    cov = P_ij/n - (S_i/n)(S_j/n) is then a fixed sequence of
+    correctly-rounded IEEE ops, bit-identical to the oracle.
+
+    Scale: the Gramian P = Q^T Q accumulates per Arrow batch as one
+    numpy int64 matmul (d^2 partial rows per batch, NEVER a row-pair
+    join), then a d^2-key groupBy sums partials — map-side combine
+    makes the shuffle O(partitions * d^2), independent of corpus
+    size.  The first-moment table S rides a plain posexplode groupBy
+    (64 keys).  |q| <= ~scale and P entries stay inside int64 through
+    ~1e6 rows per batch at this scale; the batch matmul is int64 and
+    ANSI-summed afterwards, so overflow fails loudly."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    s = (
+        emb.select(
+            F.posexplode(F.col("embedding")).alias("pos", "x")
+        )
+        .select(
+            (F.col("pos") + 1).alias("i"),
+            F.expr(
+                f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
+            ).alias("q"),
+        )
+        .groupBy("i")
+        .agg(
+            F.sum("q").cast("long").alias("s_i"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+    def _gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(
+                [
+                    np.floor(
+                        np.asarray(e, dtype=np.float64) * scale
+                    ).astype(np.int64)
+                    for e in pdf["embedding"]
+                ]
+            )
+            gram = q.T @ q
+            iu = np.triu_indices(gram.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "p_part": gram[iu],
+                }
+            )
+
+    p = (
+        emb.mapInPandas(
+            _gram_partials, "i int, j int, p_part long"
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p_part").cast("long").alias("p_sum"))
+    )
+
+    si = s.select("i", "s_i", "n")
+    sj = s.select(F.col("i").alias("j"), F.col("s_i").alias("s_j"))
+    return (
+        p.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            "p_sum",
+            "s_i",
+            "s_j",
+            (
+                F.col("p_sum").cast("double") / F.col("n")
+                - (F.col("s_i").cast("double") / F.col("n"))
+                * (F.col("s_j").cast("double") / F.col("n"))
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
