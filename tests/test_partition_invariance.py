@@ -466,6 +466,15 @@ PROBE = [
     "revenue_theil_sen",
     # VARIANT path extraction round-trip
     "events_variant_json",
+    # round-4: Arrow int64 Gramian partials — per-batch Q^T Q sums
+    # must be placement-independent (integer addition commutes)
+    "embedding_covariance_exact",
+    # three orderkey-co-partitioned aggs + strict-latest uniqueness
+    "tpch_q21_waiting_suppliers",
+    # 1-row global max + equality keep (ties) under any placement
+    "tpch_q15_top_supplier",
+    # exact integer charge sums + int/count ratio averages
+    "tpch_q1_pricing_summary",
 ]
 
 
