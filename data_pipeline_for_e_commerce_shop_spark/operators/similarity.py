@@ -176,10 +176,24 @@ def knuth_order(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     k-means seeding, and the PQ training sample must all draw the
     SAME sample or their cross-references (and the SQL oracles that
     replay this expression) silently break.  Callers .limit(n) and
-    .drop("_h")."""
+    .drop("_h").
+
+    The hash is (id * 2654435761) mod 2^32, computed as a 16/32-bit
+    split multiply: the direct product overflows int64 once ids pass
+    ~3.46e9 (the 10x scale rehearsal caught exactly this), while the
+    split form is bounded by ~2^49 and yields the IDENTICAL value for
+    every id (only the low 32 id bits reach the product mod 2^32) —
+    so the small-SF oracle SQL keeps the direct expression and still
+    hash-matches.  The numpy twin (_kmeans_driver) wraps mod 2^64,
+    which preserves the value mod 2^32, so it needs no change."""
     return df.withColumn(
         "_h",
-        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)),
+        F.expr(
+            f"pmod(pmod((pmod({id_col}, 4294967296) div 65536)"
+            "           * 2654435761, 4294967296) * 65536"
+            f"      + pmod({id_col}, 65536) * 2654435761,"
+            "      4294967296)"
+        ),
     ).orderBy("_h", id_col)
 
 

@@ -1,0 +1,171 @@
+"""Scale rehearsal: replicate the sf0.1 tables R times with
+FK-consistent key offsets into a scratch directory, then run a query
+subset at the inflated scale and record per-query times.
+
+Purpose (round 4): EVIDENCE for the 100 TB design claims — the local
+bench at sf0.1 shows plans are fast at test scale, but the charter's
+real question is whether they survive a scale-up.  Running the
+headline set at 10x (effective sf1, ~6M lineitem rows) checks:
+
+- no int64 overflow in the exact-cents aggregates (ANSI mode would
+  fail loudly);
+- no single-partition stage blows up (the bucket-walk windows and
+  broadcast thresholds hold);
+- runtime scales ~linearly (shuffle-bound plans scale with data, not
+  with pair cardinality).
+
+Replication is FK-consistent: replica r offsets every orderkey /
+custkey / partkey / suppkey / event_id / user_id / doc_id / vec_id by
+r * STRIDE on BOTH sides of each relationship, so join cardinalities
+scale exactly linearly.  nation/region stay fixed (constant dims at
+any SF, matching TPC-H semantics).  Document text gets a per-replica
+suffix so content-level dedup stays realistic instead of degenerating
+into R-way exact duplicates.
+
+Usage:
+    python scripts/scale_rehearsal.py [R] [src_sf_dir] [out_dir]
+    # defaults: R=10, /root/testdata/sf0.1, /tmp/scale_rehearsal/sf1
+
+Scratch output only — never writes to /root/testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+STRIDE = 1_000_000_000
+
+# keys to offset per table (column -> applies in every table listed)
+OFFSETS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+# Headline subset that exercises every operator family but skips the
+# streaming drains (availableNow floor dominates, nothing to learn)
+# and keeps the content-pair families to their blocked variants.
+REHEARSAL = [
+    "category_kpis",
+    "order_kpis",
+    "merge_coalesce",
+    "ri_orphans",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "text_tfidf_topk",
+    "text_lang_id",
+    "scd2_timeline_alignment",
+    "part_pagerank",
+    "hll_rollup",
+    "cms_heavy_hitters",
+    "corpus_shuffle_split",
+    "revenue_moving_avg",
+    "customer_rfm",
+    "price_qty_dependence_grid",
+    "part_abc_classes",
+    "revenue_gini",
+    "user_value_pareto",
+    "embedding_covariance_exact",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_unshipped_topk",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_order_count_distribution",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
+    "contamination_bloom_screen",
+    "basket_rules",
+    "revenue_recognition",
+    "table_fingerprints",
+]
+
+
+def replicate(spark, src: str, out: str, r_factor: int) -> None:
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+    for t, keys in OFFSETS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        reps = []
+        for r in range(r_factor):
+            rep = df
+            for k in keys:
+                rep = rep.withColumn(
+                    k, F.col(k) + F.lit(r * STRIDE).cast("long")
+                )
+            if t == "documents" and r > 0:
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{r}"))
+                ).withColumn("n_chars", F.col("n_chars") + F.lit(3))
+            reps.append(rep)
+        u = reps[0]
+        for rep in reps[1:]:
+            u = u.unionByName(rep)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def main() -> int:
+    r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else "/tmp/scale_rehearsal/sf1"
+    )
+
+    from data_pipeline_for_e_commerce_shop_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    replicate(spark, src, out, r_factor)
+    print(f"replicated x{r_factor} -> {out} in {time.time()-t0:.0f}s")
+
+    from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name in REHEARSAL:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            fn(spark, out).count()
+            timings[name] = round(time.time() - t0, 2)
+        except Exception as ex:  # noqa: BLE001 — record, keep going
+            failed[name] = str(ex)[:200]
+        print(
+            f"{name}: {timings.get(name, 'FAIL')}"
+            + (f" ({failed[name]})" if name in failed else "")
+        )
+    print(
+        json.dumps(
+            {
+                "r_factor": r_factor,
+                "total_sec": round(sum(timings.values()), 1),
+                "n_ok": len(timings),
+                "n_fail": len(failed),
+                "timings": timings,
+                "failed": failed,
+            }
+        )
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -547,3 +547,24 @@ def test_policy_snips_ess_guard_raises_past_bound(spark):
             " CAST(1000 AS BIGINT) AS n,"
             " CAST(576000000 AS BIGINT) AS sww)"
         ).first()
+
+
+def test_knuth_order_huge_ids_no_overflow(spark):
+    """knuth_order's split multiply must (a) equal the direct
+    (id * 2654435761) mod 2^32 reference for any id, (b) not overflow
+    int64 for ids past ~3.46e9 — the 10x scale-rehearsal regression
+    (scripts/scale_rehearsal.py found ann_ivf_topk failing with
+    SparkArithmeticException on offset vec_ids)."""
+    from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        knuth_order,
+    )
+
+    ids = [0, 1, 4999, 3_461_211_600, 2**32 - 1, 2**32,
+           9_000_000_004_999, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = {
+        r["vec_id"]: r["_h"]
+        for r in knuth_order(df).select("vec_id", "_h").collect()
+    }
+    for i in ids:
+        assert got[i] == (i * 2654435761) % 4294967296, i
