@@ -23,8 +23,11 @@ suffix so content-level dedup stays realistic instead of degenerating
 into R-way exact duplicates.
 
 Usage:
-    python scripts/scale_rehearsal.py [R] [src_sf_dir] [out_dir]
-    # defaults: R=10, /root/testdata/sf0.1, /tmp/scale_rehearsal/sf1
+    python scripts/scale_rehearsal.py [R] [src_sf_dir] [out_dir] [stride]
+    # defaults: R=10, /root/testdata/sf0.1, /tmp/scale_rehearsal/sf1,
+    # stride=1e9.  Rehearsals compose: replicating the sf1 output
+    # another 10x with stride=1e13 gives a collision-free effective
+    # sf10 (its ids already span ~1e10).
 
 Scratch output only — never writes to /root/testdata.
 """
@@ -93,7 +96,9 @@ REHEARSAL = [
 ]
 
 
-def replicate(spark, src: str, out: str, r_factor: int) -> None:
+def replicate(
+    spark, src: str, out: str, r_factor: int, stride: int = STRIDE
+) -> None:
     for t in FIXED:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode(
             "overwrite"
@@ -105,7 +110,7 @@ def replicate(spark, src: str, out: str, r_factor: int) -> None:
             rep = df
             for k in keys:
                 rep = rep.withColumn(
-                    k, F.col(k) + F.lit(r * STRIDE).cast("long")
+                    k, F.col(k) + F.lit(r * stride).cast("long")
                 )
             if t == "documents" and r > 0:
                 rep = rep.withColumn(
@@ -126,6 +131,7 @@ def main() -> int:
         if len(sys.argv) > 3
         else "/tmp/scale_rehearsal/sf1"
     )
+    stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
 
     from data_pipeline_for_e_commerce_shop_spark.session import get_spark
 
@@ -133,7 +139,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    replicate(spark, src, out, r_factor)
+    replicate(spark, src, out, r_factor, stride)
     print(f"replicated x{r_factor} -> {out} in {time.time()-t0:.0f}s")
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
