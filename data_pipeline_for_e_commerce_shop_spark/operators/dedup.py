@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
 
+# Tile edge for blocked in-bucket verify matmuls: 2048² doubles
+# ≈ 32 MB peak per tile, independent of bucket size (see
+# embedding_near_duplicates — the 10x rehearsal crash).
+_VERIFY_BLOCK = 2048
+
 N_MINHASH = 8          # minhash permutations
 BAND_ROWS = 2          # rows per LSH band -> 4 bands
 SHINGLE_WORDS = 3      # word n-gram shingle width
@@ -677,6 +682,25 @@ def embedding_near_duplicates(
         F.lit(False).alias("is_probe"),
     )
 
+    # The 10x/100x scale rehearsal (scripts/scale_rehearsal.py) killed
+    # the original dense form of this verify: one |probe| x |home|
+    # cosine matrix per bucket AND every candidate pair emitted
+    # unthresholded — both O(n²/2^P) with a CONSTANT bucket count, so
+    # the Python worker crashed once buckets reached ~150k x 30k at
+    # effective sf10.  The verify now (a) blocks the matmul into
+    # _VERIFY_BLOCK-square tiles (peak ~32 MB however large the
+    # bucket) and (b) applies the threshold INSIDE the UDF with a
+    # conservative 1e-9 guard-band (below the 0.5e-9 round-half-up
+    # boundary), so the UDF emits only true near-dups — output is
+    # O(duplicates), not O(candidate pairs).  Survivor cosines are
+    # the same block-local int64-matmul / IEEE-divide values, so the
+    # final rounded filter and every recorded oracle hash are
+    # unchanged.  At production n, N_PLANES should also grow with
+    # log2(n) to keep buckets bounded; that is a recall parameter, so
+    # it stays fixed here where oracles interpolate it.
+    block = _VERIFY_BLOCK
+    cut = threshold - 1e-9
+
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pa = pdf[pdf["is_probe"]]
         hb = pdf[~pdf["is_probe"]]
@@ -688,16 +712,41 @@ def embedding_near_duplicates(
             )
         ma = np.stack(pa["micro"].to_numpy()).astype(np.int64)
         mb = np.stack(hb["micro"].to_numpy()).astype(np.int64)
-        dots = ma @ mb.T                       # exact int64
         na = np.sqrt((ma * ma).sum(axis=1).astype(np.float64))
         nb = np.sqrt((mb * mb).sum(axis=1).astype(np.float64))
-        cos = dots.astype(np.float64) / (na[:, None] * nb[None, :])
         ia = pa["vec_id"].to_numpy()
         ib = hb["vec_id"].to_numpy()
-        keep = ia[:, None] < ib[None, :]
-        r, c = np.nonzero(keep)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, ma.shape[0], block):
+            mai = ma[i0:i0 + block]
+            iai = ia[i0:i0 + block]
+            nai = na[i0:i0 + block]
+            for j0 in range(0, mb.shape[0], block):
+                mbj = mb[j0:j0 + block]
+                ibj = ib[j0:j0 + block]
+                nbj = nb[j0:j0 + block]
+                dots = mai @ mbj.T             # exact int64
+                cos = dots.astype(np.float64) / (
+                    nai[:, None] * nbj[None, :]
+                )
+                keep = (iai[:, None] < ibj[None, :]) & (cos >= cut)
+                r, c = np.nonzero(keep)
+                if r.size:
+                    out_a.append(iai[r])
+                    out_b.append(ibj[c])
+                    out_c.append(cos[r, c])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
         return pd.DataFrame(
-            {"vec_a": ia[r], "vec_b": ib[c], "cosine": cos[r, c]}
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
     pairs = (

@@ -146,6 +146,8 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
+    import gc
+
     for name in REHEARSAL:
         fn = QUERIES[name]
         t0 = time.time()
@@ -154,6 +156,15 @@ def main() -> int:
             timings[name] = round(time.time() - t0, 2)
         except Exception as ex:  # noqa: BLE001 — record, keep going
             failed[name] = str(ex)[:200]
+        # Release the query's localCheckpoint RDD storage before the
+        # next one: at 10x the per-query caches are GBs each, and a
+        # 34-query shared session accumulates them into a single-box
+        # OOM (the first sf10 run died exactly this way).  Dropping
+        # the Python refs + gc lets Spark's ContextCleaner unpersist;
+        # clearCache handles anything SQL-cached.
+        del fn
+        gc.collect()
+        spark.catalog.clearCache()
         print(
             f"{name}: {timings.get(name, 'FAIL')}"
             + (f" ({failed[name]})" if name in failed else "")
