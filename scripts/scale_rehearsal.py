@@ -132,15 +132,19 @@ def main() -> int:
         else "/tmp/scale_rehearsal/sf1"
     )
     stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
+    mode = sys.argv[5] if len(sys.argv) > 5 else "full"
 
     from data_pipeline_for_e_commerce_shop_spark.session import get_spark
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0 = time.time()
-    replicate(spark, src, out, r_factor, stride)
-    print(f"replicated x{r_factor} -> {out} in {time.time()-t0:.0f}s")
+    if mode != "queries-only":
+        t0 = time.time()
+        replicate(spark, src, out, r_factor, stride)
+        print(f"replicated x{r_factor} -> {out} in {time.time()-t0:.0f}s")
+    if mode == "replicate-only":
+        return 0
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
 

@@ -475,6 +475,12 @@ PROBE = [
     "tpch_q15_top_supplier",
     # exact integer charge sums + int/count ratio averages
     "tpch_q1_pricing_summary",
+    # round-4 additions: frozen reciprocal-rank ppm panel over three
+    # index tiers (first-relevant min must not depend on placement)
+    "ann_mrr",
+    # integer-ppm IPF trajectory: 4 margin aggregates + truncating
+    # per-row weight updates must walk one trajectory at any layout
+    "survey_raking_ipf",
 ]
 
 
