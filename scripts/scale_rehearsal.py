@@ -35,6 +35,7 @@ Scratch output only — never writes to /root/testdata.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -173,13 +174,23 @@ def main() -> int:
             f"{name}: {timings.get(name, 'FAIL')}"
             + (f" ({failed[name]})" if name in failed else "")
         )
+    # Box-speed yardstick (same probe as bench.py) so rehearsal
+    # records are comparable across rounds/boxes.
+    from bench import _cpu_calibration_sec
+
     print(
         json.dumps(
             {
                 "r_factor": r_factor,
+                "sf_dir": out,
+                "driver_mem": os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "8g"
+                ),
                 "total_sec": round(sum(timings.values()), 1),
                 "n_ok": len(timings),
                 "n_fail": len(failed),
+                "cpu_calibration_sec_end": _cpu_calibration_sec(),
+                "loadavg_end": list(os.getloadavg()),
                 "timings": timings,
                 "failed": failed,
             }
