@@ -94,6 +94,9 @@ REHEARSAL = [
     "basket_rules",
     "revenue_recognition",
     "table_fingerprints",
+    # round-4 additions (label-MRR panel, integer-ppm IPF raking)
+    "ann_mrr",
+    "survey_raking_ipf",
 ]
 
 

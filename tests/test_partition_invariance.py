@@ -481,6 +481,9 @@ PROBE = [
     # integer-ppm IPF trajectory: 4 margin aggregates + truncating
     # per-row weight updates must walk one trajectory at any layout
     "survey_raking_ipf",
+    # two-level modular hash folds + node-gated leaf diff: the fold
+    # is commutative so every fingerprint is placement-independent
+    "orders_merkle_range_diff",
 ]
 
 
