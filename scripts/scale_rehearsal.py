@@ -99,6 +99,36 @@ REHEARSAL = [
     "survey_raking_ipf",
 ]
 
+# Extension subset (mode "ext-only"): broadens the 100x evidence to
+# the families the core 34 don't touch — iterative graph, LM text,
+# span/simhash/semantic dedup, Arrow stateful sessionization, SCD2
+# incremental apply, conformal intervals, sketch algebra, corpus
+# selection, k-anonymity, and the merkle reconciliation.
+REHEARSAL_EXT = [
+    "part_kcore",
+    "part_label_propagation",
+    "part_triangles",
+    "part_degree_profile",
+    "text_kneser_ney_ce",
+    "text_bpe_merges",
+    "text_bm25_topk",
+    "dedup_exact_spans",
+    "dedup_simhash",
+    "dedup_semantic",
+    "events_attribution",
+    "events_stateful_sessionize",
+    "events_funnel",
+    "scd2_incremental_apply",
+    "order_value_conformal",
+    "itemcf_similar_parts",
+    "kmv_theta_overlap",
+    "minhash_union_rollup",
+    "corpus_budget_selection",
+    "corpus_stratified_split",
+    "customer_k_anonymity",
+    "orders_merkle_range_diff",
+]
+
 
 def replicate(
     spark, src: str, out: str, r_factor: int, stride: int = STRIDE
@@ -143,12 +173,18 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if mode != "queries-only":
+    # Replicate ONLY in the modes that build data; any "*-only" query
+    # mode must never write into the directory it is reading (a
+    # src==out self-overwrite truncates tables mid-read).
+    if mode in ("full", "replicate-only"):
+        if src == out:
+            raise SystemExit("refusing to replicate src onto itself")
         t0 = time.time()
         replicate(spark, src, out, r_factor, stride)
         print(f"replicated x{r_factor} -> {out} in {time.time()-t0:.0f}s")
     if mode == "replicate-only":
         return 0
+    rehearsal = REHEARSAL_EXT if mode == "ext-only" else REHEARSAL
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
 
@@ -156,7 +192,7 @@ def main() -> int:
     failed: dict[str, str] = {}
     import gc
 
-    for name in REHEARSAL:
+    for name in rehearsal:
         fn = QUERIES[name]
         t0 = time.time()
         try:
