@@ -636,3 +636,31 @@ def test_exchange_budget(spark, name):
     assert n <= EXCHANGE_BUDGETS[name], (
         f"{name}: {n} exchanges (budget {EXCHANGE_BUDGETS[name]})"
     )
+
+
+def test_mrr_panel_joins_are_broadcast(spark):
+    """ann_mrr's grading panel (labels, reciprocal weights, methods,
+    rel) must ride as broadcasts — a shuffle join keyed on the 5-row
+    panel would shuffle the index outputs for nothing."""
+    df = Q.QUERIES["ann_mrr"](spark, SF)
+    assert broadcast_join_count(df) >= 4, physical_plan(df)
+
+
+def test_raking_factor_joins_are_broadcast(spark):
+    """Each IPF half-pass joins a 5-row factor table back onto the
+    panel; all four must be broadcasts, never shuffles keyed on a
+    5-value segment/region column."""
+    df = Q.QUERIES["survey_raking_ipf"](spark, SF)
+    assert broadcast_join_count(df) >= 6, physical_plan(df)
+    assert not has_nested_loop_join(df), physical_plan(df)
+
+
+def test_merkle_leaf_diff_is_node_gated(spark):
+    """The merkle leaf comparison must be gated by a broadcast
+    left-semi on the differing top nodes — the O(divergence) descend
+    — and read orders once through the columnar cache."""
+    df = Q.QUERIES["orders_merkle_range_diff"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert broadcast_join_count(df) >= 1, plan
+    assert not has_nested_loop_join(df), plan
