@@ -285,6 +285,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # composes brute (intended broadcast-NL baseline)
                   # like ann_recall
                   "ann_ndcg",
+                  # composes brute twice (panel + retrieved) plus a
+                  # 5x3 panel-x-methods crossJoin (scalar shape)
+                  "ann_mrr",
                   # 1-row credit-total crossJoin (scalar-subquery
                   # shape)
                   "events_time_decay_attribution",
