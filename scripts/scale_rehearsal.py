@@ -129,6 +129,35 @@ REHEARSAL_EXT = [
     "orders_merkle_range_diff",
 ]
 
+# Third subset (mode "ext2-only"): the families still unproven at
+# 100x — the TPC-H remainder, attribution ladder, Arrow UDF paths
+# (grouped-agg median, mapInPandas features), one streaming rep, and
+# the queries whose reuse caches were converted this round.
+REHEARSAL_EXT2 = [
+    "tpch_q4_priority_late_lines",
+    "tpch_q7_nation_volume_shipping",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q19_bracket_revenue",
+    "tpch_q22_dormant_customers",
+    "ab_test_report",
+    "ab_logrank",
+    "events_markov_attribution",
+    "events_shapley_attribution",
+    "hll_rolling_users",
+    "segment_acctbal_median",
+    "multimodal_features",
+    "events_stream_hourly",
+    "text_textrank_keywords",
+    "dedup_winnow_pairs",
+    "lineitem_price_equidepth",
+    "part_skyline",
+    "order_value_median_ci",
+    "customer_record_linkage",
+    "fiscal_445_rollup",
+]
+
 
 def replicate(
     spark, src: str, out: str, r_factor: int, stride: int = STRIDE
@@ -184,7 +213,10 @@ def main() -> int:
         print(f"replicated x{r_factor} -> {out} in {time.time()-t0:.0f}s")
     if mode == "replicate-only":
         return 0
-    rehearsal = REHEARSAL_EXT if mode == "ext-only" else REHEARSAL
+    rehearsal = {
+        "ext-only": REHEARSAL_EXT,
+        "ext2-only": REHEARSAL_EXT2,
+    }.get(mode, REHEARSAL)
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
 
