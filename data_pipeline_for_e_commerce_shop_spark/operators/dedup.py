@@ -512,42 +512,122 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+SIMHASH64_CHUNKS = 4  # 4 x 16-bit chunks = 64-bit signature
+SIMHASH64_CHUNK_BITS = 16
+# Target docs per (block_no, block_key) bucket; the data-derived key
+# width keeps in-bucket pair work ~constant as the corpus grows.
+SIMHASH_BLOCK_TARGET = 32
+
+
+def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash per doc (Manku et al., WWW'07 geometry), held as
+    FOUR 16-bit chunk columns s0..s3 so no expression ever touches the
+    long's sign bit: bit b of chunk j = majority vote over shingles of
+    bit (b) of the j-th 32-bit word of md5(shingle).  One explode +
+    one 64-sum aggregation; at scale this shares the shingle scan with
+    the minhash signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).withColumn("h", F.md5("shingle"))
+    for j in range(SIMHASH64_CHUNKS):
+        sh = sh.withColumn(
+            f"x{j}",
+            F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("long"),
+        )
+    aggs = []
+    for b in range(SIMHASH64_CHUNKS * SIMHASH64_CHUNK_BITS):
+        j, bit = b // SIMHASH64_CHUNK_BITS, b % SIMHASH64_CHUNK_BITS
+        aggs.append(
+            F.sum(
+                F.shiftright(F.col(f"x{j}"), bit)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"v{b}")
+        )
+    votes = sh.groupBy("doc_id").agg(*aggs)
+    chunks = []
+    for j in range(SIMHASH64_CHUNKS):
+        s = None
+        for bit in range(SIMHASH64_CHUNK_BITS):
+            b = j * SIMHASH64_CHUNK_BITS + bit
+            term = F.when(
+                F.col(f"v{b}") > 0, F.lit(1 << bit)
+            ).otherwise(F.lit(0))
+            s = term if s is None else s + term
+        chunks.append(s.cast("long").alias(f"s{j}"))
+    return votes.select("doc_id", *chunks)
+
+
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, blocked on 8-bit
-    signature halves (a pair with distance <= max_hamming shares a half
-    whenever one half is clean — standard simhash chunk blocking)."""
-    sig = simhash_signatures(spark, sf_dir)
-    # One (block_no, block_key) row per half: blocking becomes a plain
-    # equi-bucket problem.  An OR-of-equalities join condition cannot
-    # hash-partition (Spark plans it as BroadcastNestedLoopJoin — O(n²),
-    # unusable at scale); stacking the halves into rows keeps every step
-    # an equi shuffle, same shape as the minhash banding above.
-    blocks = sig.select(
-        "doc_id",
-        "simhash",
+    """Near-dup pairs by 64-bit simhash Hamming distance, blocked on
+    the four 16-bit signature chunks (a pair with distance <=
+    max_hamming = 3 dirties at most 3 chunks, so at least one chunk —
+    and hence its block key — matches: the standard pigeonhole
+    blocking, Manku et al. WWW'07).
+
+    Scale geometry (r4 VERDICT item 3): the block KEY is the low
+    ``w`` bits of each chunk with ``w`` DERIVED FROM THE CORPUS SIZE —
+    w = clamp(4, 16, bitlength(n_docs div 32)) — as a 1-row COUNT
+    aggregate joined in broadcast, so the expected bucket occupancy
+    stays ~32 docs and in-bucket pair work grows linearly with the
+    corpus instead of quadratically (the r4 fixed 8-bit halves
+    measured ~290x time at 100x data).  The oracle replays the same
+    1-row rule, so hashes stay valid at every SF.  A chunk clean in
+    all 16 bits is clean in its low w bits, so the pigeonhole recall
+    guarantee is unchanged.  Beyond n ~ 2M (w caps at 16) bucket
+    occupancy grows again — the documented next step is Manku's
+    sorted-rotation tables, not wider equi-keys.
+
+    An OR-of-equalities join cannot hash-partition (Spark plans it as
+    BroadcastNestedLoopJoin — O(n²)); stacking the four chunk keys
+    into rows keeps every step an equi shuffle, same shape as the
+    minhash banding above."""
+    sig = simhash64_signatures(spark, sf_dir)
+    n1 = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
         F.expr(
-            "stack(2, 0, simhash % 256,"
-            " 1, simhash div 256) as (block_no, block_key)"
+            f"GREATEST(4, LEAST({SIMHASH64_CHUNK_BITS},"
+            f" length(bin(GREATEST(n_docs div {SIMHASH_BLOCK_TARGET},"
+            f" 1)))))"
+        ).alias("w")
+    )
+    stack_expr = ", ".join(
+        f"{j}, s{j} % shiftleft(CAST(1 AS BIGINT), CAST(w AS INT))"
+        for j in range(SIMHASH64_CHUNKS)
+    )
+    blocks = sig.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        *[f"s{j}" for j in range(SIMHASH64_CHUNKS)],
+        F.expr(
+            f"stack({SIMHASH64_CHUNKS}, {stack_expr})"
+            " as (block_no, block_key)"
         ),
+    )
+    member = F.struct(
+        "doc_id", *[f"s{j}" for j in range(SIMHASH64_CHUNKS)]
     )
     buckets = (
         blocks.groupBy("block_no", "block_key")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct("doc_id", "simhash"))
-            ).alias("members")
-        )
+        .agg(F.array_sort(F.collect_set(member)).alias("members"))
         .where(F.size("members") >= 2)
     )
     pairs = F.expr(
         "flatten(transform(members, (x, i) ->"
         " transform(slice(members, i + 2, size(members)),"
         " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b,"
-        " x.simhash as sh_a, y.simhash as sh_b))))"
+        + ",".join(
+            f" x.s{j} as a{j}, y.s{j} as b{j}"
+            for j in range(SIMHASH64_CHUNKS)
+        )
+        + "))))"
     )
-    ham = F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
+    ham = sum(
+        F.bit_count(F.col(f"p.a{j}").bitwiseXOR(F.col(f"p.b{j}")))
+        for j in range(SIMHASH64_CHUNKS)
+    )
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", ham.alias("hamming"))
@@ -651,11 +731,30 @@ def embedding_near_duplicates(
     import pandas as pd
 
     from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
-        N_PLANES,
+        LSH_PLANES_MAX,
         as_double,
         lsh_bucket,
     )
 
+    # Data-derived plane count (r4 VERDICT item 3): the full
+    # LSH_PLANES_MAX-bit bucket is computed statically, and the key
+    # actually used is its low-P bits with P = clamp(4, 24,
+    # bitlength(n_vecs div 64)) from a 1-row COUNT — expected bucket
+    # occupancy stays ~64 vectors at every corpus size, so in-bucket
+    # pair work grows linearly (the fixed 4-plane geometry measured
+    # ~330x time at 100x data).  The oracle replays the same 1-row
+    # rule.  At n = 500 (sf0.01) P clamps to 4, reproducing the
+    # r1/r2-green 16-bucket results bit-for-bit.
+    np_rule = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.expr(
+                f"GREATEST(4, LEAST({LSH_PLANES_MAX},"
+                " length(bin(GREATEST(n_vecs div 64, 1)))))"
+            ).alias("npl")
+        )
+    )
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("emb"))
@@ -663,16 +762,28 @@ def embedding_near_duplicates(
             "micro",
             F.expr("transform(emb, x -> CAST(floor(x * 1000000) AS BIGINT))"),
         )
-        .withColumn("bucket", lsh_bucket("emb"))
+        .withColumn(
+            "bucket_full", lsh_bucket("emb", n_planes=LSH_PLANES_MAX)
+        )
+        .crossJoin(F.broadcast(np_rule))
+        .withColumn(
+            "bucket",
+            F.expr("bucket_full % shiftleft(1, CAST(npl AS INT))"),
+        )
     )
-    probes = F.array(
+    probes_full = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(LSH_PLANES_MAX)
+        ],
     )
     a = emb.select(
         "vec_id",
         "micro",
-        F.explode(probes).alias("probe"),
+        F.explode(
+            F.slice(probes_full, F.lit(1), (F.col("npl") + 1).cast("int"))
+        ).alias("probe"),
         F.lit(True).alias("is_probe"),
     )
     b = emb.select(
@@ -695,9 +806,8 @@ def embedding_near_duplicates(
     # O(duplicates), not O(candidate pairs).  Survivor cosines are
     # the same block-local int64-matmul / IEEE-divide values, so the
     # final rounded filter and every recorded oracle hash are
-    # unchanged.  At production n, N_PLANES should also grow with
-    # log2(n) to keep buckets bounded; that is a recall parameter, so
-    # it stays fixed here where oracles interpolate it.
+    # unchanged.  The plane count grows with log2(n) via the 1-row
+    # rule above, keeping buckets bounded at any corpus size.
     block = _VERIFY_BLOCK
     cut = threshold - 1e-9
 
@@ -781,26 +891,67 @@ def semantic_pair_scan(
     spark: SparkSession, sf_dir: str, assign: DataFrame | None = None
 ) -> DataFrame:
     """Within-cluster candidate pairs for SemDeDup-style dedup:
-    (vec_a, vec_b, dist_a, dist_b, cosine) for EVERY pair sharing a
-    k-means cluster, cosine un-thresholded (callers filter).  Pair
-    work is blocked by cluster — one vectorized int64 numpy matmul
-    per Arrow group, O(n²/k) spread over hash partitions, never an
-    all-pairs join (see semantic_dedup for the 100-TB notes)."""
+    (vec_a, vec_b, dist_a, dist_b, cosine) for every pair sharing a
+    k-means cluster AND an LSH sub-block, cosine un-thresholded
+    (callers filter).  Pair work is blocked by (cluster, sub-bucket)
+    — one vectorized int64 numpy matmul per Arrow group, never an
+    all-pairs join (see semantic_dedup for the 100-TB notes).
+
+    Sub-blocking (r4 VERDICT item 3): k-means k is FIXED (clustering
+    stays O(n·k·d) — linear), so cluster population grows linearly
+    with the corpus; the in-cluster pair stage is kept linear by a
+    hyperplane sub-key of P = bitlength(max(n_vecs div 512, 1)) - 1
+    low bits of the 24-plane bucket (1-row COUNT rule, replayed by
+    the oracle).  P = 0 below n = 1024 — the r3-green small-SF
+    results are bit-identical — and cluster∩bucket occupancy holds
+    ~64-128 vectors at any scale.  Cross-bucket pairs are the recall
+    trade (cosine-similar vectors overwhelmingly share hyperplane
+    signs); the threshold-sweep and calibration gauges quantify it."""
     import numpy as np
     import pandas as pd
 
     from data_pipeline_for_e_commerce_shop_spark.operators.similarity import (
+        LSH_PLANES_MAX,
+        as_double,
         kmeans_lloyd,
+        lsh_bucket,
     )
 
     if assign is None:
         assign = kmeans_lloyd(spark, sf_dir)
-    micro = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
-            " x -> CAST(floor(x * 1000000) AS BIGINT))"
-        ).alias("micro"),
+    psem = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.expr(
+                f"LEAST({LSH_PLANES_MAX},"
+                " length(bin(GREATEST(n_vecs div 512, 1))) - 1)"
+            ).alias("psem")
+        )
+    )
+    micro = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            as_double("embedding").alias("emb"),
+        )
+        .withColumn(
+            "micro",
+            F.expr(
+                "transform(emb, x -> CAST(floor(x * 1000000) AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "bucket_full", lsh_bucket("emb", n_planes=LSH_PLANES_MAX)
+        )
+        .crossJoin(F.broadcast(psem))
+        .select(
+            "vec_id",
+            "micro",
+            F.expr(
+                "bucket_full % shiftleft(1, CAST(psem AS INT))"
+            ).alias("sub_bucket"),
+        )
     )
     pts = assign.join(micro, "vec_id")
 
@@ -832,7 +983,7 @@ def semantic_pair_scan(
             }
         )
 
-    return pts.groupBy("cluster_id").applyInPandas(
+    return pts.groupBy("cluster_id", "sub_bucket").applyInPandas(
         cluster_pairs,
         "vec_a LONG, vec_b LONG, dist_a LONG, dist_b LONG,"
         " cosine DOUBLE",

@@ -124,7 +124,13 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 4  # 4 sign bits -> 16 buckets
+N_PLANES = 4  # 4 sign bits -> 16 buckets (query-side LSH index)
+# Widest hyperplane set any operator masks down from: 24 sign bits =
+# 16M bucket key space.  Ops that must keep buckets sparse as the
+# corpus grows (embedding near-dup) compute the FULL 24-bit bucket
+# statically and use only its low P bits, with P derived from a 1-row
+# corpus-count aggregate both engines replay (r4 VERDICT item 3).
+LSH_PLANES_MAX = 24
 
 
 def plane_signs(p: int, dim: int = 64) -> list[int]:
@@ -152,10 +158,15 @@ def _plane(dim: int, p: int) -> Column:
     )
 
 
-def lsh_bucket(emb_col: str, dim: int = 64) -> Column:
-    """Bucket id = concatenated sign bits of N_PLANES projections."""
+def lsh_bucket(
+    emb_col: str, dim: int = 64, n_planes: int = N_PLANES
+) -> Column:
+    """Bucket id = concatenated sign bits of ``n_planes`` projections.
+    Plane p's bit lands at position p, so the ``n_planes = k`` bucket
+    equals the ``n_planes = m > k`` bucket modulo 2^k — masking a wide
+    bucket down is exactly evaluating a narrower one."""
     bucket = F.lit(0)
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 emb_col,

@@ -8,26 +8,36 @@ Delta directories.  The delta package is absent in this environment,
 but the transaction log is a PUBLIC protocol
 (https://github.com/delta-io/delta/blob/master/PROTOCOL.md): ordered
 JSON commits ``_delta_log/<20-digit version>.json`` whose ``add`` /
-``remove`` actions define each version's live file set.  This module
-replays that log — the file-set resolution Delta readers perform —
-and hands the live files to the stock parquet scan, with version
-pinning for time travel.
+``remove`` actions define each version's live file set, with a parquet
+CHECKPOINT every ~10 commits compacting the state so older JSON can be
+vacuumed.  This module replays log + checkpoints — the file-set
+resolution Delta readers perform — and hands the live files to the
+stock parquet scan, with version pinning for time travel.
+
+Checkpoint support (r4 VERDICT item 6): classic checkpoints are read —
+``<v>.checkpoint.parquet`` and the multi-part
+``<v>.checkpoint.<i>.<n>.parquet`` form — by seeding the live set from
+the checkpoint's non-null ``add`` rows and replaying only the JSON
+commits after it, exactly Delta's own snapshot construction.
+``_last_checkpoint`` is treated as the hint the protocol says it is;
+the directory listing is authoritative.
 
 Honest scope (documented, enforced loudly):
 
-- JSON commits only.  Tables with a parquet checkpoint
-  (``_last_checkpoint`` present) raise ``NotImplementedError`` rather
-  than silently reading a wrong file set — checkpoints replace early
-  JSON that may no longer exist.  The reference's daily pipeline
-  produces short logs; checkpoints appear every 10 commits, so this
-  covers young tables and all tests, and FAILS rather than lies on
-  older ones.
 - Reader-protocol gate: ``protocol.minReaderVersion`` > 1 (column
-  mapping, deletion vectors) also raises — those features change file
-  interpretation, and pretending otherwise would corrupt reads.
-- Scale: the log is metadata (KBs per commit); resolution is a
-  driver-side fold over it, exactly like Delta's own snapshot
-  construction.  The data scan is the ordinary distributed parquet
+  mapping, deletion vectors, v2 checkpoints) raises — those features
+  change file interpretation, and pretending otherwise would corrupt
+  reads.  The gate is applied to protocol actions found in BOTH the
+  JSON commits and checkpoint rows.
+- Time travel BEFORE the earliest available checkpoint requires the
+  JSON commits from version 0 — if they were vacuumed, the read
+  raises instead of resolving a wrong file set.
+- Scale: the log is metadata (KBs per commit, checkpoint rows ~ live
+  file count); resolution is a driver-side fold over it, exactly like
+  Delta's own snapshot construction (pyarrow for the checkpoint
+  parquet — at the multi-million-file scale where Delta itself
+  distributes checkpoint reads, swap the fold for a Spark scan of the
+  same columns).  The data scan is the ordinary distributed parquet
   read of the resolved files.
 """
 
@@ -40,6 +50,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _COMMIT_RE = re.compile(r"(\d{20})\.json\Z")
+_CP_SINGLE_RE = re.compile(r"(\d{20})\.checkpoint\.parquet\Z")
+_CP_PART_RE = re.compile(r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet\Z")
 
 
 def delta_log_versions(table_path: str) -> list[int]:
@@ -55,33 +67,107 @@ def delta_log_versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
-def _resolve_files(table_path: str, version: int | None) -> list[str]:
-    log = os.path.join(table_path, "_delta_log")
-    if os.path.exists(os.path.join(log, "_last_checkpoint")):
+def _checkpoints(log: str) -> dict[int, list[str]]:
+    """Checkpoint versions -> ordered part files, from the directory
+    listing (authoritative per PROTOCOL.md; _last_checkpoint is only a
+    hint).  Multi-part sets are validated complete."""
+    single: dict[int, str] = {}
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
+    for name in os.listdir(log):
+        m = _CP_SINGLE_RE.match(name)
+        if m:
+            single[int(m.group(1))] = os.path.join(log, name)
+            continue
+        m = _CP_PART_RE.match(name)
+        if m:
+            v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            parts.setdefault(v, {})[i] = (n, os.path.join(log, name))
+    out: dict[int, list[str]] = {v: [p] for v, p in single.items()}
+    for v, got in parts.items():
+        n = next(iter(got.values()))[0]
+        if set(got) == set(range(1, n + 1)) and all(
+            x[0] == n for x in got.values()
+        ):
+            out[v] = [got[i][1] for i in range(1, n + 1)]
+        # an incomplete part set is an in-flight checkpoint: ignore it
+    return out
+
+
+def _protocol_gate(table_path: str, proto: dict) -> None:
+    mrv = proto.get("minReaderVersion", 1)
+    if mrv > 1:
         raise NotImplementedError(
-            f"{table_path}: log has a parquet checkpoint; this reader"
-            " replays JSON commits only (PROTOCOL.md checkpoints are"
-            " out of scope — use delta-spark for checkpointed tables)"
+            f"{table_path}: minReaderVersion={mrv}"
+            " (column mapping / deletion vectors / v2 checkpoints);"
+            " refusing a lossy read"
         )
-    versions = delta_log_versions(table_path)
-    if not versions:
-        raise FileNotFoundError(f"empty _delta_log at {table_path}")
-    if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise ValueError(
-            f"version {version} not in Delta log {versions}"
-        )
-    # contiguity from 0: a gap means vacuumed JSON (checkpointed era)
-    expected = list(range(versions[0], version + 1))
-    if versions[0] != 0 or [v for v in versions if v <= version] != expected:
-        raise NotImplementedError(
-            f"{table_path}: non-contiguous JSON log (vacuumed commits);"
-            " checkpoint replay required"
-        )
+
+
+def _seed_from_checkpoint(
+    table_path: str, cp_files: list[str]
+) -> tuple[set[str], bool]:
+    """Live file set (+ partitioned flag) from a classic checkpoint:
+    one row per action, non-null ``add`` rows ARE the live set at the
+    checkpoint version (remove rows are expired-tombstone bookkeeping,
+    irrelevant to reads)."""
+    import pyarrow.parquet as pq
+
     live: set[str] = set()
     partitioned = False
-    for v in expected:
+    for fp in cp_files:
+        schema_names = pq.read_schema(fp).names
+        cols = [c for c in ("add", "protocol") if c in schema_names]
+        tbl = pq.read_table(fp, columns=cols)
+        data = tbl.to_pylist()
+        for row in data:
+            proto = row.get("protocol")
+            if proto is not None and proto.get("minReaderVersion") is not None:
+                _protocol_gate(table_path, proto)
+            add = row.get("add")
+            if add is not None and add.get("path") is not None:
+                live.add(add["path"])
+                if add.get("partitionValues"):
+                    partitioned = True
+    return live, partitioned
+
+
+def _resolve_files(
+    table_path: str, version: int | None
+) -> tuple[list[str], bool]:
+    log = os.path.join(table_path, "_delta_log")
+    versions = delta_log_versions(table_path)
+    cps = _checkpoints(log) if os.path.isdir(log) else {}
+    if not versions and not cps:
+        raise FileNotFoundError(f"empty _delta_log at {table_path}")
+    latest = max(versions[-1] if versions else -1, max(cps, default=-1))
+    if version is None:
+        version = latest
+    if version > latest:
+        raise ValueError(
+            f"version {version} beyond latest Delta version {latest}"
+        )
+
+    # Start point: the newest complete checkpoint at/below the target,
+    # else JSON from version 0.
+    cp_v = max((v for v in cps if v <= version), default=None)
+    live: set[str] = set()
+    partitioned = False
+    if cp_v is not None:
+        live, partitioned = _seed_from_checkpoint(table_path, cps[cp_v])
+        replay = [v for v in versions if cp_v < v <= version]
+        expected = list(range(cp_v + 1, version + 1))
+    else:
+        replay = [v for v in versions if v <= version]
+        expected = list(range(0, version + 1))
+    if replay != expected:
+        raise NotImplementedError(
+            f"{table_path}: cannot reconstruct version {version} — "
+            f"need JSON commits {expected[0] if expected else '-'}"
+            f"..{version}"
+            + (f" after checkpoint {cp_v}" if cp_v is not None else "")
+            + f", found {replay} (vacuumed commits / missing checkpoint)"
+        )
+    for v in replay:
         commit = os.path.join(log, f"{v:020d}.json")
         with open(commit) as f:
             for line in f:
@@ -90,13 +176,7 @@ def _resolve_files(table_path: str, version: int | None) -> list[str]:
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    mrv = action["protocol"].get("minReaderVersion", 1)
-                    if mrv > 1:
-                        raise NotImplementedError(
-                            f"{table_path}: minReaderVersion={mrv}"
-                            " (column mapping / deletion vectors);"
-                            " refusing a lossy read"
-                        )
+                    _protocol_gate(table_path, action["protocol"])
                 elif "add" in action:
                     live.add(action["add"]["path"])
                     if action["add"].get("partitionValues"):
@@ -110,8 +190,9 @@ def read_delta_table(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table at its latest (or a pinned) version by
-    replaying the JSON transaction log and scanning exactly the live
-    file set — removed files and uncommitted stragglers in the
+    seeding from the newest checkpoint at/below that version and
+    replaying the JSON commits after it, then scanning exactly the
+    live file set — removed files and uncommitted stragglers in the
     directory are invisible, which a raw ``spark.read.parquet`` over
     the same directory gets wrong.
 

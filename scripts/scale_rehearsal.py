@@ -41,6 +41,14 @@ import time
 
 from pyspark.sql import functions as F
 
+# Import the box-speed yardstick at module load, BEFORE the
+# multi-minute rehearsal loop: a repo-root-not-on-sys.path problem
+# must fail fast, not discard the run's timings at the end (ADVICE
+# r4).  `python scripts/scale_rehearsal.py` puts scripts/ first on
+# sys.path, so add the repo root explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _cpu_calibration_sec  # noqa: E402
+
 STRIDE = 1_000_000_000
 
 # keys to offset per table (column -> applies in every table listed)
@@ -158,6 +166,24 @@ REHEARSAL_EXT2 = [
     "fiscal_445_rollup",
 ]
 
+# Round-5 subset (mode "r5-only"): the three near-dup ops whose block
+# geometry became data-derived this round (r4 VERDICT item 3 — the
+# "done" test is that their 100x time ratios leave the ~280-330x
+# superlinear band), their sweep twin, and the co-purchase graph
+# family under re-measure for item 7 (incl. graph_assortativity's
+# 1.8x probe-normalized r4 regression).
+REHEARSAL_R5 = [
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "dedup_semantic_sweep",
+    "part_degree_profile",
+    "part_kcore",
+    "part_label_propagation",
+    "part_pagerank",
+    "graph_assortativity",
+]
+
 
 def replicate(
     spark, src: str, out: str, r_factor: int, stride: int = STRIDE
@@ -196,6 +222,11 @@ def main() -> int:
     )
     stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
     mode = sys.argv[5] if len(sys.argv) > 5 else "full"
+    known_modes = ("full", "replicate-only", "ext-only", "ext2-only", "r5-only")
+    if mode not in known_modes:
+        raise SystemExit(
+            f"unknown mode {mode!r}; expected one of {known_modes}"
+        )
 
     from data_pipeline_for_e_commerce_shop_spark.session import get_spark
 
@@ -216,6 +247,7 @@ def main() -> int:
     rehearsal = {
         "ext-only": REHEARSAL_EXT,
         "ext2-only": REHEARSAL_EXT2,
+        "r5-only": REHEARSAL_R5,
     }.get(mode, REHEARSAL)
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
@@ -246,9 +278,8 @@ def main() -> int:
             + (f" ({failed[name]})" if name in failed else "")
         )
     # Box-speed yardstick (same probe as bench.py) so rehearsal
-    # records are comparable across rounds/boxes.
-    from bench import _cpu_calibration_sec
-
+    # records are comparable across rounds/boxes; imported at module
+    # top so a path problem fails before the loop, not after it.
     print(
         json.dumps(
             {

@@ -56,7 +56,13 @@ def _norm(v):
     elif isinstance(v, np.floating):
         v = float(v)
     if isinstance(v, Decimal):
-        v = float(v)
+        # Spark DecimalType rows (a bare 1000.0 literal in spark.sql
+        # is DECIMAL) hash differently from the oracle's doubles in
+        # the driver — the r4 ema/holt driver-red root cause, masked
+        # here when Decimal was coerced to float.  Tag distinctly so
+        # the divergence is locally visible; queries must cast to
+        # DOUBLE (e.g. a 100.0D literal) on the Spark side.
+        return ("dec", str(v.normalize()))
     if isinstance(v, bool):  # before int: bool subclasses int
         return v
     if isinstance(v, float):
@@ -67,8 +73,11 @@ def _norm(v):
             # CORRECTNESS_r02), so the gate does too.
             return None
         # Class-tagged so 2.0 (float) != 2 (int) — the driver hashes
-        # these differently even though Python's == does not.
-        return ("f", round(v, 9))
+        # these differently even though Python's == does not.  FULL
+        # precision (r4 VERDICT item 4): the driver hashes raw doubles,
+        # so rounding here could hide sub-1e-9 engine divergence the
+        # driver would flag.
+        return ("f", v)
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, pd.Timestamp):

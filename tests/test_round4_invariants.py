@@ -441,6 +441,10 @@ def test_delta_log_reader_refuses_lossy_reads(spark, tmp_path):
     with _pytest.raises(NotImplementedError, match="minReaderVersion"):
         read_delta_table(spark, table)
 
+    # Since r5 checkpoints are READ, a _last_checkpoint HINT with no
+    # actual checkpoint file and a contiguous JSON log must not block
+    # the read (PROTOCOL.md: the hint is advisory; the listing is
+    # authoritative) ...
     table2 = str(tmp_path / "dt3")
     _os.makedirs(table2)
     _stage_parquet_file(
@@ -451,7 +455,14 @@ def test_delta_log_reader_refuses_lossy_reads(spark, tmp_path):
     ])
     with open(f"{table2}/_delta_log/_last_checkpoint", "w") as f:
         f.write('{"version": 0, "size": 1}')
-    with _pytest.raises(NotImplementedError, match="checkpoint"):
+    assert read_delta_table(spark, table2).count() == 3
+    # ... while VACUUMED JSON with no checkpoint to seed from still
+    # refuses rather than resolving a wrong file set.
+    _write_commit(table2, 1, [
+        {"add": {"path": "f.parquet", "dataChange": True}},
+    ])
+    _os.unlink(f"{table2}/_delta_log/{0:020d}.json")
+    with _pytest.raises(NotImplementedError, match="vacuumed|missing"):
         read_delta_table(spark, table2)
 
 

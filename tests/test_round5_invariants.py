@@ -1,0 +1,152 @@
+"""Round-5 invariants: Delta checkpoint read/write round-trip, the
+data-derived near-dup block geometry, and the ema/holt fold guards.
+
+The Delta tests exercise the PUBLIC _delta_log protocol end-to-end
+with no delta package: our writer's commits + checkpoints must be
+consumed by our reader (and be plain parquet/JSON any stock reader
+parses), across append, overwrite, time travel, and a vacuumed-early-
+JSON log where only the checkpoint can seed the state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+    delta_log_versions,
+    read_delta_table,
+)
+from data_pipeline_for_e_commerce_shop_spark.sources.delta_writer import (
+    write_delta_commit,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id AS x")
+
+
+def test_delta_writer_reader_roundtrip(spark, tmp_path):
+    """Append + overwrite + time travel through our own commits."""
+    t = str(tmp_path / "w1")
+    v0 = write_delta_commit(_mk(spark, 0, 3), t)
+    v1 = write_delta_commit(_mk(spark, 10, 12), t)
+    assert (v0, v1) == (0, 1)
+    assert {r["x"] for r in read_delta_table(spark, t).collect()} == {
+        0, 1, 2, 10, 11,
+    }
+    v2 = write_delta_commit(_mk(spark, 100, 101), t, mode="overwrite")
+    assert v2 == 2
+    assert {r["x"] for r in read_delta_table(spark, t).collect()} == {100}
+    # time travel to the pre-overwrite state
+    assert {r["x"] for r in read_delta_table(spark, t, 1).collect()} == {
+        0, 1, 2, 10, 11,
+    }
+    # commit 0 carries protocol + metaData with the real schemaString
+    with open(f"{t}/_delta_log/{0:020d}.json") as f:
+        actions = [json.loads(l) for l in f if l.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert "x" in actions[1]["metaData"]["schemaString"]
+
+
+def test_delta_checkpoint_written_and_read_after_vacuum(spark, tmp_path):
+    """>= checkpoint_interval commits emit <v>.checkpoint.parquet +
+    _last_checkpoint; after the early JSON is vacuumed the reader must
+    seed from the checkpoint and still resolve the exact live set —
+    the r4 gap (older reference-produced tables were unreadable)."""
+    t = str(tmp_path / "w2")
+    for i in range(12):  # checkpoint lands at v9 (interval 10)
+        write_delta_commit(_mk(spark, 10 * i, 10 * i + 2), t)
+    log = f"{t}/_delta_log"
+    cp = f"{log}/{9:020d}.checkpoint.parquet"
+    assert os.path.exists(cp)
+    last = json.load(open(f"{log}/_last_checkpoint"))
+    assert last["version"] == 9
+    expect = {x for i in range(12) for x in (10 * i, 10 * i + 1)}
+    assert {r["x"] for r in read_delta_table(spark, t).collect()} == expect
+
+    # vacuum the pre-checkpoint JSON: state must come from the parquet
+    for v in range(9):
+        os.unlink(f"{log}/{v:020d}.json")
+    assert delta_log_versions(t) == [9, 10, 11]
+    assert {r["x"] for r in read_delta_table(spark, t).collect()} == expect
+    # time travel ACROSS the boundary: at v10, commit 11's files absent
+    at10 = {r["x"] for r in read_delta_table(spark, t, 10).collect()}
+    assert at10 == {x for i in range(11) for x in (10 * i, 10 * i + 1)}
+    # ... but BEFORE the checkpoint, with JSON vacuumed, refuse loudly
+    with pytest.raises(NotImplementedError, match="vacuumed|missing"):
+        read_delta_table(spark, t, 5)
+    # stock-reader interop surface: the checkpoint is plain parquet
+    # with the canonical five structs
+    import pyarrow.parquet as pq
+
+    names = pq.read_schema(cp).names
+    assert set(names) >= {"txn", "add", "remove", "metaData", "protocol"}
+
+
+def test_delta_checkpoint_overwrite_state(spark, tmp_path):
+    """A checkpoint taken after an overwrite must carry ONLY the
+    post-overwrite live set (removes are not resurrected)."""
+    t = str(tmp_path / "w3")
+    for i in range(9):
+        write_delta_commit(_mk(spark, i, i + 1), t)
+    write_delta_commit(_mk(spark, 777, 779), t, mode="overwrite")  # v9 + cp
+    log = f"{t}/_delta_log"
+    assert os.path.exists(f"{log}/{9:020d}.checkpoint.parquet")
+    for v in range(9):
+        os.unlink(f"{log}/{v:020d}.json")
+    assert {r["x"] for r in read_delta_table(spark, t).collect()} == {
+        777, 778,
+    }
+
+
+def test_delta_commit_cas_no_silent_clobber(spark, tmp_path):
+    """Two writers racing for the same version: the loser's os.link
+    fails and it retries on a fresh log read — simulated by
+    pre-claiming the version the writer is about to take."""
+    t = str(tmp_path / "w4")
+    write_delta_commit(_mk(spark, 0, 2), t)
+    log = f"{t}/_delta_log"
+    # competing writer claims v1 out from under the next commit
+    with open(f"{log}/{1:020d}.json", "w") as f:
+        f.write(json.dumps({"add": {"path": "nope.parquet",
+                                    "dataChange": True}}) + "\n")
+    v = write_delta_commit(_mk(spark, 5, 6), t)
+    assert v == 2  # retried past the claimed version, nothing clobbered
+    with open(f"{log}/{1:020d}.json") as f:
+        assert "nope.parquet" in f.read()
+
+
+def test_simhash_block_width_rule_scales():
+    """The 1-row geometry rule: w grows with corpus size and clamps at
+    the chunk width; bucket occupancy n / 2^w stays ~bounded."""
+    from data_pipeline_for_e_commerce_shop_spark.operators import dedup
+
+    def w_of(n):
+        d = max(n // dedup.SIMHASH_BLOCK_TARGET, 1)
+        return max(4, min(dedup.SIMHASH64_CHUNK_BITS, d.bit_length()))
+
+    assert w_of(500) == 4
+    assert w_of(50_000) == 11
+    assert w_of(500_000) == 14
+    assert w_of(5_000_000) == 16  # clamp
+    for n in (500, 5_000, 50_000, 500_000, 2_000_000):
+        if w_of(n) < dedup.SIMHASH64_CHUNK_BITS:
+            assert n / (1 << w_of(n)) <= 2 * dedup.SIMHASH_BLOCK_TARGET
+
+
+def test_ema_holt_offset_division_is_floor(spark):
+    """The offset trick must equal mathematical floor division for
+    negative operands on the Spark side (DuckDB's newer `//` floors;
+    1.0 truncates — the suspected r4 driver-red class)."""
+    rows = spark.sql(
+        "SELECT x, ((x + 1000000000000) div 10 - 100000000000) AS fd"
+        " FROM VALUES (-27), (-20), (-7), (-1), (0), (7), (23) v(x)"
+    ).collect()
+    import math
+
+    for r in rows:
+        assert r["fd"] == math.floor(r["x"] / 10), r
