@@ -512,26 +512,30 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-SIMHASH64_CHUNKS = 4  # 4 x 16-bit chunks = 64-bit signature
-SIMHASH64_CHUNK_BITS = 16
+SIMHASH64_CHUNKS = 4  # 4 x 28-bit chunks = 112-bit signature
+# 28 bits per chunk (7 md5 hex chars; 4 x 28 = 112 <= the 128 md5
+# bits): block-key space 2^28 per chunk, so the w cap stops binding
+# only past ~2^28 * 32 = 8.6e9 documents — the 100-TB regime the
+# 16-bit cap (bound at ~2M docs) could not cover.
+SIMHASH64_CHUNK_BITS = 28
 # Target docs per (block_no, block_key) bucket; the data-derived key
 # width keeps in-bucket pair work ~constant as the corpus grows.
 SIMHASH_BLOCK_TARGET = 32
 
 
 def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit simhash per doc (Manku et al., WWW'07 geometry), held as
-    FOUR 16-bit chunk columns s0..s3 so no expression ever touches the
-    long's sign bit: bit b of chunk j = majority vote over shingles of
-    bit (b) of the j-th 32-bit word of md5(shingle).  One explode +
-    one 64-sum aggregation; at scale this shares the shingle scan with
-    the minhash signatures."""
+    """112-bit simhash per doc (Manku et al., WWW'07 geometry widened
+    to the full md5), held as FOUR 28-bit chunk columns s0..s3 so no
+    expression ever touches the long's sign bit: bit b of chunk j =
+    majority vote over shingles of bit b of the j-th 28-bit word of
+    md5(shingle).  One explode + one 112-sum aggregation; at scale
+    this shares the shingle scan with the minhash signatures."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).withColumn("h", F.md5("shingle"))
     for j in range(SIMHASH64_CHUNKS):
         sh = sh.withColumn(
             f"x{j}",
-            F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("long"),
+            F.conv(F.substring("h", 1 + 7 * j, 7), 16, 10).cast("long"),
         )
     aggs = []
     for b in range(SIMHASH64_CHUNKS * SIMHASH64_CHUNK_BITS):
@@ -561,29 +565,35 @@ def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit simhash Hamming distance, blocked on
-    the four 16-bit signature chunks (a pair with distance <=
+    """Near-dup pairs by 112-bit simhash Hamming distance, blocked on
+    the four 28-bit signature chunks (a pair with distance <=
     max_hamming = 3 dirties at most 3 chunks, so at least one chunk —
     and hence its block key — matches: the standard pigeonhole
-    blocking, Manku et al. WWW'07).
+    blocking, Manku et al. WWW'07, widened from 64 to the full md5).
 
     Scale geometry (r4 VERDICT item 3): the block KEY is the low
     ``w`` bits of each chunk with ``w`` DERIVED FROM THE CORPUS SIZE —
-    w = clamp(4, 16, bitlength(n_docs div 32)) — as a 1-row COUNT
+    w = clamp(4, 28, bitlength(n_docs div 32)) — as a 1-row COUNT
     aggregate joined in broadcast, so the expected bucket occupancy
     stays ~32 docs and in-bucket pair work grows linearly with the
     corpus instead of quadratically (the r4 fixed 8-bit halves
     measured ~290x time at 100x data).  The oracle replays the same
     1-row rule, so hashes stay valid at every SF.  A chunk clean in
-    all 16 bits is clean in its low w bits, so the pigeonhole recall
-    guarantee is unchanged.  Beyond n ~ 2M (w caps at 16) bucket
-    occupancy grows again — the documented next step is Manku's
-    sorted-rotation tables, not wider equi-keys.
+    all 28 bits is clean in its low w bits, so the pigeonhole recall
+    guarantee is unchanged.  The cap stops binding only past
+    ~8.6e9 docs (2^28 buckets x 32 per chunk) — the 100-TB regime;
+    beyond that the next step is Manku's sorted-rotation tables.
 
     An OR-of-equalities join cannot hash-partition (Spark plans it as
     BroadcastNestedLoopJoin — O(n²)); stacking the four chunk keys
     into rows keeps every step an equi shuffle, same shape as the
-    minhash banding above."""
+    minhash banding above.
+
+    Heavy-duplication caveat: k identical texts share one signature,
+    so one bucket holds all k and emits C(k,2) pairs — unavoidable
+    output, not a geometry failure.  Production ordering is
+    exact-dedup FIRST (dedup_exact / incremental_dedup), then this op
+    on the survivors, exactly as the corpus pipeline queries do."""
     sig = simhash64_signatures(spark, sf_dir)
     n1 = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")

@@ -31,9 +31,47 @@ PR_SCALE = 1_000_000  # initial score in micro-units
 PR_D_NUM = 85  # damping 0.85 as an integer ratio
 PR_D_DEN = 100
 PR_ITER = 2
-# Default co-purchase support; interpolated into the registered oracle
-# SQL (queries.py) so operator and oracle cannot drift.
+# Default co-purchase support FLOOR; interpolated into the registered
+# oracle SQL (queries.py) so operator and oracle cannot drift.
 MIN_SUPPORT = 2
+# Density divisor for the data-derived support threshold (r4 VERDICT
+# item 7): the effective threshold is
+#   max(MIN_SUPPORT, (pair_occurrences div n_parts) div 30)
+# where pair_occurrences = sum over orders of C(#parts-in-order, 2) —
+# the expected co-occurrence load per catalog part, from one cheap
+# linear aggregate.  At every test SF the ratio is < 60 so the
+# threshold stays at the floor (recorded oracle hashes unchanged);
+# when order density grows against a fixed catalog — the real-scale
+# regime replication cannot simulate — the threshold rises
+# proportionally and the edge list stays ~linear in the catalog
+# instead of saturating toward all-pairs.  Both engines replay the
+# same 1-row rule, so hashes remain valid at any density.
+SUPPORT_DENSITY_DIVISOR = 30
+
+
+def copurchase_support(
+    spark: SparkSession, sf_dir: str, floor: int = MIN_SUPPORT
+) -> DataFrame:
+    """1-row (s BIGINT) density-derived support threshold — see
+    SUPPORT_DENSITY_DIVISOR.  Broadcast-crossJoined by every consumer;
+    the SQL twin is queries._support_cte."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    occ = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("c"))
+        .agg(F.expr("CAST(SUM(c * (c - 1) div 2) AS BIGINT)").alias("occ"))
+    )
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    return occ.crossJoin(F.broadcast(np_)).select(
+        F.expr(
+            f"GREATEST(CAST({floor} AS BIGINT),"
+            f" (occ div n_parts) div {SUPPORT_DENSITY_DIVISOR})"
+        ).alias("s")
+    )
 
 
 def copurchase_edges(
@@ -70,7 +108,11 @@ def copurchase_edges(
     und = (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= min_support)
+        .crossJoin(
+            F.broadcast(copurchase_support(spark, sf_dir, min_support))
+        )
+        .where(F.col("w") >= F.col("s"))
+        .drop("s")
     )
     fwd = und.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"

@@ -125,12 +125,13 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PLANES = 4  # 4 sign bits -> 16 buckets (query-side LSH index)
-# Widest hyperplane set any operator masks down from: 24 sign bits =
-# 16M bucket key space.  Ops that must keep buckets sparse as the
-# corpus grows (embedding near-dup) compute the FULL 24-bit bucket
+# Widest hyperplane set any operator masks down from: 30 sign bits =
+# ~1e9 bucket key space (the P cap stops binding only past ~7e10
+# vectors at the 64-per-bucket target).  Ops that must keep buckets sparse as the
+# corpus grows (embedding near-dup) compute the FULL 30-bit bucket
 # statically and use only its low P bits, with P derived from a 1-row
 # corpus-count aggregate both engines replay (r4 VERDICT item 3).
-LSH_PLANES_MAX = 24
+LSH_PLANES_MAX = 30
 
 
 def plane_signs(p: int, dim: int = 64) -> list[int]:

@@ -406,7 +406,21 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   # 1-row (sum, count) balance stats crossJoin for the
                   # exact above-average cross-multiply (scalar-subquery
                   # shape)
-                  "tpch_q22_dormant_customers"}
+                  "tpch_q22_dormant_customers",
+                  # the r5 density-derived support threshold rides both
+                  # the pair and triple gates as 1-row broadcast
+                  # crossJoins (scalar-subquery shape; the pair scan
+                  # itself stays the equi-keyed in-basket expansion)
+                  "basket_triples_apriori",
+                  # r5 data-derived block geometry: the 1-row
+                  # corpus-count rule (w / P / psem) rides each scan
+                  # branch as a broadcast crossJoin (scalar-subquery
+                  # shape); the pair stages remain bucket-keyed — the
+                  # dedicated plan tests below assert exactly that
+                  "dedup_simhash_pairs",
+                  "dedup_embedding_cosine",
+                  "dedup_semantic",
+                  "dedup_semantic_sweep"}
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
@@ -493,13 +507,23 @@ def test_regional_revenue_broadcasts_all_dims(spark):
 
 
 def test_embedding_dedup_pair_join_is_bucket_keyed(spark):
-    """The near-dup pair join must be an equi-join on the LSH bucket
-    (SortMerge/ShuffledHash on `probe`) — never an all-pairs nested
-    loop; that's the whole 100 TB story of the operator."""
+    """The near-dup pair stage must be keyed on the LSH bucket — the
+    probe/home rows meet in a groupBy(`probe`) Arrow group, never an
+    all-pairs join; that's the whole 100 TB story of the operator.
+    Since r5 the plan legitimately carries BroadcastNestedLoopJoin
+    CROSS nodes: the 1-row data-derived plane-count rule joined onto
+    each scan branch (scalar-subquery shape).  Assert those are the
+    ONLY nested loops — condition-less crosses, at most one per
+    branch — and the bucket key is present."""
     df = Q.QUERIES["dedup_embedding_cosine"](spark, SF)
     plan = physical_plan(df)
-    assert not has_nested_loop_join(df), plan
     assert "probe" in plan
+    n_nl = plan.count("BroadcastNestedLoopJoin")
+    n_cross = plan.count("BroadcastNestedLoopJoin Cross")
+    assert n_cross <= 2 and "Join condition: None" in plan, plan
+    # no non-cross (i.e. genuine pair-predicate) nested loop exists:
+    # every BNLJ tree node is one of the counted crosses
+    assert n_nl == n_cross * 2, plan  # tree line + detail line each
 
 
 def test_interval_join_is_equi_keyed(spark):

@@ -132,8 +132,8 @@ def test_simhash_block_width_rule_scales():
     assert w_of(500) == 4
     assert w_of(50_000) == 11
     assert w_of(500_000) == 14
-    assert w_of(5_000_000) == 16  # clamp
-    for n in (500, 5_000, 50_000, 500_000, 2_000_000):
+    assert w_of(20_000_000_000) == 28  # clamp (only past ~8.6e9 docs)
+    for n in (500, 5_000, 50_000, 500_000, 2_000_000, 1_000_000_000):
         if w_of(n) < dedup.SIMHASH64_CHUNK_BITS:
             assert n / (1 << w_of(n)) <= 2 * dedup.SIMHASH_BLOCK_TARGET
 
@@ -150,3 +150,45 @@ def test_ema_holt_offset_division_is_floor(spark):
 
     for r in rows:
         assert r["fd"] == math.floor(r["x"] / 10), r
+
+
+def test_copurchase_support_density_rule(spark, tmp_path):
+    """The data-derived co-purchase support threshold must equal
+    max(floor, (pair_occ div n_parts) div 30) — engaging only when
+    order density grows against the catalog — and prune edges with
+    the raised threshold.  Pure-Python replay of the 1-row rule."""
+    import os
+
+    from data_pipeline_for_e_commerce_shop_spark.operators import graph
+
+    d = str(tmp_path / "dense")
+    os.makedirs(d, exist_ok=True)
+    # 60 copies of the same 3-part basket + 1 singleton pair basket:
+    # dense co-occurrence on a 4-part catalog.
+    rows = []
+    for o in range(60):
+        for pk in (1, 2, 3):
+            rows.append((o, pk))
+    rows.append((60, 1))
+    rows.append((60, 4))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(1, 5)], "p_partkey long"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+
+    # pair_occ = 60 * C(3,2) + C(2,2 pairs)=1 = 181; n_parts = 4
+    # thr = max(2, (181 div 4) div 30) = max(2, 1) = 2 at divisor 30
+    thr = graph.copurchase_support(spark, d).collect()[0]["s"]
+    occ = 60 * 3 + 1
+    exp = max(
+        graph.MIN_SUPPORT, (occ // 4) // graph.SUPPORT_DENSITY_DIVISOR
+    )
+    assert thr == exp
+    edges = graph.copurchase_edges(spark, d)
+    ws = {(r["src"], r["dst"]): r["w"] for r in edges.collect()}
+    # the 60-strong triangle survives, the singleton (1,4) pair dies
+    assert all(w >= thr for w in ws.values())
+    assert (1, 4) not in ws and (4, 1) not in ws
+    assert ws[(1, 2)] == 60
