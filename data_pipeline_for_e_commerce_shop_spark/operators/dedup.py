@@ -765,6 +765,14 @@ def embedding_near_duplicates(
             ).alias("npl")
         )
     )
+    # Deliberately UNCACHED: the probe (a) and home (b) branches both
+    # consume this table, but a persist() here measured 43.8 s vs
+    # 6.3 s recompute at sf0.1 and 7.3 s vs 4.7 s at sf1 (round-5
+    # A/B) — caching serializes the two branch evaluations behind one
+    # materialization barrier while recompute lets them pipeline, and
+    # the 30-plane fold is cheap relative to that loss.  Same
+    # measured-not-assumed discipline as part_degree_profile's
+    # uncached edge set.
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("emb"))

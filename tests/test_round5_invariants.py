@@ -192,3 +192,44 @@ def test_copurchase_support_density_rule(spark, tmp_path):
     assert all(w >= thr for w in ws.values())
     assert (1, 4) not in ws and (4, 1) not in ws
     assert ws[(1, 2)] == 60
+
+
+def test_delta_multipart_checkpoint_read(spark, tmp_path):
+    """Multi-part checkpoints (<v>.checkpoint.<i>.<n>.parquet) must be
+    read as the union of their parts; an INCOMPLETE part set (an
+    in-flight checkpoint) must be ignored rather than half-read."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "mp")
+    for i in range(3):
+        write_delta_commit(_mk(spark, 10 * i, 10 * i + 2), t)
+    log = f"{t}/_delta_log"
+    # build the classic checkpoint at v2, then split its rows into
+    # two protocol-named parts and remove the single-file form
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_writer import (
+        _write_checkpoint,
+    )
+
+    _write_checkpoint(t, 2)
+    single = f"{log}/{2:020d}.checkpoint.parquet"
+    tbl = pq.read_table(single)
+    n = tbl.num_rows
+    pq.write_table(
+        tbl.slice(0, n // 2),
+        f"{log}/{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    pq.write_table(
+        tbl.slice(n // 2),
+        f"{log}/{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    os.unlink(single)
+    for v in range(2):
+        os.unlink(f"{log}/{v:020d}.json")
+    expect = {x for i in range(3) for x in (10 * i, 10 * i + 1)}
+    assert {r["x"] for r in read_delta_table(spark, t).collect()} == expect
+
+    # an incomplete part set must NOT be used: drop part 2 of 2 —
+    # with the JSON also gone the reader must refuse, not half-read
+    os.unlink(f"{log}/{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    with pytest.raises(NotImplementedError, match="vacuumed|missing"):
+        read_delta_table(spark, t)
