@@ -211,3 +211,50 @@ def read_delta_table(
     if partitioned:
         reader = reader.option("basePath", table_path)
     return reader.parquet(*files)
+
+
+def last_txn_versions(table_path: str) -> dict[str, int]:
+    """Per-application SetTransaction watermarks at the latest
+    version: max ``txn.version`` per ``txn.appId``, seeded from the
+    newest checkpoint's txn rows and folded through the JSON commits
+    after it — the exactly-once handshake a streaming sink consults
+    before (re)writing a micro-batch (PROTOCOL.md SetTransaction)."""
+    log = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log):
+        return {}
+    versions = delta_log_versions(table_path)
+    cps = _checkpoints(log)
+    latest = max(versions[-1] if versions else -1, max(cps, default=-1))
+    if latest < 0:
+        return {}
+    cp_v = max(cps, default=None)
+    out: dict[str, int] = {}
+    if cp_v is not None:
+        import pyarrow.parquet as pq
+
+        for fp in cps[cp_v]:
+            names = pq.read_schema(fp).names
+            if "txn" not in names:
+                continue
+            for row in pq.read_table(fp, columns=["txn"]).to_pylist():
+                t = row.get("txn")
+                if t is not None and t.get("appId") is not None:
+                    out[t["appId"]] = max(
+                        out.get(t["appId"], -1), int(t["version"])
+                    )
+        replay = [v for v in versions if v > cp_v]
+    else:
+        replay = versions
+    for v in replay:
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "txn" in action:
+                    t = action["txn"]
+                    out[t["appId"]] = max(
+                        out.get(t["appId"], -1), int(t["version"])
+                    )
+    return out

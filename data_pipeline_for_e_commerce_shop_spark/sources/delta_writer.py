@@ -92,11 +92,18 @@ def write_delta_commit(
     table_path: str,
     mode: str = "append",
     checkpoint_interval: int = DEFAULT_CHECKPOINT_INTERVAL,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table (creating it if absent); returns
     the committed version.  ``mode``: 'append' adds files; 'overwrite'
     also removes every previously-live file.  Emits a classic
-    checkpoint whenever (version + 1) % checkpoint_interval == 0."""
+    checkpoint whenever (version + 1) % checkpoint_interval == 0.
+
+    ``txn=(app_id, version)`` emits a SetTransaction action
+    (PROTOCOL.md) recording that this application has committed up to
+    ``version`` — the exactly-once handshake streaming sinks use: a
+    retried micro-batch consults :func:`delta_reader.last_txn_versions`
+    and skips itself if its version was already recorded."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(os.path.join(table_path, "_delta_log"), exist_ok=True)
@@ -111,6 +118,10 @@ def write_delta_commit(
             live_before = []
         v = (versions[-1] + 1) if versions else 0
         actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1])}}
+            )
         if v == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -167,8 +178,11 @@ def _write_checkpoint(table_path: str, version: int) -> None:
 
     log = os.path.join(table_path, "_delta_log")
     live, _ = _resolve_files(table_path, version)
-    # latest metaData + protocol from the JSON commits
+    # latest metaData + protocol + per-app txn watermarks from the
+    # JSON commits (txn rows MUST survive into the checkpoint or a
+    # vacuum would reset the streaming exactly-once state)
     meta = proto = None
+    txns: dict[str, int] = {}
     for v in delta_log_versions(table_path):
         if v > version:
             break
@@ -182,6 +196,11 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                     meta = action["metaData"]
                 elif "protocol" in action:
                     proto = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
 
     add_t = pa.struct(
         [
@@ -218,9 +237,11 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     rows_add: list = []
     rows_meta: list = []
     rows_proto: list = []
+    rows_txn: list = []
     if proto is not None:
         rows_add.append(None)
         rows_meta.append(None)
+        rows_txn.append(None)
         rows_proto.append(
             {
                 "minReaderVersion": proto.get("minReaderVersion", 1),
@@ -239,6 +260,12 @@ def _write_checkpoint(table_path: str, version: int) -> None:
             }
         )
         rows_proto.append(None)
+        rows_txn.append(None)
+    for app_id, tv in sorted(txns.items()):
+        rows_add.append(None)
+        rows_meta.append(None)
+        rows_proto.append(None)
+        rows_txn.append({"appId": app_id, "version": tv})
     for fp in live:
         rel = os.path.relpath(fp, table_path)
         rows_add.append(
@@ -252,10 +279,11 @@ def _write_checkpoint(table_path: str, version: int) -> None:
         )
         rows_meta.append(None)
         rows_proto.append(None)
+        rows_txn.append(None)
     n = len(rows_add)
     table = pa.table(
         {
-            "txn": pa.array([None] * n, type=txn_t),
+            "txn": pa.array(rows_txn, type=txn_t),
             "add": pa.array(rows_add, type=add_t),
             "remove": pa.array([None] * n, type=remove_t),
             "metaData": pa.array(rows_meta, type=meta_t),

@@ -691,3 +691,11 @@ def test_merkle_leaf_diff_is_node_gated(spark):
     assert "LeftSemi" in plan, plan
     assert broadcast_join_count(df) >= 1, plan
     assert not has_nested_loop_join(df), plan
+
+
+def test_quantile_sketch_uses_window_group_limit(spark):
+    """The bottom-k-by-hash sketch's rank filter must compile to
+    WindowGroupLimit (per-group k-row heaps BEFORE the shuffle) —
+    without it the per-segment window is a full fact sort."""
+    df = Q.QUERIES["segment_quantile_sketch_bottomk"](spark, SF)
+    assert "WindowGroupLimit" in physical_plan(df)

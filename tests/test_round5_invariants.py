@@ -233,3 +233,104 @@ def test_delta_multipart_checkpoint_read(spark, tmp_path):
     os.unlink(f"{log}/{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
     with pytest.raises(NotImplementedError, match="vacuumed|missing"):
         read_delta_table(spark, t)
+
+
+def test_delta_log_random_histories_match_model(spark, tmp_path):
+    """Hypothesis replay: arbitrary append/overwrite histories (with
+    checkpoints landing every 10 commits and the pre-checkpoint JSON
+    vacuumed) must read back exactly the pure-Python log model at
+    EVERY still-reconstructible version — the protocol invariant the
+    point tests sample, checked over random histories."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    op = st.tuples(
+        st.booleans(),                      # overwrite?
+        st.integers(min_value=1, max_value=3),  # rows in this commit
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op, min_size=1, max_size=13))
+    def check(ops):
+        counter[0] += 1
+        t = str(tmp_path / f"h{counter[0]}")
+        shutil.rmtree(t, ignore_errors=True)
+        model: list[set[int]] = []   # live value-set per version
+        nxt = 0
+        for v, (ow, k) in enumerate(ops):
+            vals = set(range(nxt, nxt + k))
+            nxt += k
+            write_delta_commit(
+                _mk(spark, min(vals), max(vals) + 1),
+                t,
+                mode="overwrite" if ow else "append",
+            )
+            prev = model[-1] if model and not ow else set()
+            model.append(prev | vals)
+        # vacuum everything a checkpoint makes redundant
+        log = f"{t}/_delta_log"
+        cps = [v for v in range(len(ops)) if (v + 1) % 10 == 0]
+        if cps:
+            for v in range(max(cps)):
+                os.unlink(f"{log}/{v:020d}.json")
+        floor = max(cps) if cps else 0
+        for v in range(len(ops)):
+            if v < floor:
+                with pytest.raises(NotImplementedError):
+                    read_delta_table(spark, t, v)
+            else:
+                got = {
+                    r["x"]
+                    for r in read_delta_table(spark, t, v).collect()
+                }
+                assert got == model[v], (v, ops)
+
+    check()
+
+
+def test_delta_exactly_once_streaming_sink(spark, tmp_path):
+    """The SetTransaction handshake: a replayed micro-batch (same
+    batch_id) must be skipped, the txn watermark must survive a
+    checkpoint + vacuum, and two apps' watermarks are independent."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        last_txn_versions,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.streaming.delta_sink import (
+        delta_exactly_once_sink,
+    )
+
+    t = str(tmp_path / "eo")
+    sink = delta_exactly_once_sink(t, "kpi-stream")
+    assert sink(_mk(spark, 0, 2), 0) == 0
+    assert sink(_mk(spark, 10, 12), 1) == 1
+    # crash/restart replays batch 1: must be a no-op
+    assert sink(_mk(spark, 10, 12), 1) is None
+    got = {r["x"] for r in read_delta_table(spark, t).collect()}
+    assert got == {0, 1, 10, 11}
+    assert last_txn_versions(t) == {"kpi-stream": 1}
+
+    # a second app under the same table keeps its own watermark
+    sink2 = delta_exactly_once_sink(t, "audit-stream")
+    assert sink2(_mk(spark, 100, 101), 0) is not None
+    assert last_txn_versions(t)["audit-stream"] == 0
+    assert last_txn_versions(t)["kpi-stream"] == 1
+
+    # drive past the checkpoint interval, vacuum the early JSON: the
+    # watermark must come back from the checkpoint's txn rows
+    for b in range(2, 9):
+        sink(_mk(spark, 10 * b, 10 * b + 1), b)
+    log = f"{t}/_delta_log"
+    assert os.path.exists(f"{log}/{9:020d}.checkpoint.parquet")
+    for v in range(9):
+        os.unlink(f"{log}/{v:020d}.json")
+    wm = last_txn_versions(t)
+    assert wm["kpi-stream"] == 8 and wm["audit-stream"] == 0
+    # and the replay guard still holds after vacuum
+    assert sink(_mk(spark, 999, 1000), 8) is None
+    assert sink(_mk(spark, 999, 1000), 9) is not None
