@@ -919,7 +919,7 @@ def semantic_pair_scan(
     stays O(n·k·d) — linear), so cluster population grows linearly
     with the corpus; the in-cluster pair stage is kept linear by a
     hyperplane sub-key of P = bitlength(max(n_vecs div 512, 1)) - 1
-    low bits of the 24-plane bucket (1-row COUNT rule, replayed by
+    low bits of the 30-plane bucket (1-row COUNT rule, replayed by
     the oracle).  P = 0 below n = 1024 — the r3-green small-SF
     results are bit-identical — and cluster∩bucket occupancy holds
     ~64-128 vectors at any scale.  Cross-bucket pairs are the recall

@@ -334,3 +334,43 @@ def test_delta_exactly_once_streaming_sink(spark, tmp_path):
     # and the replay guard still holds after vacuum
     assert sink(_mk(spark, 999, 1000), 8) is None
     assert sink(_mk(spark, 999, 1000), 9) is not None
+
+
+def test_bottomk_sketch_merge_law(spark):
+    """The quantile sketch's mergeability claim: bottom-k of a union
+    equals bottom-k of the union of the parts' bottom-k's — checked
+    on random splits with a small k in pure Python against the same
+    md5 draw the query uses."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipeline_for_e_commerce_shop_spark.queries import QSKETCH_K
+
+    assert QSKETCH_K == 256  # oracle interpolates this constant
+
+    def h(x: int) -> int:
+        return int(hashlib.md5(f"qs-{x}".encode()).hexdigest()[:8], 16)
+
+    k = 5
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        ),
+        st.integers(min_value=0, max_value=59),
+    )
+    def check(ids, cut):
+        cut = min(cut, len(ids))
+        a, b = ids[:cut], ids[cut:]
+
+        def bottomk(xs):
+            return sorted(xs, key=lambda x: (h(x), x))[:k]
+
+        assert bottomk(ids) == bottomk(bottomk(a) + bottomk(b))
+
+    check()
