@@ -44,8 +44,16 @@ atexit.register(_cleanup_stream_dirs)
 
 
 def _as_stream_dir(file_path: str) -> str:
-    """Expose a single data file as a streamable directory via symlink
-    (cached per source file; nothing is copied; removed at exit)."""
+    """Expose a data path as a streamable directory.  A parquet TABLE
+    DIRECTORY (the shape the scale-rehearsal replicator and any real
+    multi-file table produce) is already what the file stream source
+    wants — return it as-is; without this branch the single-file
+    symlink trick below handed the source a dir-inside-a-dir it never
+    lists, so sf10 streams silently drained ZERO batches (round-5
+    find).  A single data file is exposed via symlink (cached per
+    source file; nothing is copied; removed at exit)."""
+    if os.path.isdir(file_path):
+        return file_path
     d = _STREAM_DIRS.get(file_path)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="stream_src_")
