@@ -110,19 +110,14 @@ def run_streaming_dedup(
         .withWatermark(watermark_col, watermark)
         .dropDuplicatesWithinWatermark(key_cols)
     )
-    for active in spark.streams.active:
-        if active.name == out_table:  # leftover from an interrupted call
-            active.stop()
-            active.awaitTermination()
-    spark.catalog.dropTempView(out_table)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(out_table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # Executor-side drain (round 5): the memory sink serializes every
+    # row to the driver — see windowed._drain_to_memory for the sf10
+    # maxResultSize failure that retired it.
+    from data_pipeline_for_e_commerce_shop_spark.streaming.windowed import (
+        _drain_to_memory,
     )
-    q.awaitTermination()
+
+    _drain_to_memory(spark, stream, out_table, output_mode="append")
     out = spark.table(out_table).localCheckpoint(eager=True)
     spark.catalog.dropTempView(out_table)
     return out

@@ -79,7 +79,16 @@ def _canon_ts(df, schema, col: str = "ts"):
 def _drain_to_memory(
     spark: SparkSession, agg, sink: str, output_mode: str = "complete"
 ) -> None:
-    """Run agg -> memory sink (availableNow) and wait.
+    """Run agg -> availableNow drain and register the result as temp
+    view ``sink`` (the name is historical; since round 5 the drain
+    spills through an EXECUTOR-SIDE parquet sink, not Spark's memory
+    sink).  The memory sink serializes every result row to the
+    driver — at sf10 the sessionize drain blew
+    spark.driver.maxResultSize (1118 MiB > 1024) the moment the
+    directory-source fix made streams process real data.  foreachBatch
+    writes each micro-batch with the cluster's parquet writer instead:
+    complete mode overwrites (each batch carries the full re-computed
+    state), append/update modes accumulate into a wiped-per-drain dir.
 
     A leftover ACTIVE query with the same sink name (interrupted
     awaitTermination, crashed caller) would make queryName().start()
@@ -87,19 +96,40 @@ def _drain_to_memory(
     up front.  Names are fixed (not uuid-per-call) so repeated calls
     can't leak an unbounded set of views on a long-lived session.
     """
+    import shutil
+
     for q in spark.streams.active:
         if q.name == sink:
             q.stop()
             q.awaitTermination()
     spark.catalog.dropTempView(sink)
+    out_dir = _STREAM_DIRS.get(f"__sink__{sink}")
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix=f"drain_{sink}_")
+        _STREAM_DIRS[f"__sink__{sink}"] = out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _put(batch, _bid):
+        batch.write.mode(write_mode).parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix=f"drain_ckpt_{sink}_")
+    _STREAM_DIRS[f"__ckpt__{sink}_{os.path.basename(ckpt)}"] = ckpt
     q = (
-        agg.writeStream.format("memory")
+        agg.writeStream.foreachBatch(_put)
         .queryName(sink)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+        out = spark.read.schema(agg.schema).parquet(out_dir)
+    else:  # zero micro-batches (empty source): typed empty view
+        out = spark.createDataFrame([], agg.schema)
+    out.createOrReplaceTempView(sink)
 
 
 def stream_hourly_kpis(
@@ -295,19 +325,7 @@ def stream_interval_join(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        for q in spark.streams.active:
-            if q.name == sink:
-                q.stop()
-                q.awaitTermination()
-        spark.catalog.dropTempView(sink)
-        q = (
-            pairs.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _drain_to_memory(spark, pairs, sink, output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
