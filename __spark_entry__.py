@@ -9,16 +9,15 @@ Determinism contract: money aggregates go through exact integer cents
 computed column is aliased identically on both sides; ratios divide
 exact integers (same doubles on both engines).
 
-Ordering contract (rotation, round 5): the driver's CORRECTNESS gate
+Ordering contract (rotation, round 6): the driver's CORRECTNESS gate
 checks only the FIRST 50 keys of ``queries()``, so the dict is ordered
 as  sentinels (regression continuity)
--> this round's window (_ROTATION_R5: the two r4 driver reds
-re-registered on fold plans + the Benford constant fix as re-checks,
-then 39 never-checked first-timers — the r4 TPC-H suite, the dedup
-family, sketch/streaming duals, displaced SCM names, and this round's
-rewritten vocabulary-window / geometry queries)
--> the remaining never-checked queries (queued for round 6)
--> everything already green in CORRECTNESS_r01-r04.
+-> this round's window (_ROTATION_R6: 43 first-timers — this round's
+new salted-join operator, the two round-5 newcomers, the canonical
+tpch_q* suite, the remaining streaming duals, the fold/iterative
+twins, and the oldest sim-only names)
+-> the remaining never-checked queries (queued for round 7)
+-> everything already green in CORRECTNESS_r01-r05.
 All registered oracles are additionally validated locally by
 tests/driver_sim.py (pandas-typed compare, sf0.01) every round — and
 since round 4 any sim mismatch persists a typed row diff under
@@ -48,6 +47,66 @@ _SENTINELS = [
     "ri_orphans",
     "events_sessionize",
     "events_stream_sessionize",
+]
+
+# Round-6 window: 43 first-timers, VERDICT r5 item 1's priority
+# order — the round-6 salted JOIN (brand-new plan machinery gets the
+# hard signal first), the two round-5 newcomers (bottom-k quantile
+# sketch, exactly-once Delta streaming sink), the canonical tpch_q*
+# suite (the descriptive-name duals were checked in r5; these are the
+# never-checked canonical registrations), the remaining streaming
+# duals, the fold/iterative refresh twins, and the oldest sim-only
+# names from the registry front.
+_ROTATION_R6 = [
+    # new this round
+    "event_type_salted_join",
+    # round-5 newcomers
+    "segment_quantile_sketch_bottomk",
+    "events_stream_delta_exactly_once",
+    # canonical TPC-H suite
+    "tpch_q1_pricing_summary",
+    "tpch_q3_unshipped_topk",
+    "tpch_q4_priority_late_lines",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_discount_uplift",
+    "tpch_q7_nation_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_bracket_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # remaining streaming duals
+    "events_stream_drift_chi2",
+    "events_stream_hll_users",
+    "events_stream_cms_users",
+    "synthetic_source_kpis",
+    "events_backfill_hourly",
+    # fold / iterative refresh twins
+    "kpi_incremental_refresh",
+    "kpi_retraction_refresh",
+    "scd2_incremental_apply",
+    "part_inventory_replay",
+    "events_markov_stationary",
+    "segment_markov_clv",
+    "forecast_seasonal_naive",
+    "forecast_backtest",
+    # oldest sim-only names (registry front)
+    "monthly_status_pivot",
+    "time_to_conversion",
+    "text_bigram_topk",
+    "text_repetition",
+    "text_chunks",
+    "embedding_quantize",
+    "price_outliers",
+    "funnel_ordered",
+    "order_reconciliation",
 ]
 
 # Round-5 window: 4 RE-checks + 39 first-timers.  The re-checks are
@@ -253,12 +312,17 @@ _CHECKED_R1_R2 = frozenset(
 
 
 def _ordered_names() -> list[str]:
-    front = _SENTINELS + _ROTATION_R5
+    front = _SENTINELS + _ROTATION_R6
     missing = [n for n in front if n not in QUERIES]
     assert not missing, f"rotation names not in registry: {missing}"
     assert len(front) == len(set(front)) == 50
     front_set = set(front)
-    checked = _CHECKED_R1_R2 | set(_ROTATION_R3) | set(_ROTATION_R4)
+    checked = (
+        _CHECKED_R1_R2
+        | set(_ROTATION_R3)
+        | set(_ROTATION_R4)
+        | set(_ROTATION_R5)
+    )
     rest_unchecked = [
         n for n in QUERIES if n not in front_set and n not in checked
     ]

@@ -748,7 +748,7 @@ def embedding_near_duplicates(
 
     # Data-derived plane count (r4 VERDICT item 3): the full
     # LSH_PLANES_MAX-bit bucket is computed statically, and the key
-    # actually used is its low-P bits with P = clamp(4, 24,
+    # actually used is its low-P bits with P = clamp(4, LSH_PLANES_MAX=30,
     # bitlength(n_vecs div 64)) from a 1-row COUNT — expected bucket
     # occupancy stays ~64 vectors at every corpus size, so in-bucket
     # pair work grows linearly (the fixed 4-plane geometry measured

@@ -77,6 +77,84 @@ def event_type_salted_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(events, key="event_type", salt_source="user_id")
 
 
+def salted_join(
+    fact: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt_source: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Two-phase salted EQUI-JOIN for a skewed key (SURVEY §4.4's join
+    story at 100 TB): the probe/fact side gets a deterministic salt
+    from a high-cardinality column, the build side is replicated
+    ``n_salts``× (one copy per salt value), and the join runs on
+    (key, salt) — so a hot key's rows fan over ``n_salts`` shuffle
+    partitions instead of one straggler task.  Row-identical to the
+    plain ``fact JOIN build ON key`` (every fact row finds exactly the
+    one replica of its match carrying its salt), which is what the
+    DuckDB oracle checks.
+
+    Salt is ``pmod(hash(salt_source), n_salts)`` — NOT abs(hash)%n
+    (abs(Int.MinValue) stays negative and would miss every build-side
+    replica, silently dropping rows) and NOT rand() (a task retry at
+    100 TB must re-derive the same salt or the retry loses rows).
+
+    The build side is hinted ``shuffle_hash``: replicating a build
+    table n_salts× only makes sense when it was too big (or the key
+    too hot) for plain broadcast, and the demo should exercise the
+    shuffle path it claims to fix.  AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) solves the same problem
+    transparently for sort-merge joins; this operator is the explicit
+    form for engines/paths AQE doesn't cover (stateful streaming
+    joins, deterministic replays) and for pre-partitioned writes."""
+    salt = F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts)).cast("int")
+    probe = fact.withColumn("_salt", salt)
+    replicas = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return probe.join(replicas.hint("shuffle_hash"), [key, "_salt"]).drop(
+        "_salt"
+    )
+
+
+def event_type_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join demo on the engine's most skewed key: every event
+    row joins a per-event_type rollup (5 keys over the whole table —
+    an unsalted shuffle join puts ~1/5 of the fact table in ONE task's
+    hash bucket).  The joined dim value flows into the output as each
+    day's ppm share of its type's total cents, so a wrong or dropped
+    join row changes the hash — the oracle runs the PLAIN join."""
+    events = load_table(spark, sf_dir, "events")
+    fact = events.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("day_epoch"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dim = fact.groupBy("event_type").agg(
+        F.sum("cents").alias("type_cents")
+    )
+    joined = salted_join(fact, dim, key="event_type", salt_source="event_id")
+    return (
+        joined.groupBy("event_type", "day_epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").alias("day_cents"),
+            F.max("type_cents").alias("type_cents"),
+        )
+        .select(
+            "event_type",
+            "day_epoch",
+            "n_events",
+            "day_cents",
+            F.expr("day_cents * 1000000 div type_cents").alias(
+                "day_share_ppm"
+            ),
+        )
+        .orderBy("event_type", "day_epoch")
+    )
+
+
 def key_skew_report(
     df: DataFrame, key: str, top: int = 5
 ) -> DataFrame:

@@ -11,8 +11,10 @@ table directory under unique names, then atomically publish
 metaData actions (first commit only) and one ``add`` action per staged
 file (plus ``remove`` actions for an overwrite).  The atomic-publish
 CAS is the same os.link discipline as sources/versioned.py — two
-racing writers cannot both claim a version, the loser retries with a
-fresh read of the log (blind append) or raises (read-modify-write).
+racing writers cannot both claim a version; the loser retries with a
+FRESH read of the log (for overwrite that re-read includes the live
+file set, so the retry is a sound read-modify-write), and a loser
+whose SetTransaction batch was committed by the winner skips itself.
 
 Checkpoints: every ``checkpoint_interval`` commits the writer emits a
 classic single-file checkpoint ``<v>.checkpoint.parquet`` — one row
@@ -42,18 +44,101 @@ from data_pipeline_for_e_commerce_shop_spark.sources.versioned import (
     ConcurrentWriteError,
 )
 from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+    _checkpoints,
     _resolve_files,
     delta_log_versions,
+    last_txn_versions,
 )
 
 _MAX_COMMIT_ATTEMPTS = 20
 DEFAULT_CHECKPOINT_INTERVAL = 10
 
 
-def _stage_data_files(df: DataFrame, table_path: str) -> list[dict]:
+def _latest_version(table_path: str) -> int:
+    """Latest committed version = max over BOTH the JSON commits and
+    the checkpoint files (a vacuumed log may hold ONLY a checkpoint —
+    the protocol requires nothing more), mirroring the reader's
+    ``latest`` calculation.  -1 for a brand-new table."""
+    log = os.path.join(table_path, "_delta_log")
+    try:
+        versions = delta_log_versions(table_path)
+    except FileNotFoundError:
+        return -1
+    cps = _checkpoints(log) if os.path.isdir(log) else {}
+    return max(versions[-1] if versions else -1, max(cps, default=-1))
+
+
+def _log_state(
+    table_path: str, version: int, include_cp_at_version: bool = True
+) -> tuple[dict | None, dict | None, dict[str, int]]:
+    """(metaData, protocol, per-app txn watermarks) at ``version``:
+    seeded from the newest checkpoint at/below it, then folded through
+    the JSON commits after it — the same snapshot construction the
+    reader performs.  Scanning JSON alone would silently DROP the
+    prior checkpoint's metaData/protocol rows and SetTransaction
+    watermarks once early JSON is vacuumed (resetting the streaming
+    exactly-once guard), so the checkpoint seed is load-bearing.
+
+    ``include_cp_at_version=False`` seeds only from checkpoints
+    STRICTLY below ``version`` — the checkpoint WRITER's mode, so
+    rewriting a damaged checkpoint at v rebuilds from the prior
+    checkpoint + JSON instead of trusting the artifact it is meant to
+    replace."""
+    import pyarrow.parquet as pq
+
+    log = os.path.join(table_path, "_delta_log")
+    meta = proto = None
+    txns: dict[str, int] = {}
+    cps = _checkpoints(log) if os.path.isdir(log) else {}
+    bound = version if include_cp_at_version else version - 1
+    cp_v = max((v for v in cps if v <= bound), default=None)
+    if cp_v is not None:
+        for fp in cps[cp_v]:
+            names = pq.read_schema(fp).names
+            cols = [c for c in ("metaData", "protocol", "txn") if c in names]
+            if not cols:
+                continue
+            for row in pq.read_table(fp, columns=cols).to_pylist():
+                m = row.get("metaData")
+                if m is not None and m.get("id") is not None:
+                    meta = m
+                p = row.get("protocol")
+                if p is not None and p.get("minReaderVersion") is not None:
+                    proto = p
+                t = row.get("txn")
+                if t is not None and t.get("appId") is not None:
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
+    for v in delta_log_versions(table_path):
+        if v > version or (cp_v is not None and v <= cp_v):
+            continue
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    proto = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
+    return meta, proto, txns
+
+
+def _stage_data_files(
+    df: DataFrame, table_path: str, data_change: bool = True
+) -> list[dict]:
     """Write df's partitions as parquet files directly under the table
     root with Delta-style unique names; returns add-action dicts
-    (path, size, modificationTime, dataChange)."""
+    (path, size, modificationTime, dataChange).  ``data_change=False``
+    marks layout-only rewrites (OPTIMIZE) so change-feed consumers
+    skip them, per PROTOCOL.md."""
     tmp = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(tmp)
     adds = []
@@ -67,7 +152,7 @@ def _stage_data_files(df: DataFrame, table_path: str) -> list[dict]:
                 "partitionValues": {},
                 "size": os.path.getsize(dest),
                 "modificationTime": int(time.time() * 1000),
-                "dataChange": True,
+                "dataChange": bool(data_change),
             }
         )
     shutil.rmtree(tmp, ignore_errors=True)
@@ -93,30 +178,58 @@ def write_delta_commit(
     mode: str = "append",
     checkpoint_interval: int = DEFAULT_CHECKPOINT_INTERVAL,
     txn: tuple[str, int] | None = None,
-) -> int:
+) -> int | None:
     """Commit ``df`` to a Delta table (creating it if absent); returns
     the committed version.  ``mode``: 'append' adds files; 'overwrite'
-    also removes every previously-live file.  Emits a classic
-    checkpoint whenever (version + 1) % checkpoint_interval == 0.
+    also removes every previously-live file.  A lost CAS race (another
+    writer claimed the version first) is retried with a FRESH read of
+    the log — for overwrite that re-read includes the live file set,
+    so the retry is a sound read-modify-write, not a blind replay.
+    Emits a classic checkpoint whenever
+    (version + 1) % checkpoint_interval == 0.
 
     ``txn=(app_id, version)`` emits a SetTransaction action
     (PROTOCOL.md) recording that this application has committed up to
     ``version`` — the exactly-once handshake streaming sinks use: a
     retried micro-batch consults :func:`delta_reader.last_txn_versions`
-    and skips itself if its version was already recorded."""
+    and skips itself if its version was already recorded.  The
+    watermark is ALSO re-checked here inside the CAS retry loop on the
+    freshly-read log, so two concurrent writers sharing an appId (a
+    zombie driver racing its restarted successor — the scenario
+    SetTransaction exists for) cannot both commit the same batch: the
+    CAS loser re-reads, sees the winner's watermark, and returns
+    ``None`` (skipped-as-replay) instead of duplicating the batch."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(os.path.join(table_path, "_delta_log"), exist_ok=True)
+    if txn is not None and last_txn_versions(table_path).get(
+        txn[0], -1
+    ) >= int(txn[1]):
+        return None  # replayed batch: already in the log; stage nothing
     adds = _stage_data_files(df, table_path)
     log = os.path.join(table_path, "_delta_log")
 
-    for _ in range(_MAX_COMMIT_ATTEMPTS):
-        versions = delta_log_versions(table_path)
+    for _attempt in range(_MAX_COMMIT_ATTEMPTS):
+        # Re-check the SetTransaction watermark on EVERY iteration, on
+        # a fresh log read: a same-appId writer may have committed this
+        # very batch while we were staging (no link collision needed —
+        # we'd simply allocate the next version and duplicate it).
+        if txn is not None and last_txn_versions(table_path).get(
+            txn[0], -1
+        ) >= int(txn[1]):
+            # this batch is already in the log: drop the staged files,
+            # report the skip
+            for a in adds:
+                try:
+                    os.unlink(os.path.join(table_path, a["path"]))
+                except FileNotFoundError:
+                    pass
+            return None
         try:
             live_before, _ = _resolve_files(table_path, None)
         except FileNotFoundError:
             live_before = []
-        v = (versions[-1] + 1) if versions else 0
+        v = _latest_version(table_path) + 1
         actions: list[dict] = []
         if txn is not None:
             actions.append(
@@ -178,29 +291,23 @@ def _write_checkpoint(table_path: str, version: int) -> None:
 
     log = os.path.join(table_path, "_delta_log")
     live, _ = _resolve_files(table_path, version)
-    # latest metaData + protocol + per-app txn watermarks from the
-    # JSON commits (txn rows MUST survive into the checkpoint or a
-    # vacuum would reset the streaming exactly-once state)
-    meta = proto = None
-    txns: dict[str, int] = {}
-    for v in delta_log_versions(table_path):
-        if v > version:
-            break
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    meta = action["metaData"]
-                elif "protocol" in action:
-                    proto = action["protocol"]
-                elif "txn" in action:
-                    t = action["txn"]
-                    txns[t["appId"]] = max(
-                        txns.get(t["appId"], -1), int(t["version"])
-                    )
+    # latest metaData + protocol + per-app txn watermarks, seeded from
+    # the newest prior checkpoint and folded through the JSON commits
+    # after it (txn rows MUST survive checkpoint-to-checkpoint or a
+    # vacuum of the early JSON would reset the streaming exactly-once
+    # state and drop the protocol-required metaData/protocol rows)
+    meta, proto, txns = _log_state(
+        table_path, version, include_cp_at_version=False
+    )
+    if meta is None or proto is None:
+        # a checkpoint missing these rows is protocol-invalid and
+        # would brick stock readers once the JSON is vacuumed —
+        # refuse (reachable only on an externally-damaged log)
+        raise ConcurrentWriteError(
+            f"{table_path}: cannot checkpoint at {version} — the"
+            " metaData/protocol state is unreconstructable from prior"
+            " checkpoints + JSON (damaged or over-vacuumed log)"
+        )
 
     add_t = pa.struct(
         [
@@ -296,3 +403,235 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     os.rename(tmp, cp_path)
     with open(os.path.join(log, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": n}, f)
+
+
+DEFAULT_OPTIMIZE_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def optimize_delta_table(
+    spark,
+    table_path: str,
+    target_bytes: int = DEFAULT_OPTIMIZE_TARGET_BYTES,
+    checkpoint_interval: int = DEFAULT_CHECKPOINT_INTERVAL,
+) -> int | None:
+    """OPTIMIZE-style bin-packing compaction THROUGH the protocol: the
+    linear-partitioning plan of operators/layout.compaction_plan
+    applied to the table's own live file manifest, published as ONE
+    atomic commit whose add+remove actions all carry
+    ``dataChange=false`` (layout-only rewrite: table state unchanged,
+    change-feed consumers skip it — PROTOCOL.md's OPTIMIZE shape).
+
+    Small live files (< target_bytes) sort by path and group by the
+    running byte total (the same deterministic linear partitioning as
+    compaction_plan); each >=2-file group is read back and rewritten
+    as one file.  Returns the committed version, or None when nothing
+    qualifies (no-op — no commit is appended).
+
+    Scale: the plan runs over the file MANIFEST (metadata rows); the
+    rewrites are ordinary distributed parquet jobs per group.  A CAS
+    loss re-reads the log; if a concurrent writer removed any file
+    this plan compacts, the staged files are deleted and
+    ConcurrentWriteError raised (the caller re-plans — OPTIMIZE is a
+    maintenance pass, not a data write, so give-up-and-replan is the
+    correct conflict semantic)."""
+    live, partitioned = _resolve_files(table_path, None)
+    if partitioned:
+        raise NotImplementedError(
+            f"{table_path}: partition-aware OPTIMIZE not implemented;"
+            " refusing to merge files across partition boundaries"
+        )
+    sized = [(fp, os.path.getsize(fp)) for fp in sorted(live)]
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for fp, sz in sized:
+        if sz >= target_bytes:
+            continue  # already at target; leave in place
+        if cur and cur_bytes + sz > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(fp)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    groups = [g for g in groups if len(g) >= 2]
+    if not groups:
+        return None
+
+    adds: list[dict] = []
+    removes: list[str] = []
+    for g in groups:
+        compacted = spark.read.parquet(*g).coalesce(1)
+        adds.extend(_stage_data_files(compacted, table_path, data_change=False))
+        removes.extend(g)
+    remove_rel = [os.path.relpath(fp, table_path) for fp in removes]
+
+    log = os.path.join(table_path, "_delta_log")
+    for _ in range(_MAX_COMMIT_ATTEMPTS):
+        live_now, _ = _resolve_files(table_path, None)
+        live_rel = {os.path.relpath(fp, table_path) for fp in live_now}
+        if not set(remove_rel) <= live_rel:
+            for a in adds:
+                try:
+                    os.unlink(os.path.join(table_path, a["path"]))
+                except FileNotFoundError:
+                    pass
+            raise ConcurrentWriteError(
+                f"{table_path}: OPTIMIZE lost a conflict — a concurrent"
+                " writer removed a file this plan compacts; re-plan"
+            )
+        v = _latest_version(table_path) + 1
+        ts = int(time.time() * 1000)
+        actions: list[dict] = []
+        for rel in remove_rel:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": False,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetBytes": int(target_bytes),
+                        "numRemovedFiles": len(remove_rel),
+                        "numAddedFiles": len(adds),
+                    },
+                }
+            }
+        )
+        tmp = os.path.join(log, f".tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        final = os.path.join(log, f"{v:020d}.json")
+        try:
+            os.link(tmp, final)  # atomic commit point
+        except FileExistsError:
+            continue  # lost the race; re-read the log and retry
+        finally:
+            os.unlink(tmp)
+        if checkpoint_interval and (v + 1) % checkpoint_interval == 0:
+            _write_checkpoint(table_path, v)
+        return v
+    raise ConcurrentWriteError(
+        f"{table_path}: gave up after {_MAX_COMMIT_ATTEMPTS} OPTIMIZE"
+        " commit attempts (pathological writer contention)"
+    )
+
+
+def vacuum_delta_table(
+    table_path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> dict:
+    """Protocol VACUUM: physically delete (a) data files no longer
+    live at the LATEST version whose tombstone age exceeds
+    ``retention_ms``, and (b) JSON commits at/below the newest
+    checkpoint (stock Delta's log cleanup).  Returns counts
+    ``{"data_files_deleted": n, "log_commits_deleted": m}``.
+
+    Retention guards (all refuse loudly rather than corrupt):
+
+    - Live-set safety: only files ABSENT from the latest live set are
+      candidates; a concurrent reader pinned at an older version loses
+      time travel below the checkpoint (the reader raises on such
+      reads — delta_reader's honest-scope contract), never sees a
+      half-deleted snapshot.
+    - SetTransaction watermark seeding: JSON cleanup is REFUSED unless
+      the surviving state (checkpoint seed + later JSON) preserves
+      every per-app txn watermark, the metaData, and the protocol rows
+      that a full-log fold produces — a checkpoint written before this
+      module seeded txn rows would otherwise silently reset the
+      streaming exactly-once guard.
+    - Age: data files must be older than ``retention_ms`` (mtime),
+      matching Delta's default 7-day guard against deleting files an
+      in-flight query may still read."""
+    live, _ = _resolve_files(table_path, None)
+    live_rel = {os.path.relpath(fp, table_path) for fp in live}
+    now = time.time()
+    data_deleted = 0
+    for name in os.listdir(table_path):
+        fp = os.path.join(table_path, name)
+        if (
+            not os.path.isfile(fp)
+            or not name.endswith(".parquet")
+            or name in live_rel
+        ):
+            continue
+        if (now - os.path.getmtime(fp)) * 1000 <= retention_ms:
+            continue
+        if not dry_run:
+            os.unlink(fp)
+        data_deleted += 1
+
+    log = os.path.join(table_path, "_delta_log")
+    cps = _checkpoints(log)
+    log_deleted = 0
+    if cps:
+        cp_v = max(cps)
+        latest = _latest_version(table_path)
+        full = _full_json_state(table_path, latest)
+        survive = _log_state(table_path, latest)
+        ok = (
+            survive[0] is not None
+            and survive[1] is not None
+            and all(
+                survive[2].get(app, -1) >= v for app, v in full[2].items()
+            )
+        )
+        if not ok and not dry_run:
+            raise ConcurrentWriteError(
+                f"{table_path}: refusing log VACUUM — the newest"
+                f" checkpoint ({cp_v}) does not preserve the"
+                " metaData/protocol/SetTransaction state of the JSON"
+                " commits it would replace (pre-seeding checkpoint?);"
+                " rewrite the checkpoint first"
+            )
+        if ok:
+            for v in delta_log_versions(table_path):
+                if v > cp_v:
+                    continue
+                if not dry_run:
+                    os.unlink(os.path.join(log, f"{v:020d}.json"))
+                log_deleted += 1
+    return {
+        "data_files_deleted": data_deleted,
+        "log_commits_deleted": log_deleted,
+    }
+
+
+def _full_json_state(
+    table_path: str, version: int
+) -> tuple[dict | None, dict | None, dict[str, int]]:
+    """(metaData, protocol, txns) folded from the JSON commits ALONE —
+    the vacuum guard's reference answer for what state must survive."""
+    log = os.path.join(table_path, "_delta_log")
+    meta = proto = None
+    txns: dict[str, int] = {}
+    for v in delta_log_versions(table_path):
+        if v > version:
+            break
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    proto = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
+    return meta, proto, txns

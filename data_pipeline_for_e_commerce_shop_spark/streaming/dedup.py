@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import ensure_nanos_conf
-from .windowed import _STREAM_DIRS, _canon_ts, _drain_to_memory
+from .windowed import drain_session, _STREAM_DIRS, _canon_ts, _drain_to_memory
 
 DUP_EVERY = 20  # every DUP_EVERY-th event_id is delivered twice
 
@@ -79,21 +79,16 @@ def stream_dedup_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     d = _dup_stream_dir(spark, src)
     stream = _canon_ts(
-        spark.readStream.schema(schema).parquet(d), schema
+        drain_session(spark).readStream.schema(schema).parquet(d), schema
     )
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     sink = "stream_dedup_sink"
     # Stateful-shuffle partition count becomes the state-store count;
-    # scope it down for the drain, restore after (session-global conf —
-    # same caveat as stream_hourly_kpis).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        _drain_to_memory(spark, deduped, sink, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # the stream runs on drain_session(spark)'s scoped SQLConf (8
+    # partitions), invisible to the caller's session.
+    _drain_to_memory(spark, deduped, sink, output_mode="append")
     out = (
         spark.table(sink)
         .groupBy("event_type")

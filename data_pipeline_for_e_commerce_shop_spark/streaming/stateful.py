@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .windowed import _as_stream_dir, _canon_ts, _drain_to_memory
+from .windowed import drain_session, _as_stream_dir, _canon_ts, _drain_to_memory
 
 GAP_SECONDS = 90
 
@@ -167,7 +167,7 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(src).schema
     stream = _canon_ts(
-        spark.readStream.schema(schema).parquet(_as_stream_dir(src)), schema
+        drain_session(spark).readStream.schema(schema).parquet(_as_stream_dir(src)), schema
     )
     prepared = stream.select(
         "user_id",
@@ -183,12 +183,7 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     sink = "stateful_session_sink"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        _drain_to_memory(spark, sessions, sink, output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_to_memory(spark, sessions, sink, output_mode="update")
     drained = spark.table(sink)
     # Finalize: per (user, session) keep the WIDEST emission — n_events
     # grows monotonically as batches extend a session, so max_by the
@@ -277,7 +272,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(src).schema
     stream = _canon_ts(
-        spark.readStream.schema(schema).parquet(_as_stream_dir(src)), schema
+        drain_session(spark).readStream.schema(schema).parquet(_as_stream_dir(src)), schema
     )
     prepared = stream.select(
         "user_id",
@@ -290,12 +285,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     sink = "stateful_totals_sink"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        _drain_to_memory(spark, totals, sink, output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_to_memory(spark, totals, sink, output_mode="update")
     drained = spark.table(sink)
     out = (
         drained.groupBy("user_id")

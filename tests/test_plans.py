@@ -699,3 +699,19 @@ def test_quantile_sketch_uses_window_group_limit(spark):
     without it the per-segment window is a full fact sort."""
     df = Q.QUERIES["segment_quantile_sketch_bottomk"](spark, SF)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_salted_join_shape(spark):
+    """The salted join must compile to a real SHUFFLED join keyed on
+    (event_type, _salt) — no broadcast on the replicated build side
+    (replication exists precisely because broadcast wasn't an option)
+    and no nested loop.  The salt must appear in the join keys, or the
+    'salting' silently degenerated to the plain hot-key join."""
+    df = Q.QUERIES["event_type_salted_join"](spark, SF)
+    plan = physical_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert not has_nested_loop_join(df)
+    keys_line = next(
+        l for l in plan.splitlines() if l.startswith("Left keys")
+    )
+    assert "_salt" in keys_line and "event_type" in keys_line
