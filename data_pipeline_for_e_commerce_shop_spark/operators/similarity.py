@@ -154,8 +154,17 @@ def _plane(dim: int, p: int) -> Column:
     """Hyperplane p as a literal ±1.0 array (see plane_signs): the
     constants are computed at plan-build time in Python — no per-row
     md5 expressions for Catalyst to fold."""
-    return F.array(
-        *[F.lit(float(s)) for s in plane_signs(p, dim)]
+    return F.expr(_plane_sql(dim, p))
+
+
+def _plane_sql(dim: int, p: int) -> str:
+    """The same ±1.0 literal array as ONE SQL string (see lsh_bucket
+    for why strings: a 30-plane bucket built from per-literal Column
+    objects is ~2000 py4j round trips of pure plan-CONSTRUCTION time)."""
+    return (
+        "array("
+        + ", ".join(f"{float(s):.1f}D" for s in plane_signs(p, dim))
+        + ")"
     )
 
 
@@ -165,20 +174,24 @@ def lsh_bucket(
     """Bucket id = concatenated sign bits of ``n_planes`` projections.
     Plane p's bit lands at position p, so the ``n_planes = k`` bucket
     equals the ``n_planes = m > k`` bucket modulo 2^k — masking a wide
-    bucket down is exactly evaluating a narrower one."""
-    bucket = F.lit(0)
+    bucket down is exactly evaluating a narrower one.
+
+    Built as ONE SQL expression string: the per-Column form cost
+    n_planes x dim py4j round trips of plan-construction latency
+    (~2 s of pure driver time at 30 planes — round-6 finding; the
+    EXECUTED plan is identical either way, so no recorded hash
+    moves)."""
+    terms = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                emb_col,
-                _plane(dim, p),
-                lambda x, pl: x.cast("double") * pl,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        proj = (
+            f"aggregate(zip_with({emb_col}, {_plane_sql(dim, p)},"
+            " (x, pl) -> CAST(x AS DOUBLE) * pl),"
+            " 0.0D, (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        terms.append(
+            f"(CASE WHEN {proj} > 0.0D THEN {1 << p} ELSE 0 END)"
+        )
+    return F.expr("(0 + " + " + ".join(terms) + ")")
 
 
 def knuth_order(df: DataFrame, id_col: str = "vec_id") -> DataFrame:

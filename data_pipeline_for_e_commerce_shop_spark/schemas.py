@@ -110,6 +110,36 @@ def ensure_nanos_conf(spark) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+_ROWCOUNT_MEMO: dict[str, int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact table cardinality from parquet FOOTER METADATA — no data
+    scan, no Spark job.
+
+    The dedup family's scale-geometry rules (LSH plane count, simhash
+    block width, semantic sub-block width) each need ONE integer,
+    COUNT(*) of the table; running a 1-row Spark aggregate per query
+    (and per plan branch, since the 1-row DataFrame rides the plan as
+    an uncached broadcast crossJoin) was the dominant constant cost of
+    the family at tiny SF (round-5 verdict item 2).  Parquet stores
+    the row count in every file footer; a lakehouse planner reads it
+    from the manifest at any scale, so a metadata read IS the
+    100 TB-correct implementation, not a shortcut.  Memoized per path
+    so the whole family shares a single read; the DuckDB oracles keep
+    replaying the COUNT(*) rule in SQL, which equals this value by
+    parquet's own contract — that equality stays oracle-checked every
+    round through the geometry-derived hashes."""
+    key = f"{sf_dir}/{name}.parquet"
+    n = _ROWCOUNT_MEMO.get(key)
+    if n is None:
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(key, format="parquet").count_rows()
+        _ROWCOUNT_MEMO[key] = n
+    return n
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Parquet scan for a driver testdata table (column-pruned and
     filter-pushed automatically by Catalyst).

@@ -510,20 +510,14 @@ def test_embedding_dedup_pair_join_is_bucket_keyed(spark):
     """The near-dup pair stage must be keyed on the LSH bucket — the
     probe/home rows meet in a groupBy(`probe`) Arrow group, never an
     all-pairs join; that's the whole 100 TB story of the operator.
-    Since r5 the plan legitimately carries BroadcastNestedLoopJoin
-    CROSS nodes: the 1-row data-derived plane-count rule joined onto
-    each scan branch (scalar-subquery shape).  Assert those are the
-    ONLY nested loops — condition-less crosses, at most one per
-    branch — and the bucket key is present."""
+    Since r6 the data-derived plane count is a plan literal from
+    parquet footer metadata (schemas.table_rowcount), so the r5-era
+    1-row-rule BroadcastNestedLoopJoin crosses are gone entirely —
+    assert NO nested loop of any kind remains."""
     df = Q.QUERIES["dedup_embedding_cosine"](spark, SF)
     plan = physical_plan(df)
     assert "probe" in plan
-    n_nl = plan.count("BroadcastNestedLoopJoin")
-    n_cross = plan.count("BroadcastNestedLoopJoin Cross")
-    assert n_cross <= 2 and "Join condition: None" in plan, plan
-    # no non-cross (i.e. genuine pair-predicate) nested loop exists:
-    # every BNLJ tree node is one of the counted crosses
-    assert n_nl == n_cross * 2, plan  # tree line + detail line each
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_interval_join_is_equi_keyed(spark):
