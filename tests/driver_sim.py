@@ -83,11 +83,29 @@ def main() -> int:
         print(f"{status:4s} {rec['sec']:7.2f}s {name}", flush=True)
 
     n_ok = sum(1 for r in results.values() if r["ok"])
+    # Engine-version stamp (VERDICT r5 item 7): BOTH round-5 driver
+    # reds were DuckDB/Spark VERSION-semantics divergences (DECIMAL
+    # literal parsing, // floor-vs-truncate) — recording the engine
+    # pair that produced a green sim makes the next version-class
+    # divergence diagnosable from artifacts alone.
+    import duckdb as _duckdb
+    import pyspark as _pyspark
+
+    rows_only = sorted(n for n in QUERIES if n not in ORACLES)
     summary = {
         "sf_dir": sf_dir,
+        "engines": {
+            "duckdb": _duckdb.__version__,
+            "pyspark": _pyspark.__version__,
+            "spark_jvm": spark.version,
+        },
         "n_queries": len(results),
         "n_ok": n_ok,
         "n_fail": len(results) - n_ok,
+        # queries with NO DuckDB-expressible oracle, checked rows-only
+        # by contract (VERDICT r5 item 3: make the registry-vs-oracle
+        # count difference self-documenting)
+        "rows_only_by_contract": rows_only,
         "total_sec": round(time.time() - t_all, 1),
         "results": results,
     }
