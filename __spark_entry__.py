@@ -60,6 +60,7 @@ _SENTINELS = [
 _ROTATION_R6 = [
     # new this round
     "event_type_salted_join",
+    "events_delta_optimize_vacuum",
     # round-5 newcomers
     "segment_quantile_sketch_bottomk",
     "events_stream_delta_exactly_once",
@@ -106,7 +107,6 @@ _ROTATION_R6 = [
     "embedding_quantize",
     "price_outliers",
     "funnel_ordered",
-    "order_reconciliation",
 ]
 
 # Round-5 window: 4 RE-checks + 39 first-timers.  The re-checks are

@@ -120,3 +120,59 @@ def stream_events_to_delta(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_epoch")
     )
+
+
+def events_delta_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Driver-facing proof of the protocol OPTIMIZE/VACUUM path (round
+    6): ingest the events table into a Delta table as SIX append
+    commits (split on event_id % 6, two of them carrying SetTransaction
+    watermarks), bin-pack them with optimize_delta_table (one
+    dataChange=false rewrite commit + checkpoint), physically VACUUM
+    the compacted-away files and the pre-checkpoint JSON, then read the
+    table back and aggregate daily counts + exact cents.  The oracle is
+    the plain batch aggregate over the source table, so ANY row lost or
+    duplicated by the compaction/vacuum machinery — and any txn/state
+    damage that breaks the post-vacuum read — flips the hash.  A
+    maintenance pass that can't survive this round trip would corrupt a
+    real lakehouse zone the same way."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        read_delta_table,
+    )
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_writer import (
+        optimize_delta_table,
+        vacuum_delta_table,
+        write_delta_commit,
+    )
+
+    table = os.path.join(_tmpdir("delta_maint_"), "events_delta")
+    proj = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day_epoch"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    for i in range(6):
+        write_delta_commit(
+            proj.where(F.col("event_id") % 6 == i),
+            table,
+            checkpoint_interval=7,
+            txn=("maint-ingest", i) if i % 3 == 0 else None,
+        )
+    # v6 = the OPTIMIZE commit; (6+1) % 7 == 0 emits the checkpoint
+    # the vacuum then relies on
+    optimize_delta_table(spark, table, checkpoint_interval=7)
+    vacuum_delta_table(table, retention_ms=0)
+    return (
+        read_delta_table(spark, table)
+        .groupBy("event_type", "day_epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type", "day_epoch")
+    )

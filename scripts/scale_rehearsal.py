@@ -185,6 +185,31 @@ REHEARSAL_R5 = [
 ]
 
 
+# Round-6 subset (mode "stream-only"): ALL streaming consumers, with
+# per-query RESULT ROW COUNTS recorded alongside times.  VERDICT r5
+# item 8: the round-5 dir-in-dir staging bug meant every earlier sf10
+# streaming number was a vacuous zero-batch drain, so nonzero drained
+# output is part of the recorded evidence, not just the time.
+REHEARSAL_STREAM = [
+    "events_stream_hourly",
+    "events_stream_sessionize",
+    "events_stream_interval_join",
+    "events_stream_enriched",
+    "events_stream_dedup",
+    "events_stream_delta_exactly_once",
+    "events_stream_hourly_topk",
+    "events_stream_value_moments",
+    "events_stream_drift_chi2",
+    "events_stream_hll_users",
+    "events_stream_cms_users",
+    "events_stateful_sessionize",
+    "events_stateful_totals",
+    "stream_source_kpis",
+    "synthetic_source_kpis",
+    "events_backfill_hourly",
+]
+
+
 def replicate(
     spark, src: str, out: str, r_factor: int, stride: int = STRIDE
 ) -> None:
@@ -222,7 +247,8 @@ def main() -> int:
     )
     stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
     mode = sys.argv[5] if len(sys.argv) > 5 else "full"
-    known_modes = ("full", "replicate-only", "ext-only", "ext2-only", "r5-only")
+    known_modes = ("full", "replicate-only", "ext-only", "ext2-only",
+                   "r5-only", "stream-only")
     if mode not in known_modes:
         raise SystemExit(
             f"unknown mode {mode!r}; expected one of {known_modes}"
@@ -248,11 +274,13 @@ def main() -> int:
         "ext-only": REHEARSAL_EXT,
         "ext2-only": REHEARSAL_EXT2,
         "r5-only": REHEARSAL_R5,
+        "stream-only": REHEARSAL_STREAM,
     }.get(mode, REHEARSAL)
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     failed: dict[str, str] = {}
     import gc
 
@@ -260,8 +288,9 @@ def main() -> int:
         fn = QUERIES[name]
         t0 = time.time()
         try:
-            fn(spark, out).count()
+            n_rows = fn(spark, out).count()
             timings[name] = round(time.time() - t0, 2)
+            rows[name] = n_rows
         except Exception as ex:  # noqa: BLE001 — record, keep going
             failed[name] = str(ex)[:200]
         # Release the query's localCheckpoint RDD storage before the
@@ -294,6 +323,7 @@ def main() -> int:
                 "cpu_calibration_sec_end": _cpu_calibration_sec(),
                 "loadavg_end": list(os.getloadavg()),
                 "timings": timings,
+                "result_rows": rows,
                 "failed": failed,
             }
         )
