@@ -24,11 +24,14 @@ the directory listing is authoritative.
 
 Honest scope (documented, enforced loudly):
 
-- Reader-protocol gate: ``protocol.minReaderVersion`` > 1 (column
-  mapping, deletion vectors, v2 checkpoints) raises — those features
-  change file interpretation, and pretending otherwise would corrupt
-  reads.  The gate is applied to protocol actions found in BOTH the
-  JSON commits and checkpoint rows.
+- Reader-protocol gate: column mapping (reader v2 / the
+  ``columnMapping`` feature) is SUPPORTED since round 6 — physical
+  parquet names are renamed back to the logical schema
+  (``_unmap_columns``).  Deletion vectors and v2 checkpoints change
+  which rows/files are live and remain refused loudly; a v3 table is
+  readable iff every listed readerFeature is supported.  The gate is
+  applied to protocol actions found in BOTH the JSON commits and
+  checkpoint rows.
 - Time travel BEFORE the earliest available checkpoint requires the
   JSON commits from version 0 — if they were vacuumed, the read
   raises instead of resolving a wrong file set.
@@ -93,12 +96,30 @@ def _checkpoints(log: str) -> dict[int, list[str]]:
     return out
 
 
+# Reader features this module actually implements.  columnMapping is
+# the whole of reader protocol v2 (PROTOCOL.md); timestampNtz only
+# flags the presence of a type the stock parquet scan already reads.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+
+
 def _protocol_gate(table_path: str, proto: dict) -> None:
+    """Refuse — loudly — any protocol requirement this reader does not
+    implement; pretending otherwise corrupts reads.  v1 is the base
+    protocol; v2 adds column mapping (supported since round 6, see
+    ``_unmap_columns``); v3 tables list their requirements explicitly
+    in ``readerFeatures`` — allowed iff every listed feature is
+    supported (deletion vectors and v2 checkpoints are not: they
+    change which ROWS/FILES are live, so a lossy read is silent data
+    corruption)."""
     mrv = proto.get("minReaderVersion", 1)
-    if mrv > 1:
+    if mrv <= 2:
+        return
+    features = set(proto.get("readerFeatures") or [])
+    unsupported = features - _SUPPORTED_READER_FEATURES
+    if mrv > 3 or unsupported:
         raise NotImplementedError(
-            f"{table_path}: minReaderVersion={mrv}"
-            " (column mapping / deletion vectors / v2 checkpoints);"
+            f"{table_path}: minReaderVersion={mrv}, readerFeatures="
+            f"{sorted(features)} — unsupported: {sorted(unsupported) or mrv};"
             " refusing a lossy read"
         )
 
@@ -186,6 +207,92 @@ def _resolve_files(
     return [os.path.join(table_path, p) for p in sorted(live)], partitioned
 
 
+def _latest_metadata(table_path: str, version: int | None) -> dict | None:
+    """The table's metaData action at ``version`` (latest if None):
+    seeded from the newest checkpoint at/below it, folded through the
+    JSON commits after — the same snapshot walk as ``_resolve_files``,
+    reading only the metaData column/actions."""
+    import pyarrow.parquet as pq
+
+    log = os.path.join(table_path, "_delta_log")
+    versions = delta_log_versions(table_path)
+    cps = _checkpoints(log) if os.path.isdir(log) else {}
+    latest = max(versions[-1] if versions else -1, max(cps, default=-1))
+    if version is None:
+        version = latest
+    meta = None
+    cp_v = max((v for v in cps if v <= version), default=None)
+    if cp_v is not None:
+        for fp in cps[cp_v]:
+            if "metaData" not in pq.read_schema(fp).names:
+                continue
+            for row in pq.read_table(fp, columns=["metaData"]).to_pylist():
+                m = row.get("metaData")
+                if m is not None and m.get("id") is not None:
+                    meta = dict(m)
+                    cfg = meta.get("configuration")
+                    if isinstance(cfg, list):  # pyarrow map -> pairs
+                        meta["configuration"] = dict(cfg)
+    for v in versions:
+        if v > version or (cp_v is not None and v <= cp_v):
+            continue
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+    return meta
+
+
+def _unmap_columns(df: DataFrame, meta: dict, table_path: str) -> DataFrame:
+    """Column mapping (reader protocol v2, PROTOCOL.md): the parquet
+    files of a mapped table store PHYSICAL column names
+    (``col-<uuid>``); the logical names live in the metaData
+    schemaString's per-field ``delta.columnMapping.physicalName``.
+    Rename physical -> logical so the caller sees the table schema —
+    both 'name' and 'id' modes store physicalName, so one rename path
+    serves both.  Nested mapped fields (a struct member carrying its
+    own physicalName) would need a recursive rebuild — refused loudly
+    rather than returning misnamed nested data."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    schema = _json.loads(meta["schemaString"])
+    cols = []
+    for field in schema.get("fields", []):
+        fmeta = field.get("metadata") or {}
+        phys = fmeta.get("delta.columnMapping.physicalName", field["name"])
+        ftype = field.get("type")
+        if isinstance(ftype, dict) and _has_nested_mapping(ftype):
+            raise NotImplementedError(
+                f"{table_path}: nested column mapping on field"
+                f" {field['name']!r}; refusing a misnamed read"
+            )
+        cols.append(F.col(f"`{phys}`").alias(field["name"]))
+    return df.select(*cols)
+
+
+def _has_nested_mapping(ftype: dict) -> bool:
+    if ftype.get("type") == "struct":
+        for f in ftype.get("fields", []):
+            if (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            ):
+                return True
+            t = f.get("type")
+            if isinstance(t, dict) and _has_nested_mapping(t):
+                return True
+    for key in ("elementType", "valueType", "keyType"):
+        t = ftype.get(key)
+        if isinstance(t, dict) and _has_nested_mapping(t):
+            return True
+    return False
+
+
 def read_delta_table(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -210,7 +317,14 @@ def read_delta_table(
     reader = spark.read
     if partitioned:
         reader = reader.option("basePath", table_path)
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    meta = _latest_metadata(table_path, version)
+    mode = (meta or {}).get("configuration", {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("name", "id"):
+        df = _unmap_columns(df, meta, table_path)
+    return df
 
 
 def last_txn_versions(table_path: str) -> dict[str, int]:
