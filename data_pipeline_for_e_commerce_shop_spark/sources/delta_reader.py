@@ -27,8 +27,11 @@ Honest scope (documented, enforced loudly):
 - Reader-protocol gate: column mapping (reader v2 / the
   ``columnMapping`` feature) is SUPPORTED since round 6 — physical
   parquet names are renamed back to the logical schema
-  (``_unmap_columns``).  Deletion vectors and v2 checkpoints change
-  which rows/files are live and remain refused loudly; a v3 table is
+  (``_unmap_columns``) — and so are DELETION VECTORS (v3 feature):
+  each live file's roaring bitmap is decoded and its row positions
+  anti-joined out on ``_metadata`` columns
+  (``_apply_deletion_vectors``).  v2 checkpoints change how the live
+  set is constructed and remain refused loudly; a v3 table is
   readable iff every listed readerFeature is supported.  The gate is
   applied to protocol actions found in BOTH the JSON commits and
   checkpoint rows.
@@ -98,8 +101,13 @@ def _checkpoints(log: str) -> dict[int, list[str]]:
 
 # Reader features this module actually implements.  columnMapping is
 # the whole of reader protocol v2 (PROTOCOL.md); timestampNtz only
-# flags the presence of a type the stock parquet scan already reads.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+# flags the presence of a type the stock parquet scan already reads;
+# deletionVectors decode through _apply_deletion_vectors (round 6).
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "timestampNtz",
+    "deletionVectors",
+}
 
 
 def _protocol_gate(table_path: str, proto: dict) -> None:
@@ -108,9 +116,10 @@ def _protocol_gate(table_path: str, proto: dict) -> None:
     protocol; v2 adds column mapping (supported since round 6, see
     ``_unmap_columns``); v3 tables list their requirements explicitly
     in ``readerFeatures`` — allowed iff every listed feature is
-    supported (deletion vectors and v2 checkpoints are not: they
-    change which ROWS/FILES are live, so a lossy read is silent data
-    corruption)."""
+    supported (deletion vectors decode via
+    ``_apply_deletion_vectors``; v2 checkpoints are not supported:
+    they change how the live set is constructed, so a lossy read is
+    silent data corruption)."""
     mrv = proto.get("minReaderVersion", 1)
     if mrv <= 2:
         return
@@ -126,14 +135,15 @@ def _protocol_gate(table_path: str, proto: dict) -> None:
 
 def _seed_from_checkpoint(
     table_path: str, cp_files: list[str]
-) -> tuple[set[str], bool]:
+) -> tuple[dict[str, dict | None], bool]:
     """Live file set (+ partitioned flag) from a classic checkpoint:
     one row per action, non-null ``add`` rows ARE the live set at the
     checkpoint version (remove rows are expired-tombstone bookkeeping,
-    irrelevant to reads)."""
+    irrelevant to reads).  Values of the returned dict are the file's
+    deletionVector descriptor, or None."""
     import pyarrow.parquet as pq
 
-    live: set[str] = set()
+    live: dict[str, dict | None] = {}
     partitioned = False
     for fp in cp_files:
         schema_names = pq.read_schema(fp).names
@@ -146,15 +156,18 @@ def _seed_from_checkpoint(
                 _protocol_gate(table_path, proto)
             add = row.get("add")
             if add is not None and add.get("path") is not None:
-                live.add(add["path"])
+                dv = add.get("deletionVector")
+                live[add["path"]] = (
+                    dict(dv) if dv and dv.get("storageType") else None
+                )
                 if add.get("partitionValues"):
                     partitioned = True
     return live, partitioned
 
 
-def _resolve_files(
+def _resolve_state(
     table_path: str, version: int | None
-) -> tuple[list[str], bool]:
+) -> tuple[dict[str, dict | None], bool]:
     log = os.path.join(table_path, "_delta_log")
     versions = delta_log_versions(table_path)
     cps = _checkpoints(log) if os.path.isdir(log) else {}
@@ -171,7 +184,7 @@ def _resolve_files(
     # Start point: the newest complete checkpoint at/below the target,
     # else JSON from version 0.
     cp_v = max((v for v in cps if v <= version), default=None)
-    live: set[str] = set()
+    live: dict[str, dict | None] = {}
     partitioned = False
     if cp_v is not None:
         live, partitioned = _seed_from_checkpoint(table_path, cps[cp_v])
@@ -199,12 +212,173 @@ def _resolve_files(
                 if "protocol" in action:
                     _protocol_gate(table_path, action["protocol"])
                 elif "add" in action:
-                    live.add(action["add"]["path"])
-                    if action["add"].get("partitionValues"):
+                    add = action["add"]
+                    live[add["path"]] = add.get("deletionVector") or None
+                    if add.get("partitionValues"):
                         partitioned = True
                 elif "remove" in action:
-                    live.discard(action["remove"]["path"])
+                    live.pop(action["remove"]["path"], None)
+    return live, partitioned
+
+
+def _resolve_files(
+    table_path: str, version: int | None
+) -> tuple[list[str], bool]:
+    """Live file paths (sorted, absolute) + partitioned flag — the
+    file-level view used by the writer and the plain-scan path.
+    Deletion vectors mask ROWS inside live files, not the file list,
+    so they are invisible here; ``read_delta_table`` consumes
+    ``_resolve_state`` directly to apply them."""
+    live, partitioned = _resolve_state(table_path, version)
     return [os.path.join(table_path, p) for p in sorted(live)], partitioned
+
+
+# ---------------------------------------------------------------- deletion
+# vectors (reader protocol v3 feature `deletionVectors`, PROTOCOL.md).
+# A DV masks ROW POSITIONS inside a live parquet file; ignoring it
+# resurrects deleted rows, so it was refused until this round.  The
+# descriptor's bitmap is a "RoaringBitmapArray" (portable 64-bit
+# format: int32 LE magic 1681511377, int64 LE bitmap count, then that
+# many STANDARD 32-bit roaring bitmaps back-to-back — bitmap i holds
+# the low 32 bits of positions in [i*2^32, (i+1)*2^32)), stored inline
+# (storageType "i", Z85-encoded in the descriptor) or in a
+# `deletion_vector_<uuid>.bin` file (storageType "u"/"p": 1-byte
+# format version, then at `offset` an int32 BIG-endian length, the
+# bitmap bytes, and a CRC32 BE checksum).
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def _z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85 (the alphabet Delta uses — NOT Python's b85decode,
+    whose RFC-1924 alphabet differs): 5 chars -> one big-endian
+    uint32."""
+    if len(s) % 5:
+        raise ValueError(f"Z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for c in s[i : i + 5]:
+            acc = acc * 85 + _Z85_INDEX[c]
+        out.extend(acc.to_bytes(4, "big"))
+    return bytes(out)
+
+
+def _read_roaring32(buf: bytes, pos: int, base: int, out: list) -> int:
+    """One STANDARD-format 32-bit roaring bitmap starting at ``pos``;
+    appends base|value for every member; returns the end offset.
+    Container layout per the public RoaringFormatSpec: cookie 12347
+    (run-capable, container count in the high 16 bits, run-flag bitset
+    follows) or 12346 (+int32 count, offset header always present);
+    then per-container uint16 (key, cardinality-1) descriptors; then
+    array (uint16s) / bitmap (8 KiB) / run (uint16 pairs) containers."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == 12347:
+        n_containers = (cookie >> 16) + 1
+        n_flag_bytes = (n_containers + 7) // 8
+        run_flags = buf[pos : pos + n_flag_bytes]
+        pos += n_flag_bytes
+        has_offsets = n_containers >= 4
+    elif cookie == 12346:
+        (n_containers,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        has_offsets = True
+    else:
+        raise ValueError(f"unknown roaring cookie {cookie}")
+    keys_cards = struct.unpack_from(f"<{2 * n_containers}H", buf, pos)
+    pos += 4 * n_containers
+    if has_offsets:
+        pos += 4 * n_containers  # sequential read; offsets redundant
+    for ci in range(n_containers):
+        key = keys_cards[2 * ci]
+        card = keys_cards[2 * ci + 1] + 1
+        hi = base | (key << 16)
+        is_run = bool(run_flags and (run_flags[ci // 8] >> (ci % 8)) & 1)
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = struct.unpack_from(f"<{2 * n_runs}H", buf, pos)
+            pos += 4 * n_runs
+            for ri in range(n_runs):
+                start, length = runs[2 * ri], runs[2 * ri + 1]
+                out.extend(hi | v for v in range(start, start + length + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            out.extend(hi | v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    out.append(hi | (wi << 6) | b.bit_length() - 1)
+                    w ^= b
+    return pos
+
+
+def _roaring_array_positions(data: bytes) -> list[int]:
+    """Deleted row positions from a serialized RoaringBitmapArray."""
+    import struct
+
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != 1681511377:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    (n_bitmaps,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    out: list[int] = []
+    for i in range(n_bitmaps):
+        pos = _read_roaring32(data, pos, i << 32, out)
+    return out
+
+
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Deleted row positions for one file's deletionVector descriptor."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    st = dv.get("storageType")
+    payload = dv.get("pathOrInlineDv", "")
+    if st == "i":
+        data = _z85_decode(payload)[: int(dv["sizeInBytes"])]
+        return _roaring_array_positions(data)
+    if st in ("u", "p"):
+        if st == "u":
+            # optional random prefix chars precede the 20-char Z85 uuid
+            prefix, z = payload[:-20], payload[-20:]
+            u = _uuid.UUID(bytes=_z85_decode(z))
+            name = f"deletion_vector_{u}.bin"
+            fp = os.path.join(table_path, prefix, name) if prefix else (
+                os.path.join(table_path, name)
+            )
+        else:
+            fp = payload
+        with open(fp, "rb") as f:
+            raw = f.read()
+        off = int(dv.get("offset") or 1)  # after the 1-byte format version
+        (size,) = struct.unpack_from(">i", raw, off)
+        data = raw[off + 4 : off + 4 + size]
+        (crc,) = struct.unpack_from(">I", raw, off + 4 + size)
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"{fp}: deletion-vector CRC mismatch")
+        return _roaring_array_positions(data)
+    raise NotImplementedError(
+        f"{table_path}: deletionVector storageType {st!r} unsupported"
+    )
+
+
+# At real scale DV decoding would distribute per file (mapPartitions
+# over the file manifest); this driver-side decode is bounded loudly.
+_DV_MAX_POSITIONS = 10_000_000
 
 
 def _latest_metadata(table_path: str, version: int | None) -> dict | None:
@@ -309,15 +483,19 @@ def read_delta_table(
     partition discovery then reconstructs the columns for exactly the
     live files.  Without this, a multi-path scan would silently DROP
     every partition column."""
-    files, partitioned = _resolve_files(table_path, version)
-    if not files:
+    state, partitioned = _resolve_state(table_path, version)
+    if not state:
         raise FileNotFoundError(
             f"{table_path}: version has an empty live file set"
         )
+    files = [os.path.join(table_path, p) for p in sorted(state)]
     reader = spark.read
     if partitioned:
         reader = reader.option("basePath", table_path)
     df = reader.parquet(*files)
+    dvs = {p: dv for p, dv in state.items() if dv}
+    if dvs:
+        df = _apply_deletion_vectors(spark, df, table_path, dvs)
     meta = _latest_metadata(table_path, version)
     mode = (meta or {}).get("configuration", {}).get(
         "delta.columnMapping.mode", "none"
@@ -325,6 +503,47 @@ def read_delta_table(
     if mode in ("name", "id"):
         df = _unmap_columns(df, meta, table_path)
     return df
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, table_path: str, dvs: dict
+) -> DataFrame:
+    """Mask DV'd row positions: decode each live file's bitmap into
+    (file name, row position) rows and LEFT ANTI join on the scan's
+    ``_metadata.file_name`` / ``row_index`` columns — the deleted set
+    is DV-cardinality-sized, never a data-sized shuffle.  The metadata
+    columns are dropped again so the caller sees the table schema."""
+    from pyspark.sql import functions as F
+
+    deleted = []
+    total = 0
+    for rel, dv in sorted(dvs.items()):
+        # key on the FILE NAME, not the URI: Spark renders file: URIs
+        # differently per scheme, while Delta data-file names are
+        # uuid-unique within a table by construction
+        name = os.path.basename(rel)
+        positions = _dv_positions(table_path, dv)
+        card = dv.get("cardinality")
+        if card is not None and int(card) != len(positions):
+            raise ValueError(
+                f"{table_path}/{rel}: deletionVector cardinality"
+                f" {card} != decoded {len(positions)}"
+            )
+        total += len(positions)
+        if total > _DV_MAX_POSITIONS:
+            raise NotImplementedError(
+                f"{table_path}: > {_DV_MAX_POSITIONS} deleted positions;"
+                " distribute DV decoding before reading this table"
+            )
+        deleted.extend((name, int(p)) for p in positions)
+    del_df = spark.createDataFrame(deleted, "_dv_fn STRING, _dv_ri LONG")
+    out = (
+        df.withColumn("_dv_fn", F.col("_metadata.file_name"))
+        .withColumn("_dv_ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(del_df), ["_dv_fn", "_dv_ri"], "left_anti")
+        .drop("_dv_fn", "_dv_ri")
+    )
+    return out
 
 
 def last_txn_versions(table_path: str) -> dict[str, int]:

@@ -290,7 +290,20 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     import pyarrow.parquet as pq
 
     log = os.path.join(table_path, "_delta_log")
-    live, _ = _resolve_files(table_path, version)
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        _resolve_state,
+    )
+
+    state, _ = _resolve_state(table_path, version)
+    if any(state.values()):
+        # this checkpoint schema carries no deletionVector struct; a
+        # checkpoint that drops live DVs silently RESURRECTS deleted
+        # rows for every reader that seeds from it — refuse
+        raise ConcurrentWriteError(
+            f"{table_path}: refusing to checkpoint a table with live"
+            " deletion vectors (unsupported checkpoint schema)"
+        )
+    live = [os.path.join(table_path, p) for p in sorted(state)]
     # latest metaData + protocol + per-app txn watermarks, seeded from
     # the newest prior checkpoint and folded through the JSON commits
     # after it (txn rows MUST survive checkpoint-to-checkpoint or a
@@ -434,12 +447,25 @@ def optimize_delta_table(
     ConcurrentWriteError raised (the caller re-plans — OPTIMIZE is a
     maintenance pass, not a data write, so give-up-and-replan is the
     correct conflict semantic)."""
-    live, partitioned = _resolve_files(table_path, None)
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        _resolve_state,
+    )
+
+    state, partitioned = _resolve_state(table_path, None)
     if partitioned:
         raise NotImplementedError(
             f"{table_path}: partition-aware OPTIMIZE not implemented;"
             " refusing to merge files across partition boundaries"
         )
+    # a DV'd file is NOT a pure-layout rewrite candidate: compacting it
+    # without applying the deletion vector resurrects deleted rows —
+    # exclude such files (they stay as-is; a MERGE/purge materializes
+    # them first in real pipelines)
+    live = [
+        os.path.join(table_path, p)
+        for p, dv in sorted(state.items())
+        if dv is None
+    ]
     sized = [(fp, os.path.getsize(fp)) for fp in sorted(live)]
     groups: list[list[str]] = []
     cur: list[str] = []

@@ -422,15 +422,16 @@ def test_column_mapped_table_reads_logical_names(spark, tmp_path):
 
 def test_column_mapped_v3_feature_list(spark, tmp_path):
     """v3 tables are readable iff every readerFeature is supported;
-    deletion vectors stay refused loudly."""
+    v2 checkpoints stay refused loudly (they change live-set
+    construction)."""
     t = str(tmp_path / "v3ok")
     _write_mapped_table(spark, t, mrv=3, features=["columnMapping"])
     assert read_delta_table(spark, t).columns == ["x", "y"]
-    t2 = str(tmp_path / "v3dv")
+    t2 = str(tmp_path / "v3cp")
     _write_mapped_table(
-        spark, t2, mrv=3, features=["columnMapping", "deletionVectors"]
+        spark, t2, mrv=3, features=["columnMapping", "v2Checkpoint"]
     )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta_table(spark, t2)
 
 
@@ -441,3 +442,168 @@ def test_column_mapped_nested_refuses(spark, tmp_path):
     _write_mapped_table(spark, t, nested=True)
     with pytest.raises(NotImplementedError, match="nested column mapping"):
         read_delta_table(spark, t)
+
+
+def _z85_encode(b: bytes) -> str:
+    """Test-side Z85 encoder (independent of the reader's decoder
+    direction; alphabet from the public ZeroMQ spec)."""
+    alpha = ("0123456789abcdefghijklmnopqrstuvwxyz"
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+    assert len(b) % 4 == 0
+    out = []
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, r = divmod(acc, 85)
+            chunk.append(alpha[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _spec_roaring_array(positions) -> bytes:
+    """Serialize positions as a RoaringBitmapArray with SPEC-LITERAL
+    bytes (portable 64-bit format; 32-bit bitmaps in the no-run
+    standard format with offset headers) — hand-built from the public
+    RoaringFormatSpec, NOT by calling the reader's code, so the test
+    checks the parser against the spec rather than against itself."""
+    import struct
+    from collections import defaultdict
+
+    by_hi = defaultdict(lambda: defaultdict(list))
+    for p in positions:
+        hi32, lo32 = p >> 32, p & 0xFFFFFFFF
+        by_hi[hi32][lo32 >> 16].append(lo32 & 0xFFFF)
+    n_bitmaps = max(by_hi) + 1 if by_hi else 0
+    blob = struct.pack("<iq", 1681511377, n_bitmaps)
+    for i in range(n_bitmaps):
+        containers = sorted(by_hi.get(i, {}).items())
+        blob += struct.pack("<ii", 12346, len(containers))
+        for key, vals in containers:
+            blob += struct.pack("<HH", key, len(vals) - 1)
+        # offset header: running start of each container's data
+        off = 8 + 4 * len(containers) + 4 * len(containers)
+        for _, vals in containers:
+            blob += struct.pack("<i", off)
+            off += 2 * len(vals)
+        for _, vals in containers:
+            blob += struct.pack(f"<{len(vals)}H", *sorted(vals))
+    return blob
+
+
+def test_roaring_parser_against_spec_bytes():
+    """The DV bitmap parser must decode SPEC-LITERAL bytes — array,
+    bitmap (>4096 cardinality), and multi-bitmap (>2^32 positions)
+    shapes — independently of any encoder in the reader."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        _roaring_array_positions,
+    )
+
+    pos = [1, 3, 70000, (1 << 32) + 5]
+    assert _roaring_array_positions(_spec_roaring_array(pos)) == sorted(pos)
+    dense = list(range(5000))  # forces a bitmap container
+    import struct
+
+    blob = struct.pack("<iq", 1681511377, 1)
+    blob += struct.pack("<ii", 12346, 1)
+    blob += struct.pack("<HH", 0, len(dense) - 1)
+    blob += struct.pack("<i", 16)
+    words = [0] * 1024
+    for v in dense:
+        words[v >> 6] |= 1 << (v & 63)
+    blob += struct.pack("<1024Q", *words)
+    assert _roaring_array_positions(blob) == dense
+
+
+def _dv_table(spark, t: str, inline: bool):
+    """100-row single-file Delta table whose add action carries a DV
+    deleting rows {1, 3, 97} — inline (Z85) or .bin-file storage."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    os.makedirs(f"{t}/_delta_log", exist_ok=True)
+    spark.range(0, 100).selectExpr("id AS x").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{t}/_stage")
+    import glob as g
+
+    shutil.move(
+        g.glob(f"{t}/_stage/part-*.parquet")[0], f"{t}/part-0.snappy.parquet"
+    )
+    shutil.rmtree(f"{t}/_stage")
+    bitmap = _spec_roaring_array([1, 3, 97])
+    if inline:
+        pad = (-len(bitmap)) % 4
+        dv = {"storageType": "i",
+              "pathOrInlineDv": _z85_encode(bitmap + b"\x00" * pad),
+              "sizeInBytes": len(bitmap), "cardinality": 3}
+    else:
+        u = _uuid.uuid4()
+        body = (b"\x01" + struct.pack(">i", len(bitmap)) + bitmap
+                + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF))
+        with open(f"{t}/deletion_vector_{u}.bin", "wb") as f:
+            f.write(body)
+        dv = {"storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+              "offset": 1, "sizeInBytes": len(bitmap), "cardinality": 3}
+    schema = {"type": "struct", "fields": [
+        {"name": "x", "type": "long", "nullable": True, "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "m-dv",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.snappy.parquet", "partitionValues": {},
+                 "size": os.path.getsize(f"{t}/part-0.snappy.parquet"),
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv}},
+    ]
+    with open(f"{t}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_deletion_vectors_mask_rows(spark, tmp_path):
+    """A DV'd table must read back WITHOUT the deleted positions —
+    both inline and file-stored descriptors; a wrong cardinality must
+    refuse rather than mis-read."""
+    for inline in (True, False):
+        t = str(tmp_path / f"dv_{inline}")
+        _dv_table(spark, t, inline=inline)
+        got = sorted(r["x"] for r in read_delta_table(spark, t).collect())
+        assert got == [v for v in range(100) if v not in (1, 3, 97)]
+    # tamper: descriptor claims 2 deletions but the bitmap holds 3
+    t2 = str(tmp_path / "dv_bad")
+    _dv_table(spark, t2, inline=True)
+    log = f"{t2}/_delta_log/{0:020d}.json"
+    lines = [json.loads(l) for l in open(log)]
+    lines[-1]["add"]["deletionVector"]["cardinality"] = 2
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="cardinality"):
+        read_delta_table(spark, t2).collect()
+
+
+def test_dv_table_guards_writer_paths(spark, tmp_path):
+    """Maintenance on DV'd tables must not resurrect deleted rows:
+    OPTIMIZE excludes DV'd files; checkpointing refuses (this writer's
+    checkpoint schema carries no deletionVector struct).  Appends stay
+    allowed and the DV keeps masking."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_writer import (
+        _write_checkpoint,
+    )
+
+    t = str(tmp_path / "dvw")
+    _dv_table(spark, t, inline=True)
+    assert optimize_delta_table(spark, t, target_bytes=1 << 30) is None
+    with pytest.raises(ConcurrentWriteError, match="deletion vectors"):
+        _write_checkpoint(t, 0)
+    v = write_delta_commit(_mk(spark, 1000, 1002), t, checkpoint_interval=0)
+    assert v == 1
+    got = sorted(r["x"] for r in read_delta_table(spark, t).collect())
+    assert got == [x for x in range(100) if x not in (1, 3, 97)] + [1000, 1001]
