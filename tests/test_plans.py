@@ -709,3 +709,36 @@ def test_salted_join_shape(spark):
         l for l in plan.splitlines() if l.startswith("Left keys")
     )
     assert "_salt" in keys_line and "event_type" in keys_line
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The OTHER half of the skew story (SURVEY §4.4): for plain
+    sort-merge joins, AQE's runtime skew split — not manual salting —
+    is the production mitigation.  Seed a hot key (7/8 of the fact
+    rows on one key), force the shuffle path, and assert the EXECUTED
+    adaptive plan marks the join skew-split.  Runs on a scoped
+    newSession so the aggressive thresholds never leak."""
+    s = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        s.conf.set(k, v)
+    left = s.range(0, 400000).selectExpr(
+        "CASE WHEN id < 350000 THEN CAST(0 AS LONG) ELSE id END AS k",
+        "id AS v",
+    )
+    right = s.range(0, 50000).selectExpr("id % 64 AS k", "id AS w")
+    cnt = left.join(right.hint("merge"), "k").groupBy().count()
+    # execute THIS dataset so its AQE plan finalizes, then inspect it
+    assert cnt.collect()[0][0] == 350000 * (50000 // 64 + 1) + 0
+    plan = physical_plan(cnt, mode="simple")
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "skewed" in plan  # the AQEShuffleRead that split the hot key
