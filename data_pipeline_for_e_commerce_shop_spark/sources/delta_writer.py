@@ -131,25 +131,47 @@ def _log_state(
     return meta, proto, txns
 
 
+def _hive_partition_values(part_dir: str) -> dict[str, str | None]:
+    """partitionValues from a hive-style ``k=v/k2=v2`` directory path
+    (values URL-decoded; the hive null sentinel maps to None — exactly
+    what the add action's map must assert for the files inside)."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in part_dir.split(os.sep):
+        if not seg or "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return out
+
+
 def _stage_data_files(
-    df: DataFrame, table_path: str, data_change: bool = True
+    df: DataFrame,
+    table_path: str,
+    data_change: bool = True,
+    subdir: str = "",
+    partition_values: dict | None = None,
 ) -> list[dict]:
     """Write df's partitions as parquet files directly under the table
-    root with Delta-style unique names; returns add-action dicts
+    root (or ``subdir`` — a partition directory for partitioned
+    rewrites) with Delta-style unique names; returns add-action dicts
     (path, size, modificationTime, dataChange).  ``data_change=False``
     marks layout-only rewrites (OPTIMIZE) so change-feed consumers
     skip them, per PROTOCOL.md."""
     tmp = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(tmp)
+    dest_dir = os.path.join(table_path, subdir) if subdir else table_path
+    os.makedirs(dest_dir, exist_ok=True)
     adds = []
     for part in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
         name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-        dest = os.path.join(table_path, name)
+        dest = os.path.join(dest_dir, name)
         shutil.move(part, dest)
         adds.append(
             {
-                "path": name,
-                "partitionValues": {},
+                "path": os.path.join(subdir, name) if subdir else name,
+                "partitionValues": dict(partition_values or {}),
                 "size": os.path.getsize(dest),
                 "modificationTime": int(time.time() * 1000),
                 "dataChange": bool(data_change),
@@ -440,6 +462,13 @@ def optimize_delta_table(
     as one file.  Returns the committed version, or None when nothing
     qualifies (no-op — no commit is appended).
 
+    Partitioned tables compact WITHIN each partition directory: files
+    never merge across partition boundaries (that would change the
+    partitionValues the log asserts), compacted files land back in
+    their hive-style ``k=v`` directory, and each rewrite add-action
+    carries the partitionValues parsed from that path — so partition
+    pruning and the basePath read reconstruction keep working.
+
     Scale: the plan runs over the file MANIFEST (metadata rows); the
     rewrites are ordinary distributed parquet jobs per group.  A CAS
     loss re-reads the log; if a concurrent writer removed any file
@@ -452,43 +481,50 @@ def optimize_delta_table(
     )
 
     state, partitioned = _resolve_state(table_path, None)
-    if partitioned:
-        raise NotImplementedError(
-            f"{table_path}: partition-aware OPTIMIZE not implemented;"
-            " refusing to merge files across partition boundaries"
-        )
     # a DV'd file is NOT a pure-layout rewrite candidate: compacting it
     # without applying the deletion vector resurrects deleted rows —
     # exclude such files (they stay as-is; a MERGE/purge materializes
-    # them first in real pipelines)
-    live = [
-        os.path.join(table_path, p)
-        for p, dv in sorted(state.items())
-        if dv is None
-    ]
-    sized = [(fp, os.path.getsize(fp)) for fp in sorted(live)]
-    groups: list[list[str]] = []
-    cur: list[str] = []
-    cur_bytes = 0
-    for fp, sz in sized:
-        if sz >= target_bytes:
-            continue  # already at target; leave in place
-        if cur and cur_bytes + sz > target_bytes:
-            groups.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(fp)
-        cur_bytes += sz
-    if cur:
-        groups.append(cur)
-    groups = [g for g in groups if len(g) >= 2]
+    # them first in real pipelines).  Partition boundaries are grouping
+    # boundaries: bin-pack per partition DIRECTORY, never across.
+    by_dir: dict[str, list[tuple[str, int]]] = {}
+    for rel, dv in sorted(state.items()):
+        if dv is not None:
+            continue
+        fp = os.path.join(table_path, rel)
+        by_dir.setdefault(os.path.dirname(rel), []).append(
+            (fp, os.path.getsize(fp))
+        )
+    groups: list[tuple[str, list[str]]] = []
+    for part_dir in sorted(by_dir):
+        cur: list[str] = []
+        cur_bytes = 0
+        for fp, sz in by_dir[part_dir]:
+            if sz >= target_bytes:
+                continue  # already at target; leave in place
+            if cur and cur_bytes + sz > target_bytes:
+                groups.append((part_dir, cur))
+                cur, cur_bytes = [], 0
+            cur.append(fp)
+            cur_bytes += sz
+        if cur:
+            groups.append((part_dir, cur))
+    groups = [(d, g) for d, g in groups if len(g) >= 2]
     if not groups:
         return None
 
     adds: list[dict] = []
     removes: list[str] = []
-    for g in groups:
+    for part_dir, g in groups:
         compacted = spark.read.parquet(*g).coalesce(1)
-        adds.extend(_stage_data_files(compacted, table_path, data_change=False))
+        adds.extend(
+            _stage_data_files(
+                compacted,
+                table_path,
+                data_change=False,
+                subdir=part_dir,
+                partition_values=_hive_partition_values(part_dir),
+            )
+        )
         removes.extend(g)
     remove_rel = [os.path.relpath(fp, table_path) for fp in removes]
 
@@ -584,19 +620,22 @@ def vacuum_delta_table(
     live_rel = {os.path.relpath(fp, table_path) for fp in live}
     now = time.time()
     data_deleted = 0
-    for name in os.listdir(table_path):
-        fp = os.path.join(table_path, name)
-        if (
-            not os.path.isfile(fp)
-            or not name.endswith(".parquet")
-            or name in live_rel
-        ):
-            continue
-        if (now - os.path.getmtime(fp)) * 1000 <= retention_ms:
-            continue
-        if not dry_run:
-            os.unlink(fp)
-        data_deleted += 1
+    for dirpath, dirnames, filenames in os.walk(table_path):
+        # never descend into the log or in-flight staging dirs
+        dirnames[:] = [
+            d for d in dirnames
+            if d != "_delta_log" and not d.startswith("_staging_")
+        ]
+        for name in filenames:
+            fp = os.path.join(dirpath, name)
+            rel = os.path.relpath(fp, table_path)
+            if not name.endswith(".parquet") or rel in live_rel:
+                continue
+            if (now - os.path.getmtime(fp)) * 1000 <= retention_ms:
+                continue
+            if not dry_run:
+                os.unlink(fp)
+            data_deleted += 1
 
     log = os.path.join(table_path, "_delta_log")
     cps = _checkpoints(log)

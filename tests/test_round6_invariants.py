@@ -607,3 +607,76 @@ def test_dv_table_guards_writer_paths(spark, tmp_path):
     assert v == 1
     got = sorted(r["x"] for r in read_delta_table(spark, t).collect())
     assert got == [x for x in range(100) if x not in (1, 3, 97)] + [1000, 1001]
+
+
+def test_partitioned_optimize_compacts_within_partitions(spark, tmp_path):
+    """Partition-aware OPTIMIZE: files bin-pack WITHIN their hive
+    partition directory, the rewrite adds carry the partition's
+    partitionValues, and the basePath read keeps reconstructing the
+    partition column — rows identical before/after, per-partition."""
+    import glob as g
+
+    t = str(tmp_path / "popt")
+    os.makedirs(f"{t}/_delta_log", exist_ok=True)
+    adds = []
+    for cat in ("a", "b"):
+        os.makedirs(f"{t}/cat={cat}", exist_ok=True)
+        for i in range(3):
+            lo = (100 if cat == "b" else 0) + 10 * i
+            spark.range(lo, lo + 4).selectExpr("id AS x").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{t}/_s")
+            part = g.glob(f"{t}/_s/part-*.parquet")[0]
+            rel = f"cat={cat}/part-{cat}{i}.snappy.parquet"
+            shutil.move(part, f"{t}/{rel}")
+            adds.append((rel, {"cat": cat}))
+    shutil.rmtree(f"{t}/_s")
+    schema = {"type": "struct", "fields": [
+        {"name": "x", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "cat", "type": "string", "nullable": True, "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m-p",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["cat"], "configuration": {},
+                      "createdTime": 0}},
+    ] + [
+        {"add": {"path": rel, "partitionValues": pv,
+                 "size": os.path.getsize(f"{t}/{rel}"),
+                 "modificationTime": 0, "dataChange": True}}
+        for rel, pv in adds
+    ]
+    with open(f"{t}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    before = sorted(
+        (r["x"], r["cat"]) for r in read_delta_table(spark, t).collect()
+    )
+    assert len(before) == 24 and {c for _, c in before} == {"a", "b"}
+    v = optimize_delta_table(spark, t, target_bytes=1 << 30)
+    assert v == 1
+    after = sorted(
+        (r["x"], r["cat"]) for r in read_delta_table(spark, t).collect()
+    )
+    assert after == before
+    # one compacted file per partition, in its own directory, with the
+    # right partitionValues on the add action
+    with open(f"{t}/_delta_log/{1:020d}.json") as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    new_adds = [a["add"] for a in acts if "add" in a]
+    assert len(new_adds) == 2
+    assert {a["path"].split("/")[0] for a in new_adds} == {"cat=a", "cat=b"}
+    for a in new_adds:
+        assert a["partitionValues"] == {
+            "cat": a["path"].split("/")[0].split("=")[1]
+        }
+        assert a["dataChange"] is False
+    assert len(_live_files(t)) == 2
+    # vacuum drops the six originals; the table still reads identically
+    stats = vacuum_delta_table(t, retention_ms=0)
+    assert stats["data_files_deleted"] == 6
+    assert sorted(
+        (r["x"], r["cat"]) for r in read_delta_table(spark, t).collect()
+    ) == before
