@@ -429,6 +429,10 @@ def test_delta_log_reader_refuses_lossy_reads(spark, tmp_path):
         read_delta_table,
     )
 
+    # Reader v2 (column mapping) became SUPPORTED in round 6 — a v2
+    # table with no mapped columns now reads as plain parquet.  The
+    # refusal surface moved to protocol versions/features this reader
+    # genuinely cannot honor: assert v4 still raises.
     table = str(tmp_path / "dt2")
     _os.makedirs(table)
     _stage_parquet_file(
@@ -438,8 +442,21 @@ def test_delta_log_reader_refuses_lossy_reads(spark, tmp_path):
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {"add": {"path": "f.parquet", "dataChange": True}},
     ])
+    assert {r["x"] for r in read_delta_table(spark, table).collect()} == {
+        0, 1, 2,
+    }
+    table_v4 = str(tmp_path / "dt2v4")
+    _os.makedirs(table_v4)
+    _stage_parquet_file(
+        spark, spark.range(3).selectExpr("id AS x"), f"{table_v4}/f.parquet"
+    )
+    _write_commit(table_v4, 0, [
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+        {"add": {"path": "f.parquet", "dataChange": True}},
+    ])
     with _pytest.raises(NotImplementedError, match="minReaderVersion"):
-        read_delta_table(spark, table)
+        read_delta_table(spark, table_v4)
 
     # Since r5 checkpoints are READ, a _last_checkpoint HINT with no
     # actual checkpoint file and a contiguous JSON log must not block
