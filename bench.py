@@ -110,6 +110,12 @@ HEADLINE = [
     "conversion_isotonic_curve",
     "revenue_theil_sen",
     "events_variant_json",
+    # round-5/6 flagships: sketch algebra, Delta exactly-once +
+    # maintenance round trips, the salted join
+    "segment_quantile_sketch_bottomk",
+    "events_stream_delta_exactly_once",
+    "events_delta_optimize_vacuum",
+    "event_type_salted_join",
 ]
 
 
