@@ -30,11 +30,13 @@ Honest scope (documented, enforced loudly):
   (``_unmap_columns``) — and so are DELETION VECTORS (v3 feature):
   each live file's roaring bitmap is decoded and its row positions
   anti-joined out on ``_metadata`` columns
-  (``_apply_deletion_vectors``).  v2 checkpoints change how the live
-  set is constructed and remain refused loudly; a v3 table is
-  readable iff every listed readerFeature is supported.  The gate is
-  applied to protocol actions found in BOTH the JSON commits and
-  checkpoint rows.
+  (``_apply_deletion_vectors``).  V2 CHECKPOINTS (UUID-named json or
+  parquet, add/remove actions in ``_sidecars/`` parquet files) read
+  through the same format-blind action iterator as classic
+  checkpoints (``checkpoint_actions``).  A v3 table is readable iff
+  every listed readerFeature is supported; anything else refuses.
+  The gate is applied to protocol actions found in BOTH the JSON
+  commits and checkpoint rows.
 - Time travel BEFORE the earliest available checkpoint requires the
   JSON commits from version 0 — if they were vacuumed, the read
   raises instead of resolving a wrong file set.
@@ -58,6 +60,11 @@ from pyspark.sql import DataFrame, SparkSession
 _COMMIT_RE = re.compile(r"(\d{20})\.json\Z")
 _CP_SINGLE_RE = re.compile(r"(\d{20})\.checkpoint\.parquet\Z")
 _CP_PART_RE = re.compile(r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet\Z")
+# V2 checkpoints (PROTOCOL.md): UUID-named single file, json or parquet,
+# carrying checkpointMetadata + (sidecarFile refs | inline adds).
+_CP_V2_RE = re.compile(
+    r"(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)\Z"
+)
 
 
 def delta_log_versions(table_path: str) -> list[int]:
@@ -96,6 +103,12 @@ def _checkpoints(log: str) -> dict[int, list[str]]:
         ):
             out[v] = [got[i][1] for i in range(1, n + 1)]
         # an incomplete part set is an in-flight checkpoint: ignore it
+    for name in os.listdir(log):
+        m = _CP_V2_RE.match(name)
+        # a classic checkpoint at the same version wins (no sidecar
+        # indirection); otherwise the v2 file IS the checkpoint
+        if m and int(m.group(1)) not in out:
+            out[int(m.group(1))] = [os.path.join(log, name)]
     return out
 
 
@@ -107,6 +120,7 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
     "deletionVectors",
+    "v2Checkpoint",
 }
 
 
@@ -117,9 +131,10 @@ def _protocol_gate(table_path: str, proto: dict) -> None:
     ``_unmap_columns``); v3 tables list their requirements explicitly
     in ``readerFeatures`` — allowed iff every listed feature is
     supported (deletion vectors decode via
-    ``_apply_deletion_vectors``; v2 checkpoints are not supported:
-    they change how the live set is constructed, so a lossy read is
-    silent data corruption)."""
+    ``_apply_deletion_vectors``; v2 checkpoints resolve through
+    ``checkpoint_actions``; anything NOT in
+    ``_SUPPORTED_READER_FEATURES`` refuses — a lossy read is silent
+    data corruption)."""
     mrv = proto.get("minReaderVersion", 1)
     if mrv <= 2:
         return
@@ -133,35 +148,79 @@ def _protocol_gate(table_path: str, proto: dict) -> None:
         )
 
 
+_ACTION_KEYS = (
+    "txn",
+    "add",
+    "remove",
+    "metaData",
+    "protocol",
+    "sidecarFile",
+    "checkpointMetadata",
+)
+
+
+def checkpoint_actions(log: str, cp_files: list[str]):
+    """Yield (kind, action) pairs from a checkpoint in ANY of its
+    protocol forms — classic single/multi-part parquet, or a V2
+    checkpoint (UUID-named json or parquet) whose add/remove actions
+    may live in ``_sidecars/`` parquet files referenced by
+    ``sidecarFile`` actions.  Consumers stay format-blind."""
+    import pyarrow.parquet as pq
+
+    def rows_of(fp: str):
+        if fp.endswith(".json"):
+            with open(fp) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield json.loads(line)
+        else:
+            for row in pq.read_table(fp).to_pylist():
+                yield row
+
+    def emit(row: dict):
+        for k in _ACTION_KEYS:
+            v = row.get(k)
+            if isinstance(v, dict):
+                yield k, v
+
+    for fp in cp_files:
+        for row in rows_of(fp):
+            for k, v in emit(row):
+                if k == "sidecarFile":
+                    if not v.get("path"):
+                        continue
+                    sp = os.path.join(
+                        log, "_sidecars", os.path.basename(v["path"])
+                    )
+                    for srow in rows_of(sp):
+                        for k2, v2 in emit(srow):
+                            yield k2, v2
+                else:
+                    yield k, v
+
+
 def _seed_from_checkpoint(
     table_path: str, cp_files: list[str]
 ) -> tuple[dict[str, dict | None], bool]:
-    """Live file set (+ partitioned flag) from a classic checkpoint:
-    one row per action, non-null ``add`` rows ARE the live set at the
-    checkpoint version (remove rows are expired-tombstone bookkeeping,
-    irrelevant to reads).  Values of the returned dict are the file's
-    deletionVector descriptor, or None."""
-    import pyarrow.parquet as pq
-
+    """Live file set (+ partitioned flag) from a checkpoint: non-null
+    ``add`` actions ARE the live set at the checkpoint version (remove
+    rows are expired-tombstone bookkeeping, irrelevant to reads).
+    Values of the returned dict are the file's deletionVector
+    descriptor, or None."""
+    log = os.path.join(table_path, "_delta_log")
     live: dict[str, dict | None] = {}
     partitioned = False
-    for fp in cp_files:
-        schema_names = pq.read_schema(fp).names
-        cols = [c for c in ("add", "protocol") if c in schema_names]
-        tbl = pq.read_table(fp, columns=cols)
-        data = tbl.to_pylist()
-        for row in data:
-            proto = row.get("protocol")
-            if proto is not None and proto.get("minReaderVersion") is not None:
-                _protocol_gate(table_path, proto)
-            add = row.get("add")
-            if add is not None and add.get("path") is not None:
-                dv = add.get("deletionVector")
-                live[add["path"]] = (
-                    dict(dv) if dv and dv.get("storageType") else None
-                )
-                if add.get("partitionValues"):
-                    partitioned = True
+    for kind, action in checkpoint_actions(log, cp_files):
+        if kind == "protocol" and action.get("minReaderVersion") is not None:
+            _protocol_gate(table_path, action)
+        elif kind == "add" and action.get("path") is not None:
+            dv = action.get("deletionVector")
+            live[action["path"]] = (
+                dict(dv) if dv and dv.get("storageType") else None
+            )
+            if action.get("partitionValues"):
+                partitioned = True
     return live, partitioned
 
 
@@ -385,9 +444,7 @@ def _latest_metadata(table_path: str, version: int | None) -> dict | None:
     """The table's metaData action at ``version`` (latest if None):
     seeded from the newest checkpoint at/below it, folded through the
     JSON commits after — the same snapshot walk as ``_resolve_files``,
-    reading only the metaData column/actions."""
-    import pyarrow.parquet as pq
-
+    reading only the metaData actions."""
     log = os.path.join(table_path, "_delta_log")
     versions = delta_log_versions(table_path)
     cps = _checkpoints(log) if os.path.isdir(log) else {}
@@ -397,16 +454,12 @@ def _latest_metadata(table_path: str, version: int | None) -> dict | None:
     meta = None
     cp_v = max((v for v in cps if v <= version), default=None)
     if cp_v is not None:
-        for fp in cps[cp_v]:
-            if "metaData" not in pq.read_schema(fp).names:
-                continue
-            for row in pq.read_table(fp, columns=["metaData"]).to_pylist():
-                m = row.get("metaData")
-                if m is not None and m.get("id") is not None:
-                    meta = dict(m)
-                    cfg = meta.get("configuration")
-                    if isinstance(cfg, list):  # pyarrow map -> pairs
-                        meta["configuration"] = dict(cfg)
+        for kind, m in checkpoint_actions(log, cps[cp_v]):
+            if kind == "metaData" and m.get("id") is not None:
+                meta = dict(m)
+                cfg = meta.get("configuration")
+                if isinstance(cfg, list):  # pyarrow map -> pairs
+                    meta["configuration"] = dict(cfg)
     for v in versions:
         if v > version or (cp_v is not None and v <= cp_v):
             continue
@@ -563,18 +616,11 @@ def last_txn_versions(table_path: str) -> dict[str, int]:
     cp_v = max(cps, default=None)
     out: dict[str, int] = {}
     if cp_v is not None:
-        import pyarrow.parquet as pq
-
-        for fp in cps[cp_v]:
-            names = pq.read_schema(fp).names
-            if "txn" not in names:
-                continue
-            for row in pq.read_table(fp, columns=["txn"]).to_pylist():
-                t = row.get("txn")
-                if t is not None and t.get("appId") is not None:
-                    out[t["appId"]] = max(
-                        out.get(t["appId"], -1), int(t["version"])
-                    )
+        for kind, t in checkpoint_actions(log, cps[cp_v]):
+            if kind == "txn" and t.get("appId") is not None:
+                out[t["appId"]] = max(
+                    out.get(t["appId"], -1), int(t["version"])
+                )
         replay = [v for v in versions if v > cp_v]
     else:
         replay = versions

@@ -46,6 +46,7 @@ from data_pipeline_for_e_commerce_shop_spark.sources.versioned import (
 from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
     _checkpoints,
     _resolve_files,
+    checkpoint_actions,
     delta_log_versions,
     last_txn_versions,
 )
@@ -84,8 +85,6 @@ def _log_state(
     rewriting a damaged checkpoint at v rebuilds from the prior
     checkpoint + JSON instead of trusting the artifact it is meant to
     replace."""
-    import pyarrow.parquet as pq
-
     log = os.path.join(table_path, "_delta_log")
     meta = proto = None
     txns: dict[str, int] = {}
@@ -93,23 +92,17 @@ def _log_state(
     bound = version if include_cp_at_version else version - 1
     cp_v = max((v for v in cps if v <= bound), default=None)
     if cp_v is not None:
-        for fp in cps[cp_v]:
-            names = pq.read_schema(fp).names
-            cols = [c for c in ("metaData", "protocol", "txn") if c in names]
-            if not cols:
-                continue
-            for row in pq.read_table(fp, columns=cols).to_pylist():
-                m = row.get("metaData")
-                if m is not None and m.get("id") is not None:
-                    meta = m
-                p = row.get("protocol")
-                if p is not None and p.get("minReaderVersion") is not None:
-                    proto = p
-                t = row.get("txn")
-                if t is not None and t.get("appId") is not None:
-                    txns[t["appId"]] = max(
-                        txns.get(t["appId"], -1), int(t["version"])
-                    )
+        for kind, action in checkpoint_actions(log, cps[cp_v]):
+            if kind == "metaData" and action.get("id") is not None:
+                meta = action
+            elif kind == "protocol" and action.get(
+                "minReaderVersion"
+            ) is not None:
+                proto = action
+            elif kind == "txn" and action.get("appId") is not None:
+                txns[action["appId"]] = max(
+                    txns.get(action["appId"], -1), int(action["version"])
+                )
     for v in delta_log_versions(table_path):
         if v > version or (cp_v is not None and v <= cp_v):
             continue

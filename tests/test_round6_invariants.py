@@ -422,16 +422,16 @@ def test_column_mapped_table_reads_logical_names(spark, tmp_path):
 
 def test_column_mapped_v3_feature_list(spark, tmp_path):
     """v3 tables are readable iff every readerFeature is supported;
-    v2 checkpoints stay refused loudly (they change live-set
-    construction)."""
+    features this reader does not implement (type widening changes
+    how stored values must be reinterpreted) stay refused loudly."""
     t = str(tmp_path / "v3ok")
     _write_mapped_table(spark, t, mrv=3, features=["columnMapping"])
     assert read_delta_table(spark, t).columns == ["x", "y"]
-    t2 = str(tmp_path / "v3cp")
+    t2 = str(tmp_path / "v3tw")
     _write_mapped_table(
-        spark, t2, mrv=3, features=["columnMapping", "v2Checkpoint"]
+        spark, t2, mrv=3, features=["columnMapping", "typeWidening"]
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_table(spark, t2)
 
 
@@ -680,3 +680,133 @@ def test_partitioned_optimize_compacts_within_partitions(spark, tmp_path):
     assert sorted(
         (r["x"], r["cat"]) for r in read_delta_table(spark, t).collect()
     ) == before
+
+
+def _stage_one_file(spark, t: str, rel: str, lo: int, hi: int):
+    import glob as g
+
+    spark.range(lo, hi).selectExpr("id AS x").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{t}/_s")
+    os.makedirs(os.path.dirname(os.path.join(t, rel)) or t, exist_ok=True)
+    shutil.move(g.glob(f"{t}/_s/part-*.parquet")[0], os.path.join(t, rel))
+    shutil.rmtree(f"{t}/_s")
+
+
+def _v2_checkpoint_table(spark, t: str, form: str):
+    """Table whose only snapshot source at v1 is a V2 CHECKPOINT —
+    'parquet' form: UUID-named parquet with checkpointMetadata +
+    sidecarFile rows, adds in a _sidecars/ parquet; 'json' form:
+    UUID-named json with inline adds.  JSON commits 0..1 are then
+    vacuumed, so a reader that can't resolve the v2 form has nothing
+    else to fall back on."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(f"{t}/_delta_log", exist_ok=True)
+    _stage_one_file(spark, t, "f0.parquet", 0, 4)
+    _stage_one_file(spark, t, "f1.parquet", 10, 13)
+    schema = {"type": "struct", "fields": [
+        {"name": "x", "type": "long", "nullable": True, "metadata": {}}]}
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    meta = {"id": "m-v2", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {}, "createdTime": 0}
+    adds = [
+        {"path": f"f{i}.parquet", "partitionValues": {},
+         "size": os.path.getsize(f"{t}/f{i}.parquet"),
+         "modificationTime": 0, "dataChange": True}
+        for i in range(2)
+    ]
+    # commits exist only transiently; they get vacuumed below
+    for v, acts in enumerate((
+        [{"protocol": proto}, {"metaData": meta}, {"add": adds[0]}],
+        [{"add": adds[1]}],
+    )):
+        with open(f"{t}/_delta_log/{v:020d}.json", "w") as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+    u = str(_uuid.uuid4())
+    cp_meta = {"version": 1, "tags": {}}
+    if form == "json":
+        cp = f"{t}/_delta_log/{1:020d}.checkpoint.{u}.json"
+        with open(cp, "w") as f:
+            f.write(json.dumps({"checkpointMetadata": cp_meta}) + "\n")
+            f.write(json.dumps({"protocol": proto}) + "\n")
+            f.write(json.dumps({"metaData": meta}) + "\n")
+            for a in adds:
+                f.write(json.dumps({"add": a}) + "\n")
+            f.write(json.dumps({"txn": {"appId": "v2app", "version": 9}}) + "\n")
+    else:
+        side_dir = f"{t}/_delta_log/_sidecars"
+        os.makedirs(side_dir, exist_ok=True)
+        side = f"{side_dir}/{_uuid.uuid4()}.parquet"
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])
+        rows = [dict(a, partitionValues=[]) for a in adds]
+        pq.write_table(
+            pa.table({"add": pa.array(rows, type=add_t)}), side
+        )
+        cp = f"{t}/_delta_log/{1:020d}.checkpoint.{u}.parquet"
+        meta_t = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ])
+        proto_t = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])
+        cpm_t = pa.struct([("version", pa.int64())])
+        sf_t = pa.struct([
+            ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ])
+        txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+        pq.write_table(pa.table({
+            "checkpointMetadata": pa.array([{"version": 1}, None, None, None, None], type=cpm_t),
+            "protocol": pa.array([None, proto, None, None, None], type=proto_t),
+            "metaData": pa.array([None, None, {
+                "id": "m-v2", "format": {"provider": "parquet"},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "createdTime": 0}, None, None], type=meta_t),
+            "sidecarFile": pa.array([None, None, None, {
+                "path": os.path.basename(side),
+                "sizeInBytes": os.path.getsize(side),
+                "modificationTime": 0}, None], type=sf_t),
+            "txn": pa.array([None, None, None, None,
+                             {"appId": "v2app", "version": 9}], type=txn_t),
+        }), cp)
+    # vacuum the JSON: the v2 checkpoint is now the ONLY snapshot source
+    for v in range(2):
+        os.unlink(f"{t}/_delta_log/{v:020d}.json")
+
+
+@pytest.mark.parametrize("form", ["parquet", "json"])
+def test_v2_checkpoint_read(spark, tmp_path, form):
+    """V2 checkpoints (UUID-named, sidecar'd parquet or inline json)
+    must resolve the live set, carry the txn watermarks, and keep
+    serving appends — with every JSON commit at/below them vacuumed."""
+    t = str(tmp_path / f"v2_{form}")
+    _v2_checkpoint_table(spark, t, form)
+    got = sorted(r["x"] for r in read_delta_table(spark, t).collect())
+    assert got == [0, 1, 2, 3, 10, 11, 12]
+    assert last_txn_versions(t) == {"v2app": 9}
+    # the writer's version allocator and state fold see the v2 form too
+    v = write_delta_commit(_mk(spark, 100, 102), t, checkpoint_interval=0)
+    assert v == 2
+    got2 = sorted(r["x"] for r in read_delta_table(spark, t).collect())
+    assert got2 == [0, 1, 2, 3, 10, 11, 12, 100, 101]
