@@ -550,24 +550,19 @@ def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
     )
     quantized = emb.select("vec_id", q.alias("q"))
+    # single SQL strings, not per-literal Columns: 16 planes x 64 sign
+    # literals as Column objects cost ~1000 py4j round trips of pure
+    # plan-construction time per call (the round-6 lsh_bucket finding)
     comps = [
-        F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(
-                    *[
-                        F.lit(int(s))
-                        for s in plane_signs(PROJ_PLANE_BASE + j, dim=64)
-                    ]
-                ),
-                lambda x, s: x * s,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias(f"r{j}")
+        "aggregate(zip_with(q, array("
+        + ", ".join(
+            str(int(s)) for s in plane_signs(PROJ_PLANE_BASE + j, dim=64)
+        )
+        + "), (x, s) -> x * s), CAST(0 AS BIGINT),"
+        f" (acc, v) -> acc + v) AS r{j}"
         for j in range(N_PROJ_DIMS)
     ]
-    wide = quantized.select("vec_id", *comps)
+    wide = quantized.selectExpr("vec_id", *comps)
     return wide.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"r{j}") for j in range(N_PROJ_DIMS)])),
