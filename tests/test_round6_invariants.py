@@ -810,3 +810,77 @@ def test_v2_checkpoint_read(spark, tmp_path, form):
     assert v == 2
     got2 = sorted(r["x"] for r in read_delta_table(spark, t).collect())
     assert got2 == [0, 1, 2, 3, 10, 11, 12, 100, 101]
+
+
+def test_deletion_vectors_run_containers_at_scale(spark, tmp_path):
+    """A DV with RUN-encoded ranges (the container type real writers
+    emit for contiguous deletes) over a 200k-row file: 10k-row blocks
+    deleted at three offsets — decoded counts, masked scan, and the
+    broadcast anti-join all line up."""
+    import struct
+    import zlib
+
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        _roaring_array_positions,
+    )
+
+    # spec-literal RUN container bytes: cookie 12347 (high 16 bits =
+    # containers-1), run bitset 0x1, key/card headers, numRuns + pairs
+    runs = [(1000, 9999), (50000, 9999)]  # two 10k runs in key 0
+    n_del_key0 = sum(l + 1 for _, l in runs)
+    blob = struct.pack("<iq", 1681511377, 1)
+    cookie = 12347 | ((2 - 1) << 16)  # 2 containers, run-capable
+    blob += struct.pack("<i", cookie)
+    blob += bytes([0b01])  # container 0 is runs, container 1 is array
+    blob += struct.pack("<HH", 0, n_del_key0 - 1)  # key 0
+    blob += struct.pack("<HH", 2, 9)  # key 2: 10 values, array form
+    blob += struct.pack("<H", len(runs))
+    for start, length in runs:
+        blob += struct.pack("<HH", start, length)
+    key2_vals = list(range(100, 110))  # positions 131172..131181
+    blob += struct.pack(f"<{len(key2_vals)}H", *key2_vals)
+
+    expect = sorted(
+        [v for s, l in runs for v in range(s, s + l + 1)]
+        + [(2 << 16) | v for v in key2_vals]
+    )
+    assert _roaring_array_positions(blob) == expect
+
+    t = str(tmp_path / "dvbig")
+    os.makedirs(f"{t}/_delta_log", exist_ok=True)
+    _stage_one_file(spark, t, "big.parquet", 0, 200000)
+    body = (b"\x01" + struct.pack(">i", len(blob)) + blob
+            + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+    import uuid as _uuid
+
+    u = _uuid.uuid4()
+    with open(f"{t}/deletion_vector_{u}.bin", "wb") as f:
+        f.write(body)
+    schema = {"type": "struct", "fields": [
+        {"name": "x", "type": "long", "nullable": True, "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": "big.parquet", "partitionValues": {},
+                 "size": os.path.getsize(f"{t}/big.parquet"),
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "u",
+                     "pathOrInlineDv": _z85_encode(u.bytes),
+                     "offset": 1, "sizeInBytes": len(blob),
+                     "cardinality": len(expect)}}},
+    ]
+    with open(f"{t}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    df = read_delta_table(spark, t)
+    assert df.count() == 200000 - len(expect)
+    # spot boundaries: run edges excluded/included exactly
+    got = {r["x"] for r in df.where("x IN (999,1000,10999,11000,49999,50000,59999,60000)").collect()}
+    assert got == {999, 11000, 49999, 60000}
