@@ -582,8 +582,12 @@ MICRO = 1_000_000
 # connected-components size gate: the DISTRIBUTED loop below is the
 # 100 TB path, the driver path is the small-data fast path, and both
 # compute the bit-identical integer trajectory (one oracle checks
-# whichever ran).
-KMEANS_DRIVER_MAX = 200_000
+# whichever ran).  Sized by measurement (round 6): the old 200k gate
+# put the sf10 corpus on the driver path, where the Arrow->pandas
+# conversion of 200k list rows cost 78 s vs 22 s distributed — the
+# crossover is far below that, so the gate now covers only corpora
+# whose collect is trivially cheap.
+KMEANS_DRIVER_MAX = 20_000
 
 
 def _kmeans_driver(
@@ -682,12 +686,16 @@ def kmeans_lloyd(
     )
 
     if driver_max:
-        # ONE probe job doubles as the collect: fetch at most
-        # driver_max+1 rows (Arrow path when enabled); if the corpus
-        # fit, we already hold it
-        probe = emb.limit(driver_max + 1).toPandas()
-        if len(probe) <= driver_max:
-            return _kmeans_driver(spark, probe, k, n_iter, dim)
+        # gate on the parquet FOOTER row count (schemas.table_rowcount
+        # — metadata, no job): the old probe collect fetched
+        # driver_max+1 rows even when the corpus was far bigger, pure
+        # waste on the distributed path
+        from data_pipeline_for_e_commerce_shop_spark.schemas import (
+            table_rowcount,
+        )
+
+        if table_rowcount(sf_dir, "embeddings") <= driver_max:
+            return _kmeans_driver(spark, emb.toPandas(), k, n_iter, dim)
 
     par = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < par:

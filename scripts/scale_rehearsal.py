@@ -185,6 +185,24 @@ REHEARSAL_R5 = [
 ]
 
 
+# Round-6 subset (mode "r6-only"): the operators this round changed
+# or added — the rewritten dedup family (metadata-literal geometry,
+# packed votes, self-join pairs), the string-expression random
+# projection, the salted join, and the Delta maintenance round trip.
+REHEARSAL_R6 = [
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "dedup_semantic_sweep",
+    "dedup_simhash",
+    "embedding_random_projection",
+    "event_type_salted_join",
+    "event_type_salted_kpis",
+    "events_delta_optimize_vacuum",
+    "events_stream_delta_exactly_once",
+]
+
+
 # Round-6 subset (mode "stream-only"): ALL streaming consumers, with
 # per-query RESULT ROW COUNTS recorded alongside times.  VERDICT r5
 # item 8: the round-5 dir-in-dir staging bug meant every earlier sf10
@@ -248,7 +266,7 @@ def main() -> int:
     stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
     mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     known_modes = ("full", "replicate-only", "ext-only", "ext2-only",
-                   "r5-only", "stream-only")
+                   "r5-only", "stream-only", "r6-only")
     if mode not in known_modes:
         raise SystemExit(
             f"unknown mode {mode!r}; expected one of {known_modes}"
@@ -275,6 +293,7 @@ def main() -> int:
         "ext2-only": REHEARSAL_EXT2,
         "r5-only": REHEARSAL_R5,
         "stream-only": REHEARSAL_STREAM,
+        "r6-only": REHEARSAL_R6,
     }.get(mode, REHEARSAL)
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
