@@ -590,10 +590,15 @@ def _apply_deletion_vectors(
             )
         deleted.extend((name, int(p)) for p in positions)
     del_df = spark.createDataFrame(deleted, "_dv_fn STRING, _dv_ri LONG")
+    if len(deleted) <= 1_000_000:
+        # small masks broadcast (the common case: DVs are deltas);
+        # beyond that the explicit hint would ship an unbounded build
+        # side to every task — let the planner shuffle instead
+        del_df = F.broadcast(del_df)
     out = (
         df.withColumn("_dv_fn", F.col("_metadata.file_name"))
         .withColumn("_dv_ri", F.col("_metadata.row_index"))
-        .join(F.broadcast(del_df), ["_dv_fn", "_dv_ri"], "left_anti")
+        .join(del_df, ["_dv_fn", "_dv_ri"], "left_anti")
         .drop("_dv_fn", "_dv_ri")
     )
     return out
