@@ -203,6 +203,34 @@ REHEARSAL_R6 = [
 ]
 
 
+# Round-6 window subset (mode "r6window-only"): the driver-window
+# names never previously rehearsed at sf10 — the hard-signal queries
+# deserve the scale proof most.
+REHEARSAL_R6_WINDOW = [
+    "null_gate",
+    "segment_quantile_sketch_bottomk",
+    "tpch_q6_discount_uplift",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "kpi_incremental_refresh",
+    "kpi_retraction_refresh",
+    "part_inventory_replay",
+    "events_markov_stationary",
+    "segment_markov_clv",
+    "forecast_seasonal_naive",
+    "forecast_backtest",
+    "monthly_status_pivot",
+    "time_to_conversion",
+    "text_bigram_topk",
+    "text_repetition",
+    "text_chunks",
+    "embedding_quantize",
+    "price_outliers",
+    "funnel_ordered",
+]
+
+
 # Round-6 subset (mode "stream-only"): ALL streaming consumers, with
 # per-query RESULT ROW COUNTS recorded alongside times.  VERDICT r5
 # item 8: the round-5 dir-in-dir staging bug meant every earlier sf10
@@ -266,7 +294,7 @@ def main() -> int:
     stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
     mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     known_modes = ("full", "replicate-only", "ext-only", "ext2-only",
-                   "r5-only", "stream-only", "r6-only")
+                   "r5-only", "stream-only", "r6-only", "r6window-only")
     if mode not in known_modes:
         raise SystemExit(
             f"unknown mode {mode!r}; expected one of {known_modes}"
@@ -294,6 +322,7 @@ def main() -> int:
         "r5-only": REHEARSAL_R5,
         "stream-only": REHEARSAL_STREAM,
         "r6-only": REHEARSAL_R6,
+        "r6window-only": REHEARSAL_R6_WINDOW,
     }.get(mode, REHEARSAL)
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
