@@ -884,3 +884,44 @@ def test_deletion_vectors_run_containers_at_scale(spark, tmp_path):
     # spot boundaries: run edges excluded/included exactly
     got = {r["x"] for r in df.where("x IN (999,1000,10999,11000,49999,50000,59999,60000)").collect()}
     assert got == {999, 11000, 49999, 60000}
+
+
+def test_roaring_parser_property_random_sets():
+    """Property: for random position sets (spanning array containers,
+    32-bit key boundaries, and the >2^32 bitmap split), spec-literal
+    encoding decodes back to exactly the sorted input.  Uses
+    hypothesis if available, else a seeded random sweep."""
+    from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
+        _roaring_array_positions,
+    )
+
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.sets(
+                st.integers(min_value=0, max_value=(1 << 33) + 99999),
+                min_size=1,
+                max_size=400,
+            )
+        )
+        def prop(pos):
+            blob = _spec_roaring_array(sorted(pos))
+            assert _roaring_array_positions(blob) == sorted(pos)
+
+        prop()
+    except ImportError:  # pragma: no cover — hypothesis is baked in
+        import random
+
+        rng = random.Random(6)
+        for _ in range(40):
+            pos = sorted(
+                {
+                    rng.randrange(0, (1 << 33))
+                    for _ in range(rng.randrange(1, 400))
+                }
+            )
+            blob = _spec_roaring_array(pos)
+            assert _roaring_array_positions(blob) == pos
