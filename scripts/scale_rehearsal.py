@@ -231,6 +231,53 @@ REHEARSAL_R6_WINDOW = [
 ]
 
 
+# Round-6 sweep (mode "r6sweep-only"): the 40 never-rehearsed
+# registry queries with the LARGEST sf0.1 bench medians — the
+# likeliest hiding places for a scale cliff.
+REHEARSAL_R6_SWEEP = [
+    "part_hyperball_reach",
+    "revenue_theil_sen",
+    "basket_triples_apriori",
+    "revenue_trend_robust",
+    "ann_ivf_nprobe_curve",
+    "layout_zorder_pruning_audit",
+    "revenue_bootstrap_ci",
+    "graph_clustering_coeff",
+    "part_two_hop_reach",
+    "embedding_twonn_ratio",
+    "category_winsorized_mean",
+    "part_sequence_rules",
+    "doc_trigram_lang_outliers",
+    "embedding_hubness",
+    "dedup_transitivity_audit",
+    "fk_inclusion_audit",
+    "part_link_prediction",
+    "lineitem_encoding_advisor",
+    "brand_cannibalization_screen",
+    "order_complexity_profile",
+    "dedup_prefix_filter",
+    "dedup_length_bias",
+    "corpus_gate_verdicts",
+    "ann_pq_topk",
+    "brand_switch_matrix",
+    "bloom_prune_orders",
+    "dedup_edit_distance",
+    "doc_length_quality_grid",
+    "ann_ndcg",
+    "corpus_pipeline_funnel",
+    "category_wtp_quantiles",
+    "category_price_index",
+    "dedup_weighted_jaccard",
+    "order_value_qq_shift",
+    "ann_recall",
+    "category_weighted_median_price",
+    "brand_loyalty_rate",
+    "dedup_cross_source_rate",
+    "basket_mission_classes",
+    "shipment_consolidation",
+]
+
+
 # Round-6 subset (mode "stream-only"): ALL streaming consumers, with
 # per-query RESULT ROW COUNTS recorded alongside times.  VERDICT r5
 # item 8: the round-5 dir-in-dir staging bug meant every earlier sf10
@@ -294,7 +341,7 @@ def main() -> int:
     stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
     mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     known_modes = ("full", "replicate-only", "ext-only", "ext2-only",
-                   "r5-only", "stream-only", "r6-only", "r6window-only")
+                   "r5-only", "stream-only", "r6-only", "r6window-only", "r6sweep-only")
     if mode not in known_modes:
         raise SystemExit(
             f"unknown mode {mode!r}; expected one of {known_modes}"
@@ -323,6 +370,7 @@ def main() -> int:
         "stream-only": REHEARSAL_STREAM,
         "r6-only": REHEARSAL_R6,
         "r6window-only": REHEARSAL_R6_WINDOW,
+        "r6sweep-only": REHEARSAL_R6_SWEEP,
     }.get(mode, REHEARSAL)
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
