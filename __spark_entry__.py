@@ -9,15 +9,15 @@ Determinism contract: money aggregates go through exact integer cents
 computed column is aliased identically on both sides; ratios divide
 exact integers (same doubles on both engines).
 
-Ordering contract (rotation, round 6): the driver's CORRECTNESS gate
+Ordering contract (rotation, round 7): the driver's CORRECTNESS gate
 checks only the FIRST 50 keys of ``queries()``, so the dict is ordered
 as  sentinels (regression continuity)
--> this round's window (_ROTATION_R6: 43 first-timers — this round's
-new salted-join operator, the two round-5 newcomers, the canonical
-tpch_q* suite, the remaining streaming duals, the fold/iterative
-twins, and the oldest sim-only names)
--> the remaining never-checked queries (queued for round 7)
--> everything already green in CORRECTNESS_r01-r05.
+-> this round's window (_ROTATION_R7: 43 first-timers — the three
+queries whose plans change this round (ANN grading rewrites, the
+Apriori profile pass) get the hard signal on the NEW plans, then
+the oldest never-checked sim-only names, registry order)
+-> the remaining never-checked queries (queued for round 8)
+-> everything already green in CORRECTNESS_r01-r06.
 All registered oracles are additionally validated locally by
 tests/driver_sim.py (pandas-typed compare, sf0.01) every round — and
 since round 4 any sim mismatch persists a typed row diff under
@@ -47,6 +47,63 @@ _SENTINELS = [
     "ri_orphans",
     "events_sessionize",
     "events_stream_sessionize",
+]
+
+# Round-7 window: 43 first-timers, VERDICT r6 item 1's priority —
+# oldest-registered sim-only names first, except that the three
+# queries CHANGED this round (the ann_mrr / ann_ivf_nprobe_curve
+# shared-assignment rewrite, VERDICT r6 item 7; the Apriori profile
+# pass, item 8) are fronted so brand-new plan machinery gets the
+# driver's hard signal in the same round it lands.  All 43 have
+# DuckDB oracles (the one no-oracle name in the backlog,
+# segment_price_quantiles_approx, stays rows-only by contract and is
+# NOT burned into a hash-check slot).
+_ROTATION_R7 = [
+    # changed this round — driver signal on the new plans
+    "ann_mrr",
+    "ann_ivf_nprobe_curve",
+    "basket_triples_apriori",
+    # oldest never-checked, registry order
+    "order_reconciliation",
+    "trailing_30d_revenue",
+    "embedding_label_centroids",
+    "new_vs_returning",
+    "category_revenue_share",
+    "dq_expectations",
+    "embedding_random_projection",
+    "segment_acctbal_median",
+    "events_transition_matrix",
+    "lineitem_pricing_summary",
+    "events_key_skew",
+    "events_rate_anomaly",
+    "layout_morton_codes",
+    "user_activity_streaks",
+    "events_gap_fill",
+    "part_fuzzy_names",
+    "category_price_trend",
+    "part_price_histogram",
+    "text_stopword_clean",
+    "cogroup_reconciliation",
+    "segment_price_quantiles_sampled",
+    "arrow_byte_stats",
+    "segment_balance_profile",
+    "status_unpivot_roundtrip",
+    "udtf_doc_chunks",
+    "sql_exists_subqueries",
+    "lineitem_column_profile",
+    "events_out_of_order",
+    "media_type_sniff",
+    "lang_confusion_matrix",
+    "session_bounce_rate",
+    "category_cross_sell",
+    "budget_allocation",
+    "events_mad_outliers",
+    "recsys_negative_samples",
+    "audience_overlap",
+    "fulfillment_lag",
+    "text_winnowing",
+    "corpus_fixed_sample",
+    "corpus_dedup_token_audit",
 ]
 
 # Round-6 window: 43 first-timers, VERDICT r5 item 1's priority
@@ -312,7 +369,7 @@ _CHECKED_R1_R2 = frozenset(
 
 
 def _ordered_names() -> list[str]:
-    front = _SENTINELS + _ROTATION_R6
+    front = _SENTINELS + _ROTATION_R7
     missing = [n for n in front if n not in QUERIES]
     assert not missing, f"rotation names not in registry: {missing}"
     assert len(front) == len(set(front)) == 50
@@ -322,6 +379,7 @@ def _ordered_names() -> list[str]:
         | set(_ROTATION_R3)
         | set(_ROTATION_R4)
         | set(_ROTATION_R5)
+        | set(_ROTATION_R6)
     )
     rest_unchecked = [
         n for n in QUERIES if n not in front_set and n not in checked

@@ -119,9 +119,36 @@ HEADLINE = [
 ]
 
 
+def _load_gate(max_wait_sec: float = 600.0) -> dict:
+    """Start-load gate (VERDICT r6 item 2): the r6 driver bench ran at
+    loadavg 40 on 32 CPUs and recorded 774.6 s for a tree that times
+    453.2 s idle — a polluted record inverted the round's perf story.
+    A bench can't refuse to produce an artifact (the driver needs one),
+    so the gate (a) WAITS up to ``max_wait_sec`` for the 1-min loadavg
+    to drop below 1.5x cores, then (b) stamps the artifact with a
+    CLEAN/CONTAMINATED verdict so a polluted run can never again read
+    as a regression record without saying so on its face."""
+    cores = os.cpu_count() or 32
+    threshold = 1.5 * cores
+    waited = 0.0
+    while os.getloadavg()[0] > threshold and waited < max_wait_sec:
+        time.sleep(15.0)
+        waited += 15.0
+    load1 = os.getloadavg()[0]
+    return {
+        "cores": cores,
+        "threshold": round(threshold, 1),
+        "loadavg_at_gate": round(load1, 2),
+        "waited_sec": waited,
+        "verdict": "CLEAN" if load1 <= threshold else "CONTAMINATED",
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    gate = _load_gate()
 
     from data_pipeline_for_e_commerce_shop_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -137,6 +164,7 @@ def main() -> int:
     # session timing stands; (b) the box itself moved ~3.5x between
     # round records — normalize cross-round ratios by calibration.
     session_meta = {
+        "load_gate": gate,
         "n_registered": len(queries),
         "timing": f"median of {N_RUNS} back-to-back runs per query,"
                   " single shared session, queries in sorted-name order",
@@ -167,21 +195,26 @@ def main() -> int:
     except Exception as exc:
         print(f"bench warm-up ({warm}) failed: {exc}", file=sys.stderr)
 
+    def _time_query(fn) -> list[float]:
+        runs = []
+        for _ in range(N_RUNS):
+            # fn() is INSIDE the timed region: for batch queries it
+            # only builds the plan (sub-ms), but streaming queries
+            # run their availableNow drain there — excluding it
+            # would under-report every streaming query as ~0.
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return runs
+
+    raw_runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in sorted(queries):
-        fn = queries[name]
         try:
-            runs = []
-            for _ in range(N_RUNS):
-                # fn() is INSIDE the timed region: for batch queries it
-                # only builds the plan (sub-ms), but streaming queries
-                # run their availableNow drain there — excluding it
-                # would under-report every streaming query as ~0.
-                t0 = time.time()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.time() - t0)
+            runs = _time_query(queries[name])
+            raw_runs[name] = runs
             timings[name] = round(statistics.median(runs), 3)
             spread[name] = round(max(runs) - min(runs), 3)
         except Exception as exc:  # record failures, don't abort the run
@@ -189,12 +222,45 @@ def main() -> int:
             spread[name] = 0.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
+    # Worst-spread retry (VERDICT r6 item 2): a transient load spike
+    # shows up as a large max-min spread; re-time those queries after
+    # the main sweep (box presumably quieter) and report the median of
+    # ALL runs — unbiased (no min-picking), spike-resistant (6 samples
+    # swamp one polluted window).  Bounded to the 12 worst offenders.
+    retry = sorted(
+        (n for n in raw_runs if spread[n] > max(0.5, timings[n])),
+        key=lambda n: -spread[n],
+    )[:12]
+    retried: dict[str, dict] = {}
+    for name in retry:
+        try:
+            more = _time_query(queries[name])
+        except Exception as exc:
+            print(f"bench retry error in {name}: {exc}", file=sys.stderr)
+            continue
+        all_runs = raw_runs[name] + more
+        retried[name] = {
+            "first_median": timings[name],
+            "retry_median": round(statistics.median(more), 3),
+        }
+        timings[name] = round(statistics.median(all_runs), 3)
+        spread[name] = round(max(all_runs) - min(all_runs), 3)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_fail = sum(1 for t in timings.values() if t < 0)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     session_meta["loadavg_end"] = list(os.getloadavg())
     session_meta["cpu_calibration_sec_end"] = _cpu_calibration_sec()
+    session_meta["retried_worst_spread"] = retried
+    if (
+        gate["verdict"] == "CLEAN"
+        and os.getloadavg()[0] > gate["threshold"]
+    ):
+        # external load arrived mid-run: the start gate passed but the
+        # record may still be polluted — say so on the artifact's face
+        gate["verdict"] = "CONTAMINATED_END"
+        gate["loadavg_at_end"] = round(os.getloadavg()[0], 2)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_detail.json")
     with open(detail_path, "w") as f:
@@ -229,6 +295,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "n_failed": n_fail,
                 "runs_per_query": N_RUNS,
+                "load_gate": gate["verdict"],
                 "detail": "BENCH_detail.json",
             },
             separators=(",", ":"),

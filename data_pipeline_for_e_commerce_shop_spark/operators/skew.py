@@ -98,6 +98,12 @@ def salted_join(
     (abs(Int.MinValue) stays negative and would miss every build-side
     replica, silently dropping rows) and NOT rand() (a task retry at
     100 TB must re-derive the same salt or the retry loses rows).
+    NULL ``salt_source`` values are safe: Spark's Murmur3 ``hash``
+    skips null inputs and returns the SEED (42), never NULL — so a
+    null-salt row lands deterministically in salt bucket
+    ``pmod(42, n_salts)`` and still finds its build replica
+    (round-7 regression test pins this; an earlier review guessed
+    ``hash(NULL)`` was NULL, which would have dropped rows).
 
     The build side is hinted ``shuffle_hash``: replicating a build
     table n_salts× only makes sense when it was too big (or the key
