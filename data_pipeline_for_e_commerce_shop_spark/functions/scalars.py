@@ -78,3 +78,19 @@ def event_date(col: Column | str) -> Column:
     which is wrong for batches spanning days."""
     c = F.col(col) if isinstance(col, str) else col
     return F.to_date(c)
+
+
+def floordiv_sql(a: str, b: str) -> str:
+    """SQL fragment for exact-integer FLOOR division, semantics-matched
+    to DuckDB's ``//`` on NEGATIVE operands (ADVICE r6: Spark's ``div``
+    truncates toward zero, DuckDB's ``//`` floors — the two diverge on
+    e.g. pre-1970 timestamps or negative cents, which would surface as
+    a cross-engine hash mismatch instead of a clear error).
+
+    ``a - pmod(a, b)`` is the largest floor-multiple of ``b`` at or
+    below ``a`` (Spark's pmod is non-negative for b > 0), so truncating
+    ``div`` on it equals floor division while staying exact on BIGINTs
+    (``floor(a / b)`` on doubles loses exactness past 2^53).
+    Requires ``b > 0``; used by every oracle pairing that feeds
+    potentially-negative integers through ``//``."""
+    return f"(((({a}) - pmod(({a}), ({b}))) div ({b})))"

@@ -23,6 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+    floordiv_sql,
+)
 from data_pipeline_for_e_commerce_shop_spark.schemas import load_table
 
 N_SALTS = 16
@@ -134,7 +137,9 @@ def event_type_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = events.select(
         "event_type",
         "event_id",
-        F.expr("unix_timestamp(ts) div 86400").alias("day_epoch"),
+        F.expr(floordiv_sql("unix_timestamp(ts)", "86400")).alias(
+            "day_epoch"
+        ),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
     dim = fact.groupBy("event_type").agg(
@@ -153,7 +158,9 @@ def event_type_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_epoch",
             "n_events",
             "day_cents",
-            F.expr("day_cents * 1000000 div type_cents").alias(
+            F.expr(
+                floordiv_sql("day_cents * 1000000", "type_cents")
+            ).alias(
                 "day_share_ppm"
             ),
         )

@@ -21,6 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+    floordiv_sql,
+)
+
 from data_pipeline_for_e_commerce_shop_spark.sources.delta_reader import (
     last_txn_versions,
 )
@@ -101,7 +105,9 @@ def stream_events_to_delta(spark, sf_dir: str) -> DataFrame:
         )
         proj = stream.select(
             "event_type",
-            F.expr("unix_timestamp(ts) div 86400").alias("day_epoch"),
+            F.expr(floordiv_sql("unix_timestamp(ts)", "86400")).alias(
+            "day_epoch"
+        ),
             F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
         )
         q = (
@@ -153,7 +159,9 @@ def events_delta_maintenance(spark, sf_dir: str) -> DataFrame:
     proj = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.expr("unix_timestamp(ts) div 86400").alias("day_epoch"),
+        F.expr(floordiv_sql("unix_timestamp(ts)", "86400")).alias(
+            "day_epoch"
+        ),
         F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
     )
     for i in range(6):

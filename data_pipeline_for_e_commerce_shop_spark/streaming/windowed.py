@@ -25,6 +25,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,7 +77,9 @@ def _canon_ts(df, schema, col: str = "ts"):
     return df
 
 
-_DRAIN_SESSIONS: dict[int, SparkSession] = {}
+_DRAIN_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def drain_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSession:
@@ -89,20 +92,27 @@ def drain_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSess
     becomes the state-store count, fixed at query start — here leaks
     nowhere.  One scoped session is cached per base session and reused,
     so the leftover-query guard in _drain_to_memory keeps seeing prior
-    drains (StreamingQueryManager is per-session)."""
-    key = id(spark)
-    ds = _DRAIN_SESSIONS.get(key)
+    drains (StreamingQueryManager is per-session).
+
+    The cache is a WeakKeyDictionary keyed by the base session itself
+    (ADVICE r6: an ``id(spark)``-keyed plain dict pinned every session
+    forever, and a recycled id() after GC could silently hand a new
+    base session a drain session configured for a DEAD one), and the
+    value-bearing confs are RE-SYNCED on every call, not only at
+    creation — a caller that changes its session timezone mid-run gets
+    drains that agree with its batch results."""
+    ds = _DRAIN_SESSIONS.get(spark)
     if ds is None:
         ds = spark.newSession()
-        # runtime-set confs are NOT inherited by newSession (only
-        # SparkContext/builder confs are); carry over the two that
-        # change drain VALUES, then pin the state-store width
-        ds.conf.set(
-            "spark.sql.session.timeZone",
-            spark.conf.get("spark.sql.session.timeZone"),
-        )
-        ensure_nanos_conf(ds)
-        _DRAIN_SESSIONS[key] = ds
+        _DRAIN_SESSIONS[spark] = ds
+    # runtime-set confs are NOT inherited by newSession (only
+    # SparkContext/builder confs are); carry over the two that change
+    # drain VALUES on every call, then pin the state-store width
+    ds.conf.set(
+        "spark.sql.session.timeZone",
+        spark.conf.get("spark.sql.session.timeZone"),
+    )
+    ensure_nanos_conf(ds)
     ds.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return ds
 
