@@ -585,28 +585,36 @@ def test_deletion_vectors_mask_rows(spark, tmp_path):
     with open(log, "w") as f:
         for a in lines:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(ValueError, match="cardinality"):
+    # round 7: the audit runs INSIDE the decode task (distributed DV
+    # decode), so it surfaces as Spark's executor-exception wrapper —
+    # still loud, still names the root cause
+    with pytest.raises(Exception, match="cardinality"):
         read_delta_table(spark, t2).collect()
 
 
-def test_dv_table_guards_writer_paths(spark, tmp_path):
-    """Maintenance on DV'd tables must not resurrect deleted rows:
-    OPTIMIZE excludes DV'd files; checkpointing refuses (this writer's
-    checkpoint schema carries no deletionVector struct).  Appends stay
-    allowed and the DV keeps masking."""
+def test_dv_table_writer_paths(spark, tmp_path):
+    """Maintenance on DV'd tables must not resurrect deleted rows.
+    Round 7 UPGRADED both writer paths (VERDICT r6 items 5/6): the
+    checkpoint carries live deletionVector structs through (no more
+    refusal — see test_round7_delta for the vacuum round trip), and
+    OPTIMIZE MATERIALIZES DV'd files instead of skipping them (covered
+    there too).  What must still hold here: appends to a DV'd table
+    keep the DV masking, and a checkpoint seeded read returns the
+    masked rows."""
     from data_pipeline_for_e_commerce_shop_spark.sources.delta_writer import (
         _write_checkpoint,
     )
 
     t = str(tmp_path / "dvw")
     _dv_table(spark, t, inline=True)
-    assert optimize_delta_table(spark, t, target_bytes=1 << 30) is None
-    with pytest.raises(ConcurrentWriteError, match="deletion vectors"):
-        _write_checkpoint(t, 0)
     v = write_delta_commit(_mk(spark, 1000, 1002), t, checkpoint_interval=0)
     assert v == 1
     got = sorted(r["x"] for r in read_delta_table(spark, t).collect())
     assert got == [x for x in range(100) if x not in (1, 3, 97)] + [1000, 1001]
+    # checkpoint now supported on the DV'd table: seed-only read agrees
+    _write_checkpoint(t, 1)
+    got2 = sorted(r["x"] for r in read_delta_table(spark, t).collect())
+    assert got2 == got
 
 
 def test_partitioned_optimize_compacts_within_partitions(spark, tmp_path):
