@@ -56,23 +56,49 @@ def _cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def prepared_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (vec_id, emb, nrm) projection every index tier
+    consumes: doubles + L2 norm computed ONCE.  Grading queries that
+    run several index scans over the same corpus (ann_mrr's
+    brute/lsh/ivf panel, the n_probe curve) build this once,
+    ``localCheckpoint(eager=False)`` it, and pass it to each scan via
+    the ``emb=`` parameter — VERDICT r6 item 7: the scans' repeated
+    load+normalize stages were the measured cost at sf0.1 (the corpus
+    itself is small; the stages aren't free), and at 100 TB sharing
+    the normalized projection is exactly what an index build pipeline
+    does anyway."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm("emb"))
+    )
+
+
 def brute_force_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: first `n_queries` vec_ids as queries vs the
     whole corpus.  Query side is broadcast; ranking is a per-query
-    window with deterministic tie-break on corpus vec_id."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    window with deterministic tie-break on corpus vec_id.
+    ``emb`` accepts a shared :func:`prepared_embeddings` frame."""
+    if emb is None:
+        emb = prepared_embeddings(spark, sf_dir)
     # Norms computed ONCE per side (O(n)), so the O(n_queries * n)
     # pair stage is a single dot product per pair.
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        as_double("embedding").alias("q_emb"),
-    ).withColumn("q_norm", norm("q_emb"))
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"),
-        as_double("embedding").alias("c_emb"),
-    ).withColumn("c_norm", norm("c_emb"))
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -223,13 +249,26 @@ def knuth_order(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 
 def _assign_nearest(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, n_probe: int
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    n_probe: int,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its `n_probe` nearest centroids by cosine.
 
     Centroids are model-sized (k rows) -> broadcast; the cross join is
     O(n * k) with one dot product per pair (norms precomputed on both
-    sides).  Returns (id_col, emb, nrm, cluster_id)."""
+    sides).  Returns (id_col, emb, nrm, cluster_id); with
+    ``keep_rank`` also the 1-based ``probe_rank`` (the n_probe-curve
+    consumer slices one ranked assignment instead of re-assigning per
+    probe setting).
+
+    The ``n_probe == 1`` fast path (the CORPUS assignment — every
+    IVF build runs it over the whole table) is a ``max_by`` hash
+    aggregation: map-side combinable, no row_number sort shuffle —
+    same rows (cluster_id is unique, so the (cos, -cluster_id) key is
+    a total order and ties are impossible)."""
     scored = (
         vectors.crossJoin(F.broadcast(centroids))
         .select(
@@ -242,16 +281,32 @@ def _assign_nearest(
             ),
         )
     )
+    if n_probe == 1 and not keep_rank:
+        best = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct("emb", "nrm", "cluster_id"),
+                F.struct(
+                    F.col("cent_cos").alias("c"),
+                    (-F.col("cluster_id")).alias("nc"),
+                ),
+            ).alias("_best")
+        )
+        return best.select(
+            id_col, "_best.emb", "_best.nrm", "_best.cluster_id"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(
         F.col("cent_cos").desc(), F.col("cluster_id").asc()
     )
-    return (
+    ranked = (
         scored.withColumn("probe_rank", F.row_number().over(w))
         .where(F.col("probe_rank") <= n_probe)
-        .select(id_col, "emb", "nrm", "cluster_id")
     )
+    cols = [id_col, "emb", "nrm", "cluster_id"]
+    if keep_rank:
+        cols.append("probe_rank")
+    return ranked.select(*cols)
 
 
 def ivf_topk(
@@ -261,6 +316,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is inverted into
     `n_centroids` cosine-nearest-centroid lists; each query exactly
@@ -273,12 +329,10 @@ def ivf_topk(
     cluster_id, so a probe reads n_probe/n_centroids of the data —
     IVF's whole point; the assignment pass is one broadcast cross join
     against a model-sized centroid table.
+    ``emb`` accepts a shared :func:`prepared_embeddings` frame.
     """
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("emb"))
-        .withColumn("nrm", norm("emb"))
-    )
+    if emb is None:
+        emb = prepared_embeddings(spark, sf_dir)
     # Deterministic "training" sample: the shared knuth_order rule.
     centroids = (
         knuth_order(emb)
@@ -339,6 +393,7 @@ def lsh_topk(
     n_queries: int = 5,
     k: int = 5,
     multi_probe: bool = True,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact re-scoring restricted to the query's
     LSH bucket.  At scale the corpus is hash-partitioned by bucket, so
@@ -349,13 +404,12 @@ def lsh_topk(
     land just across one hyperplane are recovered at the cost of
     scanning (1 + N_PLANES)/2^N_PLANES of the corpus instead of
     1/2^N_PLANES — still a fixed fraction, and only the QUERY side
-    fans out (corpus is stored once, no extra shuffle)."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("emb"))
-        .withColumn("bucket", lsh_bucket("emb"))
-        .withColumn("nrm", norm("emb"))
-    )
+    fans out (corpus is stored once, no extra shuffle).
+    ``emb`` accepts a shared :func:`prepared_embeddings` frame; the
+    bucket bits are computed on top of it either way."""
+    if emb is None:
+        emb = prepared_embeddings(spark, sf_dir)
+    emb = emb.withColumn("bucket", lsh_bucket("emb"))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -494,17 +548,24 @@ def ann_recall(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     n_queries×k rows — tiny relative to the index scans that feed them;
     at 100 TB the cost is the two approximate scans themselves, which
     is the point of measuring them against brute only on a small query
-    panel.
+    panel.  Round 7: all three tiers come from the ONE-pass
+    :func:`ann_method_panel` (row-identical to the standalone scans,
+    same oracles) instead of three separate pipelines.
     """
-    brute = brute_force_topk(spark, sf_dir, k=k).select("query_id", "corpus_id")
+    panel = (
+        ann_method_panel(spark, sf_dir, k=k)
+        .select("method", "query_id", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
     keys = ["query_id", "corpus_id"]
+    brute = panel.where(F.col("method") == "brute").select(*keys)
     lsh = (
-        lsh_topk(spark, sf_dir, k=k)
+        panel.where(F.col("method") == "lsh")
         .select(*keys)
         .withColumn("hit", F.lit(1))
     )
     ivf = (
-        ivf_topk(spark, sf_dir, k=k)
+        panel.where(F.col("method") == "ivf")
         .select(*keys)
         .withColumn("hit", F.lit(1))
     )
@@ -1245,6 +1306,153 @@ def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def ann_method_panel(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """(method, query_id, corpus_id, cosine, rank) for the THREE index
+    tiers — brute / lsh / ivf — from ONE pair-scoring pass (VERDICT r6
+    item 7: grading queries that union three standalone index scans
+    paid three load+score+window pipelines for identical numbers).
+
+    The trick: a grading query inherently computes the brute
+    ground-truth scores for every (query, corpus) pair — and the
+    approximate tiers' results are just those same exact scores
+    restricted to each tier's CANDIDATE set.  So score the full cross
+    join once, mark candidacy per tier with pure expressions/metadata
+    (LSH: popcount(q_bucket XOR c_bucket) <= 1, exactly the
+    multi-probe Hamming-1 bucket set; IVF: corpus top-1 centroid in
+    the query's n_probe probed centroids), explode the method tags,
+    and rank all three tiers in ONE window.  Row-for-row identical to
+    the standalone ``brute_force_topk`` / ``lsh_topk`` / ``ivf_topk``
+    outputs (same candidate sets, same cosine expression, same
+    tie-break), which the unchanged DuckDB oracles verify.
+
+    Scale: the standalone operators keep their true index shapes (a
+    production LSH/IVF probe never scores all pairs — that is their
+    point); this panel is the GRADING path, whose cost floor is the
+    brute ground-truth pass anyway — the tier restriction adds only
+    centroid-assignment metadata, not a second data pass.  Centroid
+    assignment ships as the k-row model the kmeans twin established
+    (a broadcast ONE-ROW struct-array table + higher-order argmax):
+    zero assignment shuffles, which is also the true 100 TB IVF shape
+    — centroids are a small model evaluated at the scan, never a
+    join."""
+    emb = prepared_embeddings(spark, sf_dir)
+    cent_df = _centroid_model(spark, emb, n_centroids)
+    corpus = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_norm"),
+            F.expr(_NEAREST_CID).alias("c_cluster"),
+            lsh_bucket("emb").alias("c_bucket"),
+        )
+    )
+    queries = (
+        emb.where(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_norm"),
+            lsh_bucket("emb").alias("q_bucket"),
+            F.expr(f"slice({_RANKED_CIDS}, 1, {n_probe})").alias(
+                "q_clusters"
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")),
+                9,
+            ).alias("cosine"),
+            F.array(
+                F.lit("brute"),
+                F.when(
+                    F.expr("bit_count(q_bucket ^ c_bucket) <= 1"),
+                    F.lit("lsh"),
+                ),
+                F.when(
+                    F.array_contains(F.col("q_clusters"), F.col("c_cluster")),
+                    F.lit("ivf"),
+                ),
+            ).alias("_methods"),
+        )
+    )
+    cand = (
+        scored.select(
+            "query_id",
+            "corpus_id",
+            "cosine",
+            F.explode("_methods").alias("method"),
+        )
+        .where(F.col("method").isNotNull())
+    )
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("method", "query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def _centroid_model(
+    spark: SparkSession, emb: DataFrame, n_centroids: int
+) -> DataFrame:
+    """The IVF centroid sample as a broadcast ONE-ROW model table
+    (``cents array<struct<cid, c, n>>``, cid-ascending) — the same
+    ship-the-model shape embedding_kmeans uses.  The collect is the
+    bounded k-row model-state read the repo's collect policy allows;
+    the doubles round-trip driver-side exactly (IEEE), so expression
+    scoring reproduces the join-based scoring bit-for-bit."""
+    seeds = knuth_order(emb).limit(n_centroids).collect()
+    rows = sorted(
+        (int(r["vec_id"]), list(r["emb"]), float(r["nrm"])) for r in seeds
+    )
+    return spark.createDataFrame(
+        [(rows,)],
+        "cents array<struct<cid:bigint,c:array<double>,n:double>>",
+    )
+
+
+# Per-row centroid scoring expressions over the 1-row model (SQL
+# strings — the py4j plan-construction economy rule).  `_CENT_COS`
+# scores every centroid once; `_NEAREST_CID` keep-first argmax ties
+# break to the smallest cid (cents is cid-ascending) and
+# `_RANKED_CIDS` sorts by (cos DESC, cid ASC) — both exactly the
+# `_assign_nearest` window's ORDER BY.
+_CENT_COS = (
+    "transform(cents, ce -> named_struct("
+    "'cid', ce.cid,"
+    " 'cos', aggregate(zip_with(emb, ce.c, (x, y) -> x * y), 0.0D,"
+    " (acc, v) -> acc + v) / (nrm * ce.n)))"
+)
+_NEAREST_CID = (
+    f"aggregate({_CENT_COS},"
+    " named_struct('cid', CAST(NULL AS BIGINT),"
+    " 'cos', CAST(NULL AS DOUBLE)),"
+    " (acc, s) -> IF(acc.cos IS NULL OR s.cos > acc.cos, s, acc)).cid"
+)
+_RANKED_CIDS = (
+    f"transform(array_sort(transform({_CENT_COS},"
+    " s -> named_struct('k', -s.cos, 'cid', s.cid))), s -> s.cid)"
+)
+
+
 IVF_CURVE_PROBES = (1, 2, 4)  # interpolated into the oracle SQL
 
 
@@ -1264,41 +1472,100 @@ def ivf_nprobe_curve(
     Scale shape: each probe setting re-scores only n_probe/n_centroid
     of the corpus (the IVF invariant); the brute baseline is the
     deliberate broadcast-NL ground-truth pass shared with ann_recall.
-    """
-    brute = brute_force_topk(spark, sf_dir, k=k).select(
-        "query_id", "corpus_id"
-    ).localCheckpoint(eager=False)
-    qids = brute.select("query_id").distinct()
-    outs = []
-    for p in probes:
-        ivf = ivf_topk(spark, sf_dir, k=k, n_probe=p).select(
-            "query_id", "corpus_id"
+
+    Round 7 (VERDICT r6 item 7): the curve is ONE plan, not
+    ``len(probes)`` independent IVF scans.  Every (query, corpus)
+    pair is scored ONCE with its ``probe_rank`` (the rank of the
+    corpus vector's centroid in the query's centroid ordering,
+    computed from the broadcast 1-row centroid model — zero
+    assignment shuffles, see ann_method_panel); the brute ground
+    truth is the top-k window over the same scored pass, and each
+    curve point p just slices ``probe_rank <= p`` before its
+    per-(p, query) top-k window.  Identical rows to the per-probe
+    form (a corpus vector lives in exactly one inverted list, so a
+    pair's probe_rank is unique)."""
+    n_centroids = 8
+    emb = prepared_embeddings(spark, sf_dir)
+    cent_df = _centroid_model(spark, emb, n_centroids)
+    corpus = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_norm"),
+            F.expr(_NEAREST_CID).alias("c_cluster"),
         )
-        hits = (
-            brute.join(ivf, ["query_id", "corpus_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_norm"),
+            F.expr(_RANKED_CIDS).alias("q_ranked"),
         )
-        outs.append(
-            qids.join(hits, "query_id", "left").select(
-                F.lit(p).cast("long").alias("n_probe"),
-                "query_id",
-                F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias(
-                    "hits"
-                ),
-            )
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.array_position(F.col("q_ranked"), F.col("c_cluster"))
+            .cast("int")
+            .alias("probe_rank"),
+            F.round(
+                dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")),
+                9,
+            ).alias("cosine"),
         )
-    cur = outs[0]
-    for o in outs[1:]:
-        cur = cur.unionByName(o)
-    return cur.select(
-        "n_probe",
-        "query_id",
-        "hits",
-        F.expr(f"CAST(hits * 1000000 div {k} AS BIGINT)").alias(
-            "recall_ppm"
-        ),
-    ).orderBy("n_probe", "query_id")
+        .localCheckpoint(eager=False)  # two consumers: brute + curve
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    brute = (
+        scored.withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id")
+    )
+    qids = scored.select("query_id").distinct()
+    probes_df = spark.createDataFrame(
+        [(int(p),) for p in probes], "n_probe long"
+    )
+    cand = scored.join(
+        F.broadcast(probes_df), F.col("probe_rank") <= F.col("n_probe")
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    ivf_all = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("n_probe", "query_id", "corpus_id")
+    )
+    hits = (
+        brute.join(ivf_all, ["query_id", "corpus_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        qids.crossJoin(F.broadcast(probes_df))
+        .join(hits, ["n_probe", "query_id"], "left")
+        .select(
+            "n_probe",
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+            F.expr(
+                f"CAST(COALESCE(hits, 0) * 1000000 div {k} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("n_probe", "query_id")
+    )
 
 
 PRF_K = 5
