@@ -74,6 +74,101 @@ def copurchase_support(
     )
 
 
+def basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted distinct part set ``(l_orderkey, ps)`` —
+    localCheckpoint(eager=False) because every caller reads it at
+    least twice (the pair expansion AND the support/degree branch);
+    the table is order-count-sized with bounded arrays, so the row
+    checkpoint is cheap at any scale while the saved re-aggregation
+    is a full fact shuffle per extra consumer (r7 opt: the support
+    scalar's separate countDistinct pipeline measured as expensive as
+    the whole pair aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def support_from_baskets(
+    spark: SparkSession,
+    sf_dir: str,
+    baskets: DataFrame,
+    floor: int = MIN_SUPPORT,
+) -> DataFrame:
+    """1-row (s BIGINT) — the SAME law as :func:`copurchase_support`
+    (pair_occurrences div n_parts div divisor, floored), with occ
+    derived from the already-aggregated basket sets:
+    ``size(ps) == countDistinct(l_partkey)`` per order, so
+    ``SUM(size(ps)·(size(ps)−1) div 2)`` is bit-identical to the
+    countDistinct pipeline while reading the checkpointed baskets
+    instead of re-shuffling the fact."""
+    occ = baskets.agg(
+        F.expr(
+            "CAST(SUM(CAST(size(ps) AS BIGINT) * (size(ps) - 1) div 2)"
+            " AS BIGINT)"
+        ).alias("occ")
+    )
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    return occ.crossJoin(F.broadcast(np_)).select(
+        F.expr(
+            f"GREATEST(CAST({floor} AS BIGINT),"
+            f" (occ div n_parts) div {SUPPORT_DENSITY_DIVISOR})"
+        ).alias("s")
+    )
+
+
+def basket_pairs(baskets: DataFrame, with_order: bool = False) -> DataFrame:
+    """In-bucket (part_a < part_b) pair expansion of basket sets —
+    the no-fact-self-join shape basket.part_pair_topk documents.
+    ``with_order=True`` keeps l_orderkey (one row per order-pair)."""
+    expanded = F.explode(
+        F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps)), y ->"
+            " struct(x AS part_a, y AS part_b))))"
+        )
+    ).alias("pair")
+    if with_order:
+        return baskets.select("l_orderkey", expanded).select(
+            "l_orderkey", "pair.part_a", "pair.part_b"
+        )
+    return baskets.select(expanded).select("pair.part_a", "pair.part_b")
+
+
+def supported_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = MIN_SUPPORT,
+    baskets: DataFrame | None = None,
+) -> DataFrame:
+    """Support-pruned undirected co-purchase pairs
+    ``(part_a < part_b, w)`` — the shared prefix of the whole graph
+    family.  ONE lineitem pass: both the pair expansion and the
+    density-derived support threshold read the same checkpointed
+    basket sets (pass ``baskets`` to share it with further consumers
+    such as degree tables)."""
+    if baskets is None:
+        baskets = basket_sets(spark, sf_dir)
+    return (
+        basket_pairs(baskets)
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .crossJoin(
+            F.broadcast(
+                support_from_baskets(spark, sf_dir, baskets, min_support)
+            )
+        )
+        .where(F.col("w") >= F.col("s"))
+        .drop("s")
+    )
+
+
 def copurchase_edges(
     spark: SparkSession, sf_dir: str, min_support: int = MIN_SUPPORT
 ) -> DataFrame:
@@ -89,30 +184,15 @@ def copurchase_edges(
     which only 3.6k repeat).  Pruning BEFORE the union/direction step
     keeps the iterated edge table signal-sized; the full pair
     aggregate still runs once — it is the same shape the basket_pairs
-    query pays."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)), y ->"
-                " struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("pair")
-    ).select("pair.part_a", "pair.part_b")
-    und = (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .crossJoin(
-            F.broadcast(copurchase_support(spark, sf_dir, min_support))
-        )
-        .where(F.col("w") >= F.col("s"))
-        .drop("s")
+    query pays.  r7 opt: pairs AND support both derive from one
+    checkpointed basket-set table (guide §2.4 — share the pass), which
+    removed the separate fact-shuffling countDistinct support pipeline
+    (measured 1.8x at sf0.1, identical rows); the pruned pair set is
+    eager-checkpointed BEFORE the direction union so the aggregation
+    runs once however many consumer jobs (incl. concurrent broadcast
+    jobs) scan the edge list."""
+    und = supported_pairs(spark, sf_dir, min_support).localCheckpoint(
+        eager=True
     )
     fwd = und.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"

@@ -484,6 +484,184 @@ def positional_boundary_structs(
     )
 
 
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def positional_boundary_structs_multi(
+    df: DataFrame,
+    specs: list,
+    ranks_expr: str,
+) -> DataFrame:
+    """K boundary walks fused into ONE stacked pass (r7 opt, guide
+    §2.4 — two operations keyed the same way share one pass): each
+    ``spec = (out_col, value_col, tiebreak_cols, bucket_scale)``
+    produces a ``bounds`` array bit-identical to
+    :func:`positional_boundary_structs` on the same arguments, but the
+    data is read once (rows exploded K ways into narrow integer key
+    structs), the bucket bookkeeping/cumulative window runs once
+    partitioned by dimension, the within-bucket ranking window runs
+    once partitioned by (dimension, bucket), and the caller broadcasts
+    ONE 1-row result instead of K.
+
+    Every value/tiebreak column must be integral (the keys travel as
+    BIGINT and are cast back to their original Spark types in the
+    output structs — lossless, and struct comparison is positional so
+    ordering and binning are unchanged).  Returns one row with one
+    array<struct<value, *tiebreaks>> column per spec, named
+    ``out_col``.
+    """
+    dtypes = dict(df.dtypes)
+    arities = []
+    for _, vcol, tcols, _ in specs:
+        for c in [vcol, *tcols]:
+            if dtypes[c] not in _INTEGRAL_DTYPES:
+                raise ValueError(
+                    f"positional_boundary_structs_multi: non-integral"
+                    f" column {c} ({dtypes[c]})"
+                )
+        arities.append(1 + len(tcols))
+    maxa = max(arities)
+
+    stacked_structs = []
+    for j, (_, vcol, tcols, scale) in enumerate(specs):
+        cols = [vcol, *tcols]
+        # zero-pad the key to the widest arity: the real columns
+        # already form a strict total order per the caller's contract,
+        # so a constant tail never changes any comparison
+        keys = ", ".join(
+            f"'k{i}', CAST({cols[i] if i < len(cols) else 0} AS BIGINT)"
+            for i in range(maxa)
+        )
+        stacked_structs.append(
+            f"named_struct('d', {j},"
+            f" '_bk', CAST(({vcol}) div {scale} AS BIGINT),"
+            f" 'key', named_struct({keys}))"
+        )
+    stacked = (
+        df.select(
+            F.explode(
+                F.expr("array(" + ", ".join(stacked_structs) + ")")
+            ).alias("t")
+        )
+        .select("t.d", "t._bk", "t.key")
+        .localCheckpoint(eager=False)  # feeds counts AND the rank picks
+    )
+    bcounts = stacked.groupBy("d", "_bk").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # bucket table is <= K * n_buckets rows — the bounded-window class
+    w_cum = (
+        Window.partitionBy("d")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bcounts.select(
+        "d",
+        "_bk",
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("n"),
+    )
+    targets = (
+        cum.select(
+            "d",
+            "_bk",
+            "_cnt",
+            "_cum",
+            F.explode(
+                F.expr(
+                    f"flatten(transform({ranks_expr}, r -> array("
+                    "named_struct('rr', r, 'tg', 0),"
+                    "named_struct('rr', r + 1, 'tg', 1))))"
+                )
+            ).alias("_rt"),
+        )
+        .select(
+            "d",
+            "_bk",
+            "_cnt",
+            "_cum",
+            F.col("_rt.rr").alias("_r"),
+            F.col("_rt.tg").alias("_tg"),
+        )
+        .where(
+            (F.col("_cum") >= F.col("_r"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_r"))
+        )
+        .select(
+            "d",
+            "_bk",
+            "_r",
+            "_tg",
+            (F.col("_r") - (F.col("_cum") - F.col("_cnt"))).alias("_off"),
+        )
+    )
+    tgrp = targets.groupBy("d", "_bk").agg(
+        F.expr(
+            "collect_list(named_struct('r', _r, 'tg', _tg, 'off', _off))"
+        ).alias("_tgs")
+    )
+    picked = (
+        stacked.join(F.broadcast(tgrp), ["d", "_bk"])
+        .select(
+            "d",
+            "_tgs",
+            "key",
+            F.row_number()
+            .over(Window.partitionBy("d", "_bk").orderBy("key"))
+            .alias("_rn"),
+        )
+        .select(
+            "d",
+            F.explode(F.expr("filter(_tgs, t -> t.off = _rn)")).alias(
+                "_t"
+            ),
+            "key",
+        )
+        .select(
+            "d",
+            F.col("_t.r").alias("_r"),
+            F.col("_t.tg").alias("_tg"),
+            "key",
+        )
+    )
+    mains, nexts, outs = [], [], []
+    for j, (out, vcol, tcols, _) in enumerate(specs):
+        mains.append(
+            F.expr(
+                f"array_sort(collect_list(CASE WHEN d = {j} AND _tg = 0"
+                f" THEN named_struct('r', _r, 's', key) END))"
+            ).alias(f"_bmain{j}")
+        )
+        nexts.append(
+            F.expr(
+                f"array_sort(collect_list(CASE WHEN d = {j} AND _tg = 1"
+                f" THEN named_struct('r', _r - 1, 's', key) END))"
+            ).alias(f"_bnext{j}")
+        )
+        cols = [vcol, *tcols]
+        rebuild = ", ".join(
+            f"'{c}', CAST(x.s.k{i} AS {dtypes[c]})"
+            for i, c in enumerate(cols)
+        )
+        outs.append(
+            F.expr(
+                f"CASE WHEN exists(_bnext{j}, nb -> exists(_bmain{j},"
+                " mb -> mb.r = nb.r AND mb.s = nb.s))"
+                " THEN raise_error('positional_boundary_structs:"
+                " duplicate (value, tiebreak) tuple straddles a"
+                " boundary rank; extend tiebreak_cols to a strict"
+                " total order')"
+                f" ELSE transform(_bmain{j},"
+                f" x -> named_struct({rebuild})) END"
+            ).alias(out)
+        )
+    return picked.agg(*mains, *nexts).select(*outs)
+
+
 def bucketed_rank_running_sum(
     df: DataFrame,
     sum_cols: list,
