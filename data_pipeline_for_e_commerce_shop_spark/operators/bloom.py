@@ -161,6 +161,17 @@ def contamination_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same benchmark law as dedup.benchmark_contamination
     (doc_id % 20 == 0) and the same shingling; same word-table probe
     plan as bloom_prune_orders (k broadcast joins, no probe shuffle).
+
+    r7 opt (guide §2.1/§2.4): ONE pass over the candidate shingles —
+    the exact-truth membership rides the probe rows as a boolean from
+    a single left join against the (bounded, checkpointed) benchmark
+    shingle set, and bloom flag + truth collapse in ONE groupBy(doc_id)
+    — where the old form shingled the documents twice (bench branch +
+    candidate checkpoint), materialized the FACT-scale candidate
+    shingle table, shuffled it by doc_id twice (bloom aggregate, truth
+    distinct) and joined the doc base twice.  The only materializations
+    left are benchmark-sized; the word table is eager so the k
+    broadcast-subquery jobs never race to rebuild it.
     """
     from data_pipeline_for_e_commerce_shop_spark.operators.dedup import (
         _shingles,
@@ -169,13 +180,28 @@ def contamination_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
     is_bench = (F.col("doc_id") % 20) == 0
-    bench = sh.where(is_bench).select(F.col("shingle").alias("k")).distinct()
-    words = build_filter(bench, "k").localCheckpoint(eager=False)
-    cand = sh.where(~is_bench).localCheckpoint(
-        eager=False  # feeds the Bloom probe AND the exact truth join
+    bench = (
+        sh.where(is_bench)
+        .select(F.col("shingle").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)  # benchmark-slice vocabulary:
+        # bounded; feeds the filter build AND the exact-truth join
     )
-    probe = cand.select(
-        "doc_id", _probe_positions(F.col("shingle")).alias("ps")
+    words = build_filter(bench, "k").localCheckpoint(eager=True)
+    probe = (
+        sh.where(~is_bench)
+        .join(
+            bench.select(
+                F.col("k").alias("shingle"), F.lit(True).alias("tm")
+            ),
+            "shingle",
+            "left",
+        )
+        .select(
+            "doc_id",
+            _probe_positions(F.col("shingle")).alias("ps"),
+            F.coalesce("tm", F.lit(False)).alias("tm"),
+        )
     )
     checks = []
     for i in range(N_PROBES):
@@ -205,28 +231,19 @@ def contamination_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_hit = checks[0]
     for c in checks[1:]:
         shingle_hit = shingle_hit & c
-    flagged = (
+    per_doc = (
         probe.withColumn("hit", shingle_hit)
         .groupBy("doc_id")
-        .agg(F.max("hit").alias("bloom_flag"))
-    )
-    truth = (
-        cand.join(
-            bench.withColumnRenamed("k", "shingle"), "shingle", "left_semi"
+        .agg(
+            F.max("hit").alias("bloom_flag"),
+            F.max("tm").alias("true_hit"),
         )
-        .select("doc_id")
-        .distinct()
-        .withColumn("true_hit", F.lit(True))
     )
     base = docs.where(~is_bench).select("doc_id", "source")
-    rep = (
-        base.join(flagged, "doc_id", "left")
-        .join(truth, "doc_id", "left")
-        .select(
-            "source",
-            F.coalesce("bloom_flag", F.lit(False)).alias("bf"),
-            F.coalesce("true_hit", F.lit(False)).alias("th"),
-        )
+    rep = base.join(per_doc, "doc_id", "left").select(
+        "source",
+        F.coalesce("bloom_flag", F.lit(False)).alias("bf"),
+        F.coalesce("true_hit", F.lit(False)).alias("th"),
     )
     return (
         rep.groupBy("source")
