@@ -167,7 +167,9 @@ def main() -> int:
         "load_gate": gate,
         "n_registered": len(queries),
         "timing": f"median of {N_RUNS} back-to-back runs per query,"
-                  " single shared session, queries in sorted-name order",
+                  " single shared session, queries in sorted-name order;"
+                  " cache/checkpoint blocks released between queries"
+                  " (outside timed regions, r7 measurement fix)",
         "loadavg_start": list(os.getloadavg()),
         "cpu_calibration_sec_start": _cpu_calibration_sec(),
         "spark_calibration_sec": _spark_calibration_sec(spark),
@@ -195,6 +197,29 @@ def main() -> int:
     except Exception as exc:
         print(f"bench warm-up ({warm}) failed: {exc}", file=sys.stderr)
 
+    def _release_blocks() -> None:
+        """Drop cache/checkpoint blocks left behind by the previous
+        query, OUTSIDE any timed region (round-7 measurement fix,
+        declared in OPTIMIZATION_r07.md): localCheckpoint/persist
+        blocks are only freed when the JVM RDD is GC'd, so a 516-query
+        single-session sweep accumulates storage debris — the r7-close
+        bench showed one query's leftovers inflating the next queries
+        in sorted order up to 8x (survey_raking_ipf -> survival_*) and
+        inverting solo-vs-session conclusions (part_sequence_rules).
+        Releasing between queries makes each query's timing independent
+        of sweep order and kills accidental cross-query cache reuse
+        (two queries persisting the same logical subplan would
+        otherwise share one cache entry — result caching the bench
+        must not do).  Within a query, the N_RUNS back-to-back runs
+        are untouched."""
+        try:
+            spark.catalog.clearCache()
+            jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jrdds.values():
+                jrdd.unpersist(False)
+        except Exception as exc:  # never let cleanup kill the bench
+            print(f"bench cleanup warning: {exc}", file=sys.stderr)
+
     def _time_query(fn) -> list[float]:
         runs = []
         for _ in range(N_RUNS):
@@ -206,6 +231,7 @@ def main() -> int:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        _release_blocks()
         return runs
 
     raw_runs: dict[str, list[float]] = {}

@@ -67,6 +67,14 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         spark.sparkContext.setJobDescription(None)
+        # bench.py parity (r7 measurement fix): release cache/checkpoint
+        # blocks between queries, outside the timed regions.
+        try:
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception as exc:
+            print(f"probe cleanup warning: {exc}", file=sys.stderr)
         results[name] = round(statistics.median(runs), 3)
         print(f"{name}: median {results[name]}  runs {[round(r,3) for r in runs]}", file=sys.stderr)
     print(json.dumps({"sf": args.sf, "runs": args.runs, "queries": results}))

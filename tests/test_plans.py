@@ -667,13 +667,19 @@ def test_mrr_panel_joins_are_broadcast(spark):
     assert broadcast_join_count(df) >= 4, physical_plan(df)
 
 
-def test_raking_factor_joins_are_broadcast(spark):
-    """Each IPF half-pass joins a 5-row factor table back onto the
-    panel; all four must be broadcasts, never shuffles keyed on a
-    5-value segment/region column."""
+def test_raking_is_bounded_projection(spark):
+    """Round 7: the IPF weight trajectory is a function of the bounded
+    (segment, region) contingency cell (w0 constant, factors per-axis),
+    so the returned plan must be a projection over ONE checkpointed
+    cell table — no factor joins, no row-scale exchange.  The previous
+    persisted-panel + 4-broadcast-factor-join form executed as ~32
+    serialized single-task broadcast jobs and left an entity-scale
+    cache block behind per run."""
     df = Q.QUERIES["survey_raking_ipf"](spark, SF)
-    assert broadcast_join_count(df) >= 6, physical_plan(df)
-    assert not has_nested_loop_join(df), physical_plan(df)
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
+    assert not has_nested_loop_join(df), plan
 
 
 def test_merkle_leaf_diff_is_node_gated(spark):
