@@ -152,22 +152,50 @@ def timeline_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_orderstatus",
     )
-    h_prio = scd2_history(
-        log, "o_custkey", "o_orderpriority", ["odate", "o_orderkey"]
-    ).select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderpriority").alias("priority"),
-        F.col("valid_from").alias("p_from"),
-        F.col("valid_to").alias("p_to"),
+    # r7: BOTH attributes' island numbering from ONE key-shuffle +
+    # window pass (the lag/cumsum laws are per-attribute projections of
+    # the same (odate, o_orderkey)-ordered sequence, so the numbers are
+    # bit-identical to two scd2_history runs); the flagged log is
+    # checkpointed once, and each history's interval build is a cheap
+    # rollup of it.  Previously h_prio and h_stat were each derived
+    # twice (bounds union + aligned join) — four fact scans, four
+    # shuffles and eight window passes for the same result.
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+
+    def _chg(attr: str):
+        prev = F.lag(attr).over(w)
+        return F.when(prev.isNull() | (prev != F.col(attr)), 1).otherwise(0)
+
+    flagged = (
+        log.withColumn("_chg_p", _chg("o_orderpriority"))
+        .withColumn("_chg_s", _chg("o_orderstatus"))
+        .withColumn("_ip", F.sum("_chg_p").over(w))
+        .withColumn("_is", F.sum("_chg_s").over(w))
+        .select(
+            "o_custkey", "odate", "o_orderpriority", "o_orderstatus",
+            "_ip", "_is",
+        )
+        .localCheckpoint(eager=True)
     )
-    h_stat = scd2_history(
-        log, "o_custkey", "o_orderstatus", ["odate", "o_orderkey"]
-    ).select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("valid_from").alias("s_from"),
-        F.col("valid_to").alias("s_to"),
-    )
+
+    def _hist(island: str, attr: str, out: str, frm: str, to: str):
+        h = (
+            flagged.groupBy(
+                F.col("o_custkey").alias("custkey"),
+                F.col(island).alias("_island"),
+                F.col(attr).alias(out),
+            )
+            .agg(F.min("odate").alias(frm))
+        )
+        w2 = Window.partitionBy("custkey").orderBy("_island")
+        return (
+            h.withColumn(to, F.lead(frm).over(w2))
+            .drop("_island")
+            .localCheckpoint(eager=False)  # two consumers each
+        )
+
+    h_prio = _hist("_ip", "o_orderpriority", "priority", "p_from", "p_to")
+    h_stat = _hist("_is", "o_orderstatus", "status", "s_from", "s_to")
     bounds = (
         h_prio.select("custkey", F.col("p_from").alias("b"))
         .unionByName(h_stat.select("custkey", F.col("s_from").alias("b")))
@@ -372,25 +400,53 @@ def bitemporal_asof_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are equi on custkey with the interval predicate residual — two
     key-shuffles over the fact, no cross product, no collect."""
     log = _priority_change_log(spark, sf_dir)
-    hist_full = scd2_history(
-        log, key="o_custkey", attr="o_orderpriority",
-        order_by=["odate", "o_orderkey"],
-    ).select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderpriority").alias("regime"),
-        "valid_from",
-        "valid_to",
+    # r7: both histories from ONE key-shuffle + window pass.  The as-of
+    # history is the islands build over the asof-visible SUBSET; its
+    # lag is "last asof-visible priority strictly before me" and its
+    # island number the running sum of a flag that is zero on invisible
+    # rows — both computable in the same window as the full history's,
+    # so one flagged checkpoint feeds two cheap interval rollups
+    # (previously: two fact scans, two shuffles, four window passes).
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    in_asof = F.col("recorded_at") <= F.lit(BITEMPORAL_TX_ASOF)
+    prev_full = F.lag("o_orderpriority").over(w)
+    chg_full = F.when(
+        prev_full.isNull() | (prev_full != F.col("o_orderpriority")), 1
+    ).otherwise(0)
+    prev_asof = F.last(
+        F.when(in_asof, F.col("o_orderpriority")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    chg_asof = F.when(
+        in_asof
+        & (prev_asof.isNull() | (prev_asof != F.col("o_orderpriority"))),
+        1,
+    ).otherwise(0)
+    flagged = (
+        log.withColumn("_in_asof", in_asof)
+        .withColumn("_chg_f", chg_full)
+        .withColumn("_chg_a", chg_asof)
+        .withColumn("_if", F.sum("_chg_f").over(w))
+        .withColumn("_ia", F.sum("_chg_a").over(w))
+        .select(
+            "o_custkey", "odate", "o_orderpriority",
+            "_in_asof", "_if", "_ia",
+        )
+        .localCheckpoint(eager=True)
     )
-    hist_asof = scd2_history(
-        log.where(F.col("recorded_at") <= F.lit(BITEMPORAL_TX_ASOF)),
-        key="o_custkey", attr="o_orderpriority",
-        order_by=["odate", "o_orderkey"],
-    ).select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderpriority").alias("regime"),
-        "valid_from",
-        "valid_to",
-    )
+
+    def _hist(src: DataFrame, island: str) -> DataFrame:
+        h = src.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col(island).alias("_island"),
+            F.col("o_orderpriority").alias("regime"),
+        ).agg(F.min("odate").alias("valid_from"))
+        w2 = Window.partitionBy("custkey").orderBy("_island")
+        return h.withColumn(
+            "valid_to", F.lead("valid_from").over(w2)
+        ).drop("_island")
+
+    hist_full = _hist(flagged, "_if")
+    hist_asof = _hist(flagged.where(F.col("_in_asof")), "_ia")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",

@@ -66,10 +66,27 @@ def price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _conversion_times(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user (user_id, t, is_event): days from first view to first
-    purchase, right-censored at the cohort's last observed day.
-    Shared by the KM curve and the log-rank test."""
+def _conversion_cells(
+    spark: SparkSession, sf_dir: str, with_arm: bool = False
+) -> DataFrame:
+    """Weighted (arm?, t, is_event) cells of per-user conversion times:
+    days from first view to first purchase, right-censored at the
+    cohort's last observed day, with every user collapsed into its
+    (arm?, tv, tp) contingency cell BEFORE the horizon broadcast.
+
+    Every user in a cell walks the identical (t, is_event) trajectory
+    (t depends only on tv, tp and the global horizon), so carrying the
+    cell count `nu` as a weight makes every downstream integer sum
+    bit-identical to the per-user form — while the table the horizon
+    and at-risk branches re-derive shrinks from user-count rows to a
+    calendar-bounded |days|²-cell checkpoint.  Previously each of the
+    2x2 consumer branches (horizon x risk/tot) re-ran the events scan
+    and the user-level shuffle: four fact passes per query, now one.
+    """
+    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
+        portable_hash32,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("unix_timestamp(ts) div 86400")
     per_user = ev.groupBy("user_id").agg(
@@ -79,18 +96,35 @@ def _conversion_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tp"),
         F.max(day).alias("last_seen"),
     ).where(F.col("tv").isNotNull())
-    horizon = per_user.agg(F.max("last_seen").alias("h"))
-    return per_user.crossJoin(F.broadcast(horizon)).select(
-        "user_id",
-        F.when(
-            F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")),
-            F.col("tp") - F.col("tv"),
-        ).alias("event_t"),
-        (F.col("h") - F.col("tv")).alias("censor_t"),
-    ).select(
-        "user_id",
-        F.coalesce("event_t", "censor_t").alias("t"),
-        F.col("event_t").isNotNull().cast("long").alias("is_event"),
+    keys = ["tv", "tp"]
+    if with_arm:
+        per_user = per_user.select(
+            (portable_hash32(F.col("user_id"), prefix="ab-") % 2).alias(
+                "arm"
+            ),
+            "tv",
+            "tp",
+            "last_seen",
+        )
+        keys = ["arm", "tv", "tp"]
+    cells = per_user.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.max("last_seen").alias("ls"),
+    ).localCheckpoint(eager=True)
+    horizon = cells.agg(F.max("ls").alias("h"))
+    return cells.crossJoin(F.broadcast(horizon)).select(
+        *(["arm"] if with_arm else []),
+        F.coalesce(
+            F.when(
+                F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")),
+                F.col("tp") - F.col("tv"),
+            ),
+            F.col("h") - F.col("tv"),
+        ).alias("t"),
+        (
+            F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv"))
+        ).cast("long").alias("is_event"),
+        "nu",
     )
 
 
@@ -108,10 +142,10 @@ def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (bounded by the observation window, not the user
     count) — the same size-gate argument as the k-means model table.
     """
-    timed = _conversion_times(spark, sf_dir).select("t", "is_event")
+    timed = _conversion_cells(spark, sf_dir)
     risk = timed.groupBy("t").agg(
-        F.sum("is_event").alias("d"),
-        F.count(F.lit(1)).alias("leaving"),
+        F.sum(F.col("is_event") * F.col("nu")).alias("d"),
+        F.sum("nu").alias("leaving"),
     )
     w = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -164,22 +198,14 @@ def ab_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic form, and the array is bounded by the observation
     window).  O1 is an integer sum, order-free.
     """
-    from data_pipeline_for_e_commerce_shop_spark.functions.scalars import (
-        portable_hash32,
-    )
-
-    timed = _conversion_times(spark, sf_dir).select(
-        (portable_hash32(F.col("user_id"), prefix="ab-") % 2).alias(
-            "arm"
-        ),
-        "t",
-        "is_event",
-    )
+    timed = _conversion_cells(spark, sf_dir, with_arm=True)
     risk = timed.groupBy("t").agg(
-        F.sum("is_event").alias("d"),
-        F.sum(F.col("is_event") * F.col("arm")).alias("d1"),
-        F.count(F.lit(1)).alias("leaving"),
-        F.sum("arm").alias("leaving1"),
+        F.sum(F.col("is_event") * F.col("nu")).alias("d"),
+        F.sum(
+            F.col("is_event") * F.col("arm") * F.col("nu")
+        ).alias("d1"),
+        F.sum("nu").alias("leaving"),
+        F.sum(F.col("arm") * F.col("nu")).alias("leaving1"),
     )
     tot = risk.agg(
         F.sum("leaving").alias("total"),
@@ -250,10 +276,10 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, one window pass, 1-row broadcast total); the cumsum
     replaces the product fold.
     """
-    timed = _conversion_times(spark, sf_dir).select("t", "is_event")
+    timed = _conversion_cells(spark, sf_dir)
     risk = timed.groupBy("t").agg(
-        F.sum("is_event").alias("d"),
-        F.count(F.lit(1)).alias("leaving"),
+        F.sum(F.col("is_event") * F.col("nu")).alias("d"),
+        F.sum("nu").alias("leaving"),
     )
     w = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -53,6 +53,9 @@ NESTED_LOOP_OK = {"ann_brute_topk", "ann_ivf_topk", "text_tfidf_topk",
                   "ann_pq_topk",
                   # 1-row totals crossJoin (scalar-subquery shape)
                   "events_key_skew",
+                  # 1-row distinct-counts x 1-row break-counts crossJoin
+                  # (scalar-subquery shape; r7 split-branch rewrite)
+                  "lineitem_encoding_advisor",
                   # 1-row (N, sqrt-sum) totals crossJoin over the
                   # |sources|-row aggregate (scalar-subquery shape)
                   "corpus_temperature_mix",
