@@ -98,6 +98,15 @@ def _shingles(docs: DataFrame) -> DataFrame:
     # shorter than the shingle width explicitly.  Tokenize ONCE in a
     # prior projection (split is O(len(text)); referencing it three
     # times in one expression would re-split per reference).
+    # Fan-out guard (the simhash device, r7 generalized): the
+    # tokenize+shingle+md5 stage is the heavy per-row CPU of every
+    # consumer, and a small corpus arrives as ONE file split that pins
+    # it to a single core.  Repartition by doc_id ONLY when the scan
+    # yields fewer splits than the cluster has slots — at real scale
+    # the file count already provides parallelism and this is a no-op.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     sh = F.expr(
         "case when size(toks) >= 3 then"

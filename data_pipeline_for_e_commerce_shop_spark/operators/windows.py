@@ -544,7 +544,6 @@ def positional_boundary_structs_multi(
             ).alias("t")
         )
         .select("t.d", "t._bk", "t.key")
-        .localCheckpoint(eager=False)  # feeds counts AND the rank picks
     )
     bcounts = stacked.groupBy("d", "_bk").agg(
         F.count(F.lit(1)).alias("_cnt")
