@@ -86,6 +86,12 @@ def basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    # fan-out guard (the simhash device): the collect_set map side of
+    # a single-file scan otherwise runs on one core; no-op at real
+    # scale where the scan is already wide
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        li = li.repartition(par, "l_orderkey")
     return (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
