@@ -168,8 +168,9 @@ def main() -> int:
         "n_registered": len(queries),
         "timing": f"median of {N_RUNS} back-to-back runs per query,"
                   " single shared session, queries in sorted-name order;"
-                  " cache/checkpoint blocks released between queries"
-                  " (outside timed regions, r7 measurement fix)",
+                  " cache/checkpoint blocks released AND idle Python"
+                  " workers reaped between queries (outside timed"
+                  " regions, r7+r8 measurement fixes)",
         "loadavg_start": list(os.getloadavg()),
         "cpu_calibration_sec_start": _cpu_calibration_sec(),
         "spark_calibration_sec": _spark_calibration_sec(spark),
@@ -219,6 +220,53 @@ def main() -> int:
                 jrdd.unpersist(False)
         except Exception as exc:  # never let cleanup kill the bench
             print(f"bench cleanup warning: {exc}", file=sys.stderr)
+        # Reap IDLE Python workers (round-8 measurement fix, VERDICT r7
+        # item 1): with spark.python.worker.reuse=true (the default),
+        # released workers sit in PythonWorkerFactory.idleWorkers
+        # forever, each holding the RSS of whatever Arrow/pandas query
+        # last ran in it.  Over a 516-query sweep that debris produced
+        # episodic sorted-name windows timing 2.5-8x their solo values
+        # right after Python-boundary queries (r7 close:
+        # dedup_incremental 2.72 in-session vs 1.04 solo).  Stopping
+        # only the IDLE workers between queries — the daemon survives,
+        # so the next Python query pays a ~ms fork, not an interpreter
+        # start — frees that memory outside every timed region.  No
+        # public API exposes the factory map; the reflection below is
+        # bench-harness-only code and degrades to a warning if the
+        # internals move.
+        try:
+            gw = spark.sparkContext._gateway
+            jvm = spark.sparkContext._jvm
+            no_cls = gw.new_array(jvm.java.lang.Class, 0)
+            no_arg = gw.new_array(jvm.java.lang.Object, 0)
+            env = jvm.org.apache.spark.SparkEnv.get()
+            m = env.getClass().getDeclaredMethod("pythonWorkers", no_cls)
+            m.setAccessible(True)
+            fit = m.invoke(env, no_arg).valuesIterator()
+            while fit.hasNext():
+                fac = fit.next()
+                qm = fac.getClass().getDeclaredMethod(
+                    "idleWorkers", no_cls
+                )
+                qm.setAccessible(True)
+                q = qm.invoke(fac, no_arg)
+                while not q.isEmpty():
+                    fac.stopWorker(q.dequeue())
+        except Exception as exc:  # never let cleanup kill the bench
+            print(f"bench worker-reap warning: {exc}", file=sys.stderr)
+        # Drive the ContextCleaner (round-8, same measurement fix):
+        # shuffle files and broadcast blocks are deleted only when the
+        # JVM garbage-collects the referencing ShuffleDependency /
+        # Broadcast — on an 8g driver heap that runs tiny queries, GC
+        # is rare, so a 516-query sweep accumulates GBs of shuffle
+        # files in local dirs (disk + page-cache pressure that shows
+        # up as episodic 1.5-2x windows mid-sweep).  An explicit GC
+        # between queries (outside every timed region) keeps the
+        # cleaner current; ~0.1 s per query of untimed overhead.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception as exc:
+            print(f"bench gc warning: {exc}", file=sys.stderr)
 
     def _time_query(fn) -> list[float]:
         runs = []

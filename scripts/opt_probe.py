@@ -75,6 +75,33 @@ def main() -> int:
                 jrdd.unpersist(False)
         except Exception as exc:
             print(f"probe cleanup warning: {exc}", file=sys.stderr)
+        # bench.py parity (r8 measurement fix): reap IDLE Python
+        # workers between queries so Arrow/pandas worker debris from
+        # one query never inflates the next (the daemon survives).
+        try:
+            gw = spark.sparkContext._gateway
+            jvm = spark.sparkContext._jvm
+            no_cls = gw.new_array(jvm.java.lang.Class, 0)
+            no_arg = gw.new_array(jvm.java.lang.Object, 0)
+            env = jvm.org.apache.spark.SparkEnv.get()
+            m = env.getClass().getDeclaredMethod("pythonWorkers", no_cls)
+            m.setAccessible(True)
+            fit = m.invoke(env, no_arg).valuesIterator()
+            while fit.hasNext():
+                fac = fit.next()
+                qm = fac.getClass().getDeclaredMethod("idleWorkers", no_cls)
+                qm.setAccessible(True)
+                q = qm.invoke(fac, no_arg)
+                while not q.isEmpty():
+                    fac.stopWorker(q.dequeue())
+        except Exception as exc:
+            print(f"probe worker-reap warning: {exc}", file=sys.stderr)
+        # bench.py parity: drive the ContextCleaner so shuffle files /
+        # broadcasts from the previous query are actually deleted.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception as exc:
+            print(f"probe gc warning: {exc}", file=sys.stderr)
         results[name] = round(statistics.median(runs), 3)
         print(f"{name}: median {results[name]}  runs {[round(r,3) for r in runs]}", file=sys.stderr)
     print(json.dumps({"sf": args.sf, "runs": args.runs, "queries": results}))

@@ -278,6 +278,33 @@ REHEARSAL_R6_SWEEP = [
 ]
 
 
+# Round-8 subset (mode "r8-only"): the round-7 structural rewrites
+# whose 100 TB claims the r7 verdict asked to re-prove at sf10
+# (VERDICT r7 item 3) — graph family shared-basket pass, driver-fold
+# model queries (raking, markov), survival cells, day-pair fan-outs,
+# the one-pass zorder rank, the one-candidate-pass bloom screen, and
+# the fused positional walks.  Run at 8 AND 32 cores for the scaling
+# table.
+REHEARSAL_R8 = [
+    "part_pagerank",
+    "graph_assortativity",
+    "part_degree_profile",
+    "itemcf_similar_parts",
+    "survey_raking_ipf",
+    "events_markov_stationary",
+    "survival_km",
+    "ab_logrank",
+    "revenue_theil_sen",
+    "revenue_trend_robust",
+    "layout_zorder_pruning_audit",
+    "contamination_bloom_screen",
+    "customer_rfm",
+    "price_qty_dependence_grid",
+    "fk_inclusion_audit",
+    "revenue_bootstrap_ci",
+]
+
+
 # Round-6 subset (mode "stream-only"): ALL streaming consumers, with
 # per-query RESULT ROW COUNTS recorded alongside times.  VERDICT r5
 # item 8: the round-5 dir-in-dir staging bug meant every earlier sf10
@@ -341,7 +368,8 @@ def main() -> int:
     stride = int(float(sys.argv[4])) if len(sys.argv) > 4 else STRIDE
     mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     known_modes = ("full", "replicate-only", "ext-only", "ext2-only",
-                   "r5-only", "stream-only", "r6-only", "r6window-only", "r6sweep-only")
+                   "r5-only", "stream-only", "r6-only", "r6window-only",
+                   "r6sweep-only", "r8-only")
     if mode not in known_modes:
         raise SystemExit(
             f"unknown mode {mode!r}; expected one of {known_modes}"
@@ -371,6 +399,7 @@ def main() -> int:
         "r6-only": REHEARSAL_R6,
         "r6window-only": REHEARSAL_R6_WINDOW,
         "r6sweep-only": REHEARSAL_R6_SWEEP,
+        "r8-only": REHEARSAL_R8,
     }.get(mode, REHEARSAL)
 
     from data_pipeline_for_e_commerce_shop_spark.queries import QUERIES
