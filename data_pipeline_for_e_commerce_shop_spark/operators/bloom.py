@@ -94,6 +94,14 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions — codegen blowup, slower than the joins.)
     # materialised once — k broadcast mentions would re-run the build
     words = build_filter(hv, "k").localCheckpoint(eager=False)
+    # Fan-out guard (the r7 single-split device): the per-row md5
+    # probe positions are this query's dominant CPU, and a single-file
+    # orders scan pins them to one core.  Repartition on the order key
+    # ONLY when the scan yields fewer splits than the cluster has
+    # slots — a no-op at real scale.
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par, "o_orderkey")
     probe = orders.select(
         "o_orderstatus",
         "o_custkey",

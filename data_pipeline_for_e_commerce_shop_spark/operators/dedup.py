@@ -258,17 +258,19 @@ def connected_components(
     (node, component-min) labeling — property-tested against each
     other.
     """
-    # Cut the caller's lineage FIRST: the count below, the node union,
-    # and the canonical-edge derivation would otherwise each re-execute
-    # the incoming plan (for LSH candidates that is the whole
-    # shingle+minhash+banding pipeline, three times over).
-    pairs = pairs.localCheckpoint(eager=True)
-    # Size the loop's parallelism to the graph, not the session default:
-    # per-round shuffles on a candidate graph orders of magnitude
-    # smaller than the corpus would otherwise be pure task overhead.
-    n_edges = pairs.count()
-    if n_edges <= driver_threshold:
-        local = pairs.select("doc_a", "doc_b").collect()
+    # Small-graph fast path FIRST (r8): one limit(threshold+1).collect()
+    # both fetches the edges and proves completeness — if it returns
+    # <= threshold rows, those ARE all the edges, so the union-find
+    # can run without ever checkpointing or counting the pair pipeline
+    # (the r7 form paid an eager checkpoint + a count job + a collect:
+    # three actions over the shingle+minhash+banding lineage where one
+    # suffices).  The driver holds at most threshold+1 narrow rows, so
+    # the collect is bounded at any corpus size.
+    local = pairs.select("doc_a", "doc_b").limit(
+        driver_threshold + 1
+    ).collect()
+    if len(local) <= driver_threshold:
+        n_edges = len(local)
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -290,6 +292,15 @@ def connected_components(
             [(n, find(n)) for n in nodes_local],
             "doc_id long, cluster_id long",
         )
+    # Big-graph path: cut the caller's lineage FIRST — the count below,
+    # the node union, and the canonical-edge derivation would otherwise
+    # each re-execute the incoming plan (for LSH candidates that is the
+    # whole shingle+minhash+banding pipeline).  Size the loop's
+    # parallelism to the graph, not the session default: per-round
+    # shuffles on a candidate graph orders of magnitude smaller than
+    # the corpus would otherwise be pure task overhead.
+    pairs = pairs.localCheckpoint(eager=True)
+    n_edges = pairs.count()
     n_parts = max(
         1,
         min(spark.sparkContext.defaultParallelism, n_edges // 1_000_000 + 1),
@@ -1326,7 +1337,9 @@ def prefix_filter_pairs(
         _shingles(docs)
         .select("doc_id", portable_hash32("shingle").alias("h"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()  # r8: persist, not lazy localCheckpoint — the
+        # checkpoint serialized the df-count and list-build consumers
+        # behind a materialization barrier (the scd2 lesson)
     )
 
     dfq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -1340,7 +1353,7 @@ def prefix_filter_pairs(
             ).alias("toks")
         )
         .select("doc_id", "toks", F.size("toks").alias("s"))
-        .localCheckpoint(eager=False)
+        .persist()  # three consumers: prefix explode + both verify sides
     )
     plen = F.expr(f"s - ((({tau_pct} * s) + 99) div 100) + 1")
     prefix = lists.select(
@@ -1620,9 +1633,24 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle has idf 0 (df = N) report weighted 0 by exact comparison.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).localCheckpoint()
-    cand = _pairs_from_bands(_band_rows(_signatures(docs))).localCheckpoint()
-    n_docs = docs.count()
+    # r8: ONE persisted shingle table feeds the idf counts, both pair
+    # sides AND the minhash signature build (the r7 form eagerly
+    # checkpointed shingles and candidates as java rows — two job
+    # barriers — and re-ran the shingle pipeline inside _signatures);
+    # n_docs comes from parquet footer metadata instead of a count job.
+    sh = _shingles(docs).persist()
+    sig = sh.withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    ).groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+            ).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    cand = _pairs_from_bands(_band_rows(sig)).persist()
+    n_docs = table_rowcount(sf_dir, "documents")
     dfreq = sh.groupBy("shingle").agg(
         F.count("*").cast("long").alias("df")
     )

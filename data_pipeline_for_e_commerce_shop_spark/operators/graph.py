@@ -76,13 +76,17 @@ def copurchase_support(
 
 def basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order sorted distinct part set ``(l_orderkey, ps)`` —
-    localCheckpoint(eager=False) because every caller reads it at
-    least twice (the pair expansion AND the support/degree branch);
-    the table is order-count-sized with bounded arrays, so the row
-    checkpoint is cheap at any scale while the saved re-aggregation
-    is a full fact shuffle per extra consumer (r7 opt: the support
-    scalar's separate countDistinct pipeline measured as expensive as
-    the whole pair aggregation)."""
+    persisted because every caller reads it at least twice (the pair
+    expansion AND the support/degree branch); the table is
+    order-count-sized with bounded arrays, so the cache is cheap at
+    any scale while the saved re-aggregation is a full fact shuffle
+    per extra consumer (r7 opt: the support scalar's separate
+    countDistinct pipeline measured as expensive as the whole pair
+    aggregation).  r8: columnar persist() replaced the lazy
+    localCheckpoint — the checkpoint's java-row materialization
+    barrier serialized the consumers (family A/B at sf0.1:
+    part_degree_profile 4.03 -> 2.28, basket_triples 3.47 -> 2.82,
+    part_hyperball_reach 5.12 -> 4.27, itemcf 1.58 -> 1.32)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -95,7 +99,7 @@ def basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
 

@@ -50,7 +50,8 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r07")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+                            os.environ.get("SPARK_GRAFT_PLAN_DIR", "r08"))
     results: dict[str, float] = {}
     for name in args.names:
         fn = queries[name]
